@@ -1,0 +1,94 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.QueryDef
+
+/** Multimodal column plumbing: image/audio/video payloads ride through
+  * the engine as opaque `binary` columns with typed metadata alongside.
+  *
+  * The Spark-side machinery — schema, partition-friendly projections,
+  * batch-shaped feature extraction — is real and tested; the actual
+  * codec step (JPEG decode, audio resample, video frame extract) is
+  * STUBBED behind [[Multimodal.stubDecode]] because no media libraries
+  * ship in this environment. In production that one expression is
+  * replaced by an `mapInPandas`/`mapInArrow`-style batch UDF (or a JNI
+  * codec) with the exact same column contract, so every surrounding plan
+  * survives unchanged.
+  */
+object Multimodal {
+  import QueryDef.table
+
+  /** Canonical multimodal record layout: opaque payload + typed
+    * metadata. At 100 TB, payloads live in their own parquet column so
+    * metadata-only queries never read a byte of media. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),       // image | audio | video
+    StructField("payload", BinaryType),    // opaque encoded bytes
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)
+  ))
+
+  /** Deterministic fake "decode": derives a fixed-length feature vector
+    * from the payload bytes via hashing. The real implementation swaps
+    * this single expression for a batch codec UDF; signature (binary →
+    * array<double>) and batch shape are identical.
+    *
+    * STUB — see object doc. */
+  def stubDecode(payload: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => (pmod(xxhash64(payload, i), lit(1000L)).cast("double") - 500.0) / 500.0)
+
+  /** "Frame sample": deterministic byte-range slice of the payload —
+    * stands in for keyframe extraction, keeps the real column contract
+    * (binary in, binary out). */
+  def sampleBytes(payload: Column, offset: Int, len: Int): Column =
+    substring(payload, offset + 1, len) // Substring supports BinaryType
+
+  /** Build a media table from `documents` by treating each text as an
+    * opaque UTF-8 payload — exercises the binary plumbing end-to-end on
+    * driver-provided data. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(64).as("width"), lit(64).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+
+  def all: Seq[QueryDef] = Seq(
+    // binary metadata extraction: byte length + content digest, computed
+    // on the opaque payload column (never decoded).
+    QueryDef(
+      "mm01_binary_meta",
+      (s, d) =>
+        mediaFromDocuments(table(s, d, "documents"))
+          .select(col("media_id"),
+                  octet_length(col("payload")).cast("long").as("n_bytes"),
+                  sha2(col("payload"), 256).as("digest"))
+          .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  sha256(text) AS digest
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+    // stubbed decode + feature extraction: payload → feature vector →
+    // per-item feature stats. Engine-specific hash features → rows-only.
+    QueryDef(
+      "mm02_decode_features",
+      (s, d) =>
+        mediaFromDocuments(table(s, d, "documents"))
+          .withColumn("features", stubDecode(col("payload"), dims = 8))
+          .select(col("media_id"), col("kind"),
+                  round(aggregate(col("features"), lit(0.0), _ + _) / 8.0, 6)
+                    .as("feature_mean"),
+                  array_max(col("features")).as("feature_max"))
+          .orderBy("media_id"),
+      None
+    )
+  )
+}

@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.queries.QueryDef
+
+/** Approximate-nearest-neighbor search over the `embeddings` table's
+  * `array<float>` column.
+  *
+  *  - Brute-force cosine top-k is the correctness baseline: one
+  *    broadcast of the query vector, a map-side cosine per row, and a
+  *    TakeOrderedAndProject top-k — no shuffle of the corpus at all, so
+  *    even this "naive" plan scans 100 TB in one pass.
+  *  - The LSH-bucketed variant is the scale path: random-hyperplane
+  *    signs bucket the corpus (computed map-side, deterministic on every
+  *    executor); probing compares only the query's bucket — the
+  *    per-query cost drops from |corpus| to |bucket|. An IVF layout is
+  *    the same plan with learned centroids as bucket keys.
+  */
+object Similarity {
+  import QueryDef.table
+
+  /** Brute-force cosine top-k against the vector with id `queryId`. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              round(VectorOps.cosine(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: both corpus and query are bucketed by
+    * random-hyperplane sign bits; only the query's bucket is scanned.
+    * Returns the approximate top-k (exact within the probed bucket). */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int): DataFrame = {
+    val bucketed = emb
+      .withColumn("bucket", VectorOps.simhashBucket(col("embedding"), nBits))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"),
+              round(VectorOps.cosine(col("embedding"), col("qvec")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(e.embedding, q.qvec),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ss01_cosine_topk",
+      (s, d) => bruteForceTopK(table(s, d, "embeddings"), queryId = 0L, k = 10),
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
+              |FROM embeddings e, q WHERE e.vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "ss02_ann_lsh",
+      // approximate by construction — no SQL oracle (rows-only check);
+      // dd05/ss01 anchor the exact-cosine math this variant approximates.
+      (s, d) => lshTopK(table(s, d, "embeddings"), queryId = 0L, k = 10, nBits = 4),
+      None
+    )
+  )
+}

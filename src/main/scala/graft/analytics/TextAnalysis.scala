@@ -1,0 +1,155 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language
+  * identification, and document fingerprinting.
+  *
+  * Everything is built from codegen'd built-in expressions
+  * (`regexp_count`/`split`/`md5` — no UDFs), so each operator is a
+  * narrow projection over a column-pruned parquet scan: at 100 TB these
+  * run as embarrassingly parallel map-only stages, no shuffle at all
+  * (the per-language rollup shuffles only its tiny aggregate state).
+  */
+object TextAnalysis {
+  import QueryDef.table
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * single punctuation marks each count as one token — the pre-merge
+    * word segmentation used by byte-pair tokenizers. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation density per character. */
+  def punctRatio(text: Column): Column =
+    round(regexp_count(text, lit("[,.;:!?]")) * lit(1.0) /
+      greatest(length(text), lit(1)), 6)
+
+  /** Mean word length (chars excluding whitespace / tokens). */
+  def avgWordLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s", "")) * lit(1.0) /
+      greatest(tokenCount(text), lit(1)), 4)
+
+  /** Heuristic quality gate: token-count band + punctuation sanity —
+    * the length/punct/stopword-ratio family of pretraining filters. */
+  def qualityOk(text: Column): Column =
+    (tokenCount(text).between(10, 2000) && punctRatio(text) < 0.1)
+      .cast("int")
+
+  /** Canonical content fingerprint: md5 over lowercased,
+    * whitespace-collapsed text. Identical in any engine, so it doubles
+    * as the exact-dedup key (see [[Dedup]]). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-language stopword hit count (word-boundary regex — identical
+    * RE2/Java semantics for these ASCII patterns). */
+  private def hits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  private val enWords = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for")
+  private val frWords = Seq("le", "la", "les", "des", "et", "une", "est", "dans", "pour", "que")
+  private val deWords = Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von")
+  private val esWords = Seq("el", "los", "las", "y", "un", "una", "es", "en", "por", "como")
+
+  /** N-gram/stopword language-ID heuristic: CJK codepoints short-circuit
+    * to zh; otherwise argmax of per-language stopword hits with a fixed
+    * tie-break order (en > fr > de > es). */
+  def langId(text: Column): Column = {
+    val en = hits(text, enWords); val fr = hits(text, frWords)
+    val de = hits(text, deWords); val es = hits(text, esWords)
+    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+      .when(en >= fr && en >= de && en >= es, "en")
+      .when(fr >= de && fr >= es, "fr")
+      .when(de >= es, "de")
+      .otherwise("es")
+  }
+
+  /** DuckDB-side equivalents for the oracle SQL. */
+  private def sqlHits(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "tx01_token_count",
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"),
+                  tokenCount(col("text")).cast("long").as("n_tokens"),
+                  bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    QueryDef(
+      "tx02_quality_score",
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"),
+                  avgWordLen(col("text")).as("avg_word_len"),
+                  punctRatio(col("text")).as("punct_ratio"),
+                  qualityOk(col("text")).as("quality_ok"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 /
+             |        greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_word_len,
+             |  round(len(regexp_extract_all(text, '[,.;:!?]')) * 1.0 /
+             |        greatest(length(text), 1), 6) AS punct_ratio,
+             |  CAST(len(regexp_extract_all(text, '\S+')) BETWEEN 10 AND 2000
+             |       AND len(regexp_extract_all(text, '[,.;:!?]')) * 1.0 /
+             |           greatest(length(text), 1) < 0.1 AS INT) AS quality_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    QueryDef(
+      "tx03_lang_id",
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+                  langId(col("text")).as("predicted_lang"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang AS labeled_lang,
+              |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+              |       WHEN ${sqlHits(enWords)} >= ${sqlHits(frWords)}
+              |        AND ${sqlHits(enWords)} >= ${sqlHits(deWords)}
+              |        AND ${sqlHits(enWords)} >= ${sqlHits(esWords)} THEN 'en'
+              |       WHEN ${sqlHits(frWords)} >= ${sqlHits(deWords)}
+              |        AND ${sqlHits(frWords)} >= ${sqlHits(esWords)} THEN 'fr'
+              |       WHEN ${sqlHits(deWords)} >= ${sqlHits(esWords)} THEN 'de'
+              |       ELSE 'es' END AS predicted_lang
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    QueryDef(
+      "tx04_fingerprint",
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    QueryDef(
+      "tx05_corpus_stats",
+      (s, d) =>
+        table(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+               round(avg(col("n_chars")), 4).as("avg_chars"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+             |  round(AVG(n_chars), 4) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,515 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational query surface (SURVEY.md §2.4, reference
+  * `harvard_artifacts_app.py:289-313`) re-expressed Spark-first over the
+  * driver test tables (FIXTURES.md §C role mapping: artifactmetadata →
+  * orders/part, artifactmedia → lineitem, artifactcolors → lineitem,
+  * dims → nation/region/customer).
+  *
+  * Design rules (SURVEY.md §7.5):
+  *  - every query is deterministic: the reference's bare `LIMIT` (O4) gets
+  *    an explicit tiebreak ORDER BY;
+  *  - double aggregates are `round(...)`-ed in BOTH engines so summation
+  *    order can't flip the hash compare;
+  *  - column names are aliased identically in Spark and oracle SQL.
+  *
+  * All plans here are pure DataFrame combinators: Catalyst pushes the
+  * filters/projections into the parquet scan, picks broadcast-hash joins
+  * for the small sides, and plans top-k as TakeOrderedAndProject — no
+  * custom physical work is needed for this surface (SURVEY.md §4).
+  */
+object Relational {
+  import QueryDef.table
+
+  def all: Seq[QueryDef] = Seq(
+    // ---- Q1 (R1 full scan + F1 equality + F2 AND) ---------------------
+    QueryDef(
+      "q01_scan_filter_eq",
+      (s, d) =>
+        table(s, d, "part")
+          .filter(col("p_brand") === "Brand#13" && col("p_type") === "PROMO")
+          .orderBy("p_partkey"),
+      Some("""SELECT * FROM part
+             |WHERE p_brand = 'Brand#13' AND p_type = 'PROMO'
+             |ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // ---- Q2 (A5 DISTINCT + F3 IS NOT NULL + F4 != '') -----------------
+    QueryDef(
+      "q02_distinct_notnull_ne",
+      (s, d) =>
+        table(s, d, "customer")
+          .filter(col("c_mktsegment").isNotNull && col("c_mktsegment") =!= "")
+          .select(col("c_mktsegment").as("segment"))
+          .distinct()
+          .orderBy("segment"),
+      Some("""SELECT DISTINCT c_mktsegment AS segment FROM customer
+             |WHERE c_mktsegment IS NOT NULL AND c_mktsegment != ''
+             |ORDER BY segment""".stripMargin)
+    ),
+
+    // ---- Q3 (F5 LIKE '%x%') -------------------------------------------
+    QueryDef(
+      "q03_like_substring",
+      (s, d) =>
+        table(s, d, "part")
+          .filter(col("p_name").like("%gear%"))
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name LIKE '%gear%' ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // ---- Q4 (O1 ORDER BY DESC + LIMIT top-k) --------------------------
+    // Spark plans this as TakeOrderedAndProject (true top-k, no full sort).
+    QueryDef(
+      "q04_topk_desc",
+      (s, d) =>
+        table(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+    ),
+
+    // ---- Q5 (A1 GROUP BY + COUNT(*)) ----------------------------------
+    QueryDef(
+      "q05_group_count",
+      (s, d) =>
+        table(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- Q6 (J1 inner equi-join + F6 > literal) -----------------------
+    QueryDef(
+      "q06_join_filter_gt",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val l = table(s, d, "lineitem").filter(col("l_quantity") > 49)
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), l("l_linenumber"), o("o_orderpriority"), l("l_quantity"))
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o.o_orderkey, l.l_linenumber, o.o_orderpriority, l.l_quantity
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_quantity > 49 ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ---- Q7 (A4 global AVG with redundant NULL filter) ----------------
+    QueryDef(
+      "q07_global_avg",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .filter(col("l_quantity").isNotNull)
+          .agg(round(avg("l_quantity"), 4).as("avg_qty")),
+      Some("""SELECT round(AVG(l_quantity), 4) AS avg_qty FROM lineitem
+             |WHERE l_quantity IS NOT NULL""".stripMargin)
+    ),
+
+    // ---- Q8 (F8 column-vs-column theta residual over J1) --------------
+    QueryDef(
+      "q08_col_vs_col",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val l = table(s, d, "lineitem").filter(col("l_discount") > col("l_tax"))
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), l("l_linenumber"), l("l_discount"), l("l_tax"))
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o.o_orderkey, l.l_linenumber, l.l_discount, l.l_tax
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_discount > l.l_tax ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ---- Q9 (F9 BETWEEN range over J1) --------------------------------
+    QueryDef(
+      "q09_between_range",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val l = table(s, d, "lineitem").filter(
+          col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+                                    lit("1996-12-31").cast("timestamp")))
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), l("l_linenumber"), l("l_shipdate"))
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ---- Q10 (A4 COUNT(*) with F1 filter) -----------------------------
+    QueryDef(
+      "q10_count_filter",
+      (s, d) =>
+        table(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .agg(count(lit(1)).as("cnt")),
+      Some("SELECT COUNT(*) AS cnt FROM orders WHERE o_orderstatus = 'F'")
+    ),
+
+    // ---- Q11 (A5 DISTINCT single col + F3) ----------------------------
+    QueryDef(
+      "q11_distinct_col",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .filter(col("l_returnflag").isNotNull)
+          .select(col("l_returnflag").as("returnflag"))
+          .distinct()
+          .orderBy("returnflag"),
+      Some("""SELECT DISTINCT l_returnflag AS returnflag FROM lineitem
+             |WHERE l_returnflag IS NOT NULL ORDER BY returnflag""".stripMargin)
+    ),
+
+    // ---- Q12 (O2 top-k over aggregate) --------------------------------
+    QueryDef(
+      "q12_group_count_topk",
+      (s, d) =>
+        table(s, d, "part")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("frequency"))
+          .orderBy(desc("frequency"), asc("p_brand"))
+          .limit(5),
+      Some("""SELECT p_brand, COUNT(*) AS frequency FROM part
+             |GROUP BY p_brand ORDER BY frequency DESC, p_brand LIMIT 5""".stripMargin)
+    ),
+
+    // ---- Q13 (A2 GROUP BY + AVG) --------------------------------------
+    QueryDef(
+      "q13_group_avg",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(avg("l_discount"), 6).as("avg_disc"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(AVG(l_discount), 6) AS avg_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ---- Q14 (J1 + F3 over joined satellite) --------------------------
+    QueryDef(
+      "q14_join_notnull",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val l = table(s, d, "lineitem").filter(col("l_quantity").isNotNull)
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), l("l_linenumber"), o("o_orderpriority"), l("l_quantity"))
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o.o_orderkey, l.l_linenumber, o.o_orderpriority, l.l_quantity
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_quantity IS NOT NULL ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ---- Q15 (A4 bare COUNT(*)) ---------------------------------------
+    QueryDef(
+      "q15_global_count",
+      (s, d) => table(s, d, "lineitem").agg(count(lit(1)).as("total")),
+      Some("SELECT COUNT(*) AS total FROM lineitem")
+    ),
+
+    // ---- Q16 (J2 1:N row-multiplying join + F1) -----------------------
+    QueryDef(
+      "q16_join_eq_filter",
+      (s, d) => {
+        val c = table(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = table(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .select(c("c_custkey"), c("c_name"), o("o_orderkey"))
+          .orderBy("c_custkey", "o_orderkey")
+      },
+      Some("""SELECT c.c_custkey, c.c_name, o.o_orderkey
+             |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+             |WHERE c.c_mktsegment = 'BUILDING' ORDER BY c_custkey, o_orderkey""".stripMargin)
+    ),
+
+    // ---- Q17 (O3 full ASC sort, no limit) -----------------------------
+    QueryDef(
+      "q17_join_full_sort",
+      (s, d) => {
+        val c = table(s, d, "customer")
+        val o = table(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .select(c("c_name"), o("o_orderkey"), o("o_totalprice"))
+          .orderBy("c_name", "o_orderkey")
+      },
+      Some("""SELECT c.c_name, o.o_orderkey, o.o_totalprice
+             |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+             |ORDER BY c_name, o_orderkey""".stripMargin)
+    ),
+
+    // ---- Q18 (Q14 twin — reference `:307` duplicates `:303`) ----------
+    QueryDef(
+      "q18_join_notnull_alt",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val l = table(s, d, "lineitem").filter(col("l_suppkey").isNotNull)
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(o("o_orderkey"), l("l_linenumber"), l("l_suppkey"))
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o.o_orderkey, l.l_linenumber, l.l_suppkey
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_suppkey IS NOT NULL ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ---- Q19 (J3 3-way join + A5 DISTINCT + F1/F7) --------------------
+    QueryDef(
+      "q19_threeway_distinct",
+      (s, d) => {
+        val c = table(s, d, "customer")
+        val n = table(s, d, "nation").filter(col("n_nationkey") <= 10)
+        val r = table(s, d, "region").filter(col("r_name") === "ASIA")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .select(c("c_mktsegment").as("segment"), n("n_name"))
+          .distinct()
+          .orderBy("segment", "n_name")
+      },
+      Some("""SELECT DISTINCT c.c_mktsegment AS segment, n.n_name
+             |FROM customer c
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE r.r_name = 'ASIA' AND n.n_nationkey <= 10
+             |ORDER BY segment, n_name""".stripMargin)
+    ),
+
+    // ---- Q20 (A3 multi-aggregate post-join + O2 top-k) ----------------
+    QueryDef(
+      "q20_join_group_multiagg",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val l = table(s, d, "lineitem")
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(o("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"),
+               round(avg(l("l_quantity")), 4).as("avg_qty"))
+          .orderBy(desc("order_count"), asc("o_orderpriority"))
+          .limit(10)
+      },
+      Some("""SELECT o.o_orderpriority, COUNT(*) AS order_count,
+             |       round(AVG(l.l_quantity), 4) AS avg_qty
+             |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |GROUP BY o.o_orderpriority
+             |ORDER BY order_count DESC, o_orderpriority LIMIT 10""".stripMargin)
+    )
+  )
+
+  /** Categories the reference lacks (SURVEY.md §2.4 "absent"), provided as
+    * first-class extensions: windows, set ops, HAVING, subqueries,
+    * semi/anti joins, rollup, filtered/pivoted/distinct aggregates. */
+  def extensions: Seq[QueryDef] = Seq(
+    // ---- window: top-N per group (deterministic INSERT-IGNORE analog) -
+    QueryDef(
+      "x01_window_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        table(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)
+    ),
+
+    // ---- window: running sum over an ordered frame --------------------
+    QueryDef(
+      "x02_window_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+                  round(sum("o_totalprice").over(w), 2).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(SUM(o_totalprice) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
+    // ---- set ops ------------------------------------------------------
+    QueryDef(
+      "x03_union_distinct",
+      (s, d) =>
+        table(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(table(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    QueryDef(
+      "x04_intersect",
+      (s, d) =>
+        table(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(table(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    QueryDef(
+      "x05_except",
+      (s, d) =>
+        table(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(table(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+
+    // ---- HAVING (post-aggregation filter) -----------------------------
+    QueryDef(
+      "x06_having",
+      (s, d) =>
+        table(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 15)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, COUNT(*) AS cnt FROM orders
+             |GROUP BY o_custkey HAVING COUNT(*) > 15 ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // ---- subquery-in-FROM (orders well above their customer's mean) ---
+    // +1.0 margin keeps the float compare away from the avg boundary so
+    // Spark/DuckDB summation-order differences can't flip a row.
+    QueryDef(
+      "x07_subquery_above_avg",
+      (s, d) => {
+        val o = table(s, d, "orders")
+        val a = o.groupBy(col("o_custkey").as("ck"))
+          .agg(avg("o_totalprice").as("ap"))
+        o.join(a, o("o_custkey") === a("ck"))
+          .filter(o("o_totalprice") > a("ap") + 1.0)
+          .select(o("o_orderkey"), o("o_custkey"), o("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+             |FROM orders o JOIN (
+             |  SELECT o_custkey AS ck, AVG(o_totalprice) AS ap
+             |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.ck
+             |WHERE o.o_totalprice > a.ap + 1.0 ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---- rollup (hierarchical totals) ---------------------------------
+    QueryDef(
+      "x08_rollup",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- scalar expressions: CASE WHEN + substr -----------------------
+    QueryDef(
+      "x09_case_scalar_fns",
+      (s, d) =>
+        table(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            expr("substring(o_orderpriority, 3)").as("priority_name"),
+            when(col("o_totalprice") > 300000, "big")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("small").as("bucket"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, substring(o_orderpriority, 3) AS priority_name,
+             |  CASE WHEN o_totalprice > 300000 THEN 'big'
+             |       WHEN o_totalprice > 100000 THEN 'mid'
+             |       ELSE 'small' END AS bucket
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---- semi / anti joins (EXISTS / NOT EXISTS) ----------------------
+    QueryDef(
+      "x10_semi_join",
+      (s, d) => {
+        val c = table(s, d, "customer")
+        val big = table(s, d, "orders").filter(col("o_totalprice") > 400000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    QueryDef(
+      "x11_anti_join",
+      (s, d) => {
+        val c = table(s, d, "customer")
+        val o = table(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ---- filtered (conditional) aggregates ----------------------------
+    QueryDef(
+      "x12_conditional_agg",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(when(col("l_quantity") > 25, 1)).as("big_cnt"),
+            round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+              .otherwise(0.0)), 2).as("disc_rev"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS big_cnt,
+             |  round(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS disc_rev
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ---- exact + approximate distinct counts --------------------------
+    QueryDef(
+      "x13_count_distinct",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .agg(countDistinct(col("l_partkey")).as("nparts")),
+      Some("SELECT COUNT(DISTINCT l_partkey) AS nparts FROM lineitem")
+    ),
+    QueryDef(
+      "x14_approx_count_distinct",
+      // HLL++ sketch — engine-specific estimate, so no cross-engine
+      // oracle (driver records rows-only). At 100 TB this replaces the
+      // exact distinct's full shuffle with a fixed-size sketch merge.
+      (s, d) =>
+        table(s, d, "lineitem")
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("nparts_approx")),
+      None
+    )
+  )
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream
+  * (`event_id, ts, user_id, event_type, value, props`) — the streaming
+  * extension the reference lacks (SURVEY.md §2.4 "absent"; its ingest is
+  * a bounded batch loop, `harvard_artifacts_app.py:118`).
+  *
+  * Each transform takes any DataFrame (batch or streaming): the same
+  * declarative plan runs `spark.read` for backfill and
+  * `spark.readStream` for the live path — one codebase, two execution
+  * modes. Watermarks bound state so a 1000-executor cluster can run
+  * these indefinitely.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type, 10-minute watermark for
+    * late data. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Sliding-window event rate (10-minute windows every 5 minutes). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("n_events"))
+
+  /** Session windows per user: a session extends while successive events
+    * arrive within `gap` of each other. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("n_events"))
+
+  /** Exactly-once-per-key within the watermark horizon — the streaming
+    * INSERT-IGNORE (reference K2). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running counters via explicit state — the
+    * mapGroupsWithState escape hatch for semantics windows can't
+    * express (here: lifetime event count + last-seen, emitted per
+    * micro-batch). */
+  def userRunningStats(events: DataFrame): Dataset[(Long, Long, java.sql.Timestamp)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, java.sql.Timestamp), (Long, Long, java.sql.Timestamp)](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Long, java.sql.Timestamp)]) =>
+          val batch = rows.toSeq
+          val (prevCount, prevLast) =
+            state.getOption.getOrElse((0L, new java.sql.Timestamp(0L)))
+          val newCount = prevCount + batch.size
+          val newLast = (batch.map(_._2) :+ prevLast).maxBy(_.getTime)
+          state.update((newCount, newLast))
+          (userId, newCount, newLast)
+      }
+  }
+
+  /** Run any of the above against a streaming source directory and sink
+    * the result to memory/console/parquet — the readStream→writeStream
+    * wiring (`format` e.g. "parquet"; `path` a landing dir of parquet
+    * files with the events schema). */
+  def runStream(spark: org.apache.spark.sql.SparkSession, path: String,
+                transform: DataFrame => DataFrame,
+                queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(path).schema // infer once, batch-side
+    val in = spark.readStream.schema(schema).parquet(path)
+    transform(in).writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .start()
+  }
+}

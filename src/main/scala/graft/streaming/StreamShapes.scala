@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+
+/** The streaming transforms of [[EventStreams]] exercised in batch mode
+  * over the `events` table, with DuckDB oracles — windowed-aggregation
+  * semantics are identical in batch and streaming (same logical plan;
+  * the watermark only governs state eviction), so these entries pin the
+  * window math the streaming path reuses.
+  */
+object StreamShapes {
+  import QueryDef.table
+
+  def all: Seq[QueryDef] = Seq(
+    // tumbling window: floor-aligned 5-minute buckets.
+    QueryDef(
+      "st01_tumbling_window",
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+                  col("n_events"), col("sum_value"))
+          .orderBy("w_start", "event_type"),
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+             |SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
+             |  COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value
+             |FROM ev GROUP BY w_start, event_type
+             |ORDER BY w_start, event_type""".stripMargin)
+    ),
+
+    // sliding window: each event lands in size/slide = 2 overlapping
+    // windows; the oracle replays that expansion with a UNION ALL.
+    QueryDef(
+      "st02_sliding_window",
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").as("w_start"), col("n_events"))
+          .orderBy("w_start"),
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+             |SELECT w_start, COUNT(*) AS n_events FROM (
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start FROM ev
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM ev
+             |) t GROUP BY w_start ORDER BY w_start""".stripMargin)
+    ),
+
+    // session windows: gaps-and-islands replay in the oracle; a new
+    // session starts when the gap to the previous event is >= 30 min
+    // (Spark's session end bound start+gap is exclusive).
+    QueryDef(
+      "st03_session_window",
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start").as("s_start"), col("n_events"))
+          .orderBy("user_id", "s_start"),
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |marked AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), numbered AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS s_start, COUNT(*) AS n_events
+             |FROM numbered GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)
+    ),
+
+    // streaming dedup (INSERT-IGNORE analog) in batch form: exact-once
+    // per event_id keeping the earliest arrival.
+    QueryDef(
+      "st04_stream_dedup",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id").orderBy("ts", "user_id")
+        table(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+             |SELECT event_id, user_id, event_type FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY event_id ORDER BY ts, user_id) AS rn
+             |  FROM ev) t
+             |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    )
+  )
+}

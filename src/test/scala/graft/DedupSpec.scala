@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.functions.VectorOps
+
+/** Fuzzy-dedup and similarity operators on planted fixtures: the
+  * pipelines must find the planted near-duplicate pair and nothing
+  * else. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ~100-token base so a one-token edit moves only a few simhash bit
+  // votes (short docs make simhash inherently noisy).
+  private val base = (1 to 25).map(i =>
+    s"sentence$i about the quick brown fox").mkString(" ")
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base + " again"),                       // near-dup of 0
+    (2L, "completely different words about spark catalyst tungsten codegen shuffles and joins"),
+    (3L, "yet another unrelated document mentioning parquet columnar storage formats and pushdown")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds the planted near-dup pair only") {
+    val pairs = Dedup.minhashPairs(docs, shingleN = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("minhash jaccard estimate is close to exact jaccard") {
+    val exact = docs.filter($"doc_id" === 0)
+      .crossJoin(docs.filter($"doc_id" === 1).select($"text".as("t2")))
+      .select(Dedup.jaccard(
+        Dedup.shingleHashes($"text", 3), Dedup.shingleHashes($"t2", 3)))
+      .head().getDouble(0)
+    assert(exact > 0.8) // 1-token suffix on ~150 tokens ⇒ high overlap
+  }
+
+  test("simhash finds the planted near-dup pair, skips unrelated docs") {
+    val pairs = Dedup.simhashPairs(spark, docs, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("exact-dedup fingerprint is whitespace/case-insensitive") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    assert(df.distinct().count() == 2)
+  }
+
+  test("cosine: hand-computed values and self-similarity") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal → 0
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),   // parallel → 1
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))    // self → 1
+    ).toDF("a", "b")
+    val sims = df.select(VectorOps.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(sims(0) - 0.0) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+    assert(math.abs(sims(2) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns nearest first, excludes the query") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),  // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("LSH ANN: bucket-mates score identically to brute force") {
+    val emb = (0L to 40L).map { i =>
+      val angle = i.toDouble / 41 * math.Pi
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.lshTopK(emb, 0L, 5, nBits = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // every ANN hit's similarity must equal its brute-force similarity
+    ann.foreach { case (id, sim) =>
+      brute.get(id).foreach(bs => assert(math.abs(bs - sim) < 1e-9))
+    }
+    assert(ann.nonEmpty)
+  }
+}

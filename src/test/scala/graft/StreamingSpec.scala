@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming semantics through the real streaming engine:
+  * MemoryStream micro-batches → windowed/stateful transforms → memory
+  * sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                        event_type: String, value: Double, props: String)
+
+  test("tumbling window aggregates arrive through the streaming path") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventStreams.tumblingCounts(events).writeStream
+      .queryName("tumbling_test").outputMode("complete").format("memory").start()
+    try {
+      mem.addData(
+        (1L, ts(0), 1L, "click", 1.0, "{}"),
+        (2L, ts(1), 1L, "click", 2.0, "{}"),
+        (3L, ts(7), 2L, "view", 5.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .orderBy("w_start", "event_type").collect()
+      assert(rows.map(r => (r.getAs[Timestamp]("w_start"),
+                            r.getAs[String]("event_type"),
+                            r.getAs[Long]("n_events"))).toSeq ==
+        Seq((ts(0), "click", 2L), (ts(5), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventStreams.dedupedEvents(events).writeStream
+      .queryName("dedup_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData(
+        (1L, ts(0), 1L, "click", 1.0, "{}"),
+        (1L, ts(0, 30), 1L, "click", 1.0, "{}"), // replay of event 1
+        (2L, ts(1), 2L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventStreams.userRunningStats(events)
+      .toDF("user_id", "n_events", "last_seen").writeStream
+      .queryName("state_test").outputMode("update").format("memory").start()
+    try {
+      mem.addData((1L, ts(0), 7L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(1), 7L, "click", 1.0, "{}"),
+                  (3L, ts(2), 8L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      val last = spark.table("state_test")
+        .groupBy("user_id").agg(max("n_events").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(7L -> 2L, 8L -> 1L))
+    } finally q.stop()
+  }
+
+  test("batch and streaming session windows agree on the events table") {
+    val batch = graft.queries.QueryDef.eventsTable(spark, sf0001)
+    val sessions = EventStreams.userSessions(batch)
+    // sanity: sessions partition the events (counts sum to total)
+    assert(sessions.agg(sum("n_events")).head().getLong(0) == batch.count())
+  }
+}

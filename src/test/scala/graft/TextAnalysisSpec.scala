@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counting: whitespace and BPE-ish segmentation") {
+    val df = Seq("hello world", "don't stop!  now", "", "a1b2").toDF("text")
+      .select(TextAnalysis.tokenCount($"text").as("ws"),
+              TextAnalysis.bpeishTokenCount($"text").as("bp"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows(0) == ((2, 2)))
+    // don ' t stop ! now → 6 BPE-ish tokens vs 3 whitespace tokens
+    assert(rows(1) == ((3, 6)))
+    assert(rows(2) == ((0, 0)))
+    assert(rows(3) == ((1, 4))) // a 1 b 2
+  }
+
+  test("language id: stopword heuristic picks the right language") {
+    val df = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("le chat est dans la maison et la porte", "fr"),
+      ("der hund ist ein guter freund und die katze", "de"),
+      ("el perro es un amigo y las casas son grandes", "es"),
+      ("你好世界", "zh")
+    ).toDF("text", "expected")
+    val wrong = df.filter(TextAnalysis.langId($"text") =!= $"expected")
+    assert(wrong.count() == 0)
+  }
+
+  test("quality gate: too-short and punctuation-heavy docs fail") {
+    val good = "this is a perfectly reasonable sentence with enough tokens to pass the gate easily"
+    val short = "too short"
+    val punct = ("w! " * 20).trim // 50% punctuation chars per token
+    val df = Seq(good, short, punct).toDF("text")
+      .select(TextAnalysis.qualityOk($"text").as("ok"))
+    assert(df.as[Int].collect().toSeq == Seq(1, 0, 0))
+  }
+
+  test("multimodal plumbing: payload round-trip, digest, stub decode shape") {
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feat = media.withColumn("f", Multimodal.stubDecode($"payload", 16))
+    val sizes = feat.select(size($"f")).as[Int].collect()
+    assert(sizes.forall(_ == 16))
+    // deterministic: same payload → same features
+    val f1 = feat.filter($"media_id" === 1L).select("f").head().getSeq[Double](0)
+    val f2 = Multimodal.mediaFromDocuments(docs).filter($"media_id" === 1L)
+      .withColumn("f", Multimodal.stubDecode($"payload", 16))
+      .select("f").head().getSeq[Double](0)
+    assert(f1 == f2)
+    // sampleBytes keeps binary type and respects bounds
+    val s = media.select(Multimodal.sampleBytes($"payload", 0, 3).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    assert(s.length == 3)
+  }
+}
