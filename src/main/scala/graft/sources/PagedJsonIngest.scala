@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's paginated REST JSON source (S1,
+  * `harvard_artifacts_app.py:105-152`) re-shaped for Spark: a tiny
+  * driver-side page loop lands raw JSONL files; all decoding happens on
+  * executors via `spark.read.schema(...).json` — the network-bound part
+  * stays sequential and polite (the reference rate-limits at 0.1 s/page,
+  * `:143`), the CPU-bound part distributes.
+  *
+  * `fetchPage` abstracts the HTTP GET (`:127`): tests inject a local
+  * fake; production injects a real client. Returns records-as-JSON-lines
+  * per page, `None` when pagination is exhausted (≙ absent `info.next`,
+  * `:137`).
+  */
+object PagedJsonIngest {
+
+  /** Pull pages until `targetRecords` records (truncating the last page,
+    * `:133-135`) or pagination end; land one JSONL file per page under
+    * `landingDir`. Returns the number of records landed. */
+  def land(fetchPage: Int => Option[Seq[String]],
+           targetRecords: Int,
+           landingDir: String,
+           rateLimitMs: Long = 0L): Int = {
+    Files.createDirectories(Paths.get(landingDir))
+    var total = 0
+    var page = 1
+    var done = false
+    while (!done && total < targetRecords) {
+      fetchPage(page) match {
+        case None => done = true
+        case Some(records) =>
+          val keep = records.take(targetRecords - total)
+          Files.write(
+            Paths.get(landingDir, f"page_$page%05d.jsonl"),
+            keep.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          total += keep.size
+          page += 1
+          if (rateLimitMs > 0) Thread.sleep(rateLimitMs)
+      }
+    }
+    total
+  }
+
+  /** Decode a landing dir on executors with a declared schema —
+    * schema-on-read with a fixed target: unknown fields drop, missing
+    * fields null (the `.get(k, default)` projection then runs in
+    * [[graft.etl.ArtifactEtl]]). */
+  def read(spark: SparkSession, landingDir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(landingDir)
+
+  /** Streaming variant of the same landing dir — the S1 row of
+    * SURVEY.md §2.1 maps to `readStream` for continuous ingest. */
+  def readStream(spark: SparkSession, landingDir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(landingDir)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ArtifactStore
+
+/** K1/K2 store semantics: partitioned layout, idempotent re-ingest,
+  * partition pruning visible in the physical plan. */
+class ArtifactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(ids: Seq[Long], cls: String) =
+    ids.map(i => (i, s"title$i", cls)).toDF("id", "title", "classification")
+
+  test("append-ignore drops PK duplicates across batches and within a batch") {
+    val path = Files.createTempDirectory("store").toString + "/meta"
+    ArtifactStore.create(batch(Seq(1L, 2L, 3L), "Coins"), path)
+    // second batch: 2,3 already exist; 4 is new and duplicated in-batch
+    ArtifactStore.appendIgnore(spark,
+      batch(Seq(2L, 3L, 4L, 4L), "Paintings"), path)
+    val stored = ArtifactStore.read(spark, path)
+    assert(stored.count() == 4)
+    assert(stored.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // replay of the whole second batch is a no-op (idempotent)
+    ArtifactStore.appendIgnore(spark, batch(Seq(2L, 3L, 4L), "Paintings"), path)
+    assert(ArtifactStore.read(spark, path).count() == 4)
+  }
+
+  test("classification filter prunes partitions at the scan") {
+    val path = Files.createTempDirectory("store").toString + "/meta"
+    ArtifactStore.create(
+      batch(Seq(1L, 2L), "Coins").union(batch(Seq(3L, 4L), "Paintings")), path)
+    val q = ArtifactStore.read(spark, path)
+      .filter(col("classification") === "Coins")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.contains("classification"))
+    assert(q.count() == 2)
+    // pruned scan reads only the Coins directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("classification=Coins") ||
+           scanned.contains("PartitionFilters: [isnotnull(classification"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.etl.ArtifactEtl
+import graft.model.ArtifactSchemas
+import graft.sources.PagedJsonIngest
+
+/** S1 source semantics (reference `harvard_artifacts_app.py:105-152`):
+  * page loop, target-record truncation, pagination-end stop, then
+  * schema-on-read decode feeding the ETL. */
+class PagedJsonIngestSpec extends SparkSpec {
+
+  private def record(id: Int): String =
+    s"""{"id": $id, "title": "Object $id", "culture": "Byzantine",
+       | "classification": "Coins", "imagecount": ${id % 3},
+       | "colors": [{"hue": "Grey", "percent": 0.5}],
+       | "unknown_api_field": "dropped by schema"}""".stripMargin.replace("\n", "")
+
+  private def fakeApi(pageSize: Int, totalAvailable: Int): Int => Option[Seq[String]] =
+    page => {
+      val start = (page - 1) * pageSize
+      if (start >= totalAvailable) None
+      else Some((start until math.min(start + pageSize, totalAvailable)).map(record))
+    }
+
+  test("lands exactly targetRecords, truncating the final page") {
+    val dir = Files.createTempDirectory("ingest").toString
+    val n = PagedJsonIngest.land(fakeApi(pageSize = 10, totalAvailable = 100),
+                                 targetRecords = 25, landingDir = dir)
+    assert(n == 25)
+    val df = PagedJsonIngest.read(spark, dir, ArtifactSchemas.rawApiSchema)
+    assert(df.count() == 25)
+    // page files: 3 pages (10 + 10 + 5)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".jsonl")) == 3)
+  }
+
+  test("stops at pagination end when source has fewer records than target") {
+    val dir = Files.createTempDirectory("ingest").toString
+    val n = PagedJsonIngest.land(fakeApi(pageSize = 10, totalAvailable = 17),
+                                 targetRecords = 2500, landingDir = dir)
+    assert(n == 17)
+  }
+
+  test("schema-on-read drops unknown fields and feeds the ETL end-to-end") {
+    val dir = Files.createTempDirectory("ingest").toString
+    PagedJsonIngest.land(fakeApi(10, 30), 12, dir)
+    val raw = PagedJsonIngest.read(spark, dir, ArtifactSchemas.rawApiSchema)
+    assert(!raw.columns.contains("unknown_api_field"))
+    val (meta, media, colors) = ArtifactEtl.transform(raw.cache())
+    assert(meta.count() == 12 && media.count() == 12 && colors.count() == 12)
+    assert(meta.columns.toSeq == ArtifactSchemas.metadataSchema.fieldNames.toSeq)
+  }
+}
