@@ -49,6 +49,31 @@ object Multimodal {
   def sampleBytes(payload: Column, offset: Int, len: Int): Column =
     substring(payload, offset + 1, len) // Substring supports BinaryType
 
+  /** Batch-shaped decode over partitions — the Scala analog of a
+    * `mapInPandas` batch UDF: one iterator in, one iterator out per
+    * partition, so a real codec amortizes model/codec init across the
+    * whole batch instead of paying it per row (the plumbing the prompt's
+    * image/audio path needs; decode itself remains the deterministic
+    * stub). Output schema: (media_id, n_frames, first_frame_byte).
+    *
+    * STUB — the per-item body fakes frame extraction from payload
+    * bytes; swap only the body for a real codec. */
+  def decodeBatched(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition (per-batch) init happens HERE, once:
+        // e.g. codecHandle = Codec.open(...)
+        batch.map { case (id, payload) =>
+          val nFrames = math.max(1, payload.length / 16)
+          val first = if (payload.nonEmpty) payload(0).toInt else -1
+          (id, nFrames, first)
+        }
+      }
+      .toDF("media_id", "n_frames", "first_frame_byte")
+  }
+
   /** Build a media table from `documents` by treating each text as an
     * opaque UTF-8 payload — exercises the binary plumbing end-to-end on
     * driver-provided data. */

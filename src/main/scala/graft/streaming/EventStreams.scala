@@ -76,17 +76,24 @@ object EventStreams {
   }
 
   /** Run any of the above against a streaming source directory and sink
-    * the result to memory/console/parquet — the readStream→writeStream
-    * wiring (`format` e.g. "parquet"; `path` a landing dir of parquet
-    * files with the events schema). */
+    * the result to a named memory table — the readStream→writeStream
+    * wiring (`path` is a landing dir of parquet files with the events
+    * schema).
+    *
+    * Pick `mode` per transform: Append for row-wise ops (dedup,
+    * filters); Complete/Update for watermarked windowed aggregates —
+    * in Append a window only emits once the watermark passes its end,
+    * so a static landing dir would emit nothing. */
   def runStream(spark: org.apache.spark.sql.SparkSession, path: String,
                 transform: DataFrame => DataFrame,
-                queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                queryName: String,
+                mode: OutputMode = OutputMode.Append())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(path).schema // infer once, batch-side
     val in = spark.readStream.schema(schema).parquet(path)
     transform(in).writeStream
       .queryName(queryName)
-      .outputMode(OutputMode.Append())
+      .outputMode(mode)
       .format("memory")
       .start()
   }

@@ -80,6 +80,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: landing dir → windowed agg matches batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // land a µs-timestamp copy of events (Spark can't stream-read the
+    // raw ns parquet, same as batch)
+    val dir = java.nio.file.Files.createTempDirectory("landing").toString
+    val events = graft.queries.QueryDef.eventsTable(spark, sf0001)
+    events.write.mode("overwrite").parquet(dir)
+    val q = EventStreams.runStream(spark, dir,
+      df => EventStreams.tumblingCounts(df), "file_stream_test",
+      OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .agg(sum("n_events")).head().getLong(0)
+      assert(streamed == events.count())
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the events table") {
     val batch = graft.queries.QueryDef.eventsTable(spark, sf0001)
     val sessions = EventStreams.userSessions(batch)

@@ -57,5 +57,10 @@ class TextAnalysisSpec extends SparkSpec {
     val s = media.select(Multimodal.sampleBytes($"payload", 0, 3).as("s"))
       .head().getAs[Array[Byte]]("s")
     assert(s.length == 3)
+    // batch-shaped decode: one output row per input, sane frame counts
+    val decoded = Multimodal.decodeBatched(media).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(decoded.keySet == Set(1L, 2L))
+    assert(decoded.values.forall(_ >= 1))
   }
 }
