@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, MinHashSig, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to ANY session (including pure-SQL users) via
@@ -12,9 +12,9 @@ import graft.functions.CosineSim
   *   spark.sql.extensions=graft.GraftExtensions
   * }}}
   *
-  * Currently injects `cosine_sim(array<float>, array<float>) → double`
-  * (see [[graft.functions.CosineSim]]). Sessions built without the
-  * config can call `CosineSim.register(spark)` instead.
+  * Injects `cosine_sim(array<float>, array<float>) → double` and
+  * `minhash_sig(array<bigint>) → array<bigint>`. Sessions built without
+  * the config can call the companions' `register(spark)` instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -22,5 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CosineSim.fnName),
       CosineSim.info,
       exprs => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(MinHashSig.fnName),
+      MinHashSig.info,
+      exprs => MinHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(SimHash64.fnName),
+      SimHash64.info,
+      exprs => SimHash64(exprs.head)))
   }
 }

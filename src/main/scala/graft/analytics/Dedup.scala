@@ -23,17 +23,12 @@ object Dedup {
 
   // --- shingling --------------------------------------------------------
 
-  private def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
-
-  /** Distinct xxhash64 hashes of word n-gram shingles; docs shorter than
+  /** Distinct hashes of word n-gram shingles — native single-pass
+    * expression ([[graft.functions.ShingleHashes]]); docs shorter than
     * `n` tokens fall back to a single whole-text shingle. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      array_distinct(transform(sequence(lit(0), size(ts) - n),
-        i => xxhash64(array_join(slice(ts, i + 1, lit(n)), " ")))))
-      .otherwise(array(xxhash64(lower(text))))
+  def shingleHashes(spark: SparkSession, text: Column, n: Int): Column = {
+    graft.functions.ShingleHashes.register(spark, n)
+    call_function(graft.functions.ShingleHashes.fnName(n), text)
   }
 
   /** Exact Jaccard similarity of two pre-computed shingle-hash sets. */
@@ -44,28 +39,20 @@ object Dedup {
 
   // --- MinHash ----------------------------------------------------------
 
-  /** numPerm universal-hash parameters, fixed seed — identical on every
-    * executor, no broadcast needed. h_i(x) = (a_i·x32 + b_i) mod p with
-    * p = 2^31-1 and x32 the 32-bit-masked shingle hash, so products stay
-    * well inside a long. */
-  private val MinhashP = 2147483647L // 2^31 - 1, Mersenne prime
-  private val NumPerm = 48
-  private val Bands = 12
-  private val Rows = NumPerm / Bands // LSH threshold ≈ (1/b)^(1/r) ≈ 0.54
-  private val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(NumPerm)(1L + rnd.nextInt(Int.MaxValue - 1)),
-     Array.fill(NumPerm)(rnd.nextInt(Int.MaxValue).toLong))
-  }
+  import graft.functions.MinHash.{Bands, NumPerm, P, Rows, permA, permB}
+  import graft.functions.MinHashSig
 
-  /** MinHash signature (array of NumPerm longs) from shingle hashes. */
+  /** MinHash signature (array of NumPerm longs) from shingle hashes —
+    * HOF reference formulation; the pipeline uses the native
+    * [[graft.functions.MinHashSig]] (exact-equality asserted in
+    * `DedupSpec`). */
   def minhashSignature(shingles: Column): Column = {
     val aLit = array(permA.map(lit): _*)
     val bLit = array(permB.map(lit): _*)
     val masked = transform(shingles, h => h.bitwiseAND(lit(0xFFFFFFFFL)))
     transform(sequence(lit(0), lit(NumPerm - 1)), i =>
       array_min(transform(masked, x =>
-        pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1), lit(MinhashP)))))
+        pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1), lit(P)))))
   }
 
   /** LSH band keys: one xxhash64 per `Bands` contiguous signature slice;
@@ -75,19 +62,28 @@ object Dedup {
       xxhash64(b, slice(sig, b * Rows + 1, lit(Rows))))
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    * equi-join on (band, key) → exact-Jaccard verify ≥ minJaccard. */
+    * equi-join on (band, key) → exact-Jaccard verify ≥ minJaccard.
+    *
+    * The band join and pair-distinct move ONLY (doc_id, band, key) —
+    * the shingle arrays rejoin after candidates are known, so the
+    * shuffle payload is a few longs per row instead of a few hundred
+    * (at 100 TB the band shuffle is the dominant data movement). */
   def minhashPairs(docs: DataFrame, shingleN: Int, minJaccard: Double): DataFrame = {
-    val prepared = docs
-      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
-      .select(col("doc_id"), col("sh"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
-    val a = prepared.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-                            col("band"), col("key"))
-    val b = prepared.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-                            col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+    MinHashSig.register(docs.sparkSession)
+    val base = docs
+      .select(col("doc_id"),
+              shingleHashes(docs.sparkSession, col("text"), shingleN).as("sh"))
+    val keys = base
+      .withColumn("sig", call_function(MinHashSig.fnName, col("sh")))
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
+    val cand = keys.select(col("doc_id").as("id_a"), col("band"), col("key"))
+      .join(keys.select(col("doc_id").as("id_b"), col("band"), col("key")),
+            Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
               round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -96,43 +92,43 @@ object Dedup {
   // --- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, signed
-    * bit-vote accumulation, sign → bit. Pure SQL higher-order folds —
-    * map-side only.
+    * bit-vote accumulation, sign → bit. The pipeline uses the native
+    * [[graft.functions.SimHash64]] (one tight loop per row);
+    * [[simhashVotesExpr]] is the HOF reference `DedupSpec` checks it
+    * against.
     *
-    * The fingerprint is a 64-char '0'/'1' string: it chunk-blocks with
-    * plain substring and keeps every HOF single-level. Escaping note:
-    * this is a triple-quoted Scala string, so `'\\s+'` already reaches
-    * the SQL parser as `\\s+` and the regex as `\s+` — do NOT "fix" it
-    * to four backslashes (that splits on a literal backslash and turns
-    * each doc into one giant token, which silently randomizes every
-    * fingerprint). */
+    * Escaping note: these are triple-quoted Scala strings, so `'\\s+'`
+    * already reaches the SQL parser as `\\s+` and the regex as `\s+` —
+    * do NOT "fix" it to four backslashes (that splits on a literal
+    * backslash and turns each doc into one giant token, which silently
+    * randomizes every fingerprint). */
+  val tokenHashesExpr: String =
+    """transform(filter(split(lower(text), '\\s+'), tk -> length(tk) > 0),
+      |          tok -> xxhash64(tok))""".stripMargin
+
+  /** HOF reference for the per-bit vote counts (test oracle only). */
   val simhashVotesExpr: String =
-    """aggregate(
-      |  transform(filter(split(lower(text), '\\s+'), tk -> length(tk) > 0),
-      |            tok -> xxhash64(tok)),
+    s"""aggregate(
+      |  $tokenHashesExpr,
       |  transform(sequence(0, 63), z -> 0L),
       |  (acc, h) -> zip_with(acc,
       |     transform(sequence(0, 63), i -> IF(((h >> i) & 1) = 1, 1L, -1L)),
       |     (va, vb) -> va + vb))""".stripMargin
 
-  /** doc_id + 64-char `bits` fingerprint column. */
-  def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", s"$simhashVotesExpr AS votes")
-      .selectExpr("doc_id",
-        "array_join(transform(votes, vt -> IF(vt > 0, '1', '0')), '') AS bits")
+  /** doc_id + packed 64-bit `fp` fingerprint column (native). */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.selectExpr("doc_id", s"$tokenHashesExpr AS th")
+      .select(col("doc_id"),
+              call_function(graft.functions.SimHash64.fnName, col("th")).as("fp"))
+  }
 
   /** SimHash near-dup pairs: block on 8×8-bit fingerprint chunks — by
     * pigeonhole any pair within Hamming distance 7 shares at least one
     * unchanged chunk — then verify with bit_count(xor) ≤ maxHamming.
     * Guaranteed recall for maxHamming ≤ 7; probabilistic above. */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
-    // bits string → packed long via conv() on two 32-bit halves: plain
-    // codegen'd scalar functions (no nested HOF folds), so candidate
-    // verification is a single bit_count(xor) per pair.
     val fp = simhashFingerprints(docs)
-      .selectExpr("doc_id",
-        """shiftleft(cast(conv(substring(bits,  1, 32), 2, 10) AS BIGINT), 32)
-          | | cast(conv(substring(bits, 33, 32), 2, 10) AS BIGINT) AS fp""".stripMargin)
       .selectExpr("doc_id", "fp",
         "posexplode(transform(sequence(0, 7), c -> (fp >> (c * 8)) & 255))")
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
@@ -201,14 +197,19 @@ object Dedup {
     QueryDef(
       "dd04_ngram_jaccard",
       (s, d) => {
+        // ids-only blocking join; arrays rejoin after the distinct
+        // (same shuffle-payload argument as minhashPairs).
         val docs = table(s, d, "documents")
           .filter(col("doc_id") < 500)
-          .select(col("doc_id"), shingleHashes(col("text"), 2).as("sh"))
-        val exploded = docs.select(col("doc_id"), col("sh"), explode(col("sh")).as("g"))
-        val a = exploded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("g"))
-        val b = exploded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("g"))
-        a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+          .select(col("doc_id"), shingleHashes(s, col("text"), 2).as("sh"))
+        val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        val cand = exploded.select(col("doc_id").as("id_a"), col("g"))
+          .join(exploded.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
                   round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.3)

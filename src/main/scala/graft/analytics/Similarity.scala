@@ -56,6 +56,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: MLlib KMeans learns `nLists` centroids
+    * (the "coarse quantizer"), every vector is assigned to its nearest
+    * centroid's list, and a query probes only the `nProbe` nearest
+    * lists with exact cosine inside them. With nProbe = nLists this
+    * degenerates to exact brute force (the property `DedupSpec` pins).
+    *
+    * Scale shape: training aggregates sketch-sized state; assignment is
+    * a map-side transform; the probe filter prunes (nLists−nProbe)/
+    * nLists of the corpus before any pairwise math — same plan as the
+    * LSH variant with learned instead of random buckets. Centroid
+    * selection happens driver-side over nLists rows (index metadata,
+    * not data). */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+              nLists: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val spark = emb.sparkSession
+    val withVec = emb.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nLists).setSeed(42L)
+      .setFeaturesCol("features").fit(withVec)
+    val assigned = model.transform(withVec)
+    val qVec = assigned.filter(col("vec_id") === queryId)
+      .select("features").head().getAs[Vector]("features")
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    assigned
+      .filter(col("prediction").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6)
+                .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   private val cosSql =
     """list_sum(list_transform(list_zip(e.embedding, q.qvec),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -76,6 +115,13 @@ object Similarity {
       // approximate by construction — no SQL oracle (rows-only check);
       // dd05/ss01 anchor the exact-cosine math this variant approximates.
       (s, d) => lshTopK(table(s, d, "embeddings"), queryId = 0L, k = 10, nBits = 4),
+      None
+    ),
+    QueryDef(
+      "ss03_ann_ivf",
+      // learned-bucket variant; approximate for nProbe < nLists.
+      (s, d) => ivfTopK(table(s, d, "embeddings"), queryId = 0L, k = 10,
+                        nLists = 16, nProbe = 4),
       None
     )
   )

@@ -510,6 +510,33 @@ object Relational {
         table(s, d, "lineitem")
           .agg(approx_count_distinct(col("l_partkey"), 0.01).as("nparts_approx")),
       None
+    ),
+
+    // ---- exact + approximate percentiles ------------------------------
+    QueryDef(
+      "x15_median_exact",
+      // exact interpolated percentile: identical linear-interpolation
+      // definition in Spark `percentile` and DuckDB `quantile_cont`.
+      (s, d) =>
+        table(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+               round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_price"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+             |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+    QueryDef(
+      "x16_approx_percentile",
+      // t-digest-style sketch — engine-specific, rows-only. The 100 TB
+      // path: fixed-size sketch merge instead of a full sort per group.
+      (s, d) =>
+        table(s, d, "orders")
+          .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
+            .as("approx_pcts")),
+      None
     )
   )
 }

@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
     val exact = docs.filter($"doc_id" === 0)
       .crossJoin(docs.filter($"doc_id" === 1).select($"text".as("t2")))
       .select(Dedup.jaccard(
-        Dedup.shingleHashes($"text", 3), Dedup.shingleHashes($"t2", 3)))
+        Dedup.shingleHashes(spark, $"text", 3), Dedup.shingleHashes(spark, $"t2", 3)))
       .head().getDouble(0)
     assert(exact > 0.8) // 1-token suffix on ~150 tokens ⇒ high overlap
   }
@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("native minhash_sig is exactly equal to the HOF reference") {
+    graft.functions.MinHashSig.register(spark)
+    val sigs = docs
+      .select(Dedup.shingleHashes(spark, $"text", 3).as("sh"))
+      .select(Dedup.minhashSignature($"sh").as("hof"),
+              call_function("minhash_sig", $"sh").as("native"))
+      .collect()
+    sigs.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("native simhash64 sign bits equal the HOF vote reference") {
+    val rows = graft.analytics.Dedup.simhashFingerprints(docs)
+      .join(docs.selectExpr("doc_id", s"${Dedup.simhashVotesExpr} AS votes"), "doc_id")
+      .collect()
+    rows.foreach { r =>
+      val fp = r.getAs[Long]("fp")
+      val votes = r.getSeq[Long](r.fieldIndex("votes"))
+      (0 until 64).foreach { b =>
+        assert((((fp >>> b) & 1L) == 1L) == (votes(b) > 0),
+               s"bit $b mismatch for doc ${r.getAs[Long]("doc_id")}")
+      }
+    }
   }
 
   test("exact-dedup fingerprint is whitespace/case-insensitive") {
@@ -73,6 +99,18 @@ class DedupSpec extends SparkSpec {
     val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 2)
       .select("vec_id").as[Long].collect().toSeq
     assert(top == Seq(1L, 2L))
+  }
+
+  test("IVF ANN with full probe is exactly brute force") {
+    val emb = (0L to 40L).map { i =>
+      val angle = i.toDouble / 41 * math.Pi
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfTopK(emb, 0L, 5, nLists = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
   }
 
   test("LSH ANN: bucket-mates score identically to brute force") {
