@@ -144,6 +144,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // --- clustering -------------------------------------------------------
+
+  /** Connected components over near-dup pairs by min-label propagation:
+    * every doc in a component converges to the component's smallest
+    * doc_id, which becomes the canonical survivor (deterministic
+    * INSERT-IGNORE-style keeper).
+    *
+    * Each iteration is one distributed join+aggregate; the driver loop
+    * only checks the converged-count (O(component diameter) iterations
+    * — near-dup components are shallow in practice). `localCheckpoint`
+    * cuts lineage so plans don't grow exponentially across iterations.
+    */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nbr_label"))
+        .withColumnRenamed("src", "nid")
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("label"),
+                least(col("label"), coalesce(col("nbr_label"), col("label")))
+                  .as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") =!= col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   // --- query surface ----------------------------------------------------
 
   def all: Seq[QueryDef] = Seq(
@@ -228,6 +266,18 @@ object Dedup {
              |WHERE round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0 /
              |      (len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams))), 6) >= 0.3
              |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    // near-dup clustering: MinHash pairs → connected components →
+    // (doc_id, canonical survivor). Engine-specific hashing upstream →
+    // rows-only.
+    QueryDef(
+      "dd06_dedup_clusters",
+      (s, d) =>
+        clusterPairs(minhashPairs(table(s, d, "documents"),
+                                  shingleN = 3, minJaccard = 0.3))
+          .orderBy("doc_id"),
+      None
     ),
 
     // embedding-cosine near-dup, brute-force baseline (correctness

@@ -44,6 +44,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("s_start"), col("n_events"))
 
+  /** Stream-stream inner join: click → purchase attribution per user
+    * within `within`. Both sides carry watermarks and the join has a
+    * two-sided time-range condition, so state for both streams is
+    * evictable — the canonical bounded-state stream-stream join shape.
+    * Works identically on batch inputs (same logical plan). */
+  def clickPurchaseJoin(events: DataFrame, within: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Exactly-once-per-key within the watermark horizon — the streaming
     * INSERT-IGNORE (reference K2). */
   def dedupedEvents(events: DataFrame): DataFrame =

@@ -77,6 +77,24 @@ object StreamShapes {
              |ORDER BY user_id, s_start""".stripMargin)
     ),
 
+    // stream-stream join in batch form: click → purchase attribution
+    // with a two-sided time-range condition (bounded state when run as
+    // a stream; identical results in batch — this oracle pins them).
+    QueryDef(
+      "st05_stream_stream_join",
+      (s, d) =>
+        EventStreams.clickPurchaseJoin(table(s, d, "events"))
+          .orderBy("user_id", "click_id", "purchase_id"),
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+             |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |       c.ts AS click_ts, p.ts AS purchase_ts, p.value
+             |FROM ev c JOIN ev p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+             |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)
+    ),
+
     // streaming dedup (INSERT-IGNORE analog) in batch form: exact-once
     // per event_id keeping the earliest arrival.
     QueryDef(

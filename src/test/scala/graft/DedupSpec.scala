@@ -70,6 +70,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pair clustering: chains collapse to the min-id canonical doc") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (7L, 2L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component {0,1,2,7} → 0 (7 connects through 2), {5,6} → 5
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 7L -> 0L,
+                           5L -> 5L, 6L -> 5L))
+  }
+
   test("exact-dedup fingerprint is whitespace/case-insensitive") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -98,6 +98,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to clicks through the streaming path") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.clickPurchaseJoin(events).writeStream
+      .queryName("ss_join_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData(
+        (1L, ts(0), 7L, "click", 0.0, "{}"),
+        (2L, ts(10), 7L, "purchase", 9.99, "{}"),  // within 30 min → joins
+        (3L, ts(45), 7L, "purchase", 5.00, "{}"),  // 45 min later → no join
+        (4L, ts(5), 8L, "purchase", 1.00, "{}"))   // other user → no join
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_test")
+        .select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq((7L, 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the events table") {
     val batch = graft.queries.QueryDef.eventsTable(spark, sf0001)
     val sessions = EventStreams.userSessions(batch)
