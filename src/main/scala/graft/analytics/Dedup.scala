@@ -157,16 +157,22 @@ object Dedup {
     * cuts lineage so plans don't grow exponentially across iterations.
     */
   def clusterPairs(pairs: DataFrame): DataFrame = {
+    // The label/edge frames are pair-scale (thousands of rows even when
+    // the corpus is huge — only near-dups appear), so every iteration
+    // frame is coalesced to a few partitions: per-iteration cost is
+    // dominated by task scheduling, not data.
+    val parts = 4
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .coalesce(parts).localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .coalesce(parts).localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
+      iter += 1
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
         .withColumnRenamed("src", "nid")
@@ -175,7 +181,7 @@ object Dedup {
         .select(col("id"), col("label"),
                 least(col("label"), coalesce(col("nbr_label"), col("label")))
                   .as("new_label"))
-        .localCheckpoint(true)
+        .coalesce(parts).localCheckpoint(true)
       changed = updated.filter(col("new_label") =!= col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
     }
@@ -235,21 +241,27 @@ object Dedup {
     QueryDef(
       "dd04_ngram_jaccard",
       (s, d) => {
-        // ids-only blocking join; arrays rejoin after the distinct
-        // (same shuffle-payload argument as minhashPairs).
+        // Set-similarity join as pure aggregation: the blocking join's
+        // per-pair row count IS |A∩B| (shingle sets are distinct), so
+        // overlap comes from a map-side-combinable groupBy().count()
+        // — no array_intersect, no wide distinct, and the only joined
+        // payload beyond ids is each doc's set SIZE. Jaccard =
+        // |∩| / (|A|+|B|-|∩|) on identical integers either way.
         val docs = table(s, d, "documents")
           .filter(col("doc_id") < 500)
           .select(col("doc_id"), shingleHashes(s, col("text"), 2).as("sh"))
+        val sets = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
         val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-        val cand = exploded.select(col("doc_id").as("id_a"), col("g"))
+        val overlap = exploded.select(col("doc_id").as("id_a"), col("g"))
           .join(exploded.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
           .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        cand
-          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        overlap
+          .join(sets.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+          .join(sets.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
-                  round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+                  round(col("inter") * lit(1.0) /
+                        (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.3)
           .orderBy("id_a", "id_b")
       },

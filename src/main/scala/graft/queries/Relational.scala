@@ -537,6 +537,79 @@ object Relational {
           .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
             .as("approx_pcts")),
       None
+    ),
+
+    // ---- cube (all grouping-set combinations) -------------------------
+    QueryDef(
+      "x17_cube",
+      (s, d) =>
+        table(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+               round(sum("l_extendedprice"), 2).as("revenue"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             |  round(SUM(l_extendedprice), 2) AS revenue
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- scalar string-function library -------------------------------
+    QueryDef(
+      "x18_string_fns",
+      (s, d) =>
+        table(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            upper(col("o_orderpriority")).as("pr_upper"),
+            concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tagged"),
+            regexp_replace(col("o_orderpriority"), "-", "_").as("pr_snake"),
+            lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+            length(col("o_orderpriority")).as("pr_len"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  upper(o_orderpriority) AS pr_upper,
+             |  o_orderstatus || '-' || o_orderpriority AS tagged,
+             |  regexp_replace(o_orderpriority, '-', '_', 'g') AS pr_snake,
+             |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+             |  length(o_orderpriority) AS pr_len
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---- scalar date/time-function library ----------------------------
+    QueryDef(
+      "x19_date_fns",
+      (s, d) =>
+        table(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+            date_trunc("month", col("o_orderdate")).as("month_start"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |  day(o_orderdate) AS dom,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---- array-function library over the embedding column -------------
+    QueryDef(
+      "x20_array_fns",
+      (s, d) =>
+        table(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            element_at(col("embedding"), 1).cast("double").as("first_dim"),
+            array_max(col("embedding")).cast("double").as("max_dim"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id, len(embedding) AS n_dims,
+             |  CAST(embedding[1] AS DOUBLE) AS first_dim,
+             |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_dim
+             |FROM embeddings ORDER BY vec_id""".stripMargin)
     )
   )
 }
