@@ -73,6 +73,19 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-side CONTENT dedup: drop records whose canonical text
+    * fingerprint (md5 of lowercased, whitespace-collapsed `textCol` —
+    * same key as the batch exact-dedup dd01) was already seen within
+    * the watermark horizon. State is one fingerprint per distinct
+    * document in the horizon — bounded, unlike an all-time exact dedup. */
+  def dedupedByContent(stream: DataFrame, textCol: String,
+                       tsCol: String = "ts"): DataFrame =
+    stream
+      .withColumn("__fp", graft.analytics.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Per-user running counters via explicit state — the
     * mapGroupsWithState escape hatch for semantics windows can't
     * express (here: lifetime event count + last-seen, emitted per

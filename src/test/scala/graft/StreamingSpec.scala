@@ -98,6 +98,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("content-fingerprint stream dedup drops reworded-whitespace duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupedByContent(docsStream, "text").writeStream
+      .queryName("content_dedup_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData(
+        (1L, ts(0), "Hello  World"),
+        (2L, ts(1), "hello world"),   // same canonical content → dropped
+        (3L, ts(2), "different doc"))
+      q.processAllAvailable()
+      assert(spark.table("content_dedup_test").select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to clicks through the streaming path") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
