@@ -67,8 +67,17 @@ object Dedup {
     * The band join and pair-distinct move ONLY (doc_id, band, key) —
     * the shingle arrays rejoin after candidates are known, so the
     * shuffle payload is a few longs per row instead of a few hundred
-    * (at 100 TB the band shuffle is the dominant data movement). */
-  def minhashPairs(docs: DataFrame, shingleN: Int, minJaccard: Double): DataFrame = {
+    * (at 100 TB the band shuffle is the dominant data movement).
+    *
+    * Skew guard: a hot band bucket (boilerplate shared by millions of
+    * docs) makes the self-join quadratic inside one reducer, so buckets
+    * larger than `maxBucket` are dropped BEFORE the join — the bucket
+    * census is a map-side-combinable groupBy, so the hot key never
+    * concentrates raw rows on one task. Near-dups suppressed this way
+    * almost always share a rarer band too (and exact duplicates belong
+    * to the dd01 hash-dedup pass that should precede LSH anyway). */
+  def minhashPairs(docs: DataFrame, shingleN: Int, minJaccard: Double,
+                   maxBucket: Int = 500): DataFrame = {
     MinHashSig.register(docs.sparkSession)
     val base = docs
       .select(col("doc_id"),
@@ -76,8 +85,13 @@ object Dedup {
     val keys = base
       .withColumn("sig", call_function(MinHashSig.fnName, col("sh")))
       .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "key")))
-    val cand = keys.select(col("doc_id").as("id_a"), col("band"), col("key"))
-      .join(keys.select(col("doc_id").as("id_b"), col("band"), col("key")),
+    val smallBuckets = keys.groupBy("band", "key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("band", "key")
+    val bounded = keys.join(smallBuckets, Seq("band", "key"))
+    val cand = bounded.select(col("doc_id").as("id_a"), col("band"), col("key"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("band"), col("key")),
             Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -156,19 +170,41 @@ object Dedup {
     * — near-dup components are shallow in practice). `localCheckpoint`
     * cuts lineage so plans don't grow exponentially across iterations.
     */
+  /** Eager localCheckpoint that also reports which persisted RDD ids it
+    * created, so superseded iteration frames can be dropped (a
+    * checkpointed frame's blocks ARE its data — only unpersist once
+    * nothing downstream reads it). */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(true)
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def unpersistIds(spark: SparkSession, ids: Set[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
+  }
+
   def clusterPairs(pairs: DataFrame): DataFrame = {
-    // The label/edge frames are pair-scale (thousands of rows even when
-    // the corpus is huge — only near-dups appear), so every iteration
-    // frame is coalesced to a few partitions: per-iteration cost is
-    // dominated by task scheduling, not data.
-    val parts = 4
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val sym = edges.union(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
-      .coalesce(parts).localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .coalesce(parts).localCheckpoint(true)
+    val (symRaw, symIds) = checkpointTracked(
+      edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    // Size iteration frames to the edge count: near-dup edge sets are
+    // usually tiny relative to the corpus (a handful of partitions keeps
+    // per-iteration cost at task-scheduling scale), but pairs can reach
+    // billions of rows when dup rates are high — so partitions scale
+    // with volume (~1M edges per task) instead of a hardcoded constant.
+    val nEdges = symRaw.count()
+    val parts = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism * 4,
+      (nEdges / 1000000L).toInt + 1))
+    val sym =
+      if (parts < symRaw.rdd.getNumPartitions) symRaw.coalesce(parts) else symRaw
+    var (labels, labelIds) = checkpointTracked(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).coalesce(parts))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -176,17 +212,69 @@ object Dedup {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
         .withColumnRenamed("src", "nid")
-      val updated = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), col("label"),
-                least(col("label"), coalesce(col("nbr_label"), col("label")))
-                  .as("new_label"))
-        .coalesce(parts).localCheckpoint(true)
+      val (updated, updatedIds) = checkpointTracked(
+        labels
+          .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), col("label"),
+                  least(col("label"), coalesce(col("nbr_label"), col("label")))
+                    .as("new_label"))
+          .coalesce(parts))
       changed = updated.filter(col("new_label") =!= col("label")).count()
+      unpersistIds(spark, labelIds) // superseded by `updated`
       labels = updated.select(col("id"), col("new_label").as("label"))
+      labelIds = updatedIds
     }
+    unpersistIds(spark, symIds) // loop exited; result reads only `labels`
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
+
+  // --- exact n-gram Jaccard (bounded correctness anchor) ----------------
+
+  /** Exact bigram-Jaccard pairs on the deterministic doc_id < `cap`
+    * slice — the ground truth that anchors every approximate dedup path
+    * (dd02 precision/recall, dd06 clustering oracle).
+    *
+    * Set-similarity join as pure aggregation: the blocking join's
+    * per-pair row count IS |A∩B| (shingle sets are distinct), so overlap
+    * comes from a map-side-combinable groupBy().count() — no
+    * array_intersect, no wide distinct, and the only joined payload
+    * beyond ids is each doc's set SIZE. Jaccard = |∩| / (|A|+|B|-|∩|)
+    * on identical integers either way. */
+  def exactNgramPairs(s: SparkSession, d: String,
+                      minJaccard: Double = 0.3, cap: Long = 500): DataFrame = {
+    val docs = table(s, d, "documents")
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), shingleHashes(s, col("text"), 2).as("sh"))
+    val sets = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val overlap = exploded.select(col("doc_id").as("id_a"), col("g"))
+      .join(exploded.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    overlap
+      .join(sets.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              round(col("inter") * lit(1.0) /
+                    (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** DuckDB replay of [[exactNgramPairs]] (shared by the dd04 and dd06
+    * oracles). */
+  def exactNgramPairsSql(minJaccard: Double = 0.3, cap: Long = 500): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(string_split_regex(lower(text), '\\s+')) - 1),
+       |    i -> string_split_regex(lower(text), '\\s+')[i+1] || ' ' ||
+       |         string_split_regex(lower(text), '\\s+')[i+2])) AS ngrams
+       |  FROM documents WHERE doc_id < $cap)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0 /
+       |    (len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams))), 6) AS jaccard
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0 /
+       |      (len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams))), 6) >= $minJaccard""".stripMargin
 
   // --- query surface ----------------------------------------------------
 
@@ -240,56 +328,66 @@ object Dedup {
     // sub-quadratic full-corpus variant.
     QueryDef(
       "dd04_ngram_jaccard",
-      (s, d) => {
-        // Set-similarity join as pure aggregation: the blocking join's
-        // per-pair row count IS |A∩B| (shingle sets are distinct), so
-        // overlap comes from a map-side-combinable groupBy().count()
-        // — no array_intersect, no wide distinct, and the only joined
-        // payload beyond ids is each doc's set SIZE. Jaccard =
-        // |∩| / (|A|+|B|-|∩|) on identical integers either way.
-        val docs = table(s, d, "documents")
-          .filter(col("doc_id") < 500)
-          .select(col("doc_id"), shingleHashes(s, col("text"), 2).as("sh"))
-        val sets = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-        val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-        val overlap = exploded.select(col("doc_id").as("id_a"), col("g"))
-          .join(exploded.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        overlap
-          .join(sets.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-          .join(sets.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-                  round(col("inter") * lit(1.0) /
-                        (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.3)
-          .orderBy("id_a", "id_b")
-      },
-      Some("""WITH t AS (
-             |  SELECT doc_id, list_distinct(list_transform(
-             |    range(len(string_split_regex(lower(text), '\s+')) - 1),
-             |    i -> string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
-             |         string_split_regex(lower(text), '\s+')[i+2])) AS ngrams
-             |  FROM documents WHERE doc_id < 500)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0 /
-             |    (len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams))), 6) AS jaccard
-             |FROM t a JOIN t b ON a.doc_id < b.doc_id
-             |WHERE round(len(list_intersect(a.ngrams, b.ngrams)) * 1.0 /
-             |      (len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams))), 6) >= 0.3
-             |ORDER BY id_a, id_b""".stripMargin)
+      (s, d) => exactNgramPairs(s, d).orderBy("id_a", "id_b"),
+      Some(exactNgramPairsSql() + "\nORDER BY id_a, id_b")
     ),
 
-    // near-dup clustering: MinHash pairs → connected components →
-    // (doc_id, canonical survivor). Engine-specific hashing upstream →
-    // rows-only.
+    // near-dup clustering: pairs → connected components → (doc_id,
+    // canonical survivor). Clusters the EXACT n-gram pairs so the whole
+    // entry is oracle-checkable (DuckDB recursive-CTE transitive
+    // closure); the same clusterPairs over MinHash pairs — the
+    // sub-quadratic 100 TB input — is pinned in DedupSpec.
     QueryDef(
       "dd06_dedup_clusters",
       (s, d) =>
-        clusterPairs(minhashPairs(table(s, d, "documents"),
-                                  shingleN = 3, minJaccard = 0.3))
+        clusterPairs(exactNgramPairs(s, d).select("id_a", "id_b"))
           .orderBy("doc_id"),
-      None
+      Some(s"""WITH RECURSIVE pairs AS (${exactNgramPairsSql()}),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+              |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // LSH precision anchor: every dd02-style pair on the exact-anchor
+    // slice must appear in the exact-Jaccard ground truth (precision 1
+    // by construction — the anti-join is empty iff the LSH pipeline's
+    // shingling + verify agree with the exact path). Hash-checkable
+    // empty-result oracle.
+    QueryDef(
+      "dd02p_lsh_precision",
+      (s, d) => {
+        val lsh = minhashPairs(
+          table(s, d, "documents").filter(col("doc_id") < 500),
+          shingleN = 2, minJaccard = 0.3)
+        lsh.select("id_a", "id_b")
+          .except(exactNgramPairs(s, d).select("id_a", "id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+             |WHERE false""".stripMargin)
+    ),
+
+    // LSH recall anchor: with 32 bands × 4 rows, a Jaccard ≥ 0.8 pair
+    // misses every band with probability (1-0.8⁴)³² ≈ 5e-8 — so the
+    // high-similarity stratum of the exact ground truth must be fully
+    // recalled. Empty anti-join, hash-checkable oracle.
+    QueryDef(
+      "dd02r_lsh_recall",
+      (s, d) => {
+        val lsh = minhashPairs(
+          table(s, d, "documents").filter(col("doc_id") < 500),
+          shingleN = 2, minJaccard = 0.3)
+        exactNgramPairs(s, d, minJaccard = 0.8).select("id_a", "id_b")
+          .except(lsh.select("id_a", "id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+             |WHERE false""".stripMargin)
     ),
 
     // embedding-cosine near-dup, brute-force baseline (correctness

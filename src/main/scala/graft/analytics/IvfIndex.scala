@@ -1,0 +1,137 @@
+package graft.analytics
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+
+/** Offline IVF (inverted-file) ANN index over the `embeddings` table.
+  *
+  * Build (once, offline): a deterministic coarse quantizer — seed
+  * centroids are the `nLists` vectors with the smallest hashed ids (a
+  * deterministic spread sample; no random driver state), refined by a
+  * few Lloyd iterations — then every vector is assigned map-side to its
+  * nearest centroid and the corpus is written as parquet PARTITIONED BY
+  * list id: the on-disk layout IS the inverted file, so a probe that
+  * filters on list ids prunes every other partition at the scan.
+  *
+  * Probe (per query): rank centroids against the query vector
+  * driver-side (nLists rows — index metadata, not data), read only the
+  * `nProbe` nearest lists, exact cosine inside them. Nothing is
+  * re-trained at query time.
+  *
+  * Scale notes: Lloyd statistics are (nLists × dim) doubles per
+  * iteration — aggregated map-side, collected as metadata. At 100 TB the
+  * assignment pass is one map-only write; queries touch nProbe/nLists of
+  * the data via partition pruning. Centroids are rounded to 6 dp before
+  * use so float-summation order can never flip an assignment between
+  * otherwise-identical builds.
+  */
+object IvfIndex {
+  import QueryDef.table
+
+  val DefaultLists = 16
+
+  /** (sfDir, nLists) → index dir, built at most once per JVM; the
+    * on-disk index is reused across JVMs of the same round. */
+  private val built = new ConcurrentHashMap[String, String]()
+
+  def indexDir(sfDir: String, nLists: Int): String = {
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-$nLists"
+  }
+
+  /** Squared L2 distance between an `array<float>` column and a literal
+    * centroid (double math, codegen'd HOFs — small fixed arrays). */
+  private def sqDistLit(v: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(c.map(lit): _*),
+               (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Squared L2 distance between an `array<float>` column and an
+    * `array<double>` column. */
+  def sqDistCol(v: Column, c: Column): Column =
+    aggregate(
+      zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Index id (0-based) of the nearest centroid — pure per-row math, no
+    * shuffle, identical on every executor. */
+  private def nearestList(v: Column, centroids: Seq[Array[Double]]): Column = {
+    val dists = array(centroids.map(c => sqDistLit(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  /** Build + persist the index if absent; returns the index dir. */
+  def ensure(spark: SparkSession, sfDir: String,
+             nLists: Int = DefaultLists, lloydIters: Int = 2): String = {
+    val dir = indexDir(sfDir, nLists)
+    built.computeIfAbsent(s"$sfDir|$nLists", { _ =>
+      val done = new java.io.File(s"$dir/assignments/_SUCCESS")
+      if (!done.exists()) buildIndex(spark, sfDir, dir, nLists, lloydIters)
+      dir
+    })
+  }
+
+  /** Learn the coarse quantizer: deterministic hashed-id seed sample
+    * refined by `lloydIters` Lloyd iterations. Per iteration the only
+    * aggregate is (nLists × dim) means — partial-aggregated map-side,
+    * collected as index metadata. Centroids are rounded to 6 dp so
+    * float-summation order can never flip an assignment between builds. */
+  def fit(emb: DataFrame, nLists: Int, lloydIters: Int = 2): Seq[Array[Double]] = {
+    var centroids: Seq[Array[Double]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .toSeq
+    for (_ <- 1 to lloydIters) {
+      val means = emb
+        .select(nearestList(col("embedding"), centroids).as("list"),
+                posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("list", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      centroids = centroids.indices.map { i =>
+        means.get(i).map(_.toArray).getOrElse(centroids(i)) // empty list: keep
+      }
+    }
+    centroids.map(_.map(round6))
+  }
+
+  /** Map-side list assignment (adds a `list` column; no shuffle). */
+  def assign(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
+    emb.withColumn("list", nearestList(col("embedding"), centroids))
+
+  private def buildIndex(spark: SparkSession, sfDir: String, dir: String,
+                         nLists: Int, lloydIters: Int): Unit = {
+    val emb = table(spark, sfDir, "embeddings")
+    val centroids = fit(emb, nLists, lloydIters)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assign(emb, centroids)
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/assignments")
+  }
+
+  def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+
+  def readAssignments(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assignments")
+}

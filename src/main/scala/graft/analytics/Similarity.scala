@@ -1,23 +1,31 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
 import graft.queries.QueryDef
 
-/** Approximate-nearest-neighbor search over the `embeddings` table's
-  * `array<float>` column.
+/** Similarity search over the `embeddings` table's `array<float>`
+  * column.
   *
   *  - Brute-force cosine top-k is the correctness baseline: one
   *    broadcast of the query vector, a map-side cosine per row, and a
   *    TakeOrderedAndProject top-k — no shuffle of the corpus at all, so
   *    even this "naive" plan scans 100 TB in one pass.
-  *  - The LSH-bucketed variant is the scale path: random-hyperplane
-  *    signs bucket the corpus (computed map-side, deterministic on every
-  *    executor); probing compares only the query's bucket — the
-  *    per-query cost drops from |corpus| to |bucket|. An IVF layout is
-  *    the same plan with learned centroids as bucket keys.
+  *  - The LSH-bucketed variant buckets the corpus by random-hyperplane
+  *    signs (computed map-side, deterministic on every executor);
+  *    probing compares only the query's bucket.
+  *  - The IVF variant probes a PERSISTED inverted-file index
+  *    ([[IvfIndex]]): learned centroids rank driver-side (metadata),
+  *    partition pruning skips every unprobed list at the scan, and
+  *    nothing is trained at query time.
+  *  - Batch ANN serves a TABLE of query vectors in one plan: queries
+  *    rank centroids distributively, the (query, list) probe set joins
+  *    the inverted lists, and a per-query window takes the top-k — the
+  *    shape a training-data pipeline needs when it queries millions of
+  *    vectors, not one.
   */
 object Similarity {
   import QueryDef.table
@@ -56,43 +64,91 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN: MLlib KMeans learns `nLists` centroids
-    * (the "coarse quantizer"), every vector is assigned to its nearest
-    * centroid's list, and a query probes only the `nProbe` nearest
-    * lists with exact cosine inside them. With nProbe = nLists this
-    * degenerates to exact brute force (the property `DedupSpec` pins).
-    *
-    * Scale shape: training aggregates sketch-sized state; assignment is
-    * a map-side transform; the probe filter prunes (nLists−nProbe)/
-    * nLists of the corpus before any pairwise math — same plan as the
-    * LSH variant with learned instead of random buckets. Centroid
-    * selection happens driver-side over nLists rows (index metadata,
-    * not data). */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
-              nLists: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    val spark = emb.sparkSession
-    val withVec = emb.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nLists).setSeed(42L)
-      .setFeaturesCol("features").fit(withVec)
-    val assigned = model.transform(withVec)
-    val qVec = assigned.filter(col("vec_id") === queryId)
-      .select("features").head().getAs[Vector]("features")
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, Vectors.sqdist(c, qVec)) }
-      .sortBy(_._2).take(nProbe).map(_._1).toSeq
-    val q = assigned.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qvec"))
-    assigned
-      .filter(col("prediction").isin(probes: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
+  /** IVF probe shared by the persisted and in-memory paths: centroid
+    * ranking happens driver-side over nLists rows (index metadata, not
+    * data), the `isin(probes)` filter prunes unprobed lists — at the
+    * parquet SCAN when `assignments` comes from the partitioned index
+    * layout — and exact cosine runs only inside the probed lists. */
+  def ivfProbe(assignments: DataFrame, centroids: Seq[(Int, Array[Double])],
+               queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val spark = assignments.sparkSession
+    val qvec = assignments.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probes = centroids
+      .map { case (l, c) =>
+        val d = c.zip(qvec).map { case (ci, qi) =>
+          (ci - qi) * (ci - qi) }.sum
+        (l, d)
+      }
+      .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
+    val qLit = array(qvec.map(lit): _*)
+    assignments
+      .filter(col("list").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"),
-              round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6)
+              round(VectorOps.cosineNative(spark, col("embedding"), qLit), 6)
                 .as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** IVF ANN against the persisted [[IvfIndex]] — nothing is trained at
+    * query time. With nProbe = nLists this degenerates to exact brute
+    * force (the property `DedupSpec` pins via [[ivfTopKOf]]). */
+  def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
+              nLists: Int, nProbe: Int): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    ivfProbe(IvfIndex.readAssignments(spark, dir),
+             IvfIndex.readCentroids(spark, dir), queryId, k, nProbe)
+  }
+
+  /** IVF ANN over an in-memory DataFrame (tests / ad-hoc corpora):
+    * fits + assigns ephemerally, then runs the same probe. */
+  def ivfTopKOf(emb: DataFrame, queryId: Long, k: Int,
+                nLists: Int, nProbe: Int): DataFrame = {
+    val centroids = IvfIndex.fit(emb, nLists)
+    ivfProbe(IvfIndex.assign(emb, centroids),
+             centroids.zipWithIndex.map { case (c, i) => (i, c) },
+             queryId, k, nProbe)
+  }
+
+  /** Batch multi-query ANN: every vector with id < `queryMaxId` is a
+    * query; one plan serves them all. Queries rank centroids via a
+    * broadcast of the (tiny) centroid table + a per-query window, the
+    * resulting (query, list) probe set joins the inverted lists, and a
+    * per-query window takes the top-k on rounded cosine (deterministic
+    * vec_id tie-break).
+    *
+    * The probe set is broadcast here (right for a moderate query batch
+    * joined against a huge corpus); for query sets too big to broadcast
+    * the same plan holds with a shuffle join on `list`. With
+    * nProbe = nLists the result is exact regardless of centroids. */
+  def batchAnnTopK(spark: SparkSession, sfDir: String, queryMaxId: Long,
+                   k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    import spark.implicits._
+    val cdf = IvfIndex.readCentroids(spark, dir)
+      .map { case (l, c) => (l, c.toSeq) }
+      .toDF("list", "centroid")
+    val queries = assignments.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("list").asc)
+    val probes = queries.crossJoin(broadcast(cdf))
+      .withColumn("dist", IvfIndex.sqDistCol(col("qvec"), col("centroid")))
+      .withColumn("prk", row_number().over(probeRank))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list"))
+    val topk = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    assignments.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rk")
+      .orderBy("query_id", "rk")
   }
 
   private val cosSql =
@@ -119,10 +175,34 @@ object Similarity {
     ),
     QueryDef(
       "ss03_ann_ivf",
-      // learned-bucket variant; approximate for nProbe < nLists.
-      (s, d) => ivfTopK(table(s, d, "embeddings"), queryId = 0L, k = 10,
-                        nLists = 16, nProbe = 4),
+      // learned-bucket variant over the persisted index; approximate for
+      // nProbe < nLists (rows-only; the exact math is anchored by ss01
+      // and the nProbe = nLists degenerate case pinned in DedupSpec).
+      (s, d) => ivfTopK(s, d, queryId = 0L, k = 10,
+                        nLists = IvfIndex.DefaultLists, nProbe = 4),
       None
+    ),
+    QueryDef(
+      "ss04_batch_ann",
+      // batch multi-query ANN with nProbe = nLists: exact by
+      // construction (independent of learned centroids), so the DuckDB
+      // brute-force per-query top-k is a hash-checkable oracle for the
+      // whole batch plumbing. The nProbe < nLists path is the same plan
+      // (pinned against this exact anchor in DedupSpec).
+      (s, d) => batchAnnTopK(s, d, queryMaxId = 32L, k = 10,
+                             nLists = IvfIndex.DefaultLists,
+                             nProbe = IvfIndex.DefaultLists),
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+              |          FROM embeddings WHERE vec_id < 32),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id, round($cosSql, 6) AS cos_sim
+              |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              |ranked AS (
+              |  SELECT query_id, vec_id, cos_sim, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+              |  FROM scored)
+              |SELECT query_id, vec_id, cos_sim, rk FROM ranked
+              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
     )
   )
 }

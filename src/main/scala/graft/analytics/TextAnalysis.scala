@@ -146,8 +146,10 @@ object TextAnalysis {
                sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
                round(avg(col("n_chars")), 4).as("avg_chars"))
           .orderBy("lang"),
+      // CAST: DuckDB SUM(BIGINT) yields HUGEINT while Spark sums to
+      // LongType — identical values, mismatched hash without the cast.
       Some("""SELECT lang, COUNT(*) AS n_docs,
-             |  SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+             |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
              |  round(AVG(n_chars), 4) AS avg_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     )

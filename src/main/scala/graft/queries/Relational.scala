@@ -503,13 +503,20 @@ object Relational {
     ),
     QueryDef(
       "x14_approx_count_distinct",
-      // HLL++ sketch — engine-specific estimate, so no cross-engine
-      // oracle (driver records rows-only). At 100 TB this replaces the
-      // exact distinct's full shuffle with a fixed-size sketch merge.
+      // HLL++ sketch — engine-specific estimate, so the oracle checks a
+      // bound, not the estimate: the output carries the exact NDV plus a
+      // flag that the sketch landed within 5× its configured 1% rsd.
+      // At 100 TB the sketch replaces the exact distinct's full shuffle
+      // with a fixed-size merge.
       (s, d) =>
         table(s, d, "lineitem")
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("nparts_approx")),
-      None
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
+               countDistinct(col("l_partkey")).as("nparts_exact"))
+          .select(col("nparts_exact"),
+                  (abs(col("a") - col("nparts_exact")) <=
+                    col("nparts_exact") * 0.05).as("within_5pct")),
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS nparts_exact,
+             |  true AS within_5pct FROM lineitem""".stripMargin)
     ),
 
     // ---- exact + approximate percentiles ------------------------------
@@ -530,13 +537,28 @@ object Relational {
     ),
     QueryDef(
       "x16_approx_percentile",
-      // t-digest-style sketch — engine-specific, rows-only. The 100 TB
-      // path: fixed-size sketch merge instead of a full sort per group.
+      // Sketch-based percentile (rank error ≤ 1/accuracy) — the oracle
+      // checks the guarantee, not the engine-specific estimate: each
+      // approximation must land between the exact quantiles ±0.01 rank
+      // around its target. The 100 TB path: fixed-size sketch merge
+      // instead of a full sort per group.
       (s, d) =>
         table(s, d, "orders")
           .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
-            .as("approx_pcts")),
-      None
+                 .as("ap"),
+               expr("percentile(o_totalprice, array(0.49, 0.51, 0.94, 0.96))")
+                 .as("ep"),
+               expr("round(percentile(o_totalprice, 0.5), 4)").as("p50_exact"),
+               expr("round(percentile(o_totalprice, 0.95), 4)").as("p95_exact"))
+          .select(col("p50_exact"), col("p95_exact"),
+                  col("ap")(0).between(col("ep")(0), col("ep")(1))
+                    .as("p50_in_bounds"),
+                  col("ap")(1).between(col("ep")(2), col("ep")(3))
+                    .as("p95_in_bounds")),
+      Some("""SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+             |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+             |  true AS p50_in_bounds, true AS p95_in_bounds
+             |FROM orders""".stripMargin)
     ),
 
     // ---- cube (all grouping-set combinations) -------------------------

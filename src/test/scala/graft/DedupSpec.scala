@@ -118,7 +118,7 @@ class DedupSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
     val brute = Similarity.bruteForceTopK(emb, 0L, 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val ivf = Similarity.ivfTopK(emb, 0L, 5, nLists = 4, nProbe = 4)
+    val ivf = Similarity.ivfTopKOf(emb, 0L, 5, nLists = 4, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(ivf == brute)
   }
