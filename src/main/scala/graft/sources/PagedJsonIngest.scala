@@ -47,6 +47,63 @@ object PagedJsonIngest {
     total
   }
 
+  /** Production `fetchPage`: real HTTP GET over `java.net.http` against
+    * a paginated REST API (reference `harvard_artifacts_app.py:127`):
+    * `baseUrl?{params}&page=N` per page, records under `recordsField`
+    * re-emitted one-JSON-object-per-line, pagination exhausted when the
+    * `nextPath` pointer is absent (`:137`) or the page is empty / a
+    * non-200. Driver-side by design — the network loop is the
+    * sequential, polite part; decode distributes via [[read]].
+    *
+    * Jackson (shipped with Spark) does the driver-side parse; records
+    * pass through verbatim as canonical single-line JSON. */
+  def httpFetchPage(baseUrl: String,
+                    params: Map[String, String] = Map.empty,
+                    recordsField: String = "records",
+                    nextPath: Seq[String] = Seq("info", "next"),
+                    client: java.net.http.HttpClient =
+                      java.net.http.HttpClient.newHttpClient())
+      : Int => Option[Seq[String]] = {
+    import java.net.{URI, URLEncoder}
+    import java.net.http.{HttpRequest, HttpResponse}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var exhausted = false // reference stops after the page lacking info.next
+    page => {
+      if (exhausted) None
+      else {
+        val qs = (params + ("page" -> page.toString))
+          .map { case (k, v) =>
+            s"${URLEncoder.encode(k, UTF_8)}=${URLEncoder.encode(v, UTF_8)}" }
+          .mkString("&")
+        val req = HttpRequest.newBuilder(URI.create(s"$baseUrl?$qs")).GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() != 200) None
+        else {
+          val root = mapper.readTree(resp.body())
+          val recs = root.get(recordsField)
+          if (recs == null || !recs.isArray || recs.isEmpty) None
+          else {
+            val next = nextPath.foldLeft(Option(root.asInstanceOf[
+              com.fasterxml.jackson.databind.JsonNode])) {
+              (n, f) => n.flatMap(x => Option(x.get(f)))
+            }
+            if (next.forall(_.isNull)) exhausted = true
+            Some((0 until recs.size()).map(i =>
+              mapper.writeValueAsString(recs.get(i))))
+          }
+        }
+      }
+    }
+  }
+
+  /** One-call production ingest: HTTP page loop (0.1 s/page rate limit,
+    * reference `:143`) → JSONL landing dir. */
+  def landFromHttp(baseUrl: String, params: Map[String, String],
+                   targetRecords: Int, landingDir: String,
+                   rateLimitMs: Long = 100L): Int =
+    land(httpFetchPage(baseUrl, params), targetRecords, landingDir, rateLimitMs)
+
   /** Decode a landing dir on executors with a declared schema —
     * schema-on-read with a fixed target: unknown fields drop, missing
     * fields null (the `.get(k, default)` projection then runs in

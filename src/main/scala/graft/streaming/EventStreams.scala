@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -80,11 +80,85 @@ object EventStreams {
     * document in the horizon — bounded, unlike an all-time exact dedup. */
   def dedupedByContent(stream: DataFrame, textCol: String,
                        tsCol: String = "ts"): DataFrame =
+    dedupedByFingerprint(stream, textCol,
+      graft.analytics.TextAnalysis.fingerprint, tsCol)
+
+  /** Order-insensitive content fingerprint: md5 over the SORTED distinct
+    * lowercased tokens. Robust to token reordering and repetition — the
+    * SQL-expressible sibling of the simhash fingerprint (simhash is also
+    * a pure function of the token multiset), so the batch form of the
+    * near-dup dedup gets a cross-engine oracle. */
+  def bagOfWordsFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(
+      filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)))))
+
+  /** Stream-side NEAR-dup dedup: drop records whose fingerprint under
+    * `fp` was already seen within the watermark horizon. Two built-in
+    * fingerprints: [[bagOfWordsFingerprint]] (order/repetition
+    * insensitive, oracle-checkable) and the 64-bit simhash of
+    * [[dedupedBySimhash]] (also tolerates token-frequency noise that
+    * leaves bit votes unchanged). State is one fingerprint per distinct
+    * doc in the horizon — bounded. */
+  def dedupedByFingerprint(stream: DataFrame, textCol: String,
+                           fp: Column => Column,
+                           tsCol: String = "ts"): DataFrame =
     stream
-      .withColumn("__fp", graft.analytics.TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__fp", fp(col(textCol)))
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
+    * fuzzy sibling of [[dedupedByContent]]. */
+  def dedupedBySimhash(stream: DataFrame, textCol: String,
+                       tsCol: String = "ts"): DataFrame = {
+    graft.functions.SimHash64.register(stream.sparkSession)
+    // same token pipeline as Dedup.tokenHashesExpr, in Column form
+    dedupedByFingerprint(stream, textCol,
+      t => call_function(graft.functions.SimHash64.fnName,
+        transform(filter(split(lower(t), "\\s+"), tk => length(tk) > 0),
+                  tok => xxhash64(tok))),
+      tsCol)
+  }
+
+  /** One enriched row per event: its session start and 1-based position
+    * within the session (a session extends while successive events are
+    * within `gapMinutes`). The flatMapGroupsWithState escape hatch —
+    * session ASSIGNMENT per event is something session_window (which
+    * aggregates) can't emit. Event-time timeout evicts idle users'
+    * state once the watermark passes their last session. */
+  def sessionizedEvents(events: DataFrame, gapMinutes: Int = 30)
+      : Dataset[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts")
+      .withWatermark("ts", "10 minutes") // after the cast: the watermark
+      // must tag the projected attribute, not one the cast replaces
+      .as[(Long, Long, java.sql.Timestamp)] // user_id, event_id, ts
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (java.sql.Timestamp, java.sql.Timestamp, Long), // start, last, n
+        (Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows,
+              state: GroupState[(java.sql.Timestamp, java.sql.Timestamp, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (start, last, n) = state.getOption.getOrElse(
+              (new java.sql.Timestamp(0L), new java.sql.Timestamp(Long.MinValue / 2), 0L))
+            val out = rows.toSeq.sortBy(e => (e._3.getTime, e._2)).map { e =>
+              if (e._3.getTime - last.getTime > gapMs) { start = e._3; n = 0L }
+              last = e._3; n += 1
+              (userId, e._2, e._3, start, n)
+            }
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last.getTime + gapMs)
+            out.iterator
+          }
+      }
+  }
 
   /** Per-user running counters via explicit state — the
     * mapGroupsWithState escape hatch for semantics windows can't

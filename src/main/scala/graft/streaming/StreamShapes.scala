@@ -114,6 +114,26 @@ object StreamShapes {
              |    PARTITION BY event_id ORDER BY ts, user_id) AS rn
              |  FROM ev) t
              |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    ),
+
+    // stream near-dup dedup in batch form: the order/repetition-
+    // insensitive bag-of-words fingerprint keyed exactly like the
+    // streaming dedupedByFingerprint path (keep-first = min doc_id);
+    // the simhash-keyed sibling is pinned by a MemoryStream test
+    // (engine-specific hashing → not SQL-expressible).
+    QueryDef(
+      "st06_neardup_dedup",
+      (s, d) =>
+        table(s, d, "documents")
+          .groupBy(graft.streaming.EventStreams
+            .bagOfWordsFingerprint(col("text")).as("bow_fp"))
+          .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_members"))
+          .orderBy("keeper_id"),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                t -> len(t) > 0))), ' ')) AS bow_fp,
+             |  min(doc_id) AS keeper_id, COUNT(*) AS n_members
+             |FROM documents GROUP BY bow_fp ORDER BY keeper_id""".stripMargin)
     )
   )
 }

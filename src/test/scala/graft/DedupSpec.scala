@@ -123,6 +123,34 @@ class DedupSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("hot band bucket is capped: bounded work, planted pair still found") {
+    // 30 identical boilerplate docs make every one of their band buckets
+    // 30-deep; with maxBucket = 10 those buckets are dropped before the
+    // self-join (no quadratic blow-up) while the distinct near-dup pair
+    // (bucket depth 2) is still emitted.
+    val boiler = (100L to 129L).map(i => (i, "shared boilerplate text " * 20))
+    val all = (docs.as[(Long, String)].collect().toSeq ++ boiler)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(all, shingleN = 3, minJaccard = 0.5,
+                                   maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("batch ANN with full probe equals per-query brute force") {
+    val top = Similarity.batchAnnTopK(spark, sf0001, queryMaxId = 4L, k = 5,
+                                      nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    (0L until 4L).foreach { qid =>
+      val brute = Similarity.bruteForceTopK(emb, qid, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = top.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3)).toSeq
+      assert(batch == brute, s"query $qid")
+    }
+  }
+
   test("LSH ANN: bucket-mates score identically to brute force") {
     val emb = (0L to 40L).map { i =>
       val angle = i.toDouble / 41 * math.Pi

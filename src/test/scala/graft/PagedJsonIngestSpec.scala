@@ -42,6 +42,47 @@ class PagedJsonIngestSpec extends SparkSpec {
     assert(n == 17)
   }
 
+  test("http fetchPage pulls pages from a live local server and stops at pagination end") {
+    import com.sun.net.httpserver.HttpServer
+    val totalAvailable = 23
+    val pageSize = 10
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", { exchange =>
+      val q = exchange.getRequestURI.getQuery
+      val page = q.split("&").collectFirst {
+        case kv if kv.startsWith("page=") => kv.drop(5).toInt }.getOrElse(1)
+      val start = (page - 1) * pageSize
+      val recs = (start until math.min(start + pageSize, totalAvailable)).map(record)
+      val next = if (start + pageSize < totalAvailable)
+        s""""next": "page ${page + 1}"""" else """"next": null"""
+      val body =
+        s"""{"info": {$next, "totalrecords": $totalAvailable},
+           | "records": [${recs.mkString(",")}]}""".stripMargin
+      val bytes = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      val dir = Files.createTempDirectory("http-ingest").toString
+      val fetch = PagedJsonIngest.httpFetchPage(url, Map("apikey" -> "test"))
+      // target above availability: must stop at the absent info.next
+      val n = PagedJsonIngest.land(fetch, targetRecords = 2500, landingDir = dir)
+      assert(n == totalAvailable)
+      val df = PagedJsonIngest.read(spark, dir, ArtifactSchemas.rawApiSchema)
+      assert(df.count() == totalAvailable)
+      // truncation path over HTTP too
+      val dir2 = Files.createTempDirectory("http-ingest2").toString
+      val n2 = PagedJsonIngest.land(
+        PagedJsonIngest.httpFetchPage(url, Map("apikey" -> "test")),
+        targetRecords = 15, landingDir = dir2)
+      assert(n2 == 15)
+    } finally server.stop(0)
+  }
+
   test("schema-on-read drops unknown fields and feeds the ETL end-to-end") {
     val dir = Files.createTempDirectory("ingest").toString
     PagedJsonIngest.land(fakeApi(10, 30), 12, dir)

@@ -135,6 +135,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("simhash stream near-dup drops reordered-token duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupedBySimhash(docsStream, "text").writeStream
+      .queryName("simhash_dedup_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData(
+        (1L, ts(0), "the quick brown fox jumps"),
+        (2L, ts(1), "jumps fox brown quick the"), // same token multiset → dropped
+        (3L, ts(2), "a completely different document entirely"))
+      q.processAllAvailable()
+      assert(spark.table("simhash_dedup_test").select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization assigns per-event session positions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.sessionizedEvents(events, gapMinutes = 30)
+      .toDF("user_id", "event_id", "ts", "session_start", "n_in_session")
+      .writeStream
+      .queryName("sessionize_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData(
+        (1L, ts(0), 7L, "click", 0.0, "{}"),
+        (2L, ts(10), 7L, "click", 0.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((3L, ts(50), 7L, "click", 0.0, "{}")) // 40 min gap → new session
+      q.processAllAvailable()
+      val rows = spark.table("sessionize_test")
+        .select("event_id", "session_start", "n_in_session").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(rows == Seq(
+        (1L, ts(0), 1L), (2L, ts(0), 2L), (3L, ts(50), 1L)))
+    } finally q.stop()
+  }
+
+  test("kafka-shaped source: encode → decode round-trips typed events (batch)") {
+    val events = graft.queries.QueryDef.eventsTable(spark, sf0001).limit(100)
+    val decoded = graft.sources.KafkaShapedSource.decodeEvents(
+      graft.sources.KafkaShapedSource.encodeEvents(events, "events"))
+    assert(decoded.schema == events.schema ||
+           decoded.columns.toSeq == events.columns.toSeq)
+    assert(decoded.exceptAll(events.select(decoded.columns.map(col): _*)).count() == 0)
+  }
+
+  test("kafka-shaped source: landing dir streams through decode into a windowed agg") {
+    val dir = java.nio.file.Files.createTempDirectory("kafka-landing").toString
+    val events = graft.queries.QueryDef.eventsTable(spark, sf0001)
+    graft.sources.KafkaShapedSource.encodeEvents(events, "events")
+      .write.mode("overwrite").parquet(dir)
+    val in = graft.sources.KafkaShapedSource.readStream(spark, dir)
+    val q = EventStreams.tumblingCounts(
+        graft.sources.KafkaShapedSource.decodeEvents(in))
+      .writeStream.queryName("kafka_stream_test")
+      .outputMode("complete").format("memory").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kafka_stream_test")
+        .agg(sum("n_events")).head().getLong(0)
+      assert(streamed == events.count())
+    } finally q.stop()
+  }
+
   test("batch and streaming session windows agree on the events table") {
     val batch = graft.queries.QueryDef.eventsTable(spark, sf0001)
     val sessions = EventStreams.userSessions(batch)
