@@ -17,8 +17,8 @@ object SparkEntry {
     * relational extensions, ETL operators (§2.2-2.3), and the
     * LLM-pipeline analytics modules. */
   def registry: Seq[QueryDef] =
-    Relational.all ++ Relational.extensions ++ EtlOps.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+    Relational.all ++ Relational.extensions ++ ScaleExtensions.all ++
+      EtlOps.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ StreamShapes.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each left row, attach the single
+  * LATEST right row with `rightTs <= leftTs`, per key — the join a
+  * feature-store / training-data pipeline uses to avoid label leakage
+  * ("the feature value as of the observation time").
+  *
+  * Spark has no as-of operator; the scalable formulation here is
+  * union-tag + one windowed pass:
+  *
+  *  1. tag right rows 0 and left rows 1 into one frame;
+  *  2. sort within key by (ts, tag) — at equal timestamps the right row
+  *     precedes, so "at or before" includes exact ties;
+  *  3. `last(right_payload) IGNORE NULLS` over rows unbounded-preceding
+  *     → every left row sees the latest right row at-or-before it;
+  *  4. keep the tagged-left rows.
+  *
+  * Cost: ONE shuffle on the key (same as any keyed join), no
+  * time-range explosion, bounded memory per partition (running
+  * last-value, not a buffered range) — at 100 TB this is the difference
+  * between a linear pass and a quadratic range join. A right side with
+  * several rows per (key, ts) is pre-deduped to the max-`rightId` row so
+  * the result is deterministic in any engine.
+  */
+object AsOfJoin {
+
+  /** `left` gains `rightPayload` columns from the as-of matching right
+    * row; rows with no right match (or a match older than `tolerance`)
+    * are dropped (inner as-of semantics).
+    *
+    * @param key          equi-join key column name (both sides)
+    * @param leftTs       event-time column on `left`
+    * @param rightTs      event-time column on `right`
+    * @param rightId      deterministic tie-break id on `right` (max wins
+    *                     among equal (key, ts) rows)
+    * @param rightPayload right columns to carry (must include rightTs
+    *                     if the caller wants it in the output)
+    * @param tolerance    optional max lookback, e.g. "INTERVAL 30 minutes"
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightId: String,
+               rightPayload: Seq[String],
+               tolerance: Option[String] = None): DataFrame = {
+    // one right row per (key, ts): keep the max-rightId row
+    val tieBreak = Window.partitionBy(col(key), col(rightTs))
+      .orderBy(col(rightId).desc)
+    val rightDedup = right
+      .withColumn("__rn", row_number().over(tieBreak))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val rTagged = rightDedup.select(
+      col(key), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      payloadStruct.as("__r"))
+    val leftCols = left.columns.toSeq
+    val lTagged = left.select(
+      (Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__tag"),
+           lit(null).cast(rTagged.schema("__r").dataType).as("__r")) ++
+        leftCols.filterNot(_ == key).map(c => left(c).as(s"__l_$c"))): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // align schemas: right rows carry null left-payload columns
+    val aligned = rTagged.select(
+      (rTagged.columns.map(col) ++
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))): _*)
+      .unionByName(lTagged)
+
+    val out = aligned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1 && col("__asof").isNotNull)
+    val withTol = tolerance.fold(out) { t =>
+      out.filter(col(s"__asof.$rightTs") >= col("__ts") - expr(t))
+    }
+    withTol.select(
+      (Seq(col(key), col("__ts").as(leftTs)) ++
+        leftCols.filterNot(c => c == key || c == leftTs)
+          .map(c => col(s"__l_$c").as(c)) ++
+        rightPayload.map(c => col(s"__asof.$c").as(c))): _*)
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, SkewJoin}
+
+/** Round-2 extension surface: the scale-first operators a production
+  * training-data pipeline leans on beyond the reference's own SQL —
+  * as-of (point-in-time) joins, engine-portable deterministic sampling,
+  * skew-salted joins, the fuller window-function family, pivot, and
+  * token-window document chunking. Every entry is hash-checked against
+  * a DuckDB oracle.
+  */
+object ScaleExtensions {
+  import QueryDef.table
+
+  /** md5-prefix hash gate: deterministic, engine-portable Bernoulli
+    * sampling — `md5(key) < 'XY…'` keeps P = value('XY')/256 of rows,
+    * identically in any engine that agrees on md5 (all of them). The
+    * portable alternative to `TABLESAMPLE`/`rand()` when reproducibility
+    * across reruns AND engines is required (training-data splits). */
+  private def hashGate(key: org.apache.spark.sql.Column, hexThreshold: String) =
+    md5(key.cast("string").cast("binary")) < hexThreshold
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- as-of (point-in-time) join -----------------------------------
+    QueryDef(
+      "aj01_asof_join",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+                  col("event_id").as("purchase_id"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+                  col("event_id").as("click_id"))
+        AsOfJoin.asofJoin(purchases, clicks,
+            key = "user_id", leftTs = "ts", rightTs = "click_ts",
+            rightId = "click_id", rightPayload = Seq("click_id", "click_ts"),
+            tolerance = Some("INTERVAL 30 minutes"))
+          .withColumnRenamed("ts", "purchase_ts")
+          .orderBy("user_id", "purchase_ts", "purchase_id")
+      },
+      // Windowed-candidate replay (DuckDB's ASOF JOIN binder rejects a
+      // tolerance inequality, so the oracle replays as-of semantics as
+      // bounded candidate join + top-1 window — identical output).
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |p AS (SELECT user_id, ts, event_id AS purchase_id, value
+             |      FROM ev WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+             |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT p.user_id, p.ts AS purchase_ts, p.purchase_id, p.value,
+             |         c.click_id, c.click_ts,
+             |         row_number() OVER (PARTITION BY p.purchase_id
+             |           ORDER BY c.click_ts DESC, c.click_id DESC) AS rk
+             |  FROM p JOIN c ON p.user_id = c.user_id
+             |   AND c.click_ts <= p.ts
+             |   AND c.click_ts >= p.ts - INTERVAL '30 minutes')
+             |SELECT user_id, purchase_ts, purchase_id, value, click_id, click_ts
+             |FROM cand WHERE rk = 1
+             |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin)
+    ),
+
+    // ---- deterministic stratified hash sample -------------------------
+    QueryDef(
+      "x21_hash_sample",
+      // ~10% of URGENT orders, ~1.2% of the rest ('1a'/256, '03'/256) —
+      // summarized per stratum so the entry pins both the gate and the
+      // rates.
+      (s, d) =>
+        table(s, d, "orders")
+          .filter(when(col("o_orderpriority") === "1-URGENT",
+                       hashGate(col("o_orderkey"), "1a"))
+                   .otherwise(hashGate(col("o_orderkey"), "03")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_sampled"),
+               round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_sampled,
+             |  round(SUM(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |WHERE CASE WHEN o_orderpriority = '1-URGENT'
+             |           THEN md5(CAST(o_orderkey AS VARCHAR)) < '1a'
+             |           ELSE md5(CAST(o_orderkey AS VARCHAR)) < '03' END
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- skew-salted join (same result as the plain join) -------------
+    QueryDef(
+      "x22_salted_join",
+      // the salted rewrite must be RESULT-identical to the plain join —
+      // that is exactly what the plain-SQL oracle checks.
+      (s, d) => {
+        val facts = table(s, d, "lineitem")
+          .select(col("l_partkey").as("partkey"), col("l_quantity"),
+                  col("l_orderkey"))
+        val dims = table(s, d, "part")
+          .select(col("p_partkey").as("partkey"), col("p_brand"))
+        SkewJoin.saltedJoin(facts, dims, "partkey", col("l_orderkey"),
+                            saltFactor = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+               round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_items,
+             |  round(SUM(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+
+    // ---- window family: lag / lead / first / ntile --------------------
+    QueryDef(
+      "x23_window_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        table(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+                  round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+                  round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+                  round(first("o_totalprice").over(w), 2).as("first_price"),
+                  ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
+    // ---- pivot (lang distribution per source) -------------------------
+    QueryDef(
+      "x24_pivot",
+      (s, d) =>
+        table(s, d, "documents")
+          .groupBy("source")
+          .pivot("lang", Seq("en", "fr", "de", "es", "zh"))
+          .agg(count(lit(1)))
+          .na.fill(0)
+          .orderBy("source"),
+      Some("""SELECT source,
+             |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+             |  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+             |  COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+             |  COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+             |  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // ---- token-window document chunking -------------------------------
+    QueryDef(
+      "tx06_chunk_tokens",
+      // 50-token chunks, stride 40 (10-token overlap) — the standard
+      // pre-training chunker. Map-only: per-row token split + windowed
+      // slices, no shuffle until the final ORDER BY.
+      (s, d) => {
+        val toks = filter(split(trim(col("text")), "\\s+"),
+                          t => length(t) > 0)
+        val nChunks = greatest(lit(1),
+          ceil((size(col("__toks")) - lit(10)) / lit(40.0)).cast("int"))
+        table(s, d, "documents")
+          .withColumn("__toks", toks)
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0), nChunks - 1)))
+          .select(col("doc_id"), col("chunk_idx"),
+                  concat_ws(" ",
+                    slice(col("__toks"), col("chunk_idx") * 40 + 1, lit(50)))
+                    .as("chunk_text"),
+                  size(slice(col("__toks"), col("chunk_idx") * 40 + 1, lit(50)))
+                    .cast("long").as("n_chunk_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, toks,
+             |    greatest(1, CAST(ceil((len(toks) - 10) / 40.0) AS INT)) AS n_chunks
+             |  FROM t),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |    CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx
+             |  FROM n)
+             |SELECT doc_id, chunk_idx,
+             |  array_to_string(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')
+             |    AS chunk_text,
+             |  len(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS n_chunk_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+    )
+  )
+}

@@ -44,6 +44,27 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("as-of join: latest-at-or-before semantics, ties, tolerance, no-match drop") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val left = Seq(
+      (1L, ts(10), 100L),  // clicks at 5 and 10 → tie at 10 matches (inclusive)
+      (1L, ts(30), 101L),  // latest click 10, within 30 min → matches
+      (1L, ts(45), 102L),  // latest click 10, 35 min back → outside tolerance
+      (2L, ts(20), 103L)   // user 2 has no clicks → dropped
+    ).toDF("user_id", "ts", "purchase_id")
+    val right = Seq(
+      (1L, ts(5), 7L),
+      (1L, ts(10), 8L),
+      (1L, ts(10), 9L)     // same (key, ts): max click_id 9 wins
+    ).toDF("user_id", "click_ts", "click_id")
+    val out = graft.operators.AsOfJoin.asofJoin(
+        left, right, "user_id", "ts", "click_ts", "click_id",
+        Seq("click_id", "click_ts"), Some("INTERVAL 30 minutes"))
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 9L), (101L, 9L)))
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
