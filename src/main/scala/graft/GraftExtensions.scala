@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, MinHashSig, SimHash64}
+import graft.functions.{CosineSim, MinHashSig, NearestCentroid, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to ANY session (including pure-SQL users) via
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHash64.fnName),
       SimHash64.info,
       exprs => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(NearestCentroid.fnName),
+      NearestCentroid.info,
+      exprs => NearestCentroid(exprs(0), exprs(1))))
   }
 }

@@ -60,8 +60,21 @@ object IvfIndex {
       lit(0.0), (acc, d) => acc + d)
 
   /** Index id (0-based) of the nearest centroid — pure per-row math, no
-    * shuffle, identical on every executor. */
-  private def nearestList(v: Column, centroids: Seq[Array[Double]]): Column = {
+    * shuffle, identical on every executor. Native codegen'd expression
+    * ([[graft.functions.NearestCentroid]]): the assignment pass maps the
+    * whole corpus, so the nLists × dim interpreted-lambda HOF form
+    * ([[nearestListHof]], kept as the test reference) would be the
+    * bottleneck at scale. */
+  def nearestList(spark: SparkSession, v: Column,
+                  centroids: Seq[Array[Double]]): Column = {
+    graft.functions.NearestCentroid.register(spark)
+    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    call_function(graft.functions.NearestCentroid.fnName, v, cLit)
+  }
+
+  /** HOF reference formulation of [[nearestList]] (test oracle only —
+    * argmin via array_position over per-centroid fold distances). */
+  def nearestListHof(v: Column, centroids: Seq[Array[Double]]): Column = {
     val dists = array(centroids.map(c => sqDistLit(v, c)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
@@ -94,7 +107,7 @@ object IvfIndex {
       .toSeq
     for (_ <- 1 to lloydIters) {
       val means = emb
-        .select(nearestList(col("embedding"), centroids).as("list"),
+        .select(nearestList(emb.sparkSession, col("embedding"), centroids).as("list"),
                 posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("list", "pos")
         .agg(avg(col("x").cast("double")).as("m"))
@@ -112,7 +125,8 @@ object IvfIndex {
 
   /** Map-side list assignment (adds a `list` column; no shuffle). */
   def assign(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
-    emb.withColumn("list", nearestList(col("embedding"), centroids))
+    emb.withColumn("list",
+      nearestList(emb.sparkSession, col("embedding"), centroids))
 
   private def buildIndex(spark: SparkSession, sfDir: String, dir: String,
                          nLists: Int, lloydIters: Int): Unit = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, IvfIndex, Similarity, TextAnalysis}
 import graft.functions.VectorOps
 
 /** Fuzzy-dedup and similarity operators on planted fixtures: the
@@ -135,6 +135,19 @@ class DedupSpec extends SparkSpec {
                                    maxBucket = 10)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("native nearest_centroid equals the HOF argmin reference") {
+    val centroids = Seq(
+      Array(0.0, 0.0, 1.0), Array(1.0, 0.0, 0.0), Array(0.5, 0.5, 0.0))
+    val emb = (0 to 60).map { i =>
+      (i.toLong, Array(math.sin(i * 0.3).toFloat,
+                       math.cos(i * 0.7).toFloat, (i % 5 / 4.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = emb.select(
+      IvfIndex.nearestList(spark, $"embedding", centroids).as("nat"),
+      IvfIndex.nearestListHof($"embedding", centroids).as("hof")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
   test("batch ANN with full probe equals per-query brute force") {
