@@ -49,6 +49,10 @@ object Multimodal {
   def sampleBytes(payload: Column, offset: Int, len: Int): Column =
     substring(payload, offset + 1, len) // Substring supports BinaryType
 
+  /** Column-typed byte range (per-row offsets, e.g. frame strides). */
+  def sampleBytes(payload: Column, offset: Column, len: Column): Column =
+    payload.substr(offset + 1, len)
+
   /** Batch-shaped decode over partitions — the Scala analog of a
     * `mapInPandas` batch UDF: one iterator in, one iterator out per
     * partition, so a real codec amortizes model/codec init across the
@@ -114,6 +118,43 @@ object Multimodal {
                   array_max(col("features")).as("feature_max"))
           .orderBy("media_id"),
       None
+    ),
+    // frame sampling: explode each payload into up to 8 fixed-stride
+    // 64-byte "frames" (the keyframe-extraction plumbing: per-frame
+    // rows, byte-range slices, never decoding). Map-only until the
+    // final sort; payload bytes sliced via [[sampleBytes]]. The oracle
+    // replays the byte ranges over the hex encoding (DuckDB 1.0 has no
+    // BLOB substring — 2 hex chars ≙ 1 byte).
+    QueryDef(
+      "mm03_frame_sample",
+      (s, d) => {
+        val media = mediaFromDocuments(table(s, d, "documents"))
+          .withColumn("n_frames",
+            least(lit(8), ceil(octet_length(col("payload")) / lit(64.0)))
+              .cast("int"))
+        media
+          .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+          .select(col("media_id"), col("frame_idx"),
+                  hex(sampleBytes(col("payload"), col("frame_idx") * 64, lit(64)))
+                    .as("frame_hex"))
+          .withColumn("n_frame_bytes",
+            (length(col("frame_hex")) / 2).cast("long"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, hex(encode(text)) AS payload_hex,
+             |    least(8, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT))
+             |      AS n_frames
+             |  FROM documents),
+             |f AS (
+             |  SELECT media_id, payload_hex,
+             |    CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+             |  FROM m)
+             |SELECT media_id, frame_idx,
+             |  substring(payload_hex, frame_idx * 128 + 1, 128) AS frame_hex,
+             |  CAST(length(substring(payload_hex, frame_idx * 128 + 1, 128)) / 2
+             |       AS BIGINT) AS n_frame_bytes
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)
     )
   )
 }

@@ -121,6 +121,63 @@ object EventStreams {
       tsCol)
   }
 
+  /** Stream-side FUZZY near-dup dedup: drop a document if a fingerprint
+    * within Hamming distance `maxHamming` of its 64-bit simhash was
+    * seen in the same prefix block within the state horizon.
+    *
+    * [[dedupedBySimhash]] catches only EXACT fingerprint collisions;
+    * this variant compares against stored fingerprints with a real
+    * Hamming check. Streams can't run the batch path's 8-chunk
+    * pigeonhole blocking (a doc would need votes from 8 stateful groups
+    * — not expressible as one stateful operator), so blocking is by the
+    * top `prefixBits` fingerprint bits: near-dups agreeing on the
+    * prefix are always caught, recall degrades gracefully for edits
+    * that flip a prefix bit (tunable; prefixBits = 0 degenerates to
+    * exact-recall single-group state — fine for modest streams).
+    *
+    * State per block = fingerprints seen within the horizon, evicted by
+    * event-time timeout — bounded like every other stateful op here.
+    * Emits (docId, ts, fp) of KEPT documents. */
+  def dedupedBySimhashNear(docs: DataFrame, idCol: String, textCol: String,
+                           tsCol: String = "ts", maxHamming: Int = 7,
+                           prefixBits: Int = 12)
+      : Dataset[(Long, java.sql.Timestamp, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    val fp = call_function(graft.functions.SimHash64.fnName,
+      transform(filter(split(lower(col(textCol)), "\\s+"), tk => length(tk) > 0),
+                tok => xxhash64(tok)))
+    docs
+      .select(col(idCol).cast("long").as("__id"),
+              col(tsCol).cast("timestamp").as("__ts"), fp.as("__fp"))
+      .withWatermark("__ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(r => if (prefixBits == 0) 0L else r._3 >>> (64 - prefixBits))
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, java.sql.Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty) // (fp, tsMs)
+            var maxTs = seen.map(_._2).maxOption.getOrElse(0L)
+            val kept = rows.toSeq.sortBy(r => (r._2.getTime, r._1)).flatMap {
+              case (id, ts, f) =>
+                val isDup = seen.exists { case (sf, _) =>
+                  java.lang.Long.bitCount(sf ^ f) <= maxHamming }
+                maxTs = math.max(maxTs, ts.getTime)
+                if (isDup) None
+                else { seen :+= ((f, ts.getTime)); Some((id, ts, f)) }
+            }
+            // hot blocks never time out — prune horizon-expired
+            // fingerprints inline so state stays bounded either way
+            state.update(seen.filter(_._2 >= maxTs - 600000L))
+            state.setTimeoutTimestamp(maxTs + 600000L) // horizon = watermark delay
+            kept.iterator
+          }
+      }
+  }
+
   /** One enriched row per event: its session start and 1-based position
     * within the session (a session extends while successive events are
     * within `gapMinutes`). The flatMapGroupsWithState escape hatch —

@@ -152,6 +152,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fuzzy simhash stream dedup drops a one-token-edited near-duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "ts", "text")
+    // ~100-token doc: one edited token flips few fingerprint bits, so
+    // hamming(fp1, fp2) <= 7 while exact fingerprints differ
+    val base = (1 to 25).map(i => s"sentence$i about the quick brown fox").mkString(" ")
+    val edited = base.replace("sentence7", "sentence99")
+    val q = EventStreams.dedupedBySimhashNear(docsStream, "doc_id", "text")
+      .toDF("doc_id", "ts", "fp").writeStream
+      .queryName("fuzzy_dedup_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData((1L, ts(0), base))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, ts(1), edited), // near-dup across batches → dropped
+        (3L, ts(2), "a completely different unrelated document about parquet files"))
+      q.processAllAvailable()
+      assert(spark.table("fuzzy_dedup_test").select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization assigns per-event session positions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
