@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen emits one or more compiled classes PER QUERY;
+  // a long registry run overflows the default 240 MB code cache, the
+  // JIT shuts off, and interpreted HOF pipelines go 10-100x slower
+  // (the round-1 bench-tail anomaly). Size it so compilation never
+  // stops.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

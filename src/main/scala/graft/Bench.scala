@@ -34,10 +34,15 @@ object Bench {
     catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
-    // the driver invokes with no args → full registry.
+    // the driver invokes with no args → every headline operator. The
+    // dd02p/dd02r entries are correctness ANCHORS (empty anti-joins that
+    // re-run both the LSH and exact pipelines purely to cross-check
+    // them) — they stay in Verify's gate but are not operator latencies,
+    // so the no-args bench skips them.
+    val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall")
     val names = args.toSet
     val selected =
-      if (names.isEmpty) SparkEntry.registry
+      if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))
       else SparkEntry.registry.filter(q => names.contains(q.name))
     val results = selected.map { q =>
       val t0 = System.nanoTime()

@@ -155,6 +155,43 @@ object ScaleExtensions {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // ---- corpus-wide top n-grams (boilerplate detection) --------------
+    QueryDef(
+      "tx07_top_ngrams",
+      // top-20 bigrams by (total count, doc frequency): the first pass
+      // of boilerplate detection in a pretraining pipeline. Map-side
+      // bigram expansion, one partial-aggregated groupBy, top-k.
+      (s, d) => {
+        val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+                          t => length(t) > 0)
+        table(s, d, "documents")
+          .select(col("doc_id"), toks.as("__toks"))
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("ngram"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("n_total"),
+               countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(desc("n_total"), asc("ngram"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(len(toks) - 1),
+             |      i -> toks[i+1] || ' ' || toks[i+2])) AS ngram
+             |  FROM t)
+             |SELECT ngram, COUNT(*) AS n_total,
+             |  COUNT(DISTINCT doc_id) AS n_docs
+             |FROM g GROUP BY ngram
+             |ORDER BY n_total DESC, ngram LIMIT 20""".stripMargin)
+    ),
+
     // ---- token-window document chunking -------------------------------
     QueryDef(
       "tx06_chunk_tokens",
