@@ -80,6 +80,15 @@ class DedupSpec extends SparkSpec {
                            5L -> 5L, 6L -> 5L))
   }
 
+  test("pair clustering converges on a long chain (pointer jumping)") {
+    // a 60-hop path: plain min-label propagation would need 60 rounds
+    // (over the iteration cap); pointer jumping needs O(log 60)
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 61 && clusters.values.forall(_ == 0L))
+  }
+
   test("exact-dedup fingerprint is whitespace/case-insensitive") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
