@@ -215,8 +215,13 @@ object Dedup {
     val parts = math.max(4, math.min(
       spark.sparkContext.defaultParallelism * 4,
       (nEdges / 1000000L).toInt + 1))
-    val sym =
-      if (parts < symRaw.rdd.getNumPartitions) symRaw.coalesce(parts) else symRaw
+    // pre-partition the edge frame on the join key and checkpoint THAT:
+    // the localCheckpoint's LogicalRDD keeps its outputPartitioning, so
+    // every iteration's sym⋈labels join reuses this one shuffle instead
+    // of re-exchanging the (big) edge side per round.
+    val (sym, symIds2) = checkpointTracked(
+      symRaw.repartition(parts, col("dst")))
+    unpersistIds(spark, symIds) // superseded by the partitioned copy
     var (labels, labelIds) = checkpointTracked(
       sym.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).coalesce(parts))
@@ -253,7 +258,7 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       labelIds = updatedIds
     }
-    unpersistIds(spark, symIds) // loop exited; result reads only `labels`
+    unpersistIds(spark, symIds2) // loop exited; result reads only `labels`
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

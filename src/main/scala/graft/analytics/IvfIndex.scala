@@ -97,6 +97,12 @@ object IvfIndex {
     * aggregate is (nLists × dim) means — partial-aggregated map-side,
     * collected as index metadata. Centroids are rounded to 6 dp so
     * float-summation order can never flip an assignment between builds. */
+  /** Max rows Lloyd statistics are computed over: centroid QUALITY
+    * saturates long before corpus size, so training runs on a bounded
+    * deterministic hash-sample — the full corpus is only ever scanned
+    * by the single final assignment pass. */
+  val FitSampleCap = 100000L
+
   def fit(emb: DataFrame, nLists: Int, lloydIters: Int = 2): Seq[Array[Double]] = {
     var centroids: Seq[Array[Double]] = emb
       .select(col("vec_id"), col("embedding"))
@@ -105,8 +111,13 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
       .toSeq
+    val n = emb.count()
+    val trainSet =
+      if (n <= FitSampleCap) emb
+      else emb.filter(
+        pmod(xxhash64(col("vec_id")), lit(n / FitSampleCap + 1)) === 0)
     for (_ <- 1 to lloydIters) {
-      val means = emb
+      val means = trainSet
         .select(nearestList(emb.sparkSession, col("embedding"), centroids).as("list"),
                 posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("list", "pos")
