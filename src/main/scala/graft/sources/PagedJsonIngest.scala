@@ -111,6 +111,15 @@ object PagedJsonIngest {
   def read(spark: SparkSession, landingDir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(landingDir)
 
+  /** Malformed-line-tolerant decode: DROPMALFORMED skips lines the
+    * schema can't parse (truncated page writes, upstream API garbage)
+    * instead of surfacing them as all-null rows — a real ingest always
+    * needs an explicit policy here, and silently-null rows are the
+    * wrong default for a 100 TB load. */
+  def readClean(spark: SparkSession, landingDir: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "DROPMALFORMED").json(landingDir)
+
   /** Streaming variant of the same landing dir — the S1 row of
     * SURVEY.md §2.1 maps to `readStream` for continuous ingest. */
   def readStream(spark: SparkSession, landingDir: String, schema: StructType): DataFrame =

@@ -263,4 +263,28 @@ object EventStreams {
       .format("memory")
       .start()
   }
+
+  /** Durable variant: parquet sink + WAL checkpoint — the
+    * fault-tolerance contract. Source offsets and sink commits go
+    * through the checkpoint dir, so a killed-and-restarted query
+    * resumes from its last committed batch and appends each input row
+    * EXACTLY ONCE (exactly-once within the parquet sink's transaction
+    * log; the restart test in `StreamingSpec` kills a query between
+    * batches and asserts no loss and no duplication). Append-mode
+    * transforms only (parquet is an append sink). */
+  def runStreamDurable(spark: org.apache.spark.sql.SparkSession, path: String,
+                       transform: DataFrame => DataFrame,
+                       outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(path).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // bounded batches → restartable mid-stream
+      .parquet(path)
+    transform(in).writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
 }

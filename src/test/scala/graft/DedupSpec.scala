@@ -173,6 +173,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe-path recall floor against exact top-k on driver data") {
+    // rows-only entries need a pinned quality floor: with a quarter of
+    // the lists probed, the measured recall@10 on the driver's
+    // embeddings must not silently regress below what the current index
+    // achieves (deterministic build → deterministic recall).
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopKOf(emb, 0L, 10, nLists = 16, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size / 10.0
+    assert(recall >= 0.5, s"IVF recall@10 regressed: $recall")
+  }
+
   test("LSH ANN: bucket-mates score identically to brute force") {
     val emb = (0L to 40L).map { i =>
       val angle = i.toDouble / 41 * math.Pi

@@ -83,6 +83,19 @@ class PagedJsonIngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("malformed landing lines are dropped by the clean read, kept null by default") {
+    val dir = Files.createTempDirectory("ingest-corrupt").toString
+    PagedJsonIngest.land(fakeApi(10, 20), 10, dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "page_99999.jsonl"),
+      "{\"id\": 777, \"title\": \"ok\"}\nTHIS IS NOT JSON {{{\n".getBytes("UTF-8"))
+    val clean = PagedJsonIngest.readClean(spark, dir, ArtifactSchemas.rawApiSchema)
+    assert(clean.count() == 11) // 10 landed + 1 valid line; garbage dropped
+    val permissive = PagedJsonIngest.read(spark, dir, ArtifactSchemas.rawApiSchema)
+    assert(permissive.count() == 12) // garbage surfaces as an all-null row
+    assert(permissive.filter("id IS NULL").count() == 1)
+  }
+
   test("schema-on-read drops unknown fields and feeds the ETL end-to-end") {
     val dir = Files.createTempDirectory("ingest").toString
     PagedJsonIngest.land(fakeApi(10, 30), 12, dir)

@@ -225,6 +225,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("durable sink: kill + restart resumes from checkpoint, exactly once") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("durable-landing").toString
+    val outDir = Files.createTempDirectory("durable-out").toString
+    val ckpt = Files.createTempDirectory("durable-ckpt").toString
+    val events = graft.queries.QueryDef.eventsTable(spark, sf0001)
+    // several input files so the query has multiple single-file batches
+    events.repartition(6).write.mode("overwrite").parquet(landing)
+    val transform = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("event_id", "user_id", "event_type")
+
+    // run a few batches, then kill mid-stream
+    val q1 = EventStreams.runStreamDurable(spark, landing, transform, outDir, ckpt)
+    try {
+      while (q1.recentProgress.length < 2) Thread.sleep(50)
+    } finally q1.stop()
+
+    // restart from the same checkpoint: must resume, not replay
+    val q2 = EventStreams.runStreamDurable(spark, landing, transform, outDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == events.count(), "no loss, no duplication")
+    assert(written.select("event_id").exceptAll(
+      events.select("event_id")).count() == 0)
+  }
+
   test("batch and streaming session windows agree on the events table") {
     val batch = graft.queries.QueryDef.eventsTable(spark, sf0001)
     val sessions = EventStreams.userSessions(batch)
