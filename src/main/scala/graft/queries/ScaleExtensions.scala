@@ -155,6 +155,76 @@ object ScaleExtensions {
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // ---- outer joins --------------------------------------------------
+    QueryDef(
+      "x25_left_outer_join",
+      // left-join-aggregate with genuinely unmatched left rows (the
+      // price filter strips every order from some customers): counts
+      // must come back 0, sums 0 via coalesce — null-extension
+      // semantics, not inner-join-with-extra-steps.
+      (s, d) => {
+        val bigOrders = table(s, d, "orders")
+          .filter(col("o_totalprice") > 400000)
+        table(s, d, "customer")
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_big_orders"),
+               round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("big_total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+             |  round(COALESCE(SUM(o_totalprice), 0), 2) AS big_total
+             |FROM customer LEFT JOIN orders
+             |  ON c_custkey = o_custkey AND o_totalprice > 400000
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+    ),
+    QueryDef(
+      "x26_full_outer_join",
+      // both sides deliberately mis-ranged so each contributes
+      // unmatched rows; the output tags which side was null-extended.
+      (s, d) => {
+        val custs = table(s, d, "customer")
+          .filter(col("c_custkey") <= 500).select("c_custkey")
+        val ords = table(s, d, "orders")
+          .filter(col("o_custkey").between(300, 800))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        custs.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+                  col("c_custkey").isNull.as("left_missing"),
+                  col("o_custkey").isNull.as("right_missing"),
+                  coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey <= 500),
+             |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             |      WHERE o_custkey BETWEEN 300 AND 800 GROUP BY o_custkey)
+             |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+             |  c_custkey IS NULL AS left_missing,
+             |  o_custkey IS NULL AS right_missing,
+             |  COALESCE(n_orders, 0) AS n_orders
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)
+    ),
+
+    // ---- ordered string aggregation -----------------------------------
+    QueryDef(
+      "x27_string_agg",
+      // collect_list is unordered by contract — sort_array before the
+      // join makes the aggregation deterministic (same trick any
+      // engine needs for reproducible LISTAGG).
+      (s, d) =>
+        table(s, d, "nation")
+          .join(table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+            .as("nations"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+
     // ---- corpus-wide top n-grams (boilerplate detection) --------------
     QueryDef(
       "tx07_top_ngrams",
