@@ -262,6 +262,89 @@ object ScaleExtensions {
              |ORDER BY n_total DESC, ngram LIMIT 20""".stripMargin)
     ),
 
+    // ---- embedding feature engineering --------------------------------
+    QueryDef(
+      "ef01_normalize_quantize",
+      // unit-normalize + symmetric int8 quantization, the standard
+      // embedding post-processing before ANN serving: map-only (no
+      // shuffle until the sort), double math with the same fold order
+      // in both engines.
+      (s, d) => {
+        val norm = sqrt(aggregate(
+          transform(col("embedding"), c => c.cast("double") * c.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+        val absMax = array_max(transform(col("embedding"),
+          c => abs(c.cast("double"))))
+        table(s, d, "embeddings")
+          .withColumn("__norm", norm)
+          .withColumn("__scale", lit(127.0) / absMax)
+          .select(col("vec_id"),
+                  round(col("__norm"), 6).as("l2_norm"),
+                  round(col("__scale"), 6).as("q_scale"),
+                  // + 0.0 folds IEEE negative zero to positive zero —
+                  // the engines round tiny negatives to -0.0 vs 0.0
+                  // inconsistently and the driver hashes their reprs
+                  transform(col("embedding"),
+                    c => round(c.cast("double") / col("__norm"), 4) + lit(0.0))
+                    .as("unit_vec"),
+                  transform(col("embedding"),
+                    c => round(c.cast("double") * col("__scale"), 0).cast("int"))
+                    .as("q_vec"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  round(sqrt(list_sum(list_transform(embedding,
+             |    c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))), 6) AS l2_norm,
+             |  round(127.0 / list_max(list_transform(embedding,
+             |    c -> abs(CAST(c AS DOUBLE)))), 6) AS q_scale,
+             |  list_transform(embedding, c -> round(CAST(c AS DOUBLE) /
+             |    sqrt(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) + 0.0) AS unit_vec,
+             |  list_transform(embedding, c -> CAST(round(CAST(c AS DOUBLE) *
+             |    (127.0 / list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE))))), 0) AS INT)) AS q_vec
+             |FROM embeddings ORDER BY vec_id""".stripMargin)
+    ),
+
+    // ---- time-series gap fill (resample to a 1-minute grid) -----------
+    QueryDef(
+      "st07_resample_gapfill",
+      // event counts resampled onto a dense per-type minute grid with
+      // zero-fill — the missing-interval repair every downstream
+      // time-series consumer needs. The grid is generated (not stored):
+      // one row per (type, minute), counts left-joined in, empty
+      // minutes coalesced to 0.
+      (s, d) => {
+        val ev = table(s, d, "events")
+          .select(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+        val counts = ev.groupBy("event_type", "m")
+          .agg(count(lit(1)).as("n"))
+        val grid = ev.agg(min("m").as("lo"), max("m").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+                                   expr("INTERVAL 1 minute"))).as("m"))
+        val types = ev.select("event_type").distinct()
+        grid.crossJoin(types)
+          .join(counts, Seq("event_type", "m"), "left")
+          .select(col("event_type"), col("m"),
+                  coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("event_type", "m")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m
+             |  FROM events),
+             |counts AS (
+             |  SELECT event_type, m, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT unnest(generate_series(min(m), max(m),
+             |                                INTERVAL 1 minute)) AS m
+             |  FROM ev),
+             |types AS (SELECT DISTINCT event_type FROM ev)
+             |SELECT t.event_type, g.m, COALESCE(c.n, 0) AS n_events
+             |FROM grid g CROSS JOIN types t
+             |LEFT JOIN counts c ON c.event_type = t.event_type AND c.m = g.m
+             |ORDER BY t.event_type, g.m""".stripMargin)
+    ),
+
     // ---- token-window document chunking -------------------------------
     QueryDef(
       "tx06_chunk_tokens",
