@@ -262,6 +262,44 @@ object ScaleExtensions {
              |ORDER BY n_total DESC, ngram LIMIT 20""".stripMargin)
     ),
 
+    // ---- data-quality gate --------------------------------------------
+    QueryDef(
+      "dq01_quality_gate",
+      // constraint census over lineitem in ONE scan (conditional
+      // aggregates, no per-constraint passes): null checks, domain
+      // checks, referential orphan count via anti-join. The shape every
+      // load gate needs at 100 TB — violations counted, not exploded.
+      (s, d) => {
+        val l = table(s, d, "lineitem")
+        val orphans = l.join(table(s, d, "part"),
+            l("l_partkey") === col("p_partkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_partkeys"))
+        val census = l.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+          count(when(!col("l_quantity").between(0, 100), 1)).as("qty_out_of_range"),
+          count(when(!col("l_returnflag").isin("A", "N", "R"), 1))
+            .as("bad_returnflag"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1))
+            .as("bad_discount"))
+        census.crossJoin(orphans)
+      },
+      Some("""WITH census AS (
+             |  SELECT COUNT(*) AS n_rows,
+             |    COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty,
+             |    COUNT(CASE WHEN l_quantity NOT BETWEEN 0 AND 100 THEN 1 END)
+             |      AS qty_out_of_range,
+             |    COUNT(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END)
+             |      AS bad_returnflag,
+             |    COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 END)
+             |      AS bad_discount
+             |  FROM lineitem),
+             |orphans AS (
+             |  SELECT COUNT(*) AS orphan_partkeys FROM lineitem
+             |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+             |SELECT * FROM census CROSS JOIN orphans""".stripMargin)
+    ),
+
     // ---- embedding feature engineering --------------------------------
     QueryDef(
       "ef01_normalize_quantize",

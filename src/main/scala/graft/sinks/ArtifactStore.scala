@@ -41,4 +41,33 @@ object ArtifactStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-files compaction: every `appendIgnore` lands one file set
+    * per batch, and at 100 TB a store fed by thousands of incremental
+    * loads degrades into millions of KB-scale files (open/seek-bound
+    * scans, NameNode/listing pressure). Rewrites the store so each
+    * partition holds ~`targetRowsPerFile` rows per file, preserving the
+    * partition layout. Run off the hot path (the same slot nightly
+    * OPTIMIZE jobs occupy elsewhere).
+    *
+    * The rewrite stages into a sibling dir then swaps, so a failed
+    * compaction never destroys the live store. */
+  def compact(spark: SparkSession, path: String,
+              targetRowsPerFile: Int = 1000000): Unit = {
+    val df = spark.read.parquet(path)
+    val nFiles = math.max(1,
+      (df.count() / targetRowsPerFile.toLong).toInt + 1)
+    val staged = path.stripSuffix("/") + "__compacting"
+    df.repartition(nFiles, col("classification"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("classification")
+      .parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    fs.rename(live, old)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    fs.delete(old, true)
+  }
 }

@@ -28,6 +28,26 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.read(spark, path).count() == 4)
   }
 
+  test("compaction collapses per-batch small files, preserves rows and layout") {
+    val path = Files.createTempDirectory("store").toString + "/meta"
+    ArtifactStore.create(batch(Seq(1L), "Coins"), path)
+    // many tiny incremental loads → many small files
+    (2L to 9L).foreach(i => ArtifactStore.appendIgnore(spark, batch(Seq(i), "Coins"), path))
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles().size
+    assert(before >= 9, s"expected many small files, saw $before")
+    ArtifactStore.compact(spark, path)
+    assert(dataFiles().size < before)
+    val stored = ArtifactStore.read(spark, path)
+    assert(stored.count() == 9)
+    assert(stored.select("id").as[Long].collect().sorted.toSeq == (1L to 9L))
+    assert(stored.columns.contains("classification")) // layout preserved
+  }
+
   test("classification filter prunes partitions at the scan") {
     val path = Files.createTempDirectory("store").toString + "/meta"
     ArtifactStore.create(
