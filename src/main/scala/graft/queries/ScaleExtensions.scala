@@ -262,6 +262,51 @@ object ScaleExtensions {
              |ORDER BY n_total DESC, ngram LIMIT 20""".stripMargin)
     ),
 
+    // ---- semi-structured (JSON) extraction ----------------------------
+    QueryDef(
+      "x28_json_extract",
+      // typed extraction from a JSON string column (the events stream's
+      // `props` payload) straight into an aggregate — schema-on-read
+      // over semi-structured data without a decode stage. Codegen'd
+      // get_json_object; no UDF.
+      (s, d) =>
+        table(s, d, "events")
+          .select(col("event_type"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(col("k")).as("n_with_k"),
+               round(avg("k"), 4).as("avg_k"),
+               max("k").as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+             |  round(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- histogram / binning ------------------------------------------
+    QueryDef(
+      "x29_histogram",
+      // fixed-width binning as pure integer math (DuckDB 1.0 has no
+      // width_bucket; floor-division is portable and identical): one
+      // partial-aggregated pass, bins with no rows simply absent.
+      (s, d) =>
+        table(s, d, "orders")
+          .select((floor(col("o_totalprice") / 50000) * 50000)
+                    .cast("long").as("bin_lo"),
+                  col("o_totalprice"))
+          .groupBy("bin_lo")
+          .agg(count(lit(1)).as("n"),
+               round(min("o_totalprice"), 2).as("bin_min"),
+               round(max("o_totalprice"), 2).as("bin_max"))
+          .orderBy("bin_lo"),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lo,
+             |  COUNT(*) AS n, round(MIN(o_totalprice), 2) AS bin_min,
+             |  round(MAX(o_totalprice), 2) AS bin_max
+             |FROM orders GROUP BY bin_lo ORDER BY bin_lo""".stripMargin)
+    ),
+
     // ---- data-quality gate --------------------------------------------
     QueryDef(
       "dq01_quality_gate",

@@ -65,6 +65,59 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out == Set((100L, 9L), (101L, 9L)))
   }
 
+  test("as-of join equals a naive per-row reference on seeded random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(42)
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val lefts = (0 until 120).map(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(300)), 1000L + i))
+    val rights = (0 until 150).map(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(300)), 2000L + i))
+    val tolMs = 45 * 60000L
+
+    val expected = lefts.flatMap { case (u, lts, lid) =>
+      val cands = rights.filter { case (ru, rts, _) =>
+        ru == u && !rts.after(lts) && rts.getTime >= lts.getTime - tolMs }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy { case (_, rts, rid) => (rts.getTime, rid) }
+        Some((lid, best._3))
+      }
+    }.toSet
+
+    val out = graft.operators.AsOfJoin.asofJoin(
+        lefts.toDF("user_id", "ts", "purchase_id"),
+        rights.toDF("user_id", "click_ts", "click_id"),
+        "user_id", "ts", "click_ts", "click_id",
+        Seq("click_id", "click_ts"), Some("INTERVAL 45 minutes"))
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(out == expected)
+  }
+
+  test("token chunking covers every token with the declared overlap") {
+    // tx06 contract: chunks start at 0,40,80,…; each holds ≤50 tokens;
+    // their union covers all n tokens exactly
+    val docs = Seq(1, 9, 10, 11, 49, 50, 51, 89, 90, 91, 130, 200).zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(t => s"tok$t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("tx06_chunk_tokens")(spark, dir)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    Seq(1, 9, 10, 11, 49, 50, 51, 89, 90, 91, 130, 200).zipWithIndex.foreach {
+      case (n, i) =>
+        val chunks = byDoc(i.toLong).sortBy(_._2)
+        val expectedChunks = math.max(1, math.ceil((n - 10) / 40.0).toInt)
+        assert(chunks.length == expectedChunks, s"n=$n")
+        // coverage: last chunk ends at token n; others are full 50s
+        chunks.dropRight(1).foreach(c => assert(c._3 == 50L, s"n=$n chunk ${c._2}"))
+        val last = chunks.last
+        assert(last._2 * 40L + last._3 == n.toLong, s"n=$n last-chunk coverage")
+    }
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
