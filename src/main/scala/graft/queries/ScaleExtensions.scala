@@ -262,6 +262,47 @@ object ScaleExtensions {
              |ORDER BY n_total DESC, ngram LIMIT 20""".stripMargin)
     ),
 
+    // ---- statistical aggregates ---------------------------------------
+    QueryDef(
+      "x30_stats_agg",
+      // second-moment family per group: all partial-aggregable sketches
+      // (sum/sum²/cross-sum), so the 100 TB plan is one map-side-combined
+      // pass like any COUNT.
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+               round(var_samp("l_discount"), 6).as("var_disc"),
+               round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+               round(covar_samp("l_quantity", "l_extendedprice"), 2)
+                 .as("covar_qty_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |  round(var_samp(l_discount), 6) AS var_disc,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ---- regex group extraction ---------------------------------------
+    QueryDef(
+      "x31_regexp_extract",
+      // capture-group extraction + typed cast in one codegen'd
+      // projection (source id out of the "src<N>" tag).
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"),
+                  regexp_extract(col("source"), "^src(\\d+)$", 1)
+                    .cast("long").as("src_num"))
+          .groupBy("src_num")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("src_num"),
+      Some("""SELECT CAST(regexp_extract(source, '^src(\d+)$', 1) AS BIGINT)
+             |    AS src_num, COUNT(*) AS n_docs
+             |FROM documents GROUP BY src_num ORDER BY src_num""".stripMargin)
+    ),
+
     // ---- semi-structured (JSON) extraction ----------------------------
     QueryDef(
       "x28_json_extract",

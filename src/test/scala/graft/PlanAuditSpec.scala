@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Pins the 100 TB plan properties as assertions instead of one-off
+  * `graft.Explain` reviews: filter pushdown reaching the parquet scan,
+  * column pruning, top-k via TakeOrderedAndProject (never a full sort),
+  * broadcast joins for dimension-sized sides, and partition pruning on
+  * the IVF inverted-file layout. A regression in any of these is
+  * invisible to the correctness oracle (same rows, catastrophic plan)
+  * — exactly what a test must catch. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: equality filter is pushed into the parquet scan") {
+    val f = formatted("q01_scan_filter_eq")
+    assert(f.contains("PushedFilters:") &&
+           f.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo[^\\]]*\\].*"), f)
+  }
+
+  test("q04: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_topk_desc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q19: three-way join broadcasts the dimension sides") {
+    val p = plan("q19_threeway_distinct")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q16: projection prunes the scan to referenced columns only") {
+    val f = formatted("q16_join_eq_filter")
+    // lineitem has 11 columns; the ReadSchema lines must stay narrow
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(f).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(s.split(",").length <= 4, s"scan reads too many columns: $s")
+    }
+  }
+
+  test("ss01: single scan, no shuffle of the corpus for brute-force top-k") {
+    val p = plan("ss01_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only exchange allowed is the broadcast of the 1-row query side
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
+  }
+
+  test("ss03: IVF probe prunes unprobed list partitions at the scan") {
+    graft.analytics.IvfIndex.ensure(spark, sf0001)
+    val df = graft.analytics.Similarity.ivfTopK(
+      spark, sf0001, queryId = 0L, k = 10,
+      nLists = graft.analytics.IvfIndex.DefaultLists, nProbe = 4)
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*list[^\\]]*\\].*"), f)
+  }
+
+  test("st01: windowed aggregation keeps partial aggregation map-side") {
+    val p = plan("st01_tumbling_window")
+    assert(p.contains("HashAggregate") &&
+           "HashAggregate".r.findAllIn(p).length >= 2, // partial + final
+           p)
+  }
+}
