@@ -262,6 +262,30 @@ object ScaleExtensions {
              |ORDER BY n_total DESC, ngram LIMIT 20""".stripMargin)
     ),
 
+    // ---- correlated subquery (Catalyst decorrelation) -----------------
+    QueryDef(
+      "x32_correlated_subquery",
+      // orders pricier than THEIR OWN customer's average — a correlated
+      // scalar subquery Catalyst must decorrelate into an aggregate +
+      // join (check the plan: no per-row re-execution survives). SQL
+      // form on purpose: this is the optimizer feature under test.
+      (s, d) => {
+        table(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+                |FROM orders_v o
+                |WHERE o_totalprice > 1.5 * (
+                |  SELECT AVG(o_totalprice) FROM orders_v i
+                |  WHERE i.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+             |FROM orders o
+             |WHERE o_totalprice > 1.5 * (
+             |  SELECT AVG(o_totalprice) FROM orders i
+             |  WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // ---- statistical aggregates ---------------------------------------
     QueryDef(
       "x30_stats_agg",

@@ -264,6 +264,29 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming INSERT-IGNORE into the artifact store: `foreachBatch`
+    * bridges the stream to the batch upsert path, so each micro-batch
+    * runs the same dedup/anti-join/append as a batch load — checkpoint
+    * plus the store's idempotent-append semantics give effective
+    * exactly-once even across batch replays. The standard shape for
+    * "stream into a table that batch jobs also write". */
+  def runStreamUpsert(spark: org.apache.spark.sql.SparkSession,
+                      landingPath: String, storePath: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(landingPath).schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landingPath)
+    in.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.ArtifactStore.appendIgnore(spark, batch, storePath)
+      }
+      .start()
+  }
+
   /** Durable variant: parquet sink + WAL checkpoint — the
     * fault-tolerance contract. Source offsets and sink commits go
     * through the checkpoint dir, so a killed-and-restarted query

@@ -252,6 +252,24 @@ class StreamingSpec extends SparkSpec {
       events.select("event_id")).count() == 0)
   }
 
+  test("foreachBatch streaming upsert: replayed landing files stay idempotent in the store") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("upsert-landing").toString
+    val store = Files.createTempDirectory("upsert-store").toString + "/meta"
+    val ckpt = Files.createTempDirectory("upsert-ckpt").toString
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"title$i", "Coins")).toDF("id", "title", "classification")
+    // seed the store and land overlapping batches (2,3 replayed)
+    graft.sinks.ArtifactStore.create(rows(Seq(1L, 2L, 3L)), store)
+    rows(Seq(2L, 3L, 4L)).coalesce(1).write.mode("append").parquet(landing)
+    rows(Seq(4L, 5L)).coalesce(1).write.mode("append").parquet(landing)
+    val q = EventStreams.runStreamUpsert(spark, landing, store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val stored = graft.sinks.ArtifactStore.read(spark, store)
+    assert(stored.count() == 5)
+    assert(stored.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+  }
+
   test("batch and streaming session windows agree on the events table") {
     val batch = graft.queries.QueryDef.eventsTable(spark, sf0001)
     val sessions = EventStreams.userSessions(batch)
