@@ -116,6 +116,36 @@ object StreamShapes {
              |WHERE rn = 1 ORDER BY event_id""".stripMargin)
     ),
 
+    // per-event session assignment (flatMapGroupsWithState) in batch
+    // form: in batch the state starts empty and each user's whole
+    // history arrives as one sorted group, so the custom stateful
+    // operator must reproduce the gaps-and-islands SQL exactly — the
+    // strongest oracle a hand-written stateful op can get.
+    QueryDef(
+      "st08_sessionize",
+      (s, d) =>
+        EventStreams.sessionizedEvents(table(s, d, "events"), gapMinutes = 30)
+          .toDF("user_id", "event_id", "ts", "session_start", "n_in_session")
+          .orderBy("user_id", "ts", "event_id"),
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), numbered AS (
+             |  SELECT user_id, event_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, event_id, ts,
+             |  MIN(ts) OVER (PARTITION BY user_id, sid) AS session_start,
+             |  CAST(row_number() OVER (PARTITION BY user_id, sid
+             |    ORDER BY ts, event_id) AS BIGINT) AS n_in_session
+             |FROM numbered ORDER BY user_id, ts, event_id""".stripMargin)
+    ),
+
     // stream near-dup dedup in batch form: the order/repetition-
     // insensitive bag-of-words fingerprint keyed exactly like the
     // streaming dedupedByFingerprint path (keep-first = min doc_id);
