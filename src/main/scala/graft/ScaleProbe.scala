@@ -34,8 +34,11 @@ object ScaleProbe {
 
     val docs0 = spark.read.parquet(s"$baseDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    val nDocs0 = docs0.count()
-    val nEmb0 = emb0.count()
+    // stride by max(id)+1, not count: a sparse id space with
+    // max > count would make replica id ranges collide and corrupt
+    // the very dedup measurements the probe exists to take
+    val nDocs0 = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    val nEmb0 = emb0.agg(max("vec_id")).head().getLong(0) + 1
 
     def replicate(df: DataFrame, idCol: String, idStride: Long,
                   salt: Option[String]): DataFrame = {

@@ -128,10 +128,13 @@ object Multimodal {
     QueryDef(
       "mm03_frame_sample",
       (s, d) => {
+        // greatest(…, 1): an empty payload still yields ONE (empty)
+        // frame — sequence(0, -1) would otherwise auto-reverse into
+        // [0, -1] and emit two bogus rows the oracle doesn't have
         val media = mediaFromDocuments(table(s, d, "documents"))
           .withColumn("n_frames",
-            least(lit(8), ceil(octet_length(col("payload")) / lit(64.0)))
-              .cast("int"))
+            greatest(least(lit(8), ceil(octet_length(col("payload")) / lit(64.0)))
+              .cast("int"), lit(1)))
         media
           .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
           .select(col("media_id"), col("frame_idx"),
@@ -143,7 +146,7 @@ object Multimodal {
       },
       Some("""WITH m AS (
              |  SELECT doc_id AS media_id, hex(encode(text)) AS payload_hex,
-             |    least(8, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT))
+             |    greatest(least(8, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT)), 1)
              |      AS n_frames
              |  FROM documents),
              |f AS (

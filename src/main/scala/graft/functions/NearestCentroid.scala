@@ -64,7 +64,11 @@ case class NearestCentroid(left: Expression, right: Expression)
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
-    best
+    // all-NaN distances never beat bestD → best stays -1; surface NULL
+    // instead of a valid-looking (and unprobeable) list id. (The HOF
+    // argmin reference yields -1 here via array_position's 0 — the
+    // equality pin in DedupSpec runs on NaN-free data.)
+    if (best < 0) null else best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -96,6 +100,7 @@ case class NearestCentroid(left: Expression, right: Expression)
          |  }
          |  if (!${ev.isNull} && $d < $bestD) { $bestD = $d; $best = $c; }
          |}
+         |if ($best < 0) { ${ev.isNull} = true; } // all-NaN distances
          |if (!${ev.isNull}) { ${ev.value} = $best; }
        """.stripMargin
     })

@@ -52,7 +52,12 @@ object AsOfJoin {
       .withColumn("__rn", row_number().over(tieBreak))
       .filter(col("__rn") === 1).drop("__rn")
 
-    val payloadStruct = struct(rightPayload.map(col): _*)
+    // rightTs always rides in the struct (the tolerance filter needs
+    // it) even when the caller leaves it out of the output payload
+    val carried =
+      if (rightPayload.contains(rightTs)) rightPayload
+      else rightPayload :+ rightTs
+    val payloadStruct = struct(carried.map(col): _*)
     val rTagged = rightDedup.select(
       col(key), col(rightTs).as("__ts"), lit(0).as("__tag"),
       payloadStruct.as("__r"))

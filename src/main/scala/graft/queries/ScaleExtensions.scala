@@ -236,9 +236,11 @@ object ScaleExtensions {
                           t => length(t) > 0)
         table(s, d, "documents")
           .select(col("doc_id"), toks.as("__toks"))
+          // greatest(…, 0): an empty/whitespace-only doc has 0 tokens and
+          // slice() rejects a negative length
           .select(col("doc_id"), explode(zip_with(
-            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+            slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
             (a, b) => concat(a, lit(" "), b))).as("ngram"))
           .groupBy("ngram")
           .agg(count(lit(1)).as("n_total"),
@@ -322,7 +324,9 @@ object ScaleExtensions {
           .groupBy("src_num")
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("src_num"),
-      Some("""SELECT CAST(regexp_extract(source, '^src(\d+)$', 1) AS BIGINT)
+      // TRY_CAST: a non-matching source yields '' and DuckDB's CAST
+      // would abort the oracle where Spark quietly produces NULL
+      Some("""SELECT TRY_CAST(regexp_extract(source, '^src(\d+)$', 1) AS BIGINT)
              |    AS src_num, COUNT(*) AS n_docs
              |FROM documents GROUP BY src_num ORDER BY src_num""".stripMargin)
     ),
@@ -343,10 +347,11 @@ object ScaleExtensions {
                round(avg("k"), 4).as("avg_k"),
                max("k").as("max_k"))
           .orderBy("event_type"),
+      // TRY_CAST mirrors Spark's null-on-bad-value cast semantics
       Some("""SELECT event_type,
-             |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-             |  round(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+             |  round(AVG(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 

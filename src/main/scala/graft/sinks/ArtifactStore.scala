@@ -55,16 +55,27 @@ object ArtifactStore {
   def compact(spark: SparkSession, path: String,
               targetRowsPerFile: Int = 1000000): Unit = {
     val df = spark.read.parquet(path)
-    val nFiles = math.max(1,
-      (df.count() / targetRowsPerFile.toLong).toInt + 1)
+    val nRows = df.count()
+    val nClasses = math.max(1,
+      df.select("classification").distinct().count().toInt)
+    // repartition on (classification, salt), NOT classification alone —
+    // hashing only the partition column funnels each classification
+    // into one task and one giant file regardless of target size. The
+    // id-derived salt splits each class across ~filesPerClass writers.
+    val filesPerClass = math.max(1,
+      (nRows / targetRowsPerFile.toLong / nClasses).toInt + 1)
     val staged = path.stripSuffix("/") + "__compacting"
-    df.repartition(nFiles, col("classification"))
+    df.withColumn("__salt", pmod(xxhash64(col("id")), lit(filesPerClass)))
+      .repartition(nClasses * filesPerClass, col("classification"), col("__salt"))
+      .drop("__salt")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("classification")
       .parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // the path's OWN filesystem — FileSystem.get(conf) resolves
+    // fs.defaultFS, which breaks whenever the store lives on a
+    // different scheme than the cluster default
     val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
     fs.rename(live, old)
     fs.rename(new org.apache.hadoop.fs.Path(staged), live)

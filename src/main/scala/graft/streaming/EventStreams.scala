@@ -140,18 +140,20 @@ object EventStreams {
     * Emits (docId, ts, fp) of KEPT documents. */
   def dedupedBySimhashNear(docs: DataFrame, idCol: String, textCol: String,
                            tsCol: String = "ts", maxHamming: Int = 7,
-                           prefixBits: Int = 12)
+                           prefixBits: Int = 12,
+                           horizonMinutes: Int = 10)
       : Dataset[(Long, java.sql.Timestamp, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.SimHash64.register(spark)
+    val horizonMs = horizonMinutes * 60000L
     val fp = call_function(graft.functions.SimHash64.fnName,
       transform(filter(split(lower(col(textCol)), "\\s+"), tk => length(tk) > 0),
                 tok => xxhash64(tok)))
     docs
       .select(col(idCol).cast("long").as("__id"),
               col(tsCol).cast("timestamp").as("__ts"), fp.as("__fp"))
-      .withWatermark("__ts", "10 minutes")
+      .withWatermark("__ts", s"$horizonMinutes minutes")
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(r => if (prefixBits == 0) 0L else r._3 >>> (64 - prefixBits))
       .flatMapGroupsWithState[Seq[(Long, Long)], (Long, java.sql.Timestamp, Long)](
@@ -159,20 +161,23 @@ object EventStreams {
         case (_, rows, state: GroupState[Seq[(Long, Long)]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var seen = state.getOption.getOrElse(Seq.empty) // (fp, tsMs)
-            var maxTs = seen.map(_._2).maxOption.getOrElse(0L)
+            // mutable buffer: per-row immutable appends would copy the
+            // whole seen-set per kept doc (O(m²) on a hot block)
+            val seen = scala.collection.mutable.ArrayBuffer
+              .from(state.getOption.getOrElse(Seq.empty)) // (fp, tsMs)
+            var maxTs = if (seen.isEmpty) 0L else seen.iterator.map(_._2).max
             val kept = rows.toSeq.sortBy(r => (r._2.getTime, r._1)).flatMap {
               case (id, ts, f) =>
                 val isDup = seen.exists { case (sf, _) =>
                   java.lang.Long.bitCount(sf ^ f) <= maxHamming }
                 maxTs = math.max(maxTs, ts.getTime)
                 if (isDup) None
-                else { seen :+= ((f, ts.getTime)); Some((id, ts, f)) }
+                else { seen += ((f, ts.getTime)); Some((id, ts, f)) }
             }
             // hot blocks never time out — prune horizon-expired
             // fingerprints inline so state stays bounded either way
-            state.update(seen.filter(_._2 >= maxTs - 600000L))
-            state.setTimeoutTimestamp(maxTs + 600000L) // horizon = watermark delay
+            state.update(seen.filter(_._2 >= maxTs - horizonMs).toSeq)
+            state.setTimeoutTimestamp(maxTs + horizonMs)
             kept.iterator
           }
       }
@@ -207,7 +212,10 @@ object EventStreams {
               (new java.sql.Timestamp(0L), new java.sql.Timestamp(Long.MinValue / 2), 0L))
             val out = rows.toSeq.sortBy(e => (e._3.getTime, e._2)).map { e =>
               if (e._3.getTime - last.getTime > gapMs) { start = e._3; n = 0L }
-              last = e._3; n += 1
+              // max, not assignment: a late-but-in-watermark event must
+              // not rewind `last` and fake a gap for its successors
+              if (e._3.after(last)) last = e._3
+              n += 1
               (userId, e._2, e._3, start, n)
             }
             state.update((start, last, n))
