@@ -118,6 +118,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("text/frame operators survive empty and whitespace-only documents") {
+    val dir = java.nio.file.Files.createTempDirectory("emptydoc").toString
+    Seq((0L, "", "en", "src0", 0L),
+        (1L, "   ", "en", "src1", 3L),
+        (2L, "three real tokens", "en", "src2", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // tx07: bigram expansion must not crash on 0-token docs
+    assert(SparkEntry.queries("tx07_top_ngrams")(spark, dir).count() == 2)
+    // tx06: 0-token docs still emit exactly one (empty) chunk
+    val chunks = SparkEntry.queries("tx06_chunk_tokens")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(chunks == Map(0L -> 0L, 1L -> 0L, 2L -> 3L))
+    // mm03: empty payloads emit one empty frame, never frame_idx = -1
+    val frames = SparkEntry.queries("mm03_frame_sample")(spark, dir)
+      .select("media_id", "frame_idx").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.forall(_._2 >= 0) && frames.count(_._1 == 0L) == 1)
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
