@@ -58,6 +58,18 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
     replicate(emb0, "vec_id", nEmb0, None)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+    // events scale by adding USERS (ids offset per replica), keeping
+    // per-user event density constant — the realistic growth axis for
+    // sessionization / as-of / window pipelines
+    val ev0 = graft.queries.QueryDef.eventsTable(spark, baseDir)
+    val evStride = ev0.agg(max("event_id")).head().getLong(0) + 1
+    val userStride = ev0.agg(max("user_id")).head().getLong(0) + 1
+    ev0.select(col("*"),
+        explode(sequence(lit(0), lit(factor - 1))).as("__k"))
+      .withColumn("event_id", col("event_id") + col("__k") * evStride)
+      .withColumn("user_id", col("user_id") + col("__k") * userStride)
+      .drop("__k")
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
 
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -96,6 +108,15 @@ object ScaleProbe {
     if (enabled("ss04")) time("ss04_batch_ann") {
       Similarity.batchAnnTopK(spark, workDir, queryMaxId = 32L, k = 10,
         nLists = IvfIndex.DefaultLists, nProbe = IvfIndex.DefaultLists).count()
+    }
+    if (enabled("aj01")) time("aj01_asof_join") {
+      SparkEntry.queries("aj01_asof_join")(spark, workDir).count()
+    }
+    if (enabled("st03")) time("st03_session_window") {
+      SparkEntry.queries("st03_session_window")(spark, workDir).count()
+    }
+    if (enabled("st08")) time("st08_sessionize") {
+      SparkEntry.queries("st08_sessionize")(spark, workDir).count()
     }
     spark.stop()
   }

