@@ -44,34 +44,50 @@ object Bench {
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))
       else SparkEntry.registry.filter(q => names.contains(q.name))
-    def timeOne(q: graft.queries.QueryDef): Double = {
+    // returns (elapsed seconds, succeeded). A crashing query must NOT
+    // book its time-to-failure as a latency sample — it is flagged and
+    // excluded from the total instead.
+    def timeOne(q: graft.queries.QueryDef): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try q.df(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
+      val ok =
+        try { q.df(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // state hygiene: a query must not tax its successors' numbers —
       // drop any blocks it persisted (localCheckpoint frames, ML caches)
       // once its own timing is booked.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     // Spike re-measurement: this box shows transient multi-second CPU
     // stalls (host-level); a single sample can book a 10-100x outlier
     // against an honest sub-second plan. Queries whose first sample
     // exceeds the threshold get ONE re-run and report the min — bounded
-    // extra cost, applied only where a spike can distort.
+    // extra cost, applied only where a spike can distort. A failure on
+    // either sample marks the query failed (never masked by the min).
     val spikeThreshold = 3.0
     val results = selected.map { q =>
-      val t1 = timeOne(q)
-      q.name -> (if (t1 > spikeThreshold) math.min(t1, timeOne(q)) else t1)
+      val (t1, ok1) = timeOne(q)
+      if (t1 > spikeThreshold && ok1) {
+        val (t2, ok2) = timeOne(q)
+        q.name -> (math.min(t1, t2), ok1 && ok2)
+      } else q.name -> (t1, ok1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (v, ok)) =>
+      if (ok) "\"" + k + f"\":$v%.3f" else "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // the per-query line above can exceed the driver's tail capture as
+    // the registry grows (BENCH_r02 truncated before the total) — emit a
+    // compact total-only line LAST so the headline number always parses.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._2._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,10 +38,20 @@ object Multimodal {
     * this single expression for a batch codec UDF; signature (binary →
     * array<double>) and batch shape are identical.
     *
+    * md5-derived (not xxhash64) so an oracle engine can replay the exact
+    * math: digest k = md5(payload ++ utf8(k)) covers dims 8k..8k+7, four
+    * hex chars per dim parsed as an int in [0, 65536) and scaled to
+    * [-1, 1). Every value is a multiple of 2^-15 — exact in double, so
+    * downstream stats compare bit-exact across engines.
+    *
     * STUB — see object doc. */
   def stubDecode(payload: Column, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      i => (pmod(xxhash64(payload, i), lit(1000L)).cast("double") - 500.0) / 500.0)
+    transform(sequence(lit(0), lit(dims - 1)), i => {
+      val digest = md5(concat(payload,
+        encode(floor(i / lit(8)).cast("int").cast("string"), "UTF-8")))
+      val hx = digest.substr(pmod(i, lit(8)) * lit(4) + lit(1), lit(4))
+      (conv(hx, 16, 10).cast("double") - lit(32768.0)) / lit(32768.0)
+    })
 
   /** "Frame sample": deterministic byte-range slice of the payload —
     * stands in for keyframe extraction, keeps the real column contract
@@ -106,7 +116,11 @@ object Multimodal {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
     // stubbed decode + feature extraction: payload → feature vector →
-    // per-item feature stats. Engine-specific hash features → rows-only.
+    // per-item feature stats. The md5-derived stub is replayable in the
+    // oracle (payload = utf8(text), so md5(text || '0') matches; hex
+    // chars parsed via strpos against a constant alphabet — DuckDB 1.0
+    // has no hex-parse builtin). Every feature is a multiple of 2^-15:
+    // sums and maxes are exact in double, no rounding hazard.
     QueryDef(
       "mm02_decode_features",
       (s, d) =>
@@ -117,7 +131,27 @@ object Multimodal {
                     .as("feature_mean"),
                   array_max(col("features")).as("feature_max"))
           .orderBy("media_id"),
-      None
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, 'image' AS kind,
+             |    md5(text || '0') AS d
+             |  FROM documents),
+             |f AS (
+             |  SELECT media_id, kind,
+             |    list_transform(range(8), i ->
+             |      ((strpos('0123456789abcdef',
+             |          substring(d, CAST(i*4+1 AS INT), 1)) - 1) * 4096.0 +
+             |       (strpos('0123456789abcdef',
+             |          substring(d, CAST(i*4+2 AS INT), 1)) - 1) * 256.0 +
+             |       (strpos('0123456789abcdef',
+             |          substring(d, CAST(i*4+3 AS INT), 1)) - 1) * 16.0 +
+             |       (strpos('0123456789abcdef',
+             |          substring(d, CAST(i*4+4 AS INT), 1)) - 1)
+             |       - 32768.0) / 32768.0) AS features
+             |  FROM m)
+             |SELECT media_id, kind,
+             |  round(list_sum(features) / 8.0, 6) AS feature_mean,
+             |  list_max(features) AS feature_max
+             |FROM f ORDER BY media_id""".stripMargin)
     ),
     // frame sampling: explode each payload into up to 8 fixed-stride
     // 64-byte "frames" (the keyframe-extraction plumbing: per-frame

@@ -421,7 +421,9 @@ object ScaleExtensions {
       // unit-normalize + symmetric int8 quantization, the standard
       // embedding post-processing before ANN serving: map-only (no
       // shuffle until the sort), double math with the same fold order
-      // in both engines.
+      // in both engines. Output is EXPLODED to one fully-scalar row per
+      // (vector, position) — raw array columns are unsortable/unhashable
+      // in the driver's pandas compare, scalar rows are exact.
       (s, d) => {
         val norm = sqrt(aggregate(
           transform(col("embedding"), c => c.cast("double") * c.cast("double")),
@@ -431,32 +433,42 @@ object ScaleExtensions {
         table(s, d, "embeddings")
           .withColumn("__norm", norm)
           .withColumn("__scale", lit(127.0) / absMax)
+          // + 0.0 folds IEEE negative zero to positive zero — the
+          // engines round tiny negatives to -0.0 vs 0.0 inconsistently
+          // and the driver hashes their reprs
+          .withColumn("__unit", transform(col("embedding"),
+            c => round(c.cast("double") / col("__norm"), 4) + lit(0.0)))
+          .withColumn("__q", transform(col("embedding"),
+            c => round(c.cast("double") * col("__scale"), 0).cast("int")))
           .select(col("vec_id"),
                   round(col("__norm"), 6).as("l2_norm"),
                   round(col("__scale"), 6).as("q_scale"),
-                  // + 0.0 folds IEEE negative zero to positive zero —
-                  // the engines round tiny negatives to -0.0 vs 0.0
-                  // inconsistently and the driver hashes their reprs
-                  transform(col("embedding"),
-                    c => round(c.cast("double") / col("__norm"), 4) + lit(0.0))
-                    .as("unit_vec"),
-                  transform(col("embedding"),
-                    c => round(c.cast("double") * col("__scale"), 0).cast("int"))
-                    .as("q_vec"))
-          .orderBy("vec_id")
+                  posexplode(arrays_zip(col("__unit"), col("__q"))))
+          .select(col("vec_id"), col("l2_norm"), col("q_scale"),
+                  col("pos").cast("long").as("pos"),
+                  col("col.__unit").as("unit_val"),
+                  col("col.__q").as("q_val"))
+          .orderBy("vec_id", "pos")
       },
-      Some("""SELECT vec_id,
-             |  round(sqrt(list_sum(list_transform(embedding,
-             |    c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))), 6) AS l2_norm,
-             |  round(127.0 / list_max(list_transform(embedding,
-             |    c -> abs(CAST(c AS DOUBLE)))), 6) AS q_scale,
-             |  list_transform(embedding, c -> round(CAST(c AS DOUBLE) /
+      // parallel unnest in one SELECT is lockstep in DuckDB (zip
+      // semantics); range(len) supplies the 0-based position as BIGINT,
+      // matching the Spark pos cast
+      Some("""WITH base AS (
+             |  SELECT vec_id, embedding,
              |    sqrt(list_sum(list_transform(embedding,
-             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) + 0.0) AS unit_vec,
-             |  list_transform(embedding, c -> CAST(round(CAST(c AS DOUBLE) *
-             |    (127.0 / list_max(list_transform(embedding,
-             |      x -> abs(CAST(x AS DOUBLE))))), 0) AS INT)) AS q_vec
-             |FROM embeddings ORDER BY vec_id""".stripMargin)
+             |      c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS nrm,
+             |    127.0 / list_max(list_transform(embedding,
+             |      c -> abs(CAST(c AS DOUBLE)))) AS scl
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  round(nrm, 6) AS l2_norm,
+             |  round(scl, 6) AS q_scale,
+             |  unnest(range(len(embedding))) AS pos,
+             |  unnest(list_transform(embedding,
+             |    c -> round(CAST(c AS DOUBLE) / nrm, 4) + 0.0)) AS unit_val,
+             |  unnest(list_transform(embedding,
+             |    c -> CAST(round(CAST(c AS DOUBLE) * scl, 0) AS INT))) AS q_val
+             |FROM base ORDER BY vec_id, pos""".stripMargin)
     ),
 
     // ---- time-series gap fill (resample to a 1-minute grid) -----------

@@ -50,8 +50,18 @@ object ArtifactStore {
     * partition layout. Run off the hot path (the same slot nightly
     * OPTIMIZE jobs occupy elsewhere).
     *
-    * The rewrite stages into a sibling dir then swaps, so a failed
-    * compaction never destroys the live store. */
+    * Swap protocol (crash-safe; every step keeps at least one intact
+    * copy and every intermediate state is mechanically repairable by
+    * [[recoverCompaction]]):
+    *   1. write staged copy to `path__compacting` (live untouched);
+    *      the parquet committer's `_SUCCESS` marks it complete
+    *   2. rename live → `path__old`   (live copy preserved under __old)
+    *   3. rename staged → live        (complete copy becomes live)
+    *   4. delete `__old`
+    * Both renames are CHECKED: a failed step aborts (rolling back step 2
+    * if needed) and throws, leaving the live store intact. Leftover
+    * `__old`/`__compacting` dirs from a crashed run fail fast — run
+    * [[recoverCompaction]] first. */
   def compact(spark: SparkSession, path: String,
               targetRowsPerFile: Int = 1000000): Unit = {
     val df = spark.read.parquet(path)
@@ -64,21 +74,73 @@ object ArtifactStore {
     // id-derived salt splits each class across ~filesPerClass writers.
     val filesPerClass = math.max(1,
       (nRows / targetRowsPerFile.toLong / nClasses).toInt + 1)
-    val staged = path.stripSuffix("/") + "__compacting"
-    df.withColumn("__salt", pmod(xxhash64(col("id")), lit(filesPerClass)))
-      .repartition(nClasses * filesPerClass, col("classification"), col("__salt"))
-      .drop("__salt")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("classification")
-      .parquet(staged)
+    val base = path.stripSuffix("/")
     // the path's OWN filesystem — FileSystem.get(conf) resolves
     // fs.defaultFS, which breaks whenever the store lives on a
     // different scheme than the cluster default
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
-    fs.rename(live, old)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), live)
+    val staged = new org.apache.hadoop.fs.Path(base + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(base + "__old")
+    if (fs.exists(old) || fs.exists(staged))
+      throw new IllegalStateException(
+        s"leftover ${old} or ${staged} from an interrupted compaction — " +
+        "run ArtifactStore.recoverCompaction first")
+    df.withColumn("__salt", pmod(xxhash64(col("id")), lit(filesPerClass)))
+      .repartition(nClasses * filesPerClass, col("classification"), col("__salt"))
+      .drop("__salt")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("classification")
+      .parquet(staged.toString)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(
+        s"compact: rename $live -> $old failed; live store untouched")
+    if (!fs.rename(staged, live)) {
+      // roll the live copy back into place before surfacing the error
+      fs.rename(old, live)
+      throw new java.io.IOException(
+        s"compact: rename $staged -> $live failed; live store restored")
+    }
+    // only now is the swap durable — discard the superseded copy
     fs.delete(old, true)
+  }
+
+  /** Repair an interrupted [[compact]]: inspects which of
+    * live/`__old`/`__compacting` survive and restores the store to
+    * exactly one intact live copy. Safe to call when no compaction was
+    * in flight (no-op). Completeness of the staged copy is judged by
+    * the parquet committer's `_SUCCESS` marker. */
+  def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(base + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(base + "__old")
+    val stagedComplete = fs.exists(staged) &&
+      fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+    if (fs.exists(live)) {
+      // live survived: crash was before the swap (or after it completed
+      // with a leftover __old) — the staged/old copies are redundant
+      if (fs.exists(staged)) fs.delete(staged, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (stagedComplete) {
+      // crash between the two renames with a complete staged copy:
+      // finish the swap
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(s"recover: rename $staged -> $live failed")
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      // staged incomplete (or absent): restore the pre-compaction copy
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"recover: rename $old -> $live failed")
+      if (fs.exists(staged)) fs.delete(staged, true)
+    } else if (fs.exists(staged)) {
+      // nothing else survives; an incomplete staged copy is better than
+      // no store at all only if it has data — refuse silently restoring
+      // a torn write
+      throw new IllegalStateException(
+        s"recover: only an incomplete staged copy remains at $staged — " +
+        "manual inspection required")
+    }
   }
 }

@@ -48,6 +48,63 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(stored.columns.contains("classification")) // layout preserved
   }
 
+  test("interrupted compaction is recoverable at every step") {
+    import org.apache.hadoop.fs.Path
+    def freshStore() = {
+      val path = Files.createTempDirectory("store").toString + "/meta"
+      ArtifactStore.create(batch(Seq(1L, 2L, 3L), "Coins"), path)
+      path
+    }
+    def fs(path: String) =
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def assertIntact(path: String): Unit = {
+      val stored = ArtifactStore.read(spark, path)
+      assert(stored.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(!fs(path).exists(new Path(path + "__old")))
+      assert(!fs(path).exists(new Path(path + "__compacting")))
+    }
+
+    // state A: crash after staging, before any rename (live + staged)
+    val a = freshStore()
+    ArtifactStore.read(spark, a).write.parquet(a + "__compacting")
+    ArtifactStore.recoverCompaction(spark, a)
+    assertIntact(a)
+
+    // state B: crash between the renames with a COMPLETE staged copy
+    // (no live, __old + __compacting) → recovery finishes the swap
+    val b = freshStore()
+    ArtifactStore.read(spark, b).write.parquet(b + "__compacting")
+    assert(fs(b).rename(new Path(b), new Path(b + "__old")))
+    ArtifactStore.recoverCompaction(spark, b)
+    assertIntact(b)
+
+    // state C: crash between the renames with an INCOMPLETE staged copy
+    // (no _SUCCESS) → recovery restores the pre-compaction copy
+    val c = freshStore()
+    ArtifactStore.read(spark, c).write.parquet(c + "__compacting")
+    fs(c).delete(new Path(c + "__compacting/_SUCCESS"), false)
+    assert(fs(c).rename(new Path(c), new Path(c + "__old")))
+    ArtifactStore.recoverCompaction(spark, c)
+    assertIntact(c)
+
+    // state D: crash after the swap, before the __old cleanup
+    val d = freshStore()
+    ArtifactStore.read(spark, d).write.parquet(d + "__old")
+    ArtifactStore.recoverCompaction(spark, d)
+    assertIntact(d)
+
+    // compact() fails fast on leftovers instead of clobbering them, and
+    // leaves the live store readable
+    val e = freshStore()
+    ArtifactStore.read(spark, e).write.parquet(e + "__old")
+    intercept[IllegalStateException] { ArtifactStore.compact(spark, e) }
+    assert(ArtifactStore.read(spark, e).count() == 3)
+    // after recovery, compact proceeds normally
+    ArtifactStore.recoverCompaction(spark, e)
+    ArtifactStore.compact(spark, e)
+    assertIntact(e)
+  }
+
   test("classification filter prunes partitions at the scan") {
     val path = Files.createTempDirectory("store").toString + "/meta"
     ArtifactStore.create(
