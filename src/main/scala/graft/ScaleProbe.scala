@@ -32,19 +32,26 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs0 = spark.read.parquet(s"$baseDir/documents.parquet")
-    val emb0 = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    // stride by max(id)+1, not count: a sparse id space with
-    // max > count would make replica id ranges collide and corrupt
-    // the very dedup measurements the probe exists to take
-    val nDocs0 = docs0.agg(max("doc_id")).head().getLong(0) + 1
-    val nEmb0 = emb0.agg(max("vec_id")).head().getLong(0) + 1
+    val names = if (args.length > 3) args.drop(3).toSet else Set.empty[String]
+    def enabled(n: String) = names.isEmpty || names.contains(n)
 
-    def replicate(df: DataFrame, idCol: String, idStride: Long,
+    // multi-column replication: every listed id column is offset by
+    // (its own max + 1) per replica, so intra-replica FK relationships
+    // survive and each replica joins only with itself — result sizes
+    // scale exactly N× (the property a scale probe needs).
+    def replicate(df: DataFrame, idCols: Seq[String],
                   salt: Option[String]): DataFrame = {
+      // stride by max(id)+1, not count: a sparse id space with
+      // max > count would make replica id ranges collide and corrupt
+      // the very dedup measurements the probe exists to take
+      val strides = idCols.map(c =>
+        c -> (df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L))
       val k = explode(sequence(lit(0), lit(factor - 1))).as("__k")
-      val rep = df.select(col("*"), k)
-        .withColumn(idCol, col(idCol) + col("__k") * idStride)
+      val rep0 = df.select(col("*"), k)
+      val rep = strides.foldLeft(rep0) { case (acc, (c, stride)) =>
+        acc.withColumn(c, (col(c).cast("long") + col("__k") * stride)
+          .cast(df.schema(c).dataType))
+      }
       salt.fold(rep.drop("__k")) { textCol =>
         // distinct replica suffix: near-dup of the original, so fuzzy
         // dedup has real work (realistic crawl-duplication shape)
@@ -53,23 +60,53 @@ object ScaleProbe {
           .drop("__k")
       }
     }
+    def stage(name: String, df: => DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$workDir/$name.parquet")
 
-    replicate(docs0, "doc_id", nDocs0, Some("text"))
-      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
-    replicate(emb0, "vec_id", nEmb0, None)
-      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
-    // events scale by adding USERS (ids offset per replica), keeping
-    // per-user event density constant — the realistic growth axis for
-    // sessionization / as-of / window pipelines
-    val ev0 = graft.queries.QueryDef.eventsTable(spark, baseDir)
-    val evStride = ev0.agg(max("event_id")).head().getLong(0) + 1
-    val userStride = ev0.agg(max("user_id")).head().getLong(0) + 1
-    ev0.select(col("*"),
-        explode(sequence(lit(0), lit(factor - 1))).as("__k"))
-      .withColumn("event_id", col("event_id") + col("__k") * evStride)
-      .withColumn("user_id", col("user_id") + col("__k") * userStride)
-      .drop("__k")
-      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+    // inputs are replicated lazily, per enabled probe group — a
+    // relational-only run shouldn't pay for a 10x documents copy
+    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06").exists(enabled)
+    val wantsEmb = Seq("ivf", "ss04").exists(enabled)
+    val wantsEvents = Seq("aj01", "st03", "st08").exists(enabled)
+    val wantsRel = Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
+      .exists(enabled)
+
+    if (wantsDocs)
+      stage("documents", replicate(
+        spark.read.parquet(s"$baseDir/documents.parquet"),
+        Seq("doc_id"), Some("text")))
+    if (wantsEmb || wantsDocs)
+      stage("embeddings", replicate(
+        spark.read.parquet(s"$baseDir/embeddings.parquet"),
+        Seq("vec_id"), None))
+    if (wantsEvents) {
+      // events scale by adding USERS (ids offset per replica), keeping
+      // per-user event density constant — the realistic growth axis for
+      // sessionization / as-of / window pipelines
+      val ev0 = graft.queries.QueryDef.eventsTable(spark, baseDir)
+      stage("events", replicate(ev0, Seq("event_id", "user_id"), None))
+    }
+    if (wantsRel) {
+      // TPC-H-ish fact/dim graph at N×: fact keys and their FK targets
+      // move in lockstep; region/nation stay as true dimensions
+      stage("orders", replicate(
+        spark.read.parquet(s"$baseDir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey"), None))
+      stage("lineitem", replicate(
+        spark.read.parquet(s"$baseDir/lineitem.parquet"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), None))
+      stage("customer", replicate(
+        spark.read.parquet(s"$baseDir/customer.parquet"),
+        Seq("c_custkey"), None))
+      stage("part", replicate(
+        spark.read.parquet(s"$baseDir/part.parquet"),
+        Seq("p_partkey"), None))
+      stage("supplier", replicate(
+        spark.read.parquet(s"$baseDir/supplier.parquet"),
+        Seq("s_suppkey"), None))
+      Seq("region", "nation").foreach(t =>
+        stage(t, spark.read.parquet(s"$baseDir/$t.parquet")))
+    }
 
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -80,8 +117,6 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
-    val names = if (args.length > 3) args.drop(3).toSet else Set.empty[String]
-    def enabled(n: String) = names.isEmpty || names.contains(n)
     import graft.analytics.{Dedup, IvfIndex, Similarity}
     import graft.queries.QueryDef.table
 
@@ -117,6 +152,32 @@ object ScaleProbe {
     }
     if (enabled("st08")) time("st08_sessionize") {
       SparkEntry.queries("st08_sessionize")(spark, workDir).count()
+    }
+    // relational headline shapes at N× (join+filter, wide 1:N join,
+    // join+full-sort, join+group+multiagg, decorrelated subquery,
+    // census+anti-join) — the shuffle-heavy plans whose partitioning
+    // assumptions bend first at scale
+    Seq("q06_join_filter_gt", "q14_join_notnull", "q17_join_full_sort",
+        "q20_join_group_multiagg", "x07_subquery_above_avg",
+        "dq01_quality_gate").foreach { qn =>
+      if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
+        SparkEntry.queries(qn)(spark, workDir).count()
+      }
+    }
+    // shuffle-partition sensitivity: the same shuffle-bound queries
+    // timed at several initial partition counts (AQE coalesces from
+    // this number — too low starves parallelism before AQE can split,
+    // too high pays scheduling overhead). Prints one JSON line per
+    // (query, partitions) sample.
+    if (enabled("partsweep")) {
+      val sweep = Seq("32", "64", "128", "256")
+      for (p <- sweep;
+           qn <- Seq("q14_join_notnull", "q17_join_full_sort",
+                     "q20_join_group_multiagg")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        time(s"$qn@p$p") { SparkEntry.queries(qn)(spark, workDir).count() }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     spark.stop()
   }

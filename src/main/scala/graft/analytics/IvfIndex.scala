@@ -34,14 +34,34 @@ object IvfIndex {
 
   val DefaultLists = 16
 
-  /** (sfDir, nLists) → index dir, built at most once per JVM; the
-    * on-disk index is reused across JVMs of the same round. */
+  /** index dir → index dir, built at most once per JVM; the on-disk
+    * index is reused across JVMs of the same round. Keyed by the full
+    * content-stamped dir (not just sfDir), so regenerating the dataset
+    * mid-JVM changes the key and triggers a rebuild. */
   private val built = new ConcurrentHashMap[String, String]()
+
+  /** Fingerprint of the embeddings table's CONTENT (per-part name,
+    * length, mtime) — included in the index dir key so a regenerated
+    * dataset at the same path can never silently reuse a stale persisted
+    * index. Local-FS walk (the test corpora are local); an HDFS/object
+    * store deployment would fold FileStatus length+mtime the same way. */
+  private def contentStamp(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$sfDir/embeddings.parquet")
+    val sig = walk(root)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig, 0x9747b28c))
+  }
 
   def indexDir(sfDir: String, nLists: Int): String = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-$nLists"
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists"
   }
 
   /** Squared L2 distance between an `array<float>` column and a literal
@@ -85,7 +105,7 @@ object IvfIndex {
   def ensure(spark: SparkSession, sfDir: String,
              nLists: Int = DefaultLists, lloydIters: Int = 2): String = {
     val dir = indexDir(sfDir, nLists)
-    built.computeIfAbsent(s"$sfDir|$nLists", { _ =>
+    built.computeIfAbsent(dir, { _ =>
       val done = new java.io.File(s"$dir/assignments/_SUCCESS")
       if (!done.exists()) buildIndex(spark, sfDir, dir, nLists, lloydIters)
       dir

@@ -210,6 +210,23 @@ object Similarity {
       None
     ),
     QueryDef(
+      "ss03x_ann_ivf_exact",
+      // the persisted-index probe path (ensure → read centroids → prune
+      // partitions → exact cosine in probed lists) with nProbe = nLists:
+      // every list is probed, so the result is exact REGARDLESS of the
+      // learned centroids and the DuckDB brute-force top-k is a
+      // hash-checkable oracle for the whole read→prune→probe machinery.
+      // ss03 (nProbe < nLists) is the same code path; this entry is its
+      // driver-visible exactness anchor.
+      (s, d) => ivfTopK(s, d, queryId = 0L, k = 10,
+                        nLists = IvfIndex.DefaultLists,
+                        nProbe = IvfIndex.DefaultLists),
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
+              |FROM embeddings e, q WHERE e.vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
       "ss04_batch_ann",
       // batch multi-query ANN with nProbe = nLists: exact by
       // construction (independent of learned centroids), so the DuckDB

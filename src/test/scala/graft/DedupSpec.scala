@@ -214,6 +214,23 @@ class DedupSpec extends SparkSpec {
     assert(a1 == a2)
   }
 
+  test("IVF index dir key tracks dataset content, not just its path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfstamp").toString
+    val emb1 = (0L to 20L).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    emb1.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k1 = IvfIndex.indexDir(dir, 4)
+    assert(k1 == IvfIndex.indexDir(dir, 4), "stamp must be stable")
+    // regenerate the dataset at the SAME path → the key must change,
+    // otherwise a stale persisted index would be silently reused
+    Thread.sleep(1100) // mtime granularity on some filesystems is 1s
+    (0L to 30L).map(i => (i, Array(i.toFloat, 2f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(IvfIndex.indexDir(dir, 4) != k1,
+           "regenerated data must invalidate the index key")
+  }
+
   test("LSH ANN: bucket-mates score identically to brute force") {
     val emb = (0L to 40L).map { i =>
       val angle = i.toDouble / 41 * math.Pi
