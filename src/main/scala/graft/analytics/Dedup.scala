@@ -434,6 +434,34 @@ object Dedup {
              |WHERE false""".stripMargin)
     ),
 
+    // dedup reporting: per-cluster membership stats over the connected
+    // components — the shape every dedup pipeline emits for auditing
+    // (how many groups, how big, which id ranges collapsed). One
+    // partial-aggregated groupBy over the clustering output.
+    QueryDef(
+      "dd07_cluster_stats",
+      (s, d) =>
+        clusterPairs(exactNgramPairs(s, d).select("id_a", "id_b"))
+          .groupBy("canonical_id")
+          .agg(count(lit(1)).as("n_members"),
+               max("doc_id").as("max_member"))
+          .orderBy("canonical_id"),
+      Some(s"""WITH RECURSIVE pairs AS (${exactNgramPairsSql()}),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+              |clusters AS (
+              |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+              |  FROM reach GROUP BY id)
+              |SELECT canonical_id, COUNT(*) AS n_members,
+              |  max(doc_id) AS max_member
+              |FROM clusters GROUP BY canonical_id
+              |ORDER BY canonical_id""".stripMargin)
+    ),
+
     // SimHash precision anchor: the NEAR-IDENTICAL fingerprint stratum
     // (Hamming ≤ 1 of 64 bits) must be genuinely near-identical text —
     // every such pair appears in the exact bigram-Jaccard ground truth

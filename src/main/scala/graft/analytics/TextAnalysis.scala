@@ -138,6 +138,58 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     QueryDef(
+      "tx08_tfidf_top_terms",
+      // TF-IDF top-3 terms per document — the keyword-extraction /
+      // relevance-weighting primitive. IDF is the RATIONAL smooth form
+      // (N+1)/(df+1), not ln of it: integer counts through one IEEE
+      // division and one multiply are bit-identical across engines,
+      // while ln() is not guaranteed correctly rounded and could flip a
+      // rounded 6-dp score at a boundary. Monotone in the usual idf, so
+      // ranking semantics are unchanged.
+      //
+      // Scale shape: explode → two partial-aggregated groupBys (tf, df),
+      // df is term-dictionary-sized after aggregation so its join back
+      // is cheap; the only per-row window is the per-doc top-k. No stage
+      // touches raw text twice.
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+                         t => length(t) > 0)).as("term"))
+        val tf = toks.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+        tf.join(df, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)), 6))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '\s+'),
+             |    t -> len(t) > 0)) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    round(tf.tf * (n.n_docs + 1.0) / (df.df + 1.0), 6) AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rk
+             |  FROM scored)
+             |SELECT doc_id, term, tf, df, tfidf, rk FROM ranked
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+    ),
+    QueryDef(
       "tx05_corpus_stats",
       (s, d) =>
         table(s, d, "documents")

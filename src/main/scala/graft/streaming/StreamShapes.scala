@@ -146,6 +146,37 @@ object StreamShapes {
              |FROM numbered ORDER BY user_id, ts, event_id""".stripMargin)
     ),
 
+    // windowed trending: top-3 event types per 5-minute window by
+    // count — the "what's hot right now" stream shape (windowed agg +
+    // per-window rank). Deterministic tie-break on event_type; in
+    // streaming the same plan runs per watermark-closed window.
+    QueryDef(
+      "st09_trending",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("w_start").orderBy(desc("n_events"), asc("event_type"))
+        table(s, d, "events")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+                  col("n_events"))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .orderBy("w_start", "rk")
+      },
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |counts AS (
+             |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+             |    event_type, COUNT(*) AS n_events
+             |  FROM ev GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY w_start ORDER BY n_events DESC, event_type) AS INT) AS rk
+             |  FROM counts)
+             |SELECT w_start, event_type, n_events, rk FROM ranked
+             |WHERE rk <= 3 ORDER BY w_start, rk""".stripMargin)
+    ),
+
     // stream near-dup dedup in batch form: the order/repetition-
     // insensitive bag-of-words fingerprint keyed exactly like the
     // streaming dedupedByFingerprint path (keep-first = min doc_id);
