@@ -183,6 +183,69 @@ object EventStreams {
       }
   }
 
+  /** Stream-side MinHash-LSH banding: emits candidate near-dup PAIRS
+    * (id_a < id_b) as documents arrive — the streaming front half of the
+    * batch [[graft.analytics.Dedup.minhashPairs]] pipeline. Each doc
+    * explodes to its `Bands` band keys; one stateful group per band
+    * bucket holds the (docId, tsMs) seen within the horizon, and a new
+    * arrival pairs with every doc already in its bucket. Exact-Jaccard
+    * verification happens downstream on the emitted pairs (where both
+    * texts can be fetched) — same split as the batch path, where the
+    * band join generates and the verify filters.
+    *
+    * Pairs can repeat (two docs sharing several bands, or re-emission
+    * across micro-batches is impossible — state remembers — but
+    * cross-band duplicates are inherent); consumers dedupe with
+    * `distinct`, exactly like the batch candidate stage does.
+    *
+    * Bounded state: event-time timeout + inline horizon pruning (the
+    * [[dedupedBySimhashNear]] discipline), and a `maxBucket` census cap
+    * — once a bucket holds `maxBucket` docs, later arrivals in that
+    * bucket stop generating pairs (the batch path's hot-bucket trade,
+    * applied online). */
+  def lshBandCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String = "ts", shingleN: Int = 3,
+                        horizonMinutes: Int = 10, maxBucket: Int = 500)
+      : Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.MinHashSig.register(spark)
+    val horizonMs = horizonMinutes * 60000L
+    val sig = call_function(graft.functions.MinHashSig.fnName,
+      graft.analytics.Dedup.shingleHashes(spark, col(textCol), shingleN))
+    docs
+      .select(col(idCol).cast("long").as("__id"),
+              col(tsCol).cast("timestamp").as("__ts"),
+              explode(graft.analytics.Dedup.bandKeys(sig)).as("__bk"))
+      .withWatermark("__ts", s"$horizonMinutes minutes")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Seq[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = scala.collection.mutable.ArrayBuffer
+              .from(state.getOption.getOrElse(Seq.empty)) // (docId, tsMs)
+            var maxTs = if (seen.isEmpty) 0L else seen.iterator.map(_._2).max
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach {
+              case (id, ts, _) =>
+                maxTs = math.max(maxTs, ts.getTime)
+                if (seen.size < maxBucket && !seen.exists(_._1 == id)) {
+                  seen.foreach { case (sid, _) =>
+                    out += ((math.min(sid, id), math.max(sid, id)))
+                  }
+                  seen += ((id, ts.getTime))
+                }
+            }
+            state.update(seen.filter(_._2 >= maxTs - horizonMs).toSeq)
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   /** One enriched row per event: its session start and 1-based position
     * within the session (a session extends while successive events are
     * within `gapMinutes`). The flatMapGroupsWithState escape hatch —

@@ -74,4 +74,14 @@ class PlanAuditSpec extends SparkSpec {
            "HashAggregate".r.findAllIn(p).length >= 2, // partial + final
            p)
   }
+
+  test("tx08: corpus size broadcasts; tf/df aggregate partially map-side") {
+    val p = plan("tx08_tfidf_top_terms")
+    // the 1-row n_docs side must broadcast, never shuffle the tf frame
+    // against it
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, // tf + df, each 2-phase
+           p)
+  }
 }

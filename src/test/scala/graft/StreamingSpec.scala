@@ -175,6 +175,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH band candidates equal the batch band-join pair set (batch mode)") {
+    // batch mode: every band group sees its whole bucket at once, so the
+    // stateful op must emit exactly the pairs a batch band self-join
+    // finds (below the census cap) — the strongest check the engine-
+    // hashed candidate stage can get
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 200)
+      .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 10:00:00")))
+    val streamed = EventStreams.lshBandCandidates(docs, "doc_id", "text")
+      .toDF("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: explode band keys, self-join, id_a < id_b
+    import graft.analytics.Dedup
+    graft.functions.MinHashSig.register(spark)
+    val keys = docs.select(col("doc_id"),
+        explode(Dedup.bandKeys(call_function(
+          graft.functions.MinHashSig.fnName,
+          Dedup.shingleHashes(spark, col("text"), 3)))).as("bk"))
+    val ref = keys.select(col("doc_id").as("id_a"), col("bk"))
+      .join(keys.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == ref)
+    assert(streamed.nonEmpty) // the slice genuinely has band collisions
+  }
+
+  test("streaming LSH band candidates pair a late near-dup across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "ts", "text")
+    val base = (1 to 30).map(i => s"token$i shared corpus text body").mkString(" ")
+    val nearDup = base.replace("token7", "token99")
+    val q = EventStreams.lshBandCandidates(docsStream, "doc_id", "text")
+      .toDF("id_a", "id_b").writeStream
+      .queryName("lsh_band_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData((1L, ts(0), base))
+      q.processAllAvailable()
+      assert(spark.table("lsh_band_test").count() == 0) // nothing to pair yet
+      mem.addData(
+        (2L, ts(1), nearDup), // shares bands with doc 1 → pair emitted
+        (3L, ts(2), "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_band_test").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)))
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization assigns per-event session positions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
