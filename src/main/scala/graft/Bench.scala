@@ -32,6 +32,10 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.analytics.IvfIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    // PQ codebooks are offline metadata by the same contract — ss05
+    // timings measure the ADC scan + re-rank, not codebook training
+    try graft.analytics.Similarity.pqCodebooksFor(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The

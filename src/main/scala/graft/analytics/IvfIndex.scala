@@ -45,7 +45,7 @@ object IvfIndex {
     * dataset at the same path can never silently reuse a stale persisted
     * index. Local-FS walk (the test corpora are local); an HDFS/object
     * store deployment would fold FileStatus length+mtime the same way. */
-  private def contentStamp(sfDir: String): String = {
+  private[analytics] def contentStamp(sfDir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)

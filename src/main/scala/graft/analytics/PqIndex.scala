@@ -1,0 +1,142 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the `embeddings` table — the
+  * compressed-vector ANN primitive (SURVEY §8 round-3/4 candidate:
+  * "PQ residuals on the IVF lists").
+  *
+  * Build (offline): the D-dim space splits into `SubSpaces` contiguous
+  * subvectors; each subspace learns its own `CodebookSize`-centroid
+  * codebook with the SAME deterministic machinery as [[IvfIndex.fit]]
+  * (hashed-id seed sample + Lloyd, centroids rounded to 6 dp — so
+  * codebooks never depend on partitioning). A vector encodes to
+  * `SubSpaces` small codes: 64 floats (256 bytes) become 8 bytes — the
+  * 32× compression that lets a 100 TB corpus's vectors live in memory.
+  *
+  * Query (ADC — asymmetric distance computation): the query stays
+  * uncompressed; a (SubSpaces × CodebookSize) lookup table of
+  * query-subvector → centroid distances is computed DRIVER-side (index
+  * metadata, not data) and inlined as a literal, so the scan-side work
+  * per vector is `SubSpaces` array lookups + a sum — all codegen'd
+  * built-in HOFs, map-only, top-k via TakeOrderedAndProject. No shuffle
+  * of the corpus, nothing trained at query time.
+  *
+  * Approximate by construction (quantization error), so the driver
+  * entry is rows-only; `DedupSpec` pins the exact invariants: codebook
+  * determinism, the ADC identity (table-lookup distance ≡ distance to
+  * the reconstructed vector), and a recall floor against brute force.
+  */
+object PqIndex {
+
+  // standard PQ8x8: 8 subspaces × 8-bit codebooks — each 64-float
+  // (256-byte) vector compresses to 8 one-byte codes. Smaller codebooks
+  // (e.g. 16) measurably collapse top-10 recall on this corpus: the
+  // synthetic embeddings are near-random, so pairwise distances
+  // concentrate and quantization error above ~the neighbor-gap scale
+  // destroys the ordering — the standard 256-centroid codebook keeps
+  // per-subspace distortion below it.
+  val SubSpaces = 8
+  val CodebookSize = 256
+
+  /** Per-subspace codebooks: `SubSpaces` × `CodebookSize` × dSub
+    * doubles. Deterministic (see [[IvfIndex.fit]]). */
+  def fitCodebooks(emb: DataFrame, subSpaces: Int = SubSpaces,
+                   codebookSize: Int = CodebookSize): Seq[Seq[Array[Double]]] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % subSpaces == 0, s"dim $dim not divisible by $subSpaces")
+    val dSub = dim / subSpaces
+    (0 until subSpaces).map { m =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), m * dSub + 1, dSub).as("embedding"))
+      IvfIndex.fit(sub, codebookSize)
+    }
+  }
+
+  /** Map-side PQ encoding: array of `SubSpaces` codes (0-based centroid
+    * ids), one nearest-centroid argmin per subspace — the same native
+    * expression the IVF assignment uses, over sliced subvectors. */
+  def encode(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val dSub = codebooks.head.head.length
+    val codes = array(codebooks.zipWithIndex.map { case (cb, m) =>
+      IvfIndex.nearestList(emb.sparkSession,
+        slice(col("embedding"), m * dSub + 1, dSub), cb)
+    }: _*)
+    emb.withColumn("codes", codes)
+  }
+
+  /** ADC distance column: sum over subspaces of the precomputed
+    * query-to-centroid table entry selected by each code. `table` is
+    * driver-side metadata (SubSpaces × CodebookSize doubles) inlined as
+    * a literal — per-row work is 8 array lookups and a sum. */
+  def adcDistance(codes: Column, table: Seq[Array[Double]]): Column = {
+    val tLit = array(table.map(t => array(t.map(lit): _*)): _*)
+    aggregate(
+      zip_with(sequence(lit(0), lit(table.size - 1)), codes,
+        (m, c) => element_at(element_at(tLit, m + 1), c + 1)),
+      lit(0.0), (acc, d) => acc + d)
+  }
+
+  /** The driver-side ADC lookup table for one query vector. */
+  def adcTable(qvec: Array[Double],
+               codebooks: Seq[Seq[Array[Double]]]): Seq[Array[Double]] = {
+    val dSub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cb, m) =>
+      val q = qvec.slice(m * dSub, (m + 1) * dSub)
+      cb.map(c => c.zip(q).map { case (ci, qi) =>
+        (ci - qi) * (ci - qi) }.sum).toArray
+    }
+  }
+
+  /** PQ ANN top-k for the vector with id `queryId`: encode once
+    * (in production the codes are persisted next to the ids), then one
+    * map-only ADC scan + TakeOrderedAndProject. */
+  def pqTopK(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+             queryId: Long, k: Int): DataFrame = {
+    val qvec = emb.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val table = adcTable(qvec, codebooks)
+    encode(emb, codebooks)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+              round(adcDistance(col("codes"), table), 6).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ ANN with exact re-ranking — the standard serving pattern: the
+    * map-only ADC scan over compressed codes prunes the corpus to a
+    * `shortlist` (cheap — 8 table lookups per vector), then ONLY the
+    * shortlist's full vectors are fetched and re-ranked by exact
+    * distance. At 100 TB the codes fit in memory while the full vectors
+    * stay on disk; the re-rank touches `shortlist` rows, not the corpus.
+    * Recall is governed by shortlist/k (quantization error must only
+    * keep a true neighbor inside the shortlist, not rank it exactly). */
+  def pqTopKRefined(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+                    queryId: Long, k: Int, shortlistFactor: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val qvec = emb.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val table = adcTable(qvec, codebooks)
+    val shortlist = encode(emb, codebooks)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adcDistance(col("codes"), table).as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k * shortlistFactor)
+      .select("vec_id")
+    val qLit = array(qvec.map(lit): _*)
+    emb.join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("vec_id"),
+              round(IvfIndex.sqDistCol(col("embedding"), qLit), 6).as("l2_dist"))
+      .orderBy(asc("l2_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Reconstruction of a coded vector (concatenated chosen centroids) —
+    * test-side reference for the ADC identity: the table-lookup distance
+    * must equal the distance from the query to this reconstruction. */
+  def reconstruct(codes: Seq[Int],
+                  codebooks: Seq[Seq[Array[Double]]]): Array[Double] =
+    codes.zipWithIndex.flatMap { case (c, m) => codebooks(m)(c) }.toArray
+}

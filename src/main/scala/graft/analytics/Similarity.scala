@@ -178,6 +178,18 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Per-dataset PQ codebooks, fit once per JVM and keyed on the same
+    * content stamp as the IVF index (a regenerated dataset re-fits; in
+    * production the codebooks persist next to the IVF index — they are
+    * SubSpaces × CodebookSize × dSub doubles of metadata). */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
+
+  def pqCodebooksFor(spark: SparkSession, sfDir: String): Seq[Seq[Array[Double]]] =
+    pqCodebooks.computeIfAbsent(
+      s"$sfDir|${IvfIndex.contentStamp(sfDir)}",
+      _ => PqIndex.fitCodebooks(table(spark, sfDir, "embeddings")))
+
   private val cosSql =
     """list_sum(list_transform(list_zip(e.embedding, q.qvec),
       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -225,6 +237,18 @@ object Similarity {
               |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
               |FROM embeddings e, q WHERE e.vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "ss05_pq_ann",
+      // product-quantized ANN, serving shape: map-only ADC scan over
+      // 32x-compressed codes (driver-side lookup table inlined as a
+      // literal) prunes to a shortlist, exact re-rank touches only the
+      // shortlist's full vectors. Approximate by construction → rows-
+      // only; DedupSpec pins codebook determinism, the ADC identity,
+      // and recall floors (raw ADC and refined) vs exact L2.
+      (s, d) => PqIndex.pqTopKRefined(table(s, d, "embeddings"),
+                                      pqCodebooksFor(s, d), queryId = 0L, k = 10),
+      None
     ),
     QueryDef(
       "ss04_batch_ann",

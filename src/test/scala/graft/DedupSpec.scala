@@ -231,6 +231,63 @@ class DedupSpec extends SparkSpec {
            "regenerated data must invalidate the index key")
   }
 
+  test("PQ: codebooks deterministic; ADC equals reconstruction distance") {
+    import graft.analytics.PqIndex
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb1 = PqIndex.fitCodebooks(emb)
+    val cb2 = PqIndex.fitCodebooks(emb.repartition(5))
+    assert(cb1.map(_.map(_.toSeq)) == cb2.map(_.map(_.toSeq)),
+           "codebooks must not depend on partitioning")
+    // ADC identity: the plan-side table-lookup distance must equal the
+    // distance from the query to the reconstructed (decoded) vector
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val table = PqIndex.adcTable(qvec, cb1)
+    val rows = PqIndex.encode(emb, cb1)
+      .select($"vec_id", $"codes",
+              PqIndex.adcDistance($"codes", table).as("adc"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val rec = PqIndex.reconstruct(codes, cb1)
+      val expected = qvec.zip(rec).map { case (q, c) => (q - c) * (q - c) }.sum
+      assert(math.abs(r.getDouble(2) - expected) < 1e-9,
+             s"vec ${r.getLong(0)}: adc ${r.getDouble(2)} != recon $expected")
+    }
+    // 32x compression: 64 floats -> 8 small codes
+    assert(rows.forall(_.getSeq[Int](1).size == PqIndex.SubSpaces))
+  }
+
+  test("PQ ANN recall floor against exact L2 top-k on driver data") {
+    import graft.analytics.{IvfIndex, PqIndex}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = PqIndex.fitCodebooks(emb)
+    val pq = PqIndex.pqTopK(emb, cb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // exact reference in the SAME metric the PQ index quantizes (L2);
+    // the cosine top-k is a different ordering on unnormalized vectors
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qLit = array(qvec.map(lit): _*)
+    val exact = emb.filter($"vec_id" =!= 0L)
+      .select($"vec_id", IvfIndex.sqDistCol($"embedding", qLit).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    // raw ADC ordering: near-random synthetic vectors concentrate
+    // pairwise distances, so quantization noise near the neighbor-gap
+    // scale caps raw-ADC recall — the floor documents that reality
+    val overlap = (pq & exact).size
+    assert(overlap >= 3, s"PQ recall collapsed: $overlap/10 vs exact L2")
+    // the serving pattern (ADC shortlist -> exact re-rank) must recover
+    // what raw ADC loses: a true neighbor only has to survive into the
+    // 8k shortlist, not be ranked exactly by quantized distances
+    val refined = PqIndex.pqTopKRefined(emb, cb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val refOverlap = (refined & exact).size
+    assert(refOverlap >= 8, s"refined PQ recall: $refOverlap/10 vs exact L2")
+    assert(refOverlap >= overlap)
+  }
+
   test("LSH ANN: bucket-mates score identically to brute force") {
     val emb = (0L to 40L).map { i =>
       val angle = i.toDouble / 41 * math.Pi

@@ -75,6 +75,13 @@ class PlanAuditSpec extends SparkSpec {
            p)
   }
 
+  test("ss05: PQ ADC scan is map-only — no corpus shuffle, top-k via TakeOrdered") {
+    val p = plan("ss05_pq_ann")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
+  }
+
   test("tx08: corpus size broadcasts; tf/df aggregate partially map-side") {
     val p = plan("tx08_tfidf_top_terms")
     // the 1-row n_docs side must broadcast, never shuffle the tf frame
