@@ -61,7 +61,10 @@ object IvfIndex {
   def indexDir(sfDir: String, nLists: Int): String = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists"
+    // v2: assignments carry PQ residual codes + pq_codebooks dir — a
+    // format marker in the name retires v1 dirs instead of half-reading
+    // them
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists-v2"
   }
 
   /** Squared L2 distance between an `array<float>` column and a literal
@@ -168,7 +171,29 @@ object IvfIndex {
       .toDF("list", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    assign(emb, centroids)
+    // IVF-PQ residuals (FAISS IVFADC layout): each vector's residual
+    // against its list centroid is PQ-encoded and stored NEXT TO the
+    // assignment, so a probe can rank candidates from 8 bytes of codes
+    // without touching the full vectors. Residuals are cast back to
+    // float (standard storage precision; the codebooks quantize far
+    // more coarsely than float32 rounds).
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val resid = transform(
+      zip_with(col("embedding"), element_at(centLit, col("list") + 1),
+               (x, y) => x.cast("double") - y),
+      v => v.cast("float"))
+    val assigned = assign(emb, centroids).withColumn("__res", resid)
+    val residCbs = PqIndex.fitCodebooks(
+      assigned.select(col("vec_id"), col("__res").as("embedding")))
+    residCbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (c, j) => (m, j, c.toSeq) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    assigned
+      .withColumn("res_codes",
+        PqIndex.encodeExpr(spark, col("__res"), residCbs))
+      .drop("__res")
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/assignments")
   }
 
@@ -176,6 +201,14 @@ object IvfIndex {
     spark.read.parquet(s"$dir/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
+
+  /** Residual PQ codebooks of the persisted index:
+    * SubSpaces × CodebookSize × dSub doubles (driver-side metadata). */
+  def readResidualCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    spark.read.parquet(s"$dir/pq_codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
 
   def readAssignments(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/assignments")

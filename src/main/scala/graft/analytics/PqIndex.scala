@@ -54,17 +54,22 @@ object PqIndex {
     }
   }
 
-  /** Map-side PQ encoding: array of `SubSpaces` codes (0-based centroid
-    * ids), one nearest-centroid argmin per subspace — the same native
-    * expression the IVF assignment uses, over sliced subvectors. */
-  def encode(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+  /** Code-array expression over any `array<float>` vector column: one
+    * nearest-centroid argmin per subspace — the same native expression
+    * the IVF assignment uses, over sliced subvectors. */
+  def encodeExpr(spark: org.apache.spark.sql.SparkSession, vec: Column,
+                 codebooks: Seq[Seq[Array[Double]]]): Column = {
     val dSub = codebooks.head.head.length
-    val codes = array(codebooks.zipWithIndex.map { case (cb, m) =>
-      IvfIndex.nearestList(emb.sparkSession,
-        slice(col("embedding"), m * dSub + 1, dSub), cb)
+    array(codebooks.zipWithIndex.map { case (cb, m) =>
+      IvfIndex.nearestList(spark, slice(vec, m * dSub + 1, dSub), cb)
     }: _*)
-    emb.withColumn("codes", codes)
   }
+
+  /** Map-side PQ encoding of the `embedding` column into a `codes`
+    * column. */
+  def encode(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]]): DataFrame =
+    emb.withColumn("codes",
+      encodeExpr(emb.sparkSession, col("embedding"), codebooks))
 
   /** ADC distance column: sum over subspaces of the precomputed
     * query-to-centroid table entry selected by each code. `table` is

@@ -138,6 +138,49 @@ object Similarity {
              queryId, k, nProbe)
   }
 
+  /** IVF-PQ ANN (FAISS IVFADC shape) against the persisted index:
+    * centroids rank driver-side, the probed lists' partitions are the
+    * only ones scanned, and candidates inside them are ranked from
+    * their stored 8-byte residual codes via a per-list ADC table
+    * (residual base differs per list, so each probed list gets its own
+    * driver-computed table — one pruned scan branch per list, unioned).
+    * The ADC shortlist is then re-ranked by exact distance, touching
+    * only `k * shortlistFactor` full vectors. At 100 TB: codes ride the
+    * probe scan (8 bytes/row), full vectors are read for the shortlist
+    * only. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
+                nLists: Int, nProbe: Int, shortlistFactor: Int = 8): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    val centroids = IvfIndex.readCentroids(spark, dir)
+    val rcbs = IvfIndex.readResidualCodebooks(spark, dir)
+    val qvec = assignments.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val probes = centroids
+      .map { case (l, c) =>
+        (l, c.zip(qvec).map { case (ci, qi) => (ci - qi) * (ci - qi) }.sum) }
+      .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
+    val branches = probes.map { l =>
+      val c = centroids.find(_._1 == l).get._2
+      val qres = qvec.zip(c).map { case (qi, ci) => qi - ci }
+      val tbl = PqIndex.adcTable(qres, rcbs)
+      assignments
+        .filter(col("list") === l && col("vec_id") =!= queryId)
+        .select(col("vec_id"),
+                PqIndex.adcDistance(col("res_codes"), tbl).as("adc"))
+    }
+    val shortlist = branches.reduce(_ union _)
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(k * shortlistFactor)
+      .select("vec_id")
+    val qLit = array(qvec.map(lit): _*)
+    assignments.join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("vec_id"),
+              round(IvfIndex.sqDistCol(col("embedding"), qLit), 6).as("l2_dist"))
+      .orderBy(asc("l2_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Batch multi-query ANN: every vector with id < `queryMaxId` is a
     * query; one plan serves them all. Queries rank centroids via a
     * broadcast of the (tiny) centroid table + a per-query window, the
@@ -248,6 +291,16 @@ object Similarity {
       // and recall floors (raw ADC and refined) vs exact L2.
       (s, d) => PqIndex.pqTopKRefined(table(s, d, "embeddings"),
                                       pqCodebooksFor(s, d), queryId = 0L, k = 10),
+      None
+    ),
+    QueryDef(
+      "ss06_ivfpq_ann",
+      // IVF-PQ serving path: probe-pruned scans ranked from stored
+      // residual codes, exact re-rank of the shortlist. Approximate →
+      // rows-only; DedupSpec pins a refined recall floor vs exact L2
+      // and full-probe behavior.
+      (s, d) => ivfPqTopK(s, d, queryId = 0L, k = 10,
+                          nLists = IvfIndex.DefaultLists, nProbe = 4),
       None
     ),
     QueryDef(

@@ -288,6 +288,33 @@ class DedupSpec extends SparkSpec {
     assert(refOverlap >= overlap)
   }
 
+  test("IVF-PQ: full probe + full shortlist equals exact L2; pruned probe keeps recall") {
+    import graft.analytics.{IvfIndex, Similarity}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qvec = emb.filter($"vec_id" === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qLit = array(qvec.map(lit): _*)
+    val exact = emb.filter($"vec_id" =!= 0L)
+      .select($"vec_id", round(IvfIndex.sqDistCol($"embedding", qLit), 6).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    // every list probed + shortlist covering the corpus → the ADC stage
+    // prunes nothing and the exact re-rank IS brute force: pins the
+    // whole persisted-codes path (format, per-list tables, union,
+    // re-rank) end to end
+    val full = Similarity.ivfPqTopK(spark, sf0001, queryId = 0L, k = 10,
+        nLists = IvfIndex.DefaultLists, nProbe = IvfIndex.DefaultLists,
+        shortlistFactor = 100)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+    // the serving configuration (nProbe 4 of 16) keeps useful recall
+    val pruned = Similarity.ivfPqTopK(spark, sf0001, queryId = 0L, k = 10,
+        nLists = IvfIndex.DefaultLists, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val overlap = (pruned & exact.toSet).size
+    assert(overlap >= 5, s"IVF-PQ recall collapsed: $overlap/10 vs exact L2")
+  }
+
   test("LSH ANN: bucket-mates score identically to brute force") {
     val emb = (0L to 40L).map { i =>
       val angle = i.toDouble / 41 * math.Pi

@@ -82,6 +82,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
   }
 
+  test("ss06: IVF-PQ probe branches prune list partitions at the scan") {
+    graft.analytics.IvfIndex.ensure(spark, sf0001)
+    val df = graft.analytics.Similarity.ivfPqTopK(
+      spark, sf0001, queryId = 0L, k = 10,
+      nLists = graft.analytics.IvfIndex.DefaultLists, nProbe = 4)
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*list[^\\]]*\\].*"), f)
+  }
+
   test("tx08: corpus size broadcasts; tf/df aggregate partially map-side") {
     val p = plan("tx08_tfidf_top_terms")
     // the 1-row n_docs side must broadcast, never shuffle the tf frame
