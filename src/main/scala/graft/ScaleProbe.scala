@@ -65,8 +65,8 @@ object ScaleProbe {
 
     // inputs are replicated lazily, per enabled probe group — a
     // relational-only run shouldn't pay for a 10x documents copy
-    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06").exists(enabled)
-    val wantsEmb = Seq("ivf", "ss04").exists(enabled)
+    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06", "tx08").exists(enabled)
+    val wantsEmb = Seq("ivf", "ss04", "ss05", "ss06").exists(enabled)
     val wantsEvents = Seq("aj01", "st03", "st08").exists(enabled)
     val wantsRel = Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
       .exists(enabled)
@@ -143,6 +143,23 @@ object ScaleProbe {
     if (enabled("ss04")) time("ss04_batch_ann") {
       Similarity.batchAnnTopK(spark, workDir, queryMaxId = 32L, k = 10,
         nLists = IvfIndex.DefaultLists, nProbe = IvfIndex.DefaultLists).count()
+    }
+    if (enabled("ss05")) {
+      // codebook training is offline by the operator's contract (bench
+      // stages it in warm-up) — time it separately, like ivf_build
+      time("pq_fit") { Similarity.pqCodebooksFor(spark, workDir); 1L }
+      time("ss05_pq_ann") {
+        graft.analytics.PqIndex.pqTopKRefined(
+          table(spark, workDir, "embeddings"),
+          Similarity.pqCodebooksFor(spark, workDir), queryId = 0L, k = 10).count()
+      }
+    }
+    if (enabled("ss06")) time("ss06_ivfpq_ann") {
+      Similarity.ivfPqTopK(spark, workDir, queryId = 0L, k = 10,
+        nLists = IvfIndex.DefaultLists, nProbe = 4).count()
+    }
+    if (enabled("tx08")) time("tx08_tfidf_top_terms") {
+      SparkEntry.queries("tx08_tfidf_top_terms")(spark, workDir).count()
     }
     if (enabled("aj01")) time("aj01_asof_join") {
       SparkEntry.queries("aj01_asof_join")(spark, workDir).count()

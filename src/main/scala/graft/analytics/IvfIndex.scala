@@ -61,10 +61,10 @@ object IvfIndex {
   def indexDir(sfDir: String, nLists: Int): String = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
-    // v2: assignments carry PQ residual codes + pq_codebooks dir — a
-    // format marker in the name retires v1 dirs instead of half-reading
-    // them
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists-v2"
+    // v3: assignments carry PQ residual codes + pq_codebooks dir (v2),
+    // codebooks from the joint single-pass fit (v3) — a format marker
+    // in the name retires older dirs instead of half-reading them
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists-v3"
   }
 
   /** Squared L2 distance between an `array<float>` column and a literal
@@ -102,7 +102,7 @@ object IvfIndex {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+  private[analytics] def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
   /** Build + persist the index if absent; returns the index dir. */
   def ensure(spark: SparkSession, sfDir: String,

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * shuffle-free — the 100 TB answer to "this join repeats every run".
   *
   * Both sides bucketed on the join key with the same bucket count ⇒
-  * SortMergeJoin with zero Exchange (asserted in `BucketedStoreSpec`).
+  * SortMergeJoin with zero Exchange; one side bucketed ⇒ only the other
+  * side shuffles (both asserted in `ScaleOpsSpec`).
   */
 object BucketedStore {
 

@@ -44,6 +44,32 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketed documents layout halves the dedup verify-join shuffles") {
+    // the dd/ss pipelines repeatedly join candidate pair frames back to
+    // the corpus on doc_id; with `documents` persisted bucketed on
+    // doc_id the corpus side of every such join is pre-shuffled — only
+    // the (much smaller) candidate side exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan text
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "text")
+      BucketedStore.writeBucketed(docs, "docs_dedup_b", "doc_id", 4)
+      val bucketed = BucketedStore.read(spark, "docs_dedup_b")
+      val cand = (0L to 50L).map(i => (i, i + 1)).toDF("doc_id", "peer_id")
+      val joined = cand.join(bucketed, Seq("doc_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, // candidate side only; corpus side reuses buckets
+             s"expected 1 exchange (probe side only):\n$plan")
+      val expected = docs.filter(col("doc_id").between(0L, 50L)).count()
+      assert(joined.count() == expected && expected > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("as-of join: latest-at-or-before semantics, ties, tolerance, no-match drop") {
     import java.sql.Timestamp
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
