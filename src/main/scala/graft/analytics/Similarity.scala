@@ -239,6 +239,17 @@ object Similarity {
       |  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |   * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Brute-force L2 top-k oracle shared by the PQ/IVF-PQ exactness
+    * anchors (their serving metric is L2, not cosine). */
+  private val l2OracleSql =
+    """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+      |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS l2_dist
+      |FROM embeddings e, q WHERE e.vec_id <> 0
+      |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef(
       "ss01_cosine_topk",
@@ -292,6 +303,30 @@ object Similarity {
       (s, d) => PqIndex.pqTopKRefined(table(s, d, "embeddings"),
                                       pqCodebooksFor(s, d), queryId = 0L, k = 10),
       None
+    ),
+    QueryDef(
+      "ss05x_pq_exact",
+      // exactness anchor for the PQ serving path: a shortlist factor
+      // covering the corpus means the ADC stage prunes nothing and the
+      // exact re-rank IS brute-force L2 — every piece of the PQ
+      // machinery (codebooks, encode, ADC table, re-rank) runs, and the
+      // result is hash-checkable against the DuckDB brute force. The
+      // pruned configuration (ss05) is the same code path.
+      (s, d) => PqIndex.pqTopKRefined(table(s, d, "embeddings"),
+                                      pqCodebooksFor(s, d), queryId = 0L,
+                                      k = 10, shortlistFactor = 2000),
+      Some(l2OracleSql)
+    ),
+    QueryDef(
+      "ss06x_ivfpq_exact",
+      // exactness anchor for the IVF-PQ serving path: every list probed
+      // + corpus-covering shortlist → exact brute force through the
+      // persisted-codes path (per-list ADC tables, union, re-rank).
+      (s, d) => ivfPqTopK(s, d, queryId = 0L, k = 10,
+                          nLists = IvfIndex.DefaultLists,
+                          nProbe = IvfIndex.DefaultLists,
+                          shortlistFactor = 2000),
+      Some(l2OracleSql)
     ),
     QueryDef(
       "ss06_ivfpq_ann",
