@@ -181,6 +181,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF-PQ ANN: a TABLE of queries served from the persisted
+    * compressed codes in ONE plan — the shape a training pipeline needs
+    * when millions of queries hit a 100 TB corpus. Unlike the
+    * single-query path (driver-side ADC tables), the ADC estimate is
+    * computed IN-PLAN from the codebook literal: each probe row carries
+    * its query's residual against the probed list's centroid, and the
+    * per-row cost is SubSpaces sliced sub-distances against the coded
+    * centroids — all codegen'd HOFs over the (query, list)-joined codes,
+    * no per-query driver work at all. Stages: distributed centroid
+    * ranking (broadcast centroid table + window) → probe-set join →
+    * in-plan ADC → per-query shortlist window → exact re-rank of
+    * shortlist rows only. */
+  def batchIvfPqTopK(spark: SparkSession, sfDir: String, queryMaxId: Long,
+                     k: Int, nLists: Int, nProbe: Int,
+                     shortlistFactor: Int = 8): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    import spark.implicits._
+    val cdf = IvfIndex.readCentroids(spark, dir)
+      .map { case (l, c) => (l, c.toSeq) }
+      .toDF("list", "centroid")
+    val rcbs = IvfIndex.readResidualCodebooks(spark, dir)
+    val dSub = rcbs.head.head.length
+    val cbLit = array(rcbs.map(cb =>
+      array(cb.map(c => array(c.map(lit): _*)): _*)): _*)
+    val queries = assignments.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"),
+              transform(col("embedding"), _.cast("double")).as("qvec"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("list").asc)
+    val probes = queries.crossJoin(broadcast(cdf))
+      .withColumn("dist", IvfIndex.sqDistCol(col("qvec"), col("centroid")))
+      .withColumn("prk", row_number().over(probeRank))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qvec"),
+              zip_with(col("qvec"), col("centroid"), _ - _).as("qres"),
+              col("list"))
+    val adc = aggregate(
+      sequence(lit(0), lit(rcbs.size - 1)), lit(0.0), (acc, m) =>
+        acc + aggregate(
+          zip_with(
+            slice(col("qres"), m * lit(dSub) + lit(1), lit(dSub)),
+            element_at(element_at(cbLit, m + 1),
+                       element_at(col("res_codes"), m + 1) + 1),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (a2, d) => a2 + d))
+    val shortRank = Window.partitionBy("query_id")
+      .orderBy(asc("adc"), asc("vec_id"))
+    val shortlist = assignments.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("srk", row_number().over(shortRank))
+      .filter(col("srk") <= k * shortlistFactor)
+      .select("query_id", "vec_id")
+    val topk = Window.partitionBy("query_id")
+      .orderBy(asc("l2_dist"), asc("vec_id"))
+    shortlist
+      .join(assignments.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("l2_dist",
+        round(IvfIndex.sqDistCol(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(topk).cast("int"))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "l2_dist", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Batch multi-query ANN: every vector with id < `queryMaxId` is a
     * query; one plan serves them all. Queries rank centroids via a
     * broadcast of the (tiny) centroid table + a per-query window, the
@@ -337,6 +404,39 @@ object Similarity {
       (s, d) => ivfPqTopK(s, d, queryId = 0L, k = 10,
                           nLists = IvfIndex.DefaultLists, nProbe = 4),
       None
+    ),
+    QueryDef(
+      "ss07_batch_ivfpq",
+      // batch IVF-PQ at the serving configuration (nProbe 4 of 16, 8k
+      // shortlist). Approximate → rows-only; ss07x is the exact anchor.
+      (s, d) => batchIvfPqTopK(s, d, queryMaxId = 32L, k = 10,
+                               nLists = IvfIndex.DefaultLists, nProbe = 4),
+      None
+    ),
+    QueryDef(
+      "ss07x_batch_ivfpq_exact",
+      // exactness anchor: every list probed + corpus-covering shortlist
+      // ⇒ the in-plan ADC prunes nothing and the re-rank is per-query
+      // brute-force L2, hash-checkable in DuckDB — pins the whole batch
+      // codes path (probe windows, code join, in-plan ADC, re-rank).
+      (s, d) => batchIvfPqTopK(s, d, queryMaxId = 32L, k = 10,
+                               nLists = IvfIndex.DefaultLists,
+                               nProbe = IvfIndex.DefaultLists,
+                               shortlistFactor = 2000),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+             |          FROM embeddings WHERE vec_id < 32),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+             |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS l2_dist
+             |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, l2_dist, CAST(row_number() OVER (
+             |    PARTITION BY query_id ORDER BY l2_dist, vec_id) AS INT) AS rk
+             |  FROM scored)
+             |SELECT query_id, vec_id, l2_dist, rk FROM ranked
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
     ),
     QueryDef(
       "ss04_batch_ann",
