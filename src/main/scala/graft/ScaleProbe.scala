@@ -35,17 +35,18 @@ object ScaleProbe {
     val names = if (args.length > 3) args.drop(3).toSet else Set.empty[String]
     def enabled(n: String) = names.isEmpty || names.contains(n)
 
-    // multi-column replication: every listed id column is offset by
-    // (its own max + 1) per replica, so intra-replica FK relationships
-    // survive and each replica joins only with itself — result sizes
-    // scale exactly N× (the property a scale probe needs).
-    def replicate(df: DataFrame, idCols: Seq[String],
+    // multi-column replication with EXPLICIT per-column strides: a FK
+    // column must shift by its referenced DIMENSION's stride (max key
+    // + 1 of the dimension), never by its own max — max(fact FK) only
+    // equals max(dim key) when the top dimension row happens to be
+    // referenced, so self-derived FK strides would silently break the
+    // replica⋈replica invariant on any fixture where it isn't (e.g.
+    // TPC-H's unreferenced custkeys). With lockstep strides each
+    // replica joins only with itself and results scale exactly N×.
+    def maxPlus1(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L
+    def replicate(df: DataFrame, strides: Seq[(String, Long)],
                   salt: Option[String]): DataFrame = {
-      // stride by max(id)+1, not count: a sparse id space with
-      // max > count would make replica id ranges collide and corrupt
-      // the very dedup measurements the probe exists to take
-      val strides = idCols.map(c =>
-        c -> (df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L))
       val k = explode(sequence(lit(0), lit(factor - 1))).as("__k")
       val rep0 = df.select(col("*"), k)
       val rep = strides.foldLeft(rep0) { case (acc, (c, stride)) =>
@@ -60,6 +61,11 @@ object ScaleProbe {
           .drop("__k")
       }
     }
+    // single-key convenience: stride from the column's own max (correct
+    // only for a table's OWN key / standalone ids)
+    def replicate1(df: DataFrame, idCols: Seq[String],
+                   salt: Option[String]): DataFrame =
+      replicate(df, idCols.map(c => c -> maxPlus1(df, c)), salt)
     def stage(name: String, df: => DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$workDir/$name.parquet")
 
@@ -72,11 +78,11 @@ object ScaleProbe {
       .exists(enabled)
 
     if (wantsDocs)
-      stage("documents", replicate(
+      stage("documents", replicate1(
         spark.read.parquet(s"$baseDir/documents.parquet"),
         Seq("doc_id"), Some("text")))
     if (wantsEmb || wantsDocs)
-      stage("embeddings", replicate(
+      stage("embeddings", replicate1(
         spark.read.parquet(s"$baseDir/embeddings.parquet"),
         Seq("vec_id"), None))
     if (wantsEvents) {
@@ -84,26 +90,31 @@ object ScaleProbe {
       // per-user event density constant — the realistic growth axis for
       // sessionization / as-of / window pipelines
       val ev0 = graft.queries.QueryDef.eventsTable(spark, baseDir)
-      stage("events", replicate(ev0, Seq("event_id", "user_id"), None))
+      stage("events", replicate1(ev0, Seq("event_id", "user_id"), None))
     }
     if (wantsRel) {
-      // TPC-H-ish fact/dim graph at N×: fact keys and their FK targets
-      // move in lockstep; region/nation stay as true dimensions
-      stage("orders", replicate(
-        spark.read.parquet(s"$baseDir/orders.parquet"),
-        Seq("o_orderkey", "o_custkey"), None))
+      // TPC-H-ish fact/dim graph at N×: every FK column shifts by its
+      // referenced dimension's key stride, so fact and dim replicas
+      // stay in lockstep; region/nation stay as true dimensions
+      val orders0 = spark.read.parquet(s"$baseDir/orders.parquet")
+      val customer0 = spark.read.parquet(s"$baseDir/customer.parquet")
+      val part0 = spark.read.parquet(s"$baseDir/part.parquet")
+      val supplier0 = spark.read.parquet(s"$baseDir/supplier.parquet")
+      val orderKey = maxPlus1(orders0, "o_orderkey")
+      val custKey = maxPlus1(customer0, "c_custkey")
+      val partKey = maxPlus1(part0, "p_partkey")
+      val suppKey = maxPlus1(supplier0, "s_suppkey")
+      stage("orders", replicate(orders0,
+        Seq("o_orderkey" -> orderKey, "o_custkey" -> custKey), None))
       stage("lineitem", replicate(
         spark.read.parquet(s"$baseDir/lineitem.parquet"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey"), None))
-      stage("customer", replicate(
-        spark.read.parquet(s"$baseDir/customer.parquet"),
-        Seq("c_custkey"), None))
-      stage("part", replicate(
-        spark.read.parquet(s"$baseDir/part.parquet"),
-        Seq("p_partkey"), None))
-      stage("supplier", replicate(
-        spark.read.parquet(s"$baseDir/supplier.parquet"),
-        Seq("s_suppkey"), None))
+        Seq("l_orderkey" -> orderKey, "l_partkey" -> partKey,
+            "l_suppkey" -> suppKey), None))
+      stage("customer", replicate(customer0,
+        Seq("c_custkey" -> custKey), None))
+      stage("part", replicate(part0, Seq("p_partkey" -> partKey), None))
+      stage("supplier", replicate(supplier0,
+        Seq("s_suppkey" -> suppKey), None))
       Seq("region", "nation").foreach(t =>
         stage(t, spark.read.parquet(s"$baseDir/$t.parquet")))
     }

@@ -61,10 +61,11 @@ object IvfIndex {
   def indexDir(sfDir: String, nLists: Int): String = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
-    // v3: assignments carry PQ residual codes + pq_codebooks dir (v2),
-    // codebooks from the joint single-pass fit (v3) — a format marker
-    // in the name retires older dirs instead of half-reading them
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists-v3"
+    // v4: assignments carry PQ residual codes + pq_codebooks dir (v2),
+    // codebooks from the joint single-pass fit (v3), per-iteration
+    // centroid rounding (v4) — a format marker in the name retires
+    // older dirs instead of half-reading them
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists-v4"
   }
 
   /** Squared L2 distance between an `array<float>` column and a literal
@@ -150,11 +151,15 @@ object IvfIndex {
         .map { case (l, rows) =>
           l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
         }
+      // round per iteration (not only at the end): unrounded
+      // order-dependent avg() means fed to the next iteration's argmin
+      // can flip a near-tied assignment and break build determinism
       centroids = centroids.indices.map { i =>
-        means.get(i).map(_.toArray).getOrElse(centroids(i)) // empty list: keep
+        means.get(i).map(_.map(round6).toArray)
+          .getOrElse(centroids(i)) // empty list: keep
       }
     }
-    centroids.map(_.map(round6))
+    centroids.map(_.map(round6)) // seeds (iters = 0) still need rounding
   }
 
   /** Map-side list assignment (adds a `list` column; no shuffle). */
@@ -182,7 +187,11 @@ object IvfIndex {
       zip_with(col("embedding"), element_at(centLit, col("list") + 1),
                (x, y) => x.cast("double") - y),
       v => v.cast("float"))
-    val assigned = assign(emb, centroids).withColumn("__res", resid)
+    // persist the assigned+residual frame: the codebook fit runs a
+    // count, a seed collect, and one aggregate per Lloyd iteration
+    // against it — without the persist each action re-scans the corpus
+    // and re-runs the argmin/residual math (~5 redundant passes)
+    val assigned = assign(emb, centroids).withColumn("__res", resid).persist()
     val residCbs = PqIndex.fitCodebooks(
       assigned.select(col("vec_id"), col("__res").as("embedding")))
     residCbs.zipWithIndex.flatMap { case (cb, m) =>
@@ -195,6 +204,7 @@ object IvfIndex {
         PqIndex.encodeExpr(spark, col("__res"), residCbs))
       .drop("__res")
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/assignments")
+    assigned.unpersist(false)
   }
 
   def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =

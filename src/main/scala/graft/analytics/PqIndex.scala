@@ -84,13 +84,19 @@ object PqIndex {
         .map { case (k, rows) =>
           k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
         }
+      // round EVERY iteration's centroids, not just the final ones:
+      // avg() means are float-summation-order dependent (last-ulp
+      // differences across partitionings), and an unrounded mean fed to
+      // the next iteration's argmin can flip a near-tied code — which
+      // shifts that cell's mean and breaks build determinism
       cbs = cbs.zipWithIndex.map { case (cb, m) =>
         cb.zipWithIndex.map { case (c, j) =>
           means.getOrElse((m, j), c) // empty code cell: keep old centroid
+            .map(IvfIndex.round6)
         }
       }
     }
-    cbs.map(_.map(_.map(IvfIndex.round6)))
+    cbs
   }
 
   /** Code-array expression over any `array<float>` vector column: one
@@ -149,6 +155,22 @@ object PqIndex {
       .limit(k)
   }
 
+  /** Exact L2 re-rank of a shortlist: broadcast the shortlist ids back
+    * onto the full vectors, order by rounded exact distance with the
+    * canonical vec_id tie-break. SHARED by every ANN serving path
+    * (ss05/ss06 single-query; the batch path inlines the same metric
+    * with per-query windows) so metric, rounding, and tie-break can
+    * never diverge between an operator and the anchor that pins it. */
+  def rerankExact(emb: DataFrame, shortlistIds: DataFrame,
+                  qvec: Array[Double], k: Int): DataFrame = {
+    val qLit = array(qvec.map(lit): _*)
+    emb.join(broadcast(shortlistIds), Seq("vec_id"))
+      .select(col("vec_id"),
+              round(IvfIndex.sqDistCol(col("embedding"), qLit), 6).as("l2_dist"))
+      .orderBy(asc("l2_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** PQ ANN with exact re-ranking — the standard serving pattern: the
     * map-only ADC scan over compressed codes prunes the corpus to a
     * `shortlist` (cheap — 8 table lookups per vector), then ONLY the
@@ -169,12 +191,7 @@ object PqIndex {
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(k * shortlistFactor)
       .select("vec_id")
-    val qLit = array(qvec.map(lit): _*)
-    emb.join(broadcast(shortlist), Seq("vec_id"))
-      .select(col("vec_id"),
-              round(IvfIndex.sqDistCol(col("embedding"), qLit), 6).as("l2_dist"))
-      .orderBy(asc("l2_dist"), asc("vec_id"))
-      .limit(k)
+    rerankExact(emb, shortlist, qvec, k)
   }
 
   /** Reconstruction of a coded vector (concatenated chosen centroids) —

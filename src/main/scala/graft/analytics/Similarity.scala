@@ -173,12 +173,7 @@ object Similarity {
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(k * shortlistFactor)
       .select("vec_id")
-    val qLit = array(qvec.map(lit): _*)
-    assignments.join(broadcast(shortlist), Seq("vec_id"))
-      .select(col("vec_id"),
-              round(IvfIndex.sqDistCol(col("embedding"), qLit), 6).as("l2_dist"))
-      .orderBy(asc("l2_dist"), asc("vec_id"))
-      .limit(k)
+    PqIndex.rerankExact(assignments, shortlist, qvec, k)
   }
 
   /** Batch IVF-PQ ANN: a TABLE of queries served from the persisted

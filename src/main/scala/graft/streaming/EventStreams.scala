@@ -232,6 +232,12 @@ object EventStreams {
             rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach {
               case (id, ts, _) =>
                 maxTs = math.max(maxTs, ts.getTime)
+                // prune to THIS arrival's horizon BEFORE the cap check
+                // and pairing: expired entries must neither occupy cap
+                // slots (a stale-full bucket would silently drop fresh
+                // docs) nor produce pairs (the contract is in-horizon
+                // pairs only)
+                seen.filterInPlace(_._2 >= ts.getTime - horizonMs)
                 if (seen.size < maxBucket && !seen.exists(_._1 == id)) {
                   seen.foreach { case (sid, _) =>
                     out += ((math.min(sid, id), math.max(sid, id)))
@@ -239,7 +245,7 @@ object EventStreams {
                   seen += ((id, ts.getTime))
                 }
             }
-            state.update(seen.filter(_._2 >= maxTs - horizonMs).toSeq)
+            state.update(seen.toSeq)
             state.setTimeoutTimestamp(maxTs + horizonMs)
             out.iterator
           }

@@ -226,6 +226,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH band candidates never pair across the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "ts", "text")
+    val base = (1 to 30).map(i => s"token$i shared corpus text body").mkString(" ")
+    val q = EventStreams.lshBandCandidates(docsStream, "doc_id", "text",
+        horizonMinutes = 10)
+      .toDF("id_a", "id_b").writeStream
+      .queryName("lsh_horizon_test").outputMode("append").format("memory").start()
+    try {
+      mem.addData((1L, ts(0), base))
+      q.processAllAvailable()
+      // 25 min later: doc 1 is outside the horizon — no pair may form,
+      // and the expired entry must not block doc 2 from entering state
+      mem.addData((2L, ts(25), base.replace("token7", "token99")))
+      q.processAllAvailable()
+      mem.addData((3L, ts(26), base.replace("token3", "token88")))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_horizon_test").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((2L, 3L))) // in-horizon near-dups still pair
+      assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+             s"expired doc paired: $pairs")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization assigns per-event session positions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
