@@ -190,6 +190,35 @@ object TextAnalysis {
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
     ),
     QueryDef(
+      "tx09_readability",
+      // Flesch-style readability from exact integer counts: sentences
+      // (terminal-punctuation runs, floor 1), words (tokens, floor 1),
+      // vowel-group count as the syllable proxy. The score is two
+      // multiplies and a subtraction on exact integer ratios —
+      // correctly-rounded IEEE ops, no transcendentals, bit-identical
+      // across engines. Map-only over a column-pruned scan.
+      (s, d) => {
+        val words = greatest(tokenCount(col("text")), lit(1)).cast("double")
+        val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("double")
+        val syll = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("double")
+        table(s, d, "documents")
+          .select(col("doc_id"),
+                  round(lit(206.835) - lit(1.015) * (words / sents)
+                        - lit(84.6) * (syll / words), 4).as("flesch"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  round(206.835
+             |    - 1.015 * (greatest(len(regexp_extract_all(text, '\S+')), 1) * 1.0
+             |               / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1.0
+             |              / greatest(len(regexp_extract_all(text, '\S+')), 1)), 4)
+             |    AS flesch
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    QueryDef(
       "tx05_corpus_stats",
       (s, d) =>
         table(s, d, "documents")

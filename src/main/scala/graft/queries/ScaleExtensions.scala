@@ -136,6 +136,51 @@ object ScaleExtensions {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
 
+    // ---- rank-family window functions ---------------------------------
+    QueryDef(
+      "x33_window_rank_fns",
+      // the rank family x23 doesn't cover: dense_rank (no gaps),
+      // percent_rank and cume_dist (distribution positions). percent/
+      // cume are exact rationals of row counts — bit-identical across
+      // engines after the same rounding.
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        table(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+                  dense_rank().over(w).cast("int").as("drk"),
+                  round(percent_rank().over(w), 6).as("pct_rk"),
+                  round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |  CAST(dense_rank() OVER w AS INT) AS drk,
+             |  round(percent_rank() OVER w, 6) AS pct_rk,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)
+    ),
+
+    // ---- edit-distance string matching ---------------------------------
+    QueryDef(
+      "x34_edit_distance",
+      // levenshtein distance from each part name to a fixed probe
+      // string — the fuzzy-string-matching primitive (typo-tolerant
+      // lookup, near-duplicate labels). Integer DP distance: exact in
+      // both engines. Map-only; the top-k is TakeOrderedAndProject.
+      (s, d) =>
+        table(s, d, "part")
+          .select(col("p_partkey"), col("p_name"),
+                  levenshtein(lower(col("p_name")),
+                              lit("promo anodized steel")).as("edit_dist"))
+          .orderBy(asc("edit_dist"), asc("p_partkey"))
+          .limit(25),
+      Some("""SELECT p_partkey, p_name,
+             |  levenshtein(lower(p_name), 'promo anodized steel') AS edit_dist
+             |FROM part ORDER BY edit_dist, p_partkey LIMIT 25""".stripMargin)
+    ),
+
     // ---- pivot (lang distribution per source) -------------------------
     QueryDef(
       "x24_pivot",

@@ -347,6 +347,28 @@ class StreamingSpec extends SparkSpec {
     assert(stored.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
   }
 
+  test("foreachBatch upsert: kill + restart from checkpoint stays exactly-once") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("upsert2-landing").toString
+    val store = Files.createTempDirectory("upsert2-store").toString + "/meta"
+    val ckpt = Files.createTempDirectory("upsert2-ckpt").toString
+    def rows(ids: Seq[Long]) =
+      ids.map(i => (i, s"title$i", "Coins")).toDF("id", "title", "classification")
+    graft.sinks.ArtifactStore.create(rows(Seq(1L)), store)
+    rows(Seq(2L, 3L)).coalesce(1).write.mode("append").parquet(landing)
+    // first incarnation processes the landed file, then dies
+    val q1 = EventStreams.runStreamUpsert(spark, landing, store, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // more data lands while the query is down
+    rows(Seq(3L, 4L)).coalesce(1).write.mode("append").parquet(landing)
+    // restart from the same checkpoint: only the new file is processed,
+    // the replayed id 3 is ignored by the idempotent upsert
+    val q2 = EventStreams.runStreamUpsert(spark, landing, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val stored = graft.sinks.ArtifactStore.read(spark, store)
+    assert(stored.select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
+  }
+
   test("batch and streaming session windows agree on the events table") {
     val batch = graft.queries.QueryDef.eventsTable(spark, sf0001)
     val sessions = EventStreams.userSessions(batch)
