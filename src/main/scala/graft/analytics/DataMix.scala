@@ -1,0 +1,146 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+
+/** Dataset-mixing operators for LLM training-data assembly over the
+  * `documents` table: rebalancing a corpus to a target language/source
+  * mixture, and packing documents into fixed token-budget training
+  * sequences.
+  *
+  * Everything is deterministic (md5 hash gates, not RNG) and pure
+  * DataFrame algebra: at 100 TB the mixture pass is one aggregate + a
+  * broadcast of per-class rates + a map-side gate; the packing pass is
+  * one running-sum window.
+  */
+object DataMix {
+  import QueryDef.table
+
+  /** Uniform [0,1) hash fraction of a key: the first 4 hex digits of
+    * md5 as an integer over 2^16 — exactly replayable in any engine
+    * with md5 (DuckDB parses the digits via strpos math). */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("double") / lit(65536.0)
+
+  /** DuckDB replay of [[hashFraction]]. */
+  def hashFractionSql(keyExpr: String): String = {
+    def d(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) - 1)"
+    s"((${d(1)} * 4096.0 + ${d(2)} * 256.0 + ${d(3)} * 16.0 + ${d(4)}) / 65536.0)"
+  }
+
+  /** Target language mixture for dm01 (sums to 1). */
+  val LangTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+
+  /** Tokens per packed training sequence for dm02. */
+  val PackBudget = 512
+
+  def all: Seq[QueryDef] = Seq(
+    // rebalance the corpus to a target language mixture at the MAXIMUM
+    // size that achieves the exact proportions: the feasible total is
+    // min over languages of count_l / target_l, giving per-language
+    // keep-rates rate_l = target_l * total / count_l (= 1 for the
+    // binding language). Rates are computed in-plan from one aggregate,
+    // broadcast back, and applied as a deterministic md5 gate — no
+    // shuffle of the corpus, no RNG. Output is the per-language census
+    // of the sampled mixture (pins rates AND gate).
+    QueryDef(
+      "dm01_mixture_rebalance",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val targetCol = LangTargets.tail.foldLeft(
+          when(col("lang") === LangTargets.head._1, lit(LangTargets.head._2))) {
+          case (acc, (l, t)) => acc.when(col("lang") === l, lit(t))
+        }.otherwise(lit(0.0))
+        val counts = docs.groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n_lang"))
+          .withColumn("target", targetCol)
+          .filter(col("target") > 0)
+        val feasible = counts
+          .agg(min(col("n_lang") / col("target")).as("total"))
+        val rates = counts.crossJoin(broadcast(feasible))
+          .select(col("lang"),
+                  least(lit(1.0),
+                        col("target") * col("total") / col("n_lang")).as("rate"))
+        docs.join(broadcast(rates), Seq("lang"))
+          .filter(hashFraction(col("doc_id")) < col("rate"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH counts AS (
+              |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_lang,
+              |    CASE lang ${LangTargets.map { case (l, t) =>
+                     s"WHEN '$l' THEN $t" }.mkString(" ")}
+              |         ELSE 0.0 END AS target
+              |  FROM documents GROUP BY lang),
+              |feasible AS (
+              |  SELECT min(n_lang / target) AS total FROM counts
+              |  WHERE target > 0),
+              |rates AS (
+              |  SELECT lang, least(1.0, target * total / n_lang) AS rate
+              |  FROM counts CROSS JOIN feasible WHERE target > 0)
+              |SELECT d.lang, COUNT(*) AS n_sampled
+              |FROM documents d JOIN rates r ON d.lang = r.lang
+              |WHERE ${hashFractionSql("d.doc_id")} < r.rate
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+    ),
+
+    // pack documents into fixed token-budget training sequences by
+    // START OFFSET, independently per SHARD of 1000 contiguous doc_ids:
+    // doc n goes to sequence floor(cum_before / budget) within its
+    // shard, where cum_before is the running token total of earlier
+    // shard docs (deterministic doc_id order). Documents are never
+    // split; a sequence can overrun the budget by at most one
+    // document's tail — the standard streaming-pack approximation.
+    // Sharding is what makes this a 100 TB plan: an UNPARTITIONED
+    // running-sum window funnels the whole corpus through one task,
+    // while per-shard windows parallelize freely (training sequences
+    // don't need global contiguity — packing locality within a shard is
+    // all the objective asks). Output: per-doc (shard, sequence,
+    // position).
+    QueryDef(
+      "dm02_pack_sequences",
+      (s, d) => {
+        val tokens = table(s, d, "documents")
+          .select(col("doc_id"),
+                  TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val packed = tokens
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("seq_id", (col("cum_before") / lit(PackBudget))
+            .cast("long"))
+        val pos = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard", "seq_id").orderBy("doc_id")
+        packed
+          .withColumn("pos_in_seq", row_number().over(pos).cast("int"))
+          .select("doc_id", "n_tokens", "shard", "seq_id", "pos_in_seq")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+              |    CAST(floor(doc_id / 1000) AS BIGINT) AS shard
+              |  FROM documents),
+              |packed AS (
+              |  SELECT doc_id, n_tokens, shard,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              |  FROM toks)
+              |SELECT doc_id, n_tokens, shard,
+              |  CAST(floor(cum_before / $PackBudget) AS BIGINT) AS seq_id,
+              |  CAST(row_number() OVER (
+              |    PARTITION BY shard, CAST(floor(cum_before / $PackBudget) AS BIGINT)
+              |    ORDER BY doc_id) AS INT) AS pos_in_seq
+              |FROM packed ORDER BY doc_id""".stripMargin)
+    )
+  )
+}
