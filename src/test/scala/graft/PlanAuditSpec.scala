@@ -92,6 +92,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*list[^\\]]*\\].*"), f)
   }
 
+  test("dm01: per-class rates broadcast onto the corpus — no corpus shuffle for the gate") {
+    val p = plan("dm01_mixture_rebalance")
+    assert(p.contains("BroadcastHashJoin") ||
+           p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dm02: packing windows are partitioned by shard, never a global window") {
+    val p = plan("dm02_pack_sequences")
+    assert(p.contains("hashpartitioning(shard"), p)
+    // a single-partition (empty-key) window exchange would read
+    // "SinglePartition" in the plan — the 100 TB funnel this entry
+    // deliberately avoids
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("tx08: corpus size broadcasts; tf/df aggregate partially map-side") {
     val p = plan("tx08_tfidf_top_terms")
     // the 1-row n_docs side must broadcast, never shuffle the tf frame
