@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures `sbt runMain graft.Bench` output and parses the
+// last JSON line. sbt's default LoggedOutput wraps every forked-run line
+// with "[info] " and appends a "[success] Total time" line — both defeat a
+// line-level JSON parse (BENCH_r03 carried the total but parsed:null).
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
