@@ -1,0 +1,273 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+
+/** Training-data curation operators over the `documents` and `events`
+  * tables: C4-style heuristic quality filters, Gopher-style repetition
+  * metrics, benchmark decontamination via n-gram overlap, and log/PII
+  * scrubbing with stable pseudonyms.
+  *
+  * These are the filter passes a pretraining pipeline runs between raw
+  * crawl and tokenization (reference behavior: the app's quality gate is
+  * a SQL WHERE; these generalize it to the document-curation family).
+  * Scale shape: the per-doc metrics are map-only projections over a
+  * column-pruned scan; the n-gram passes explode → one partially
+  * aggregated groupBy; decontamination broadcast-joins the (small,
+  * distinct) benchmark n-gram set against the corpus — no all-pairs
+  * stage anywhere.
+  */
+object DataQuality {
+  import QueryDef.table
+
+  /** Whitespace word list (empty-token filtered, so both engines agree
+    * on leading/trailing whitespace). */
+  private val wordsExpr =
+    "filter(split(text, '\\\\s+'), w -> length(w) > 0)"
+
+  /** DuckDB replay of [[wordsExpr]] (string_split_regex keeps empty
+    * leading tokens; filter them identically). */
+  private val wordsSql =
+    """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---- C4/Gopher-style heuristic quality filters --------------------
+    // Per-document boolean rule flags + the conjunctive keep gate. Rules
+    // with fixture variance (word-count band, mean word length, stopword
+    // presence, duplicate-word ratio) sit alongside the classic C4
+    // constants (no '{', no 'lorem ipsum') that this clean synthetic
+    // corpus trivially passes — the flags still assert the rule ran.
+    // Map-only: one projection over the pruned (doc_id, text) scan.
+    QueryDef(
+      "dq02_quality_filters",
+      (s, d) => {
+        val base = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+                  expr(wordsExpr).as("words"),
+                  length(regexp_replace(col("text"), "\\s", ""))
+                    .as("n_word_chars"))
+          .select(col("doc_id"), col("text"), col("n_word_chars"),
+                  size(col("words")).as("n_words"),
+                  size(array_distinct(col("words"))).as("n_distinct"))
+        base.select(
+            col("doc_id"), col("n_words"),
+            round(col("n_word_chars") * lit(1.0) /
+                  greatest(col("n_words"), lit(1)), 4).as("mean_word_len"),
+            round((col("n_words") - col("n_distinct")) * lit(1.0) /
+                  greatest(col("n_words"), lit(1)), 6).as("dup_word_frac"),
+            col("n_words").between(20, 10000).cast("int").as("f_word_count"),
+            (col("n_word_chars") * lit(1.0) /
+              greatest(col("n_words"), lit(1))).between(3.0, 10.0)
+              .cast("int").as("f_mean_word_len"),
+            (regexp_count(col("text"), lit("\\b(the|a|and|of|to|in)\\b")) > 0)
+              .cast("int").as("f_stopword"),
+            (!col("text").contains("{")).cast("int").as("f_no_brace"),
+            (!lower(col("text")).contains("lorem ipsum"))
+              .cast("int").as("f_no_lorem"),
+            ((col("n_words") - col("n_distinct")) * lit(1.0) /
+              greatest(col("n_words"), lit(1)) <= 0.5)
+              .cast("int").as("f_low_repetition"))
+          .withColumn("keep",
+            (col("f_word_count") * col("f_mean_word_len") * col("f_stopword") *
+             col("f_no_brace") * col("f_no_lorem") * col("f_low_repetition"))
+              .cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, text, $wordsSql AS words,
+              |    length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars
+              |  FROM documents),
+              |st AS (
+              |  SELECT doc_id, text, n_word_chars,
+              |    len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+              |  FROM base)
+              |SELECT doc_id, n_words,
+              |  round(n_word_chars * 1.0 / greatest(n_words, 1), 4) AS mean_word_len,
+              |  round((n_words - n_distinct) * 1.0 / greatest(n_words, 1), 6) AS dup_word_frac,
+              |  CAST(n_words BETWEEN 20 AND 10000 AS INT) AS f_word_count,
+              |  CAST(n_word_chars * 1.0 / greatest(n_words, 1) BETWEEN 3.0 AND 10.0
+              |       AS INT) AS f_mean_word_len,
+              |  CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in)\\b')) > 0
+              |       AS INT) AS f_stopword,
+              |  CAST(NOT contains(text, '{') AS INT) AS f_no_brace,
+              |  CAST(NOT contains(lower(text), 'lorem ipsum') AS INT) AS f_no_lorem,
+              |  CAST((n_words - n_distinct) * 1.0 / greatest(n_words, 1) <= 0.5
+              |       AS INT) AS f_low_repetition,
+              |  CAST(CAST(n_words BETWEEN 20 AND 10000 AS INT)
+              |     * CAST(n_word_chars * 1.0 / greatest(n_words, 1) BETWEEN 3.0 AND 10.0 AS INT)
+              |     * CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in)\\b')) > 0 AS INT)
+              |     * CAST(NOT contains(text, '{') AS INT)
+              |     * CAST(NOT contains(lower(text), 'lorem ipsum') AS INT)
+              |     * CAST((n_words - n_distinct) * 1.0 / greatest(n_words, 1) <= 0.5 AS INT)
+              |     AS INT) AS keep
+              |FROM st ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- Gopher repetition metrics ------------------------------------
+    // Per-document duplicate-word fraction plus the "fraction of
+    // characters inside occurrences of the most frequent word / bigram"
+    // family (Gopher Rule group 2). The scalar stats are map-only; the
+    // top-word and top-bigram branches each explode to (doc, gram) →
+    // partially aggregated groupBy → per-doc row_number window — gram
+    // cardinality per doc is bounded by doc length, and the shuffle
+    // carries (doc_id, gram, count) only. Ties break deterministically
+    // (count DESC, gram ASC).
+    QueryDef(
+      "dq03_repetition_stats",
+      (s, d) => {
+        val base = table(s, d, "documents")
+          .select(col("doc_id"), expr(wordsExpr).as("words"),
+                  length(regexp_replace(col("text"), "\\s", ""))
+                    .as("n_word_chars"))
+        val stats = base.select(
+          col("doc_id"), col("n_word_chars"),
+          size(col("words")).as("n_words"),
+          size(array_distinct(col("words"))).as("n_distinct"))
+        def top(gramCol: org.apache.spark.sql.Column, outName: String) = {
+          val grams = base.select(col("doc_id"), explode(gramCol).as("gram"))
+          val counts = grams.groupBy("doc_id", "gram")
+            .agg(count(lit(1)).as("n"))
+          val w = Window.partitionBy("doc_id")
+            .orderBy(col("n").desc, col("gram").asc)
+          counts.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("doc_id"), col("gram").as(outName),
+                    col("n").as(s"${outName}_n"))
+        }
+        val topWord = top(col("words"), "top_word")
+        val topBigram = top(
+          expr("""zip_with(slice(words, 1, greatest(size(words) - 1, 0)),
+                 |         slice(words, 2, greatest(size(words) - 1, 0)),
+                 |         (a, b) -> concat(a, ' ', b))""".stripMargin),
+          "top_bigram")
+        stats.join(topWord, Seq("doc_id")).join(topBigram, Seq("doc_id"))
+          .select(
+            col("doc_id"), col("n_words"),
+            round((col("n_words") - col("n_distinct")) * lit(1.0) /
+                  greatest(col("n_words"), lit(1)), 6).as("dup_word_frac"),
+            col("top_word"),
+            round(col("top_word_n") * length(col("top_word")) * lit(1.0) /
+                  greatest(col("n_word_chars"), lit(1)), 6)
+              .as("top_word_char_frac"),
+            col("top_bigram"),
+            round(col("top_bigram_n") * (length(col("top_bigram")) - lit(1)) *
+                  lit(1.0) / greatest(col("n_word_chars"), lit(1)), 6)
+              .as("top_bigram_char_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, $wordsSql AS words,
+              |    length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars
+              |  FROM documents),
+              |stats AS (
+              |  SELECT doc_id, n_word_chars, len(words) AS n_words,
+              |    len(list_distinct(words)) AS n_distinct
+              |  FROM base),
+              |wgram AS (SELECT doc_id, unnest(words) AS gram FROM base),
+              |bgram AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+              |    i -> words[i] || ' ' || words[i + 1])) AS gram
+              |  FROM base),
+              |wtop AS (
+              |  SELECT doc_id, gram AS top_word, n AS top_word_n FROM (
+              |    SELECT doc_id, gram, count(*) AS n,
+              |      row_number() OVER (PARTITION BY doc_id
+              |        ORDER BY count(*) DESC, gram) AS rk
+              |    FROM wgram GROUP BY doc_id, gram) WHERE rk = 1),
+              |btop AS (
+              |  SELECT doc_id, gram AS top_bigram, n AS top_bigram_n FROM (
+              |    SELECT doc_id, gram, count(*) AS n,
+              |      row_number() OVER (PARTITION BY doc_id
+              |        ORDER BY count(*) DESC, gram) AS rk
+              |    FROM bgram GROUP BY doc_id, gram) WHERE rk = 1)
+              |SELECT s.doc_id, s.n_words,
+              |  round((s.n_words - s.n_distinct) * 1.0 /
+              |        greatest(s.n_words, 1), 6) AS dup_word_frac,
+              |  w.top_word,
+              |  round(w.top_word_n * length(w.top_word) * 1.0 /
+              |        greatest(s.n_word_chars, 1), 6) AS top_word_char_frac,
+              |  b.top_bigram,
+              |  round(b.top_bigram_n * (length(b.top_bigram) - 1) * 1.0 /
+              |        greatest(s.n_word_chars, 1), 6) AS top_bigram_char_frac
+              |FROM stats s
+              |JOIN wtop w ON s.doc_id = w.doc_id
+              |JOIN btop b ON s.doc_id = b.doc_id
+              |ORDER BY s.doc_id""".stripMargin)
+    ),
+
+    // ---- benchmark decontamination ------------------------------------
+    // GPT-3-style eval-set decontamination: flag corpus documents that
+    // share any word 5-gram with the benchmark set (here: the
+    // deterministic source='src0' slice stands in for the eval suite).
+    // Plan: both sides explode to md5(5-gram) keys; the benchmark side
+    // is DISTINCT and tiny → broadcast; one equi-join + per-doc count.
+    // At 100 TB the corpus side stays map-only into the join (no
+    // self-join, no shuffle of text — only (doc_id, 16-byte key)).
+    QueryDef(
+      "dc01_decontaminate",
+      (s, d) => {
+        val grams5 =
+          """CASE WHEN size(words) >= 5 THEN
+            |  transform(sequence(0, size(words) - 5),
+            |            i -> md5(cast(concat_ws(' ', slice(words, i + 1, 5)) as binary)))
+            |ELSE cast(array() as array<string>) END""".stripMargin
+        val grams = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), expr(wordsExpr).as("words"))
+          .select(col("doc_id"), col("source"),
+                  explode(expr(grams5)).as("g"))
+        val bench = grams.filter(col("source") === "src0")
+          .select("g").distinct()
+        val corpus = grams.filter(col("source") =!= "src0")
+          .select("doc_id", "g").distinct()
+        corpus.join(broadcast(bench), Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hit"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+              |corpus AS (
+              |  SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0')
+              |SELECT doc_id, count(*) AS n_hit
+              |FROM corpus JOIN bench USING (g)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- log scrubbing / pseudonymization -----------------------------
+    // PII-style cleanup of event logs before they can feed a training
+    // corpus: numeric identifiers in the payload are masked, the user
+    // key is replaced by a stable one-way pseudonym (md5 prefix — same
+    // user always maps to the same token, original never recoverable
+    // from the output), and the redaction count is reported per event.
+    // Map-only projection; at 100 TB this is an embarrassingly parallel
+    // pass with zero shuffle.
+    QueryDef(
+      "pii01_scrub_logs",
+      (s, d) =>
+        table(s, d, "events")
+          .select(
+            col("event_id"),
+            concat(lit("u_"),
+                   substring(md5(col("user_id").cast("string")
+                     .cast("binary")), 1, 8)).as("user_pseudo"),
+            regexp_count(col("props"), lit("[0-9]+")).cast("int")
+              .as("n_redactions"),
+            regexp_replace(col("props"), "[0-9]+", "[NUM]").as("scrubbed"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  'u_' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS user_pseudo,
+             |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redactions,
+             |  regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS scrubbed
+             |FROM events ORDER BY event_id""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape pins for the curation operators
+  * (graft.analytics.DataQuality): the properties the DuckDB oracle
+  * can't see — internal consistency of the flags, the decontamination
+  * guarantee, scrub completeness, and the map-only / broadcast plan
+  * shapes that make these 100 TB passes. */
+class DataQualitySpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("dq02: keep = conjunction of all rule flags, flags are 0/1") {
+    val rows = run("dq02_quality_filters").collect()
+    assert(rows.nonEmpty)
+    val flagCols = Seq("f_word_count", "f_mean_word_len", "f_stopword",
+                       "f_no_brace", "f_no_lorem", "f_low_repetition")
+    rows.foreach { r =>
+      val flags = flagCols.map(c => r.getAs[Int](c))
+      flags.foreach(f => assert(f == 0 || f == 1))
+      assert(r.getAs[Int]("keep") == flags.product,
+             s"keep mismatch at doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the fixture must exercise both sides of the gate
+    assert(rows.exists(_.getAs[Int]("keep") == 1))
+    assert(rows.exists(_.getAs[Int]("keep") == 0))
+  }
+
+  test("dq03: top word is the true per-doc mode (brute recount)") {
+    val out = run("dq03_repetition_stats")
+      .select("doc_id", "top_word", "top_word_char_frac").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      val counts = words.groupBy(identity).view.mapValues(_.length)
+      val best = counts.toSeq.minBy { case (w, n) => (-n, w) }
+      val (gotWord, gotFrac) = out(r.getLong(0))
+      assert(gotWord == best._1,
+             s"doc ${r.getLong(0)}: got $gotWord want ${best._1}")
+      val expFrac = BigDecimal(best._2.toLong * best._1.length.toLong) /
+        BigDecimal(words.map(_.length).sum)
+      assert(math.abs(gotFrac - expFrac.toDouble) < 1e-4)
+    }
+  }
+
+  test("dc01: every flagged doc truly shares a 5-gram with the benchmark") {
+    val flagged = run("dc01_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.nonEmpty, "fixture should contain contamination")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+    def grams(t: String): Set[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_.getString(1) == "src0")
+      .flatMap(r => grams(r.getString(2))).toSet
+    docs.filter(_.getString(1) != "src0").foreach { r =>
+      val overlap = grams(r.getString(2)).intersect(bench).size
+      val expected = if (overlap > 0) Some(overlap.toLong) else None
+      assert(flagged.get(r.getLong(0)) == expected,
+             s"doc ${r.getLong(0)}: overlap $overlap vs ${flagged.get(r.getLong(0))}")
+    }
+  }
+
+  test("pii01: scrub removes every digit; pseudonyms are stable per user") {
+    val out = run("pii01_scrub_logs").collect()
+    out.foreach { r =>
+      assert(!r.getAs[String]("scrubbed").exists(_.isDigit),
+             s"digits survive in event ${r.getAs[Long]("event_id")}")
+    }
+    // same user -> same pseudonym; pseudonym never reveals the raw id
+    val byUser = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pseudo = out.map(r =>
+      byUser(r.getAs[Long]("event_id")) -> r.getAs[String]("user_pseudo"))
+    pseudo.groupBy(_._1).values.foreach { ps =>
+      assert(ps.map(_._2).distinct.length == 1)
+    }
+    pseudo.foreach { case (uid, p) =>
+      assert(!p.drop(2).contains(uid.toString) || uid < 10)
+    }
+  }
+
+  test("plan: dq02 and pii01 are map-only (zero exchanges)") {
+    Seq("dq02_quality_filters", "pii01_scrub_logs").foreach { name =>
+      val p = run(name).queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles == 0, s"$name shuffled $shuffles times:\n$p")
+    }
+  }
+
+  test("plan: dc01 joins the benchmark n-gram set by broadcast") {
+    val p = run("dc01_decontaminate").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
