@@ -141,6 +141,91 @@ object DataMix {
               |    PARTITION BY shard, CAST(floor(cum_before / $PackBudget) AS BIGINT)
               |    ORDER BY doc_id) AS INT) AS pos_in_seq
               |FROM packed ORDER BY doc_id""".stripMargin)
+    ),
+
+    // temperature-based mixture sampling (the multilingual-pretraining
+    // standard: sampling weight ∝ count^α flattens the head languages
+    // and boosts the tail). α = 1/2, so the weight math is a single
+    // sqrt — correctly-rounded IEEE in every engine, no transcendental
+    // drift. With w_l ∝ √n_l the maximum feasible exact-mixture size
+    // gives per-language keep-rate √(n_min / n_l) (rate 1 for the
+    // smallest language; larger languages subsampled toward the
+    // flattened mixture). Same scale shape as dm01: one tiny aggregate,
+    // rates broadcast back, deterministic md5 gate, census output.
+    QueryDef(
+      "dm03_temperature_mixture",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val counts = docs.groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
+        val minCount = counts.agg(min("n_docs").as("n_min"))
+        val rates = counts.crossJoin(broadcast(minCount))
+          .select(col("lang"), col("n_docs"),
+                  sqrt(col("n_min") / col("n_docs")).as("rate"))
+        docs.join(broadcast(rates), Seq("lang"))
+          .filter(hashFraction(col("doc_id")) < col("rate"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"))
+          .join(rates.select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+                             round(col("rate"), 6).as("rate")), Seq("lang"))
+          .select("lang", "n_docs", "rate", "n_sampled")
+          .orderBy("lang")
+      },
+      Some(s"""WITH counts AS (
+              |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_docs
+              |  FROM documents GROUP BY lang),
+              |rates AS (
+              |  SELECT lang, n_docs,
+              |    sqrt((SELECT min(n_docs) FROM counts) / n_docs) AS rate
+              |  FROM counts),
+              |sampled AS (
+              |  SELECT d.lang, COUNT(*) AS n_sampled
+              |  FROM documents d JOIN rates r ON d.lang = r.lang
+              |  WHERE ${hashFractionSql("d.doc_id")} < r.rate
+              |  GROUP BY d.lang)
+              |SELECT s.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+              |  round(r.rate, 6) AS rate, s.n_sampled
+              |FROM sampled s JOIN rates r ON s.lang = r.lang
+              |ORDER BY s.lang""".stripMargin)
+    ),
+
+    // deterministic epoch shuffle: the pre-tokenization global order
+    // randomization every training run needs, as a pure function of
+    // (doc_id, epoch) — reproducible across reruns and engines, no RNG
+    // state. Each document hashes to one of 16 shards (first md5 byte)
+    // and to a position within its shard (rank of the full digest).
+    // The per-shard row_number window parallelizes freely — a single
+    // global ORDER BY md5 would funnel 100 TB through one sort range;
+    // shard-local ranks with shard-major read order give the same
+    // shuffle quality (readers consume shards in sequence).
+    QueryDef(
+      "dm04_epoch_shuffle",
+      (s, d) => {
+        val epoch = 1
+        val h = md5(concat(col("doc_id").cast("string"), lit(s":$epoch"))
+          .cast("binary"))
+        val shard = conv(substring(h, 1, 2), 16, 10).cast("int") % 16
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+        table(s, d, "documents")
+          .select(col("doc_id"), h.as("h"), shard.as("shard"))
+          .withColumn("pos", row_number().over(w).cast("int"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      Some("""WITH hashed AS (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':1') AS h
+             |  FROM documents),
+             |sharded AS (
+             |  SELECT doc_id, h,
+             |    CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+             |       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+             |       AS INT) % 16 AS shard
+             |  FROM hashed)
+             |SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+             |       AS INT) AS pos
+             |FROM sharded ORDER BY doc_id""".stripMargin)
     )
   )
 }

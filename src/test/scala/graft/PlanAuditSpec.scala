@@ -107,6 +107,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("dm03: temperature mixture — smallest language keeps rate 1, rates monotone in count") {
+    val rows = SparkEntry.queries("dm03_temperature_mixture")(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+                           r.getAs[Double]("rate"), r.getAs[Long]("n_sampled")))
+    assert(rows.nonEmpty)
+    val minN = rows.map(_._2).min
+    rows.foreach { case (lang, n, rate, sampled) =>
+      if (n == minN) assert(rate == 1.0, s"$lang: smallest class must keep all")
+      assert(math.abs(rate - math.sqrt(minN.toDouble / n)) < 1e-6)
+      assert(sampled <= n)
+    }
+    // rates strictly decrease as counts increase (α < 1 flattening)
+    rows.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b)
+      case _ => ()
+    }
+  }
+
+  test("dm04: epoch shuffle is a per-shard window, positions form a permutation") {
+    val df = SparkEntry.queries("dm04_epoch_shuffle")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val rows = df.collect().map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    // within each shard, pos is exactly 1..count
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length))
+    }
+  }
+
   test("tx08: corpus size broadcasts; tf/df aggregate partially map-side") {
     val p = plan("tx08_tfidf_top_terms")
     // the 1-row n_docs side must broadcast, never shuffle the tf frame
