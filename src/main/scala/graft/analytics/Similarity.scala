@@ -312,6 +312,56 @@ object Similarity {
       |FROM embeddings e, q WHERE e.vec_id <> 0
       |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin
 
+  /** Cosine range search: every corpus vector within `tau` of the query
+    * — the "give me ALL near-duplicates / all relevant chunks" shape
+    * (top-k bounds the result size; range search bounds the QUALITY).
+    * Same scale story as [[bruteForceTopK]]: broadcast one query row,
+    * codegen'd map-side cosine, and the threshold filter — one scan of
+    * the corpus, no shuffle at all (not even a top-k ordering barrier;
+    * the final sort orders only the matched rows). */
+  def rangeSearch(emb: DataFrame, queryId: Long, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6)
+                .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(asc("vec_id"))
+  }
+
+  /** SemDeDup-style semantic deduplication: vectors are grouped into
+    * clusters (`list` column), and within each cluster a vector is
+    * DROPPED iff a smaller-id vector of the same cluster sits within
+    * cosine `tau` (min-id dominance — deterministic and algebraic,
+    * unlike the order-dependent sequential greedy scan; both keep one
+    * representative per near-dup neighborhood). Returns the dropped
+    * rows with their keeper and evidence.
+    *
+    * Scale shape: the pairwise stage is confined WITHIN clusters — the
+    * self-join key is the cluster id, so cost is Σ|cluster|², not N²,
+    * and the cluster count grows with the corpus (k ∝ N / target
+    * cluster size) exactly as the IVF index it reuses. No global stage
+    * anywhere: one equi-join + one per-vector aggregate. */
+  def semDedup(assignments: DataFrame, tau: Double): DataFrame = {
+    val spark = assignments.sparkSession
+    val a = assignments.select(col("list"), col("vec_id"), col("embedding"))
+    val b = assignments.select(col("list"), col("vec_id").as("vid_b"),
+                               col("embedding").as("emb_b"))
+    a.join(b, Seq("list"))
+      .filter(col("vid_b") < col("vec_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosineNative(spark, col("embedding"), col("emb_b")), 6))
+      .filter(col("cos_sim") >= tau)
+      .groupBy("vec_id")
+      .agg(min("vid_b").as("keeper_id"),
+           count(lit(1)).as("n_dominators"),
+           max("cos_sim").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef(
       "ss01_cosine_topk",
@@ -432,6 +482,53 @@ object Similarity {
              |  FROM scored)
              |SELECT query_id, vec_id, l2_dist, rk FROM ranked
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
+    ),
+    QueryDef(
+      "ss08_range_search",
+      // exact by construction (brute-force threshold scan) — the range-
+      // search dual of ss01, hash-checkable end to end.
+      (s, d) => rangeSearch(table(s, d, "embeddings"), queryId = 0L, tau = 0.30),
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
+              |FROM embeddings e, q
+              |WHERE e.vec_id <> 0 AND round($cosSql, 6) >= 0.30
+              |ORDER BY vec_id""".stripMargin)
+    ),
+    QueryDef(
+      "sem01_semdedup",
+      // production configuration: clusters are the persisted IVF lists
+      // (offline, partition-pruned layout reused from ss03+). Learned
+      // clusters aren't SQL-replayable → rows-only; sem01x is the
+      // driver-visible exactness anchor for the dominance logic, and
+      // DedupSpec pins within-cluster consistency on this entry.
+      (s, d) => {
+        val dir = IvfIndex.ensure(s, d)
+        semDedup(IvfIndex.readAssignments(s, dir), tau = 0.35)
+      },
+      None
+    ),
+    QueryDef(
+      "sem01x_semdedup_exact",
+      // exactness anchor: one cluster covering a bounded deterministic
+      // slice ⇒ min-id dominance over all pairs, replayable in DuckDB.
+      // Same semDedup code path as sem01 (join, threshold, aggregate);
+      // only the cluster assignment degenerates.
+      (s, d) => semDedup(
+        table(s, d, "embeddings").filter(col("vec_id") < 800)
+          .withColumn("list", lit(0)),
+        tau = 0.35),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 800),
+             |pairs AS (
+             |  SELECT a.vec_id, b.vec_id AS vid_b,
+             |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+             |  FROM e a JOIN e b ON b.vec_id < a.vec_id)
+             |SELECT vec_id, min(vid_b) AS keeper_id,
+             |  count(*) AS n_dominators, max(cos_sim) AS max_cos
+             |FROM pairs WHERE cos_sim >= 0.35
+             |GROUP BY vec_id ORDER BY vec_id""".stripMargin)
     ),
     QueryDef(
       "ss04_batch_ann",

@@ -315,6 +315,43 @@ class DedupSpec extends SparkSpec {
     assert(overlap >= 5, s"IVF-PQ recall collapsed: $overlap/10 vs exact L2")
   }
 
+  test("semDedup: drops are sound (true cosine, same cluster) and a subset of global dedup") {
+    val dir = IvfIndex.ensure(spark, sf0001)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    val dropped = Similarity.semDedup(assignments, tau = 0.35).collect()
+    assert(dropped.nonEmpty)
+    val byId = assignments.select("vec_id", "list", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    dropped.foreach { r =>
+      val (vid, kid) = (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper_id"))
+      assert(kid < vid)
+      val (vl, vv) = byId(vid); val (kl, kv) = byId(kid)
+      assert(vl == kl, s"keeper $kid not in $vid's cluster")
+      assert(cos(vv, kv) >= 0.35 - 1e-6, s"pair ($kid,$vid) below tau")
+    }
+    // within-cluster dominance implies global dominance: sem01's drop
+    // set must be a subset of the single-cluster (exact) drop set
+    val globalDrops = Similarity.semDedup(
+        assignments.withColumn("list", lit(0)), tau = 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    val clusterDrops = dropped.map(_.getAs[Long]("vec_id")).toSet
+    assert(clusterDrops.subsetOf(globalDrops))
+  }
+
+  test("range search returns exactly the brute-force threshold set") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = Similarity.rangeSearch(emb, queryId = 0L, tau = 0.30)
+      .select("vec_id").as[Long].collect().toSet
+    val all = Similarity.bruteForceTopK(emb, queryId = 0L, k = 1000)
+      .collect().filter(_.getDouble(1) >= 0.30).map(_.getLong(0)).toSet
+    assert(got == all && got.nonEmpty)
+  }
+
   test("LSH ANN: bucket-mates score identically to brute force") {
     val emb = (0L to 40L).map { i =>
       val angle = i.toDouble / 41 * math.Pi
