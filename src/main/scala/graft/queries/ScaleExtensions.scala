@@ -596,6 +596,96 @@ object ScaleExtensions {
              |    AS chunk_text,
              |  len(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS n_chunk_tokens
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
+    // ---- grouping sets -------------------------------------------------
+    QueryDef(
+      "x35_grouping_sets",
+      // explicit GROUPING SETS — the general form x17's CUBE is sugar
+      // for: detail, one partial rollup, and the grand total in one
+      // shuffle pass (Spark expands to a single Expand + hash agg, not
+      // three scans).
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+                Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+               round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+                   asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             |  round(SUM(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), ())
+             |ORDER BY l_returnflag ASC NULLS FIRST,
+             |         l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- set operators -------------------------------------------------
+    QueryDef(
+      "x36_set_ops",
+      // INTERSECT / EXCEPT (distinct set semantics, not join emulation):
+      // customers placing both urgent and high-priority orders vs
+      // urgent-only. Spark plans both as aggregated semi/anti joins —
+      // the distinct happens in the same shuffle, no extra pass.
+      (s, d) => {
+        val orders = table(s, d, "orders")
+        def custs(prio: String) =
+          orders.filter(col("o_orderpriority") === prio)
+            .select("o_custkey").distinct()
+        val urgent = custs("1-URGENT"); val high = custs("2-HIGH")
+        urgent.intersect(high).withColumn("tag", lit("both"))
+          .union(urgent.except(high).withColumn("tag", lit("urgent_only")))
+          .orderBy("tag", "o_custkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, 'both' AS tag FROM (
+             |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |    INTERSECT
+             |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+             |  UNION ALL
+             |  SELECT o_custkey, 'urgent_only' AS tag FROM (
+             |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |    EXCEPT
+             |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
+             |ORDER BY tag, o_custkey""".stripMargin)
+    ),
+
+    // ---- ntile + RANGE window frame ------------------------------------
+    QueryDef(
+      "x37_ntile_range_frame",
+      // the two window shapes x23/x33 don't cover: equi-depth bucketing
+      // (ntile) and a VALUE-based frame (trailing-7-day spend — RANGE
+      // over epoch days includes all peer rows of a day regardless of
+      // input order, so the result is deterministic without a unique
+      // sort key). Both windows share the o_custkey partitioning — one
+      // shuffle, two window specs.
+      (s, d) => {
+        val withDay = table(s, d, "orders")
+          .withColumn("day",
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01"))))
+        val spend = Window.partitionBy("o_custkey").orderBy("day")
+          .rangeBetween(-7, 0)
+        val quart = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        withDay
+          .select(col("o_orderkey"), col("o_custkey"), col("day"),
+                  round(sum("o_totalprice").over(spend), 2)
+                    .as("trailing7_spend"),
+                  ntile(4).over(quart).cast("int").as("spend_quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS day,
+             |  round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)
+             |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS trailing7_spend,
+             |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice, o_orderkey) AS INT) AS spend_quartile
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
     )
   )
 }
