@@ -242,6 +242,100 @@ object DataQuality {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // ---- boilerplate n-gram detection ---------------------------------
+    // Cross-document repeated spans: word 8-grams occurring in >= 3
+    // DISTINCT documents — the RefinedWeb/Gopher boilerplate-removal
+    // primitive (navigation chrome, license headers, templated spans
+    // repeat across pages; prose doesn't). One explode → one partially
+    // aggregated groupBy keyed by the gram; no pairwise stage. At
+    // 100 TB the gram key would be hashed (as dc01 does) — kept as text
+    // here because the output IS the gram list a cleaning pass needs.
+    QueryDef(
+      "bp01_boilerplate_ngrams",
+      (s, d) => {
+        val grams8 =
+          """CASE WHEN size(words) >= 8 THEN
+            |  transform(sequence(0, size(words) - 8),
+            |            i -> concat_ws(' ', slice(words, i + 1, 8)))
+            |ELSE cast(array() as array<string>) END""".stripMargin
+        table(s, d, "documents")
+          .select(col("doc_id"), expr(wordsExpr).as("words"))
+          .select(col("doc_id"), explode(expr(grams8)).as("gram"))
+          .groupBy("gram")
+          .agg(countDistinct("doc_id").as("n_docs"),
+               count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 3)
+          .orderBy(desc("n_docs"), desc("n_occ"), asc("gram"))
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(greatest(len(w) - 7, 0)),
+              |      i -> array_to_string(w[i + 1:i + 8], ' '))) AS gram
+              |  FROM words)
+              |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+              |FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+              |ORDER BY n_docs DESC, n_occ DESC, gram""".stripMargin)
+    ),
+
+    // ---- incremental ingest gate --------------------------------------
+    // Dedup of a NEW batch against the standing corpus — the shape every
+    // continuously-fed training pipeline runs per ingest: for each new
+    // document (source='src19' stands in for the arriving batch), the
+    // fraction of its distinct 5-grams already present in the corpus
+    // (containment). keep = containment < 0.5 (the Lee et al. near-dup
+    // cut). The batch side is tiny relative to the corpus, so the
+    // semi-join ships batch grams to the corpus partitions — the corpus
+    // is never re-shuffled, which is what makes per-batch incremental
+    // runs affordable at 100 TB.
+    QueryDef(
+      "id01_incremental_gate",
+      (s, d) => {
+        val grams5 =
+          """CASE WHEN size(words) >= 5 THEN
+            |  transform(sequence(0, size(words) - 5),
+            |            i -> md5(cast(concat_ws(' ', slice(words, i + 1, 5)) as binary)))
+            |ELSE cast(array() as array<string>) END""".stripMargin
+        val grams = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), expr(wordsExpr).as("words"))
+          .select(col("doc_id"), col("source"),
+                  explode(expr(grams5)).as("g"))
+        val newG = grams.filter(col("source") === "src19")
+          .select("doc_id", "g").distinct()
+        val corpusG = grams.filter(col("source") =!= "src19")
+          .select("g").distinct()
+        val hits = newG.join(corpusG, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        newG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+                  round(col("n_hit") * lit(1.0) / col("n_grams"), 6)
+                    .as("containment"),
+                  (col("n_hit") * lit(1.0) / col("n_grams") < 0.5)
+                    .cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |newg AS (SELECT DISTINCT doc_id, g FROM grams WHERE source = 'src19'),
+              |corp AS (SELECT DISTINCT g FROM grams WHERE source <> 'src19'),
+              |per AS (
+              |  SELECT doc_id, count(*) AS n_grams,
+              |    CAST(count(*) FILTER (g IN (SELECT g FROM corp)) AS BIGINT) AS n_hit
+              |  FROM newg GROUP BY doc_id)
+              |SELECT doc_id, n_grams, n_hit,
+              |  round(n_hit * 1.0 / n_grams, 6) AS containment,
+              |  CAST(n_hit * 1.0 / n_grams < 0.5 AS INT) AS keep
+              |FROM per ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- log scrubbing / pseudonymization -----------------------------
     // PII-style cleanup of event logs before they can feed a training
     // corpus: numeric identifiers in the payload are masked, the user

@@ -484,6 +484,29 @@ object Similarity {
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
     ),
     QueryDef(
+      "emb01_label_centroids",
+      // per-class embedding centroids — the vector AGGREGATE primitive
+      // (class prototypes for semantic dedup seeding, cluster drift
+      // monitoring, classifier-free relabeling). posexplode → one
+      // partially aggregated groupBy on (label, pos): the shuffle
+      // carries 64 running (sum, count) pairs per label, never vectors.
+      (s, d) =>
+        table(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy("label", "pos")
+          .agg((round(avg(col("col").cast("double")), 4) + lit(0.0))
+                 .as("mean_val"),
+               count(lit(1)).as("n_vecs"))
+          .orderBy("label", "pos"),
+      Some("""WITH ex AS (
+             |  SELECT label, embedding, unnest(range(len(embedding))) AS i
+             |  FROM embeddings)
+             |SELECT label, CAST(i AS INT) AS pos,
+             |  round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) + 0.0 AS mean_val,
+             |  count(*) AS n_vecs
+             |FROM ex GROUP BY label, i ORDER BY label, pos""".stripMargin)
+    ),
+    QueryDef(
       "ss08_range_search",
       // exact by construction (brute-force threshold scan) — the range-
       // search dual of ss01, hash-checkable end to end.

@@ -88,6 +88,52 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("bp01: every reported gram really spans >= 3 distinct docs (brute recount)") {
+    val reported = run("bp01_boilerplate_ngrams").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(reported.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+    val counts = scala.collection.mutable.Map.empty[String, (Set[Long], Int)]
+    docs.foreach { case (id, w) =>
+      if (w.length >= 8) w.sliding(8).foreach { g =>
+        val k = g.mkString(" ")
+        val (s0, n0) = counts.getOrElse(k, (Set.empty[Long], 0))
+        counts(k) = (s0 + id, n0 + 1)
+      }
+    }
+    val expected = counts.collect {
+      case (g, (ids, n)) if ids.size >= 3 => (g, ids.size.toLong, n.toLong)
+    }.toSet
+    assert(reported.toSet == expected)
+  }
+
+  test("id01: gate covers exactly the src19 batch; keep agrees with containment") {
+    val rows = run("id01_incremental_gate").collect()
+    val batch = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("source") === "src19").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == batch)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Int]("keep") == (if (c < 0.5) 1 else 0))
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("emb01: centroid groups partition the corpus (counts per label consistent)") {
+    val rows = run("emb01_label_centroids").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos"), r.getAs[Long]("n_vecs")))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val labelCounts = emb.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val dims = emb.selectExpr("max(size(embedding))").head().getInt(0)
+    assert(rows.length == labelCounts.size * dims)
+    rows.foreach { case (label, _, n) => assert(n == labelCounts(label)) }
+  }
+
   test("plan: dq02 and pii01 are map-only (zero exchanges)") {
     Seq("dq02_quality_filters", "pii01_scrub_logs").foreach { name =>
       val p = run(name).queryExecution.executedPlan.toString
