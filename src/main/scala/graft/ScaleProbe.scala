@@ -67,12 +67,19 @@ object ScaleProbe {
                    salt: Option[String]): DataFrame =
       replicate(df, idCols.map(c => c -> maxPlus1(df, c)), salt)
     def stage(name: String, df: => DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$workDir/$name.parquet")
+      // spread each staged table over >= `factor` files: a real N×
+      // corpus arrives as many input splits, and a probe that compacts
+      // it into one 50 MB parquet file would hand explode-amplified
+      // text pipelines (dq03/dc01/bp01) a SINGLE input task — measuring
+      // the fixture's file layout, not the operator's plan
+      df.repartition(math.max(factor, cpus.toInt))
+        .write.mode("overwrite").parquet(s"$workDir/$name.parquet")
 
     // inputs are replicated lazily, per enabled probe group — a
     // relational-only run shouldn't pay for a 10x documents copy
-    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06", "tx08").exists(enabled)
-    val wantsEmb = Seq("ivf", "ss04", "ss05", "ss06").exists(enabled)
+    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06", "tx08",
+                        "dq03", "dc01", "bp01", "id01", "dm04").exists(enabled)
+    val wantsEmb = Seq("ivf", "ss04", "ss05", "ss06", "sem01").exists(enabled)
     val wantsEvents = Seq("aj01", "st03", "st08").exists(enabled)
     val wantsRel = Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
       .exists(enabled)
@@ -180,6 +187,31 @@ object ScaleProbe {
     }
     if (enabled("st08")) time("st08_sessionize") {
       SparkEntry.queries("st08_sessionize")(spark, workDir).count()
+    }
+    // round-4 curation surface at N×: repetition stats (explode+window),
+    // decontamination (broadcast n-gram join), boilerplate census
+    // (gram groupBy), incremental gate (batch semi-join), epoch shuffle
+    // (per-shard windows), and semantic dedup (within-cluster pairwise
+    // over the replicated index)
+    Seq("dq03_repetition_stats", "dc01_decontaminate",
+        "bp01_boilerplate_ngrams", "id01_incremental_gate",
+        "dm04_epoch_shuffle").foreach { qn =>
+      if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
+        SparkEntry.queries(qn)(spark, workDir).count()
+      }
+    }
+    if (enabled("sem01")) {
+      // sem01's scale contract: cluster count grows with the corpus
+      // (k ∝ N), keeping per-cluster pairwise work flat. Probing N×
+      // data with the 1× cluster count would measure an N²/cluster
+      // blowup the operator's own documentation rules out.
+      import graft.analytics.IvfIndex
+      val lists = IvfIndex.DefaultLists * factor
+      time("ivfN_build") { IvfIndex.ensure(spark, workDir, lists); 1L }
+      time("sem01_semdedup") {
+        Similarity.semDedup(IvfIndex.readAssignments(spark,
+          IvfIndex.ensure(spark, workDir, lists)), tau = 0.35).count()
+      }
     }
     // relational headline shapes at N× (join+filter, wide 1:N join,
     // join+full-sort, join+group+multiagg, decorrelated subquery,
