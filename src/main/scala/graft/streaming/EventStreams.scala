@@ -108,6 +108,24 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming ingest gate against a STANDING corpus: drop any arriving
+    * document whose canonical content fingerprint already exists in the
+    * static corpus frame — the stream side of the per-batch incremental
+    * dedup (id01's exact tier). A stream-static LEFT ANTI join is
+    * STATELESS in Structured Streaming (append mode, no watermark, no
+    * state store): each micro-batch probes the corpus side, which at
+    * 100 TB is a broadcast of fingerprints-only or a bucketed static
+    * table — the corpus is never shuffled per batch. Works identically
+    * in batch mode (the oracle-checked form). */
+  def ingestGate(newDocs: DataFrame, corpus: DataFrame,
+                 textCol: String = "text"): DataFrame = {
+    val fp = graft.analytics.TextAnalysis.fingerprint(col(textCol))
+    val corpusFps = corpus.select(fp.as("__fp")).distinct()
+    newDocs.withColumn("__fp", fp)
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

@@ -195,6 +195,32 @@ object StreamShapes {
              |                t -> len(t) > 0))), ' ')) AS bow_fp,
              |  min(doc_id) AS keeper_id, COUNT(*) AS n_members
              |FROM documents GROUP BY bow_fp ORDER BY keeper_id""".stripMargin)
+    ),
+
+    // streaming ingest gate in batch form: arriving docs (source =
+    // 'src19', the same batch id01 gates) anti-join the standing
+    // corpus on the canonical content fingerprint. The streaming form
+    // is the SAME plan as a stream-static left-anti join — stateless,
+    // append-mode, corpus never reshuffled; a MemoryStream test pins
+    // the planted-duplicate drop across micro-batches.
+    QueryDef(
+      "st10_ingest_gate",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        graft.streaming.EventStreams.ingestGate(
+            docs.filter(col("source") === "src19"),
+            docs.filter(col("source") =!= "src19"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id, source,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             |  FROM documents)
+             |SELECT n.doc_id, n.source FROM fp n
+             |WHERE n.source = 'src19' AND NOT EXISTS (
+             |  SELECT 1 FROM fp c WHERE c.source <> 'src19' AND c.f = n.f)
+             |ORDER BY n.doc_id""".stripMargin)
     )
   )
 }

@@ -375,4 +375,29 @@ class StreamingSpec extends SparkSpec {
     // sanity: sessions partition the events (counts sum to total)
     assert(sessions.agg(sum("n_events")).head().getLong(0) == batch.count())
   }
+
+  test("ingest gate drops corpus duplicates across micro-batches, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "the quick brown fox"), (101L, "unrelated corpus text"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val arriving = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.ingestGate(arriving, corpus).writeStream
+      .queryName("ingest_gate_test").outputMode("append").format("memory").start()
+    try {
+      // batch 1: one duplicate (whitespace/case variant — canonical
+      // fingerprint equality), one novel doc
+      mem.addData((1L, "  The   QUICK brown fox "), (2L, "a novel document"))
+      q.processAllAvailable()
+      // batch 2: another duplicate and another novel doc
+      mem.addData((3L, "UNRELATED corpus TEXT"), (4L, "more novel content"))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_gate_test")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(2L, 4L))
+      // stateless by construction: no state store rows in the progress
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
