@@ -110,50 +110,57 @@ object DataQuality {
     // Per-document duplicate-word fraction plus the "fraction of
     // characters inside occurrences of the most frequent word / bigram"
     // family (Gopher Rule group 2). The scalar stats are map-only; the
-    // top-word and top-bigram branches each explode to (doc, gram) →
-    // partially aggregated groupBy → per-doc row_number window — gram
-    // cardinality per doc is bounded by doc length, and the shuffle
-    // carries (doc_id, gram, count) only. Ties break deterministically
-    // (count DESC, gram ASC).
+    // the per-doc mode (most frequent word / bigram) is computed
+    // ENTIRELY map-side: sort the gram array, then a single
+    // run-length fold (`aggregate` HOF) finds the longest run — ties
+    // resolve to the lexicographically smallest gram for free because
+    // runs arrive in sorted order and only a STRICTLY longer run
+    // replaces the champion. Zero shuffles, zero joins: the whole
+    // operator is one codegen'd projection over the pruned scan — the
+    // plan shape that makes per-doc repetition stats a free pass even
+    // at 100 TB (the first cut explode→groupBy→window formulation
+    // shuffled 9M gram rows at the 10× probe; this shuffles none).
     QueryDef(
       "dq03_repetition_stats",
       (s, d) => {
-        val base = table(s, d, "documents")
+        // (gram, run) champion after walking `arr` in sorted order
+        def topRun(arr: org.apache.spark.sql.Column) =
+          aggregate(
+            array_sort(arr),
+            struct(lit("").as("prev"), lit(0L).as("run"),
+                   lit("").as("best"), lit(0L).as("bestn")),
+            (acc, x) => {
+              val newRun = when(x === acc("prev"), acc("run") + lit(1L))
+                .otherwise(lit(1L))
+              val better = newRun > acc("bestn")
+              struct(x.as("prev"), newRun.as("run"),
+                     when(better, x).otherwise(acc("best")).as("best"),
+                     when(better, newRun).otherwise(acc("bestn")).as("bestn"))
+            },
+            acc => struct(acc("best").as("gram"), acc("bestn").as("n")))
+        val bigramsCol =
+          expr("""zip_with(slice(words, 1, greatest(size(words) - 1, 0)),
+                 |         slice(words, 2, greatest(size(words) - 1, 0)),
+                 |         (a, b) -> concat(a, ' ', b))""".stripMargin)
+        table(s, d, "documents")
           .select(col("doc_id"), expr(wordsExpr).as("words"),
                   length(regexp_replace(col("text"), "\\s", ""))
                     .as("n_word_chars"))
-        val stats = base.select(
-          col("doc_id"), col("n_word_chars"),
-          size(col("words")).as("n_words"),
-          size(array_distinct(col("words"))).as("n_distinct"))
-        def top(gramCol: org.apache.spark.sql.Column, outName: String) = {
-          val grams = base.select(col("doc_id"), explode(gramCol).as("gram"))
-          val counts = grams.groupBy("doc_id", "gram")
-            .agg(count(lit(1)).as("n"))
-          val w = Window.partitionBy("doc_id")
-            .orderBy(col("n").desc, col("gram").asc)
-          counts.withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .select(col("doc_id"), col("gram").as(outName),
-                    col("n").as(s"${outName}_n"))
-        }
-        val topWord = top(col("words"), "top_word")
-        val topBigram = top(
-          expr("""zip_with(slice(words, 1, greatest(size(words) - 1, 0)),
-                 |         slice(words, 2, greatest(size(words) - 1, 0)),
-                 |         (a, b) -> concat(a, ' ', b))""".stripMargin),
-          "top_bigram")
-        stats.join(topWord, Seq("doc_id")).join(topBigram, Seq("doc_id"))
+          .select(col("doc_id"), col("n_word_chars"),
+                  size(col("words")).as("n_words"),
+                  size(array_distinct(col("words"))).as("n_distinct"),
+                  topRun(col("words")).as("tw"),
+                  topRun(bigramsCol).as("tb"))
           .select(
             col("doc_id"), col("n_words"),
             round((col("n_words") - col("n_distinct")) * lit(1.0) /
                   greatest(col("n_words"), lit(1)), 6).as("dup_word_frac"),
-            col("top_word"),
-            round(col("top_word_n") * length(col("top_word")) * lit(1.0) /
+            col("tw.gram").as("top_word"),
+            round(col("tw.n") * length(col("tw.gram")) * lit(1.0) /
                   greatest(col("n_word_chars"), lit(1)), 6)
               .as("top_word_char_frac"),
-            col("top_bigram"),
-            round(col("top_bigram_n") * (length(col("top_bigram")) - lit(1)) *
+            col("tb.gram").as("top_bigram"),
+            round(col("tb.n") * (length(col("tb.gram")) - lit(1)) *
                   lit(1.0) / greatest(col("n_word_chars"), lit(1)), 6)
               .as("top_bigram_char_frac"))
           .orderBy("doc_id")

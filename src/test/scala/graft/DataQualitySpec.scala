@@ -134,8 +134,9 @@ class DataQualitySpec extends SparkSpec {
     rows.foreach { case (label, _, n) => assert(n == labelCounts(label)) }
   }
 
-  test("plan: dq02 and pii01 are map-only (zero exchanges)") {
-    Seq("dq02_quality_filters", "pii01_scrub_logs").foreach { name =>
+  test("plan: dq02, dq03 and pii01 are map-only (zero exchanges)") {
+    Seq("dq02_quality_filters", "dq03_repetition_stats",
+        "pii01_scrub_logs").foreach { name =>
       val p = run(name).queryExecution.executedPlan.toString
       val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(shuffles == 0, s"$name shuffled $shuffles times:\n$p")
