@@ -227,11 +227,14 @@ object DataQuality {
                   explode(expr(grams5)).as("g"))
         val bench = grams.filter(col("source") === "src0")
           .select("g").distinct()
-        val corpus = grams.filter(col("source") =!= "src0")
-          .select("doc_id", "g").distinct()
-        corpus.join(broadcast(bench), Seq("g"))
+        // corpus grams flow map-only into the broadcast join — no
+        // corpus-wide distinct (that would shuffle every gram of the
+        // corpus; the per-doc countDistinct after the join shuffles
+        // MATCHES only, which is what decontamination hit rates are)
+        grams.filter(col("source") =!= "src0")
+          .join(broadcast(bench), Seq("g"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_hit"))
+          .agg(countDistinct("g").as("n_hit"))
           .orderBy("doc_id")
       },
       Some(s"""WITH words AS (
@@ -310,9 +313,15 @@ object DataQuality {
                   explode(expr(grams5)).as("g"))
         val newG = grams.filter(col("source") === "src19")
           .select("doc_id", "g").distinct()
-        val corpusG = grams.filter(col("source") =!= "src19")
+        // the batch gram set broadcasts ONTO the corpus scan: corpus
+        // grams flow map-only through a broadcast semi-join, and only
+        // the (tiny) matched subset is ever distinct'd and shuffled —
+        // the corpus-wide distinct the first cut paid is gone
+        val batchGramSet = newG.select("g").distinct()
+        val matched = grams.filter(col("source") =!= "src19")
+          .join(broadcast(batchGramSet), Seq("g"), "left_semi")
           .select("g").distinct()
-        val hits = newG.join(corpusG, Seq("g"), "left_semi")
+        val hits = newG.join(broadcast(matched), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
         newG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
           .join(hits, Seq("doc_id"), "left")
