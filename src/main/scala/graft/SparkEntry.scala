@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{DataMix, DataQuality, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.{CurationPipeline, DataMix, DataQuality, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries._
 import graft.streaming.StreamShapes
 
@@ -19,7 +19,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Relational.all ++ Relational.extensions ++ ScaleExtensions.all ++
       EtlOps.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ StreamShapes.all ++ DataMix.all ++ DataQuality.all
+      Multimodal.all ++ StreamShapes.all ++ DataMix.all ++ DataQuality.all ++
+      CurationPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Join + group + multi-aggregate (reference Q20 shape). */

@@ -134,6 +134,40 @@ class DataQualitySpec extends SparkSpec {
     rows.foreach { case (label, _, n) => assert(n == labelCounts(label)) }
   }
 
+  test("cp01: manifest honors every pipeline stage's contract") {
+    val manifest = run("cp01_curation_manifest").collect()
+    assert(manifest.nonEmpty)
+    val ids = manifest.map(_.getAs[Long]("doc_id")).toSet
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+                 r.getAs[String]("text")))
+    val byId = docs.map(d => d._1 -> d).toMap
+    // eval set never trains; quality attrition really happened
+    assert(ids.forall(byId(_)._2 != "src0"))
+    assert(ids.size < docs.count(_._2 != "src0"))
+    // survivors carry distinct canonical fingerprints
+    def fp(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    assert(ids.map(i => fp(byId(i)._3)).size == ids.size)
+    // no survivor shares a 5-gram with the eval set
+    def grams(t: String) = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty[String] else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._2 == "src0").flatMap(d => grams(d._3)).toSet
+    assert(ids.forall(i => grams(byId(i)._3).intersect(bench).isEmpty))
+    // shuffle+pack invariants: pos is 1..n per shard; seq_id is
+    // non-decreasing in pos and respects the 512-token budget
+    manifest.groupBy(_.getAs[Int]("shard")).values.foreach { g =>
+      val inOrder = g.sortBy(_.getAs[Int]("pos"))
+      assert(inOrder.map(_.getAs[Int]("pos")).toSeq == (1 to g.length))
+      var cum = 0L
+      inOrder.foreach { r =>
+        assert(r.getAs[Long]("seq_id") == cum / 512)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("plan: dq02, dq03 and pii01 are map-only (zero exchanges)") {
     Seq("dq02_quality_filters", "dq03_repetition_stats",
         "pii01_scrub_logs").foreach { name =>
