@@ -77,8 +77,8 @@ object ScaleProbe {
 
     // inputs are replicated lazily, per enabled probe group — a
     // relational-only run shouldn't pay for a 10x documents copy
-    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06", "tx08",
-                        "dq03", "dc01", "bp01", "id01", "dm04").exists(enabled)
+    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
+                        "dc01", "bp01", "id01", "dm04", "cp01").exists(enabled)
     val wantsEmb = Seq("ivf", "ss04", "ss05", "ss06", "sem01").exists(enabled)
     val wantsEvents = Seq("aj01", "st03", "st08").exists(enabled)
     val wantsRel = Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
@@ -195,7 +195,7 @@ object ScaleProbe {
     // over the replicated index)
     Seq("dq03_repetition_stats", "dc01_decontaminate",
         "bp01_boilerplate_ngrams", "id01_incremental_gate",
-        "dm04_epoch_shuffle").foreach { qn =>
+        "dm04_epoch_shuffle", "cp01_curation_manifest").foreach { qn =>
       if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
         SparkEntry.queries(qn)(spark, workDir).count()
       }
