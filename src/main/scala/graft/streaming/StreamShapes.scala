@@ -262,6 +262,42 @@ object StreamShapes {
              |FROM p ORDER BY user_id""".stripMargin)
     ),
 
+    // cohort retention triangle: users bucketed by first-seen week,
+    // counted per (cohort, week-offset) of later activity — the other
+    // canonical behavioral rollup next to the funnel. Two aggregates
+    // (per-user min week, then the distinct activity matrix); the
+    // shuffle key is user_id then (cohort, offset) — no self-join, no
+    // per-week scans.
+    QueryDef(
+      "ev02_cohort_retention",
+      (s, d) => {
+        val weeks = table(s, d, "events")
+          .select(col("user_id"),
+                  (datediff(col("ts").cast("date"),
+                            to_date(lit("1970-01-01"))) / 7)
+                    .cast("int").as("week"))
+          .distinct()
+        val cohorts = weeks.groupBy("user_id")
+          .agg(min("week").as("cohort_week"))
+        weeks.join(cohorts, Seq("user_id"))
+          .withColumn("week_offset", col("week") - col("cohort_week"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH w AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(floor((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+             |                - DATE '1970-01-01') / 7) AS INT) AS week
+             |  FROM events),
+             |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+             |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             |  count(DISTINCT w.user_id) AS n_users
+             |FROM w JOIN c USING (user_id)
+             |GROUP BY c.cohort_week, week_offset
+             |ORDER BY cohort_week, week_offset""".stripMargin)
+    ),
+
     // streaming ingest gate in batch form: arriving docs (source =
     // 'src19', the same batch id01 gates) anti-join the standing
     // corpus on the canonical content fingerprint. The streaming form
