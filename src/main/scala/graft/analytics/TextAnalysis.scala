@@ -219,6 +219,49 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     QueryDef(
+      "tx10_vocab_coverage",
+      // tokenizer-design curve: for each candidate vocabulary size K,
+      // the fraction of all token OCCURRENCES covered by the K most
+      // frequent terms (rank by count desc, term asc). One corpus-wide
+      // term count (partially aggregated, vocabulary-sized after the
+      // combine), a rank window over the tiny term table, and a
+      // conditional roll-up — the corpus is scanned once; everything
+      // after the first aggregate is vocabulary-scale, not corpus-scale.
+      (s, d) => {
+        val terms = table(s, d, "documents")
+          .select(explode(expr(
+            "filter(split(lower(text), '\\\\s+'), w -> length(w) > 0)"))
+            .as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        val ranked = terms.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("term").asc)))
+        val ks = Seq(5, 10, 20, 40)
+        val sums = ranked.agg(
+          sum("n").as("total_tokens"),
+          ks.map(k => sum(when(col("rk") <= k, col("n")).otherwise(lit(0L)))
+            .as(s"s$k")): _*)
+        sums.select(
+          col("total_tokens").cast("long").as("total_tokens") +:
+          ks.map(k => round(col(s"s$k") * lit(1.0) / col("total_tokens"), 6)
+            .as(s"cov_top$k")): _*)
+      },
+      Some("""WITH terms AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |                w -> length(w) > 0)) AS term
+             |  FROM documents),
+             |counts AS (SELECT term, count(*) AS n FROM terms GROUP BY term),
+             |ranked AS (
+             |  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk
+             |  FROM counts)
+             |SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+             |  round(SUM(CASE WHEN rk <= 5 THEN n ELSE 0 END) * 1.0 / SUM(n), 6) AS cov_top5,
+             |  round(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) * 1.0 / SUM(n), 6) AS cov_top10,
+             |  round(SUM(CASE WHEN rk <= 20 THEN n ELSE 0 END) * 1.0 / SUM(n), 6) AS cov_top20,
+             |  round(SUM(CASE WHEN rk <= 40 THEN n ELSE 0 END) * 1.0 / SUM(n), 6) AS cov_top40
+             |FROM ranked""".stripMargin)
+    ),
+    QueryDef(
       "tx05_corpus_stats",
       (s, d) =>
         table(s, d, "documents")
