@@ -32,6 +32,22 @@ object DataQuality {
   private val wordsSql =
     """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
 
+  /** (doc_id, g) rows: md5 keys of word `n`-grams of `docs.text` — the
+    * shared gram pipeline behind the batch ingest gate (id01), the
+    * incremental two-batch form (st11), and the streaming gate. Docs
+    * shorter than `n` words contribute no rows (callers anchor their
+    * output on a doc census so such docs still get a decision). */
+  def gramKeys(docs: org.apache.spark.sql.DataFrame, n: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    val gramsN =
+      s"""CASE WHEN size(words) >= $n THEN
+         |  transform(sequence(0, size(words) - $n),
+         |            i -> md5(cast(concat_ws(' ', slice(words, i + 1, $n)) as binary)))
+         |ELSE cast(array() as array<string>) END""".stripMargin
+    docs.select(col("doc_id"), expr(wordsExpr).as("words"))
+      .select(col("doc_id"), explode(expr(gramsN)).as("g"))
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- C4/Gopher-style heuristic quality filters --------------------
@@ -44,10 +60,15 @@ object DataQuality {
     QueryDef(
       "dq02_quality_filters",
       (s, d) => {
+        // mean word length is defined over WORD characters (alphanumerics)
+        // per the C4/Gopher heuristic — counting punctuation would shift
+        // the 3.0–10.0 band on punctuation-heavy real corpora. The
+        // explicit [A-Za-z0-9] class (not \w) keeps Java-regex and
+        // DuckDB-RE2 semantics identical.
         val base = table(s, d, "documents")
           .select(col("doc_id"), col("text"),
                   expr(wordsExpr).as("words"),
-                  length(regexp_replace(col("text"), "\\s", ""))
+                  length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
                     .as("n_word_chars"))
           .select(col("doc_id"), col("text"), col("n_word_chars"),
                   size(col("words")).as("n_words"),
@@ -78,7 +99,7 @@ object DataQuality {
       },
       Some(s"""WITH base AS (
               |  SELECT doc_id, text, $wordsSql AS words,
-              |    length(regexp_replace(text, '\\s', '', 'g')) AS n_word_chars
+              |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_word_chars
               |  FROM documents),
               |st AS (
               |  SELECT doc_id, text, n_word_chars,
@@ -155,13 +176,19 @@ object DataQuality {
             col("doc_id"), col("n_words"),
             round((col("n_words") - col("n_distinct")) * lit(1.0) /
                   greatest(col("n_words"), lit(1)), 6).as("dup_word_frac"),
-            col("tw.gram").as("top_word"),
-            round(col("tw.n") * length(col("tw.gram")) * lit(1.0) /
-                  greatest(col("n_word_chars"), lit(1)), 6)
+            // a doc with no words (or < 2 for the bigram side) has no
+            // mode — surface NULL, matching the oracle's LEFT JOIN, so
+            // degenerate docs keep their row instead of silently
+            // diverging between engines
+            when(col("n_words") >= 1, col("tw.gram")).as("top_word"),
+            when(col("n_words") >= 1,
+              round(col("tw.n") * length(col("tw.gram")) * lit(1.0) /
+                    greatest(col("n_word_chars"), lit(1)), 6))
               .as("top_word_char_frac"),
-            col("tb.gram").as("top_bigram"),
-            round(col("tb.n") * (length(col("tb.gram")) - lit(1)) *
-                  lit(1.0) / greatest(col("n_word_chars"), lit(1)), 6)
+            when(col("n_words") >= 2, col("tb.gram")).as("top_bigram"),
+            when(col("n_words") >= 2,
+              round(col("tb.n") * (length(col("tb.gram")) - lit(1)) *
+                    lit(1.0) / greatest(col("n_word_chars"), lit(1)), 6))
               .as("top_bigram_char_frac"))
           .orderBy("doc_id")
       },
@@ -200,8 +227,8 @@ object DataQuality {
               |  round(b.top_bigram_n * (length(b.top_bigram) - 1) * 1.0 /
               |        greatest(s.n_word_chars, 1), 6) AS top_bigram_char_frac
               |FROM stats s
-              |JOIN wtop w ON s.doc_id = w.doc_id
-              |JOIN btop b ON s.doc_id = b.doc_id
+              |LEFT JOIN wtop w ON s.doc_id = w.doc_id
+              |LEFT JOIN btop b ON s.doc_id = b.doc_id
               |ORDER BY s.doc_id""".stripMargin)
     ),
 
@@ -323,13 +350,23 @@ object DataQuality {
           .select("g").distinct()
         val hits = newG.join(broadcast(matched), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-        newG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        // anchor on the FULL batch census: an ingest gate must decide
+        // for every arriving document, including ones too short to form
+        // a 5-gram (absent from newG) — those have containment 0 and
+        // pass. The census is batch-sized, so the left joins broadcast.
+        val census = table(s, d, "documents")
+          .filter(col("source") === "src19").select("doc_id")
+        census
+          .join(newG.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+                Seq("doc_id"), "left")
           .join(hits, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("n_hit"))
+          .na.fill(0L, Seq("n_grams", "n_hit"))
           .select(col("doc_id"), col("n_grams"), col("n_hit"),
-                  round(col("n_hit") * lit(1.0) / col("n_grams"), 6)
+                  round(col("n_hit") * lit(1.0) /
+                        greatest(col("n_grams"), lit(1L)), 6)
                     .as("containment"),
-                  (col("n_hit") * lit(1.0) / col("n_grams") < 0.5)
+                  (col("n_hit") * lit(1.0) /
+                   greatest(col("n_grams"), lit(1L)) < 0.5)
                     .cast("int").as("keep"))
           .orderBy("doc_id")
       },
@@ -345,11 +382,17 @@ object DataQuality {
               |per AS (
               |  SELECT doc_id, count(*) AS n_grams,
               |    CAST(count(*) FILTER (g IN (SELECT g FROM corp)) AS BIGINT) AS n_hit
-              |  FROM newg GROUP BY doc_id)
-              |SELECT doc_id, n_grams, n_hit,
-              |  round(n_hit * 1.0 / n_grams, 6) AS containment,
-              |  CAST(n_hit * 1.0 / n_grams < 0.5 AS INT) AS keep
-              |FROM per ORDER BY doc_id""".stripMargin)
+              |  FROM newg GROUP BY doc_id),
+              |census AS (SELECT doc_id FROM documents WHERE source = 'src19')
+              |SELECT c.doc_id,
+              |  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+              |  CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+              |  round(coalesce(p.n_hit, 0) * 1.0 /
+              |        greatest(coalesce(p.n_grams, 0), 1), 6) AS containment,
+              |  CAST(coalesce(p.n_hit, 0) * 1.0 /
+              |       greatest(coalesce(p.n_grams, 0), 1) < 0.5 AS INT) AS keep
+              |FROM census c LEFT JOIN per p USING (doc_id)
+              |ORDER BY c.doc_id""".stripMargin)
     ),
 
     // ---- log scrubbing / pseudonymization -----------------------------

@@ -336,9 +336,19 @@ object Similarity {
     * clusters (`list` column), and within each cluster a vector is
     * DROPPED iff a smaller-id vector of the same cluster sits within
     * cosine `tau` (min-id dominance — deterministic and algebraic,
-    * unlike the order-dependent sequential greedy scan; both keep one
-    * representative per near-dup neighborhood). Returns the dropped
-    * rows with their keeper and evidence.
+    * unlike the order-dependent sequential greedy scan). Returns the
+    * dropped rows with their minimum dominator and evidence.
+    *
+    * Semantics note: `keeper_id` is the MINIMUM DOMINATOR, not
+    * necessarily a survivor — under similarity chains (a~b, b~c, a≁c)
+    * both b and c are dropped and c's keeper_id is the (dropped) b.
+    * The surviving set is the COMPLEMENT of the returned vec_ids; with
+    * min-id dominance a dropped vector always has at least one
+    * dominator, but its nearest survivor may sit beyond `tau`. A
+    * consumer wanting greedy-equivalent "every drop has a survivor
+    * within tau" semantics must iterate dominators to fixpoint (or
+    * post-filter keeper_id to surviving ids); this operator trades that
+    * guarantee for a single deterministic pairwise pass.
     *
     * Scale shape: the pairwise stage is confined WITHIN clusters — the
     * self-join key is the cluster id, so cost is Σ|cluster|², not N²,
@@ -548,6 +558,32 @@ object Similarity {
              |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
              |  FROM e a JOIN e b ON b.vec_id < a.vec_id)
+             |SELECT vec_id, min(vid_b) AS keeper_id,
+             |  count(*) AS n_dominators, max(cos_sim) AS max_cos
+             |FROM pairs WHERE cos_sim >= 0.35
+             |GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+    ),
+    QueryDef(
+      "sem01y_semdedup_twocluster",
+      // second exactness anchor with TWO deterministic clusters (vec_id
+      // parity): pins the per-cluster independence of the dominance
+      // logic — an implementation bug joining pairs ACROSS lists would
+      // still pass the single-cluster sem01x anchor but diverges here,
+      // because the oracle only forms same-parity pairs. Same semDedup
+      // code path; only the assignment differs.
+      (s, d) => semDedup(
+        table(s, d, "embeddings").filter(col("vec_id") < 800)
+          .withColumn("list", (col("vec_id") % 2).cast("int")),
+        tau = 0.35),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 800),
+             |pairs AS (
+             |  SELECT a.vec_id, b.vec_id AS vid_b,
+             |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+             |  FROM e a JOIN e b
+             |    ON b.vec_id < a.vec_id AND (a.vec_id % 2) = (b.vec_id % 2))
              |SELECT vec_id, min(vid_b) AS keeper_id,
              |  count(*) AS n_dominators, max(cos_sim) AS max_cos
              |FROM pairs WHERE cos_sim >= 0.35

@@ -224,25 +224,33 @@ object TextAnalysis {
       // the fraction of all token OCCURRENCES covered by the K most
       // frequent terms (rank by count desc, term asc). One corpus-wide
       // term count (partially aggregated, vocabulary-sized after the
-      // combine), a rank window over the tiny term table, and a
-      // conditional roll-up — the corpus is scanned once; everything
-      // after the first aggregate is vocabulary-scale, not corpus-scale.
+      // combine); the top-40 slice is a TakeOrderedAndProject — never a
+      // vocabulary-wide window, so a 10^9-term web-corpus vocabulary is
+      // never sorted through one task. Rank WITHIN the 40-row slice is
+      // a broadcast self-join count ((n, term) pairs are unique after
+      // the groupBy, so the strict-order count is exactly row_number).
       (s, d) => {
         val terms = table(s, d, "documents")
           .select(explode(expr(
             "filter(split(lower(text), '\\\\s+'), w -> length(w) > 0)"))
             .as("term"))
           .groupBy("term").agg(count(lit(1)).as("n"))
-        val ranked = terms.withColumn("rk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc, col("term").asc)))
         val ks = Seq(5, 10, 20, 40)
-        val sums = ranked.agg(
-          sum("n").as("total_tokens"),
-          ks.map(k => sum(when(col("rk") <= k, col("n")).otherwise(lit(0L)))
-            .as(s"s$k")): _*)
-        sums.select(
-          col("total_tokens").cast("long").as("total_tokens") +:
+        val total = terms.agg(sum("n").cast("long").as("total_tokens"))
+        val top = terms
+          .orderBy(col("n").desc, col("term").asc).limit(ks.max)
+        val ranked = top.as("a")
+          .join(broadcast(top.as("b")),
+                col("b.n") > col("a.n") ||
+                (col("b.n") === col("a.n") && col("b.term") < col("a.term")),
+                "left")
+          .groupBy(col("a.term").as("term"), col("a.n").as("n"))
+          .agg((count(col("b.term")) + lit(1)).as("rk"))
+        val sumCols = ks.map(k =>
+          sum(when(col("rk") <= k, col("n")).otherwise(lit(0L))).as(s"s$k"))
+        val covs = ranked.agg(sumCols.head, sumCols.tail: _*)
+        total.crossJoin(broadcast(covs)).select(
+          col("total_tokens") +:
           ks.map(k => round(col(s"s$k") * lit(1.0) / col("total_tokens"), 6)
             .as(s"cov_top$k")): _*)
       },

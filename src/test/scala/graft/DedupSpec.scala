@@ -343,6 +343,22 @@ class DedupSpec extends SparkSpec {
     assert(clusterDrops.subsetOf(globalDrops))
   }
 
+  test("semDedup: near-dups split across clusters are never paired (cross-cluster leak pin)") {
+    import spark.implicits._
+    // two identical-vector pairs, each pair SPLIT across the two
+    // clusters: any implementation that joins pairs across lists would
+    // drop one of each; the correct per-cluster pass drops none
+    val v = Array(1.0f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f)
+    val df = Seq((0L, 0, v), (1L, 1, v), (2L, 0, w), (3L, 1, w))
+      .toDF("vec_id", "list", "embedding")
+    assert(Similarity.semDedup(df, tau = 0.9).count() == 0)
+    // the same data in ONE cluster produces exactly the two drops —
+    // proving the guard above is the cluster key, not the similarities
+    assert(Similarity.semDedup(df.withColumn("list", lit(0)), tau = 0.9)
+      .count() == 2)
+  }
+
   test("range search returns exactly the brute-force threshold set") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val got = Similarity.rangeSearch(emb, queryId = 0L, tau = 0.30)

@@ -137,6 +137,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tx10: no vocabulary-wide window — top-40 via TakeOrderedAndProject") {
+    val p = plan("tx10_vocab_coverage")
+    // the old shape ranked the WHOLE term table through one task via
+    // row_number over an unpartitioned window; at web-corpus scale that
+    // is a 10^8-row single-executor sort. The plan must carry no Window
+    // node at all and slice the top-40 with TakeOrderedAndProject.
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("tx08: corpus size broadcasts; tf/df aggregate partially map-side") {
     val p = plan("tx08_tfidf_top_terms")
     // the 1-row n_docs side must broadcast, never shuffle the tf frame
