@@ -48,6 +48,43 @@ object DataQuality {
       .select(col("doc_id"), explode(expr(gramsN)).as("g"))
   }
 
+  /** NEAR-dup ingest gate against a standing corpus GRAM table — the
+    * containment tier of the incremental gate (the exact-fingerprint
+    * tier is `EventStreams.ingestGate`). For every doc in `newDocs`
+    * (anchored on the full census, so docs too short to form a 5-gram
+    * still get a decision): the fraction of its distinct word 5-grams
+    * already present in `corpusGrams` (column `g`), and
+    * keep = containment < `threshold` (the Lee et al. near-dup cut).
+    * Backs the id01 registry entry, the two-batch incremental st11
+    * form, and the streaming `EventStreams.incrementalGramGate`.
+    *
+    * Scale shape: the batch gram set broadcasts onto the corpus gram
+    * scan; the corpus side flows map-only through one semi-join and is
+    * never re-shuffled — duplicate rows in `corpusGrams` are harmless
+    * (membership semantics), which is what lets the streaming form
+    * append accepted grams without ever re-deduplicating the store. */
+  def gramGate(newDocs: org.apache.spark.sql.DataFrame,
+               corpusGrams: org.apache.spark.sql.DataFrame,
+               threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val newG = gramKeys(newDocs).distinct()
+    val batchGramSet = newG.select("g").distinct()
+    val matched = corpusGrams.select("g")
+      .join(broadcast(batchGramSet), Seq("g"), "left_semi").distinct()
+    val hits = newG.join(broadcast(matched), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    newDocs.select("doc_id")
+      .join(newG.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+            Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+              round(col("n_hit") * lit(1.0) /
+                    greatest(col("n_grams"), lit(1L)), 6).as("containment"),
+              (col("n_hit") * lit(1.0) /
+               greatest(col("n_grams"), lit(1L)) < threshold)
+                .cast("int").as("keep"))
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- C4/Gopher-style heuristic quality filters --------------------
@@ -328,46 +365,13 @@ object DataQuality {
     // runs affordable at 100 TB.
     QueryDef(
       "id01_incremental_gate",
+      // the shared [[gramGate]] (census-anchored containment; batch
+      // gram set broadcasts onto the corpus scan, corpus never
+      // re-shuffled) applied to the src19 arriving batch vs the rest
       (s, d) => {
-        val grams5 =
-          """CASE WHEN size(words) >= 5 THEN
-            |  transform(sequence(0, size(words) - 5),
-            |            i -> md5(cast(concat_ws(' ', slice(words, i + 1, 5)) as binary)))
-            |ELSE cast(array() as array<string>) END""".stripMargin
-        val grams = table(s, d, "documents")
-          .select(col("doc_id"), col("source"), expr(wordsExpr).as("words"))
-          .select(col("doc_id"), col("source"),
-                  explode(expr(grams5)).as("g"))
-        val newG = grams.filter(col("source") === "src19")
-          .select("doc_id", "g").distinct()
-        // the batch gram set broadcasts ONTO the corpus scan: corpus
-        // grams flow map-only through a broadcast semi-join, and only
-        // the (tiny) matched subset is ever distinct'd and shuffled —
-        // the corpus-wide distinct the first cut paid is gone
-        val batchGramSet = newG.select("g").distinct()
-        val matched = grams.filter(col("source") =!= "src19")
-          .join(broadcast(batchGramSet), Seq("g"), "left_semi")
-          .select("g").distinct()
-        val hits = newG.join(broadcast(matched), Seq("g"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-        // anchor on the FULL batch census: an ingest gate must decide
-        // for every arriving document, including ones too short to form
-        // a 5-gram (absent from newG) — those have containment 0 and
-        // pass. The census is batch-sized, so the left joins broadcast.
-        val census = table(s, d, "documents")
-          .filter(col("source") === "src19").select("doc_id")
-        census
-          .join(newG.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
-                Seq("doc_id"), "left")
-          .join(hits, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("n_grams", "n_hit"))
-          .select(col("doc_id"), col("n_grams"), col("n_hit"),
-                  round(col("n_hit") * lit(1.0) /
-                        greatest(col("n_grams"), lit(1L)), 6)
-                    .as("containment"),
-                  (col("n_hit") * lit(1.0) /
-                   greatest(col("n_grams"), lit(1L)) < 0.5)
-                    .cast("int").as("keep"))
+        val docs = table(s, d, "documents")
+        gramGate(docs.filter(col("source") === "src19"),
+                 gramKeys(docs.filter(col("source") =!= "src19")))
           .orderBy("doc_id")
       },
       Some(s"""WITH words AS (

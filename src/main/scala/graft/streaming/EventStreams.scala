@@ -126,6 +126,58 @@ object EventStreams {
       .drop("__fp")
   }
 
+  /** Streaming INCREMENTAL near-dup gate (st11): per micro-batch, gate
+    * arriving docs against the persisted gram store with
+    * [[graft.analytics.DataQuality.gramGate]],
+    * then append the ACCEPTED docs' grams to the store — so a doc
+    * arriving in batch N+1 is gated against everything accepted through
+    * batch N, not just the original corpus. The streaming plan itself
+    * is STATELESS (no state store, no watermark): the growing state
+    * lives in the gram-store table, exactly where a 1000-executor
+    * pipeline wants it (bucketed/broadcastable, shared with the batch
+    * id01 path, survives restarts for free).
+    *
+    * Idempotence on batch replay: decisions are written
+    * `partitionBy(batch_id)` with dynamic partition overwrite (a
+    * replayed batch overwrites its own partition, never duplicates),
+    * and re-appending a replayed batch's grams cannot change any later
+    * decision because the store has membership semantics. */
+  def incrementalGramGate(stream: DataFrame, storeDir: String,
+                          outDir: String, checkpointDir: String,
+                          threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store =
+          try spark.read.parquet(storeDir)
+          catch { case _: Exception => // first batch: store not created yet
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  "g", org.apache.spark.sql.types.StringType))))
+          }
+        val decisions =
+          graft.analytics.DataQuality.gramGate(batch, store, threshold)
+          .withColumn("batch_id", lit(batchId))
+        decisions.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        // read the decisions BACK from the sink (already materialized —
+        // avoids recomputing the gate plan) to select accepted grams
+        val accepted = spark.read.parquet(outDir)
+          .filter(col("batch_id") === batchId && col("keep") === 1)
+          .select("doc_id")
+        graft.analytics.DataQuality.gramKeys(batch)
+          .join(accepted, Seq("doc_id"), "left_semi")
+          .select("g")
+          .write.mode("append").parquet(storeDir)
+      }
+      .start()
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

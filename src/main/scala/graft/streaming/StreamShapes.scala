@@ -322,6 +322,93 @@ object StreamShapes {
              |WHERE n.source = 'src19' AND NOT EXISTS (
              |  SELECT 1 FROM fp c WHERE c.source <> 'src19' AND c.f = n.f)
              |ORDER BY n.doc_id""".stripMargin)
+    ),
+
+    // streaming incremental NEAR-dup gate in batch form: the arriving
+    // src19 docs processed as TWO micro-batches (doc_id parity), each
+    // gram-containment-gated against the standing corpus PLUS everything
+    // accepted in earlier batches — st10's exact tier upgraded to id01's
+    // containment semantics, with the cross-batch store-growth that
+    // makes it incremental. The streaming form is the SAME gramGate plan
+    // per micro-batch via foreachBatch (stateless: the growing state is
+    // the gram-store table, not a streaming state store); a MemoryStream
+    // test pins a near-dup (not exact-dup) arrival being gated by a doc
+    // accepted one batch earlier.
+    QueryDef(
+      "st11_incremental_gram_gate",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val corpus = graft.analytics.DataQuality.gramKeys(
+          docs.filter(col("source") =!= "src19")).select("g")
+        val b1 = docs.filter((col("source") === "src19") &&
+                             (col("doc_id") % 2 === 0))
+        val b2 = docs.filter((col("source") === "src19") &&
+                             (col("doc_id") % 2 === 1))
+        val g1 = graft.analytics.DataQuality.gramGate(b1, corpus)
+        val acc1Grams = graft.analytics.DataQuality.gramKeys(b1)
+          .join(g1.filter(col("keep") === 1).select("doc_id"),
+                Seq("doc_id"), "left_semi")
+          .select("g")
+        val g2 = graft.analytics.DataQuality.gramGate(
+          b2, corpus.union(acc1Grams))
+        g1.withColumn("batch", lit(1))
+          .unionByName(g2.withColumn("batch", lit(2)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, source,
+             |    list_filter(string_split_regex(text, '\s+'),
+             |                w -> length(w) > 0) AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+             |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+             |  FROM words),
+             |corp AS (SELECT DISTINCT g FROM grams WHERE source <> 'src19'),
+             |b1g AS (SELECT DISTINCT doc_id, g FROM grams
+             |        WHERE source = 'src19' AND doc_id % 2 = 0),
+             |b1c AS (SELECT doc_id FROM documents
+             |        WHERE source = 'src19' AND doc_id % 2 = 0),
+             |p1 AS (
+             |  SELECT doc_id, count(*) AS n_grams,
+             |    CAST(count(*) FILTER (g IN (SELECT g FROM corp)) AS BIGINT) AS n_hit
+             |  FROM b1g GROUP BY doc_id),
+             |g1 AS (
+             |  SELECT c.doc_id,
+             |    CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+             |    CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+             |    round(coalesce(p.n_hit, 0) * 1.0 /
+             |          greatest(coalesce(p.n_grams, 0), 1), 6) AS containment,
+             |    CAST(coalesce(p.n_hit, 0) * 1.0 /
+             |         greatest(coalesce(p.n_grams, 0), 1) < 0.5 AS INT) AS keep
+             |  FROM b1c c LEFT JOIN p1 p USING (doc_id)),
+             |corp2 AS (
+             |  SELECT g FROM corp
+             |  UNION
+             |  SELECT g FROM b1g
+             |  WHERE doc_id IN (SELECT doc_id FROM g1 WHERE keep = 1)),
+             |b2g AS (SELECT DISTINCT doc_id, g FROM grams
+             |        WHERE source = 'src19' AND doc_id % 2 = 1),
+             |b2c AS (SELECT doc_id FROM documents
+             |        WHERE source = 'src19' AND doc_id % 2 = 1),
+             |p2 AS (
+             |  SELECT doc_id, count(*) AS n_grams,
+             |    CAST(count(*) FILTER (g IN (SELECT g FROM corp2)) AS BIGINT) AS n_hit
+             |  FROM b2g GROUP BY doc_id),
+             |g2 AS (
+             |  SELECT c.doc_id,
+             |    CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+             |    CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+             |    round(coalesce(p.n_hit, 0) * 1.0 /
+             |          greatest(coalesce(p.n_grams, 0), 1), 6) AS containment,
+             |    CAST(coalesce(p.n_hit, 0) * 1.0 /
+             |         greatest(coalesce(p.n_grams, 0), 1) < 0.5 AS INT) AS keep
+             |  FROM b2c c LEFT JOIN p2 p USING (doc_id))
+             |SELECT 1 AS batch, * FROM g1
+             |UNION ALL
+             |SELECT 2 AS batch, * FROM g2
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -400,4 +400,43 @@ class StreamingSpec extends SparkSpec {
              q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("incremental gram gate: near-dup arrival gated by a doc accepted one batch earlier") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st11_").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.incrementalGramGate(
+      stream, s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // batch 0: a novel 7-word doc (3 distinct 5-grams) and a doc too
+      // short to form any 5-gram — the gate must decide for BOTH
+      mem.addData((1L, "alpha beta gamma delta epsilon zeta eta"),
+                  (2L, "tiny doc"))
+      q.processAllAvailable()
+      // batch 1: doc 3 is a NEAR-dup of doc 1 (shares 2 of its 3
+      // 5-grams — not an exact duplicate, so st10's fingerprint tier
+      // would pass it) and must be rejected against the store grown in
+      // batch 0; doc 4 is novel
+      mem.addData((3L, "alpha beta gamma delta epsilon zeta theta"),
+                  (4L, "one two three four five six seven"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("doc_id", "n_grams", "n_hit", "keep").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(out(1L) == ((3L, 0L, 1)), s"novel doc must pass: $out")
+      assert(out(2L) == ((0L, 0L, 1)), s"gram-less doc must get keep=1: $out")
+      assert(out(3L) == ((3L, 2L, 0)),
+             s"near-dup (containment 2/3) must be rejected: $out")
+      assert(out(4L) == ((3L, 0L, 1)), s"novel doc in batch 1 must pass: $out")
+      // stateless plan: the growing state is the gram-store TABLE, not
+      // a streaming state store
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+      // rejected docs contribute nothing to the store: 3 grams from
+      // doc 1 + 3 from doc 4, none from the rejected doc 3
+      assert(spark.read.parquet(s"$tmp/store").distinct().count() == 6)
+    } finally q.stop()
+  }
 }
