@@ -10,11 +10,14 @@ import graft.queries.QueryDef
   * the engine as opaque `binary` columns with typed metadata alongside.
   *
   * The Spark-side machinery — schema, partition-friendly projections,
-  * batch-shaped feature extraction — is real and tested; the actual
-  * codec step (JPEG decode, audio resample, video frame extract) is
-  * STUBBED behind [[Multimodal.stubDecode]] because no media libraries
-  * ship in this environment. In production that one expression is
-  * replaced by an `mapInPandas`/`mapInArrow`-style batch UDF (or a JNI
+  * batch-shaped feature extraction — is real and tested. The IMAGE path
+  * runs a real codec: [[Multimodal.pngMedia]]/[[Multimodal.decodePngStats]]
+  * encode and decode genuine PNGs with the JDK's `javax.imageio`
+  * (hash-checked end to end by mm04). The audio/video codec steps
+  * (resample, frame extract) remain STUBBED behind
+  * [[Multimodal.stubDecode]] because no media libraries beyond the JDK
+  * ship in this environment; in production that one expression is
+  * replaced by a `mapInPandas`/`mapInArrow`-style batch UDF (or a JNI
   * codec) with the exact same column contract, so every surrounding plan
   * survives unchanged.
   */
@@ -86,6 +89,75 @@ object Multimodal {
         }
       }
       .toDF("media_id", "n_frames", "first_frame_byte")
+  }
+
+  /** Side length of the deterministic PNGs in [[pngMedia]]. */
+  val PngSide = 8
+
+  /** REAL image payloads: each doc_id becomes an 8×8 grayscale PNG,
+    * encoded with `javax.imageio` (JDK built-in — no external media
+    * dependency). Pixel (x, y) in row-major index i carries value
+    * `(media_id * 31 + i) mod 256`, so an oracle engine can replay
+    * every downstream pixel statistic in closed form WITHOUT a PNG
+    * codec — while the Spark path goes through a genuine encode.
+    * Batch-shaped (`mapPartitions`) like every codec in this module. */
+  def pngMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < PngSide * PngSide) {
+          raster.setSample(i % PngSide, i / PngSide, 0,
+            ((id * 31 + i) % 256).toInt)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** REAL decode (not the stub): `javax.imageio` parses the PNG payload
+    * back into pixels and emits per-image statistics. This is
+    * [[decodeBatched]]'s contract with an actual codec in the body —
+    * per-partition batching amortizes codec setup, rows never hold
+    * decoded rasters longer than one map step, and only small stats
+    * leave the operator. A wrong decode (or a wrong encode in
+    * [[pngMedia]]) breaks the closed-form oracle, so the mm04 entry
+    * hash-checks the whole round trip. */
+  def decodePngStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L; var mn = 255; var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, w.toLong * h, sum, mn, mx)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_pixels", "sum_px",
+            "min_px", "max_px")
   }
 
   /** Build a media table from `documents` by treating each text as an
@@ -192,6 +264,34 @@ object Multimodal {
              |  CAST(length(substring(payload_hex, frame_idx * 128 + 1, 128)) / 2
              |       AS BIGINT) AS n_frame_bytes
              |FROM f ORDER BY media_id, frame_idx""".stripMargin)
+    ),
+    // REAL codec round trip: encode a deterministic 8×8 grayscale PNG
+    // per doc with javax.imageio, decode it back, and emit pixel stats.
+    // The oracle never touches a PNG — pixel i is (media_id*31+i)%256
+    // by construction, so DuckDB replays the stats in closed form; any
+    // defect in the encode OR decode path breaks the hash. This retires
+    // the module's image-decode stub (mm02's md5 stub remains as the
+    // codec-free contract the audio/video kinds still use).
+    QueryDef(
+      "mm04_png_decode",
+      (s, d) =>
+        decodePngStats(pngMedia(table(s, d, "documents")))
+          .select(col("media_id"), col("width"), col("height"),
+                  col("n_pixels"),
+                  round(col("sum_px") * lit(1.0) / col("n_pixels"), 6)
+                    .as("mean_px"),
+                  col("min_px"), col("max_px"))
+          .orderBy("media_id"),
+      Some("""WITH px AS (
+             |  SELECT doc_id AS media_id,
+             |    list_transform(range(64), i -> (doc_id * 31 + i) % 256) AS p
+             |  FROM documents)
+             |SELECT media_id, 8 AS width, 8 AS height,
+             |  CAST(64 AS BIGINT) AS n_pixels,
+             |  round(list_sum(p) / 64.0, 6) AS mean_px,
+             |  CAST(list_min(p) AS INT) AS min_px,
+             |  CAST(list_max(p) AS INT) AS max_px
+             |FROM px ORDER BY media_id""".stripMargin)
     )
   )
 }
