@@ -36,6 +36,18 @@ object DataMix {
   val LangTargets: Seq[(String, Double)] =
     Seq("en" -> 0.4, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
 
+  /** α = 1/2 temperature keep-rates from a (lang, n_docs) count frame:
+    * rate_l = √(n_min / n_l) — 1 for the smallest language, flattening
+    * the head. Shared by dm03 (one-shot), dm05 (per-batch running
+    * counts), and the streaming `EventStreams.temperatureMixture`.
+    * The count frame is language-cardinality-sized, so the cross join
+    * of the 1-row min broadcasts. */
+  def temperatureRates(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    counts.crossJoin(broadcast(counts.agg(min("n_docs").as("n_min"))))
+      .select(col("lang"), col("n_docs"),
+              sqrt(col("n_min") / col("n_docs")).as("rate"))
+
   /** Tokens per packed training sequence for dm02. */
   val PackBudget = 512
 
@@ -158,10 +170,7 @@ object DataMix {
         val docs = table(s, d, "documents")
         val counts = docs.groupBy("lang")
           .agg(count(lit(1)).cast("double").as("n_docs"))
-        val minCount = counts.agg(min("n_docs").as("n_min"))
-        val rates = counts.crossJoin(broadcast(minCount))
-          .select(col("lang"), col("n_docs"),
-                  sqrt(col("n_min") / col("n_docs")).as("rate"))
+        val rates = temperatureRates(counts)
         docs.join(broadcast(rates), Seq("lang"))
           .filter(hashFraction(col("doc_id")) < col("rate"))
           .groupBy("lang")
@@ -226,6 +235,78 @@ object DataMix {
              |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
              |       AS INT) AS pos
              |FROM sharded ORDER BY doc_id""".stripMargin)
+    ),
+
+    // STREAMING temperature mixture in batch form: the corpus processed
+    // as two micro-batches (doc_id parity); each batch's keep-rates are
+    // refreshed from the RUNNING language counts through that batch
+    // (update counts, then gate), so the mixture self-corrects as the
+    // observed language distribution drifts — dm03's one-shot rates
+    // generalized to a feed. After batch 2 the running counts equal the
+    // full-corpus counts, which the oracle exploits. The streaming form
+    // is the same per-batch plan via foreachBatch with the counts in a
+    // tiny per-batch-delta store (EventStreams.temperatureMixture); a
+    // MemoryStream test pins the rate refresh across batches.
+    QueryDef(
+      "dm05_streaming_temperature",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+        def census(batch: org.apache.spark.sql.DataFrame,
+                   rates: org.apache.spark.sql.DataFrame) =
+          batch.join(broadcast(rates), Seq("lang"))
+            .filter(hashFraction(col("doc_id")) < col("rate"))
+            .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        def out(batchNo: Int, rates: org.apache.spark.sql.DataFrame,
+                sampled: org.apache.spark.sql.DataFrame) =
+          rates.join(sampled, Seq("lang"), "left")
+            .select(lit(batchNo).as("batch"), col("lang"),
+                    col("n_docs").cast("long").as("n_running"),
+                    round(col("rate"), 6).as("rate"),
+                    coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        val c1 = b1.groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
+        val r1 = temperatureRates(c1)
+        // running counts through batch 2 = the whole corpus
+        val cAll = docs.groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
+        val r2 = temperatureRates(cAll)
+        out(1, r1, census(b1, r1))
+          .unionByName(out(2, r2, census(b2, r2)))
+          .orderBy("batch", "lang")
+      },
+      Some(s"""WITH b1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              |b2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+              |c1 AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM b1 GROUP BY lang),
+              |r1 AS (SELECT lang, n,
+              |         sqrt((SELECT min(n) FROM c1) / n) AS rate FROM c1),
+              |s1 AS (
+              |  SELECT d.lang, COUNT(*) AS n_sampled
+              |  FROM b1 d JOIN r1 r ON d.lang = r.lang
+              |  WHERE ${hashFractionSql("d.doc_id")} < r.rate
+              |  GROUP BY d.lang),
+              |o1 AS (
+              |  SELECT 1 AS batch, r.lang, CAST(r.n AS BIGINT) AS n_running,
+              |    round(r.rate, 6) AS rate,
+              |    CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+              |  FROM r1 r LEFT JOIN s1 s ON r.lang = s.lang),
+              |c2 AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+              |       FROM documents GROUP BY lang),
+              |r2 AS (SELECT lang, n,
+              |         sqrt((SELECT min(n) FROM c2) / n) AS rate FROM c2),
+              |s2 AS (
+              |  SELECT d.lang, COUNT(*) AS n_sampled
+              |  FROM b2 d JOIN r2 r ON d.lang = r.lang
+              |  WHERE ${hashFractionSql("d.doc_id")} < r.rate
+              |  GROUP BY d.lang),
+              |o2 AS (
+              |  SELECT 2 AS batch, r.lang, CAST(r.n AS BIGINT) AS n_running,
+              |    round(r.rate, 6) AS rate,
+              |    CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+              |  FROM r2 r LEFT JOIN s2 s ON r.lang = s.lang)
+              |SELECT * FROM o1 UNION ALL SELECT * FROM o2
+              |ORDER BY batch, lang""".stripMargin)
     )
   )
 }

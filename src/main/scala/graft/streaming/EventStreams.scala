@@ -178,6 +178,49 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING temperature mixture (dm05): per micro-batch, refresh the
+    * α = 1/2 keep-rates from the RUNNING language counts (update counts
+    * with the batch, then gate the batch), so the mixture self-corrects
+    * as the observed language distribution drifts. Architecture mirrors
+    * [[incrementalGramGate]]: the streaming plan is stateless, the
+    * running state is a tiny per-batch-delta parquet table
+    * (`countsDir`, one partition per batch_id, dynamic overwrite →
+    * replay-idempotent), and each batch writes its per-language census
+    * (n_running, rate, n_sampled) to `outDir` the same way. The counts
+    * table is language-cardinality-sized — reading and re-aggregating
+    * it per batch is O(languages × batches), trivial at any corpus
+    * scale. */
+  def temperatureMixture(stream: DataFrame, countsDir: String,
+                         outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(countsDir)
+        val running = spark.read.parquet(countsDir)
+          .groupBy("lang").agg(sum("n_batch").cast("double").as("n_docs"))
+        val rates = graft.analytics.DataMix.temperatureRates(running)
+        val sampled = batch.join(broadcast(rates), Seq("lang"))
+          .filter(graft.analytics.DataMix.hashFraction(col("doc_id"))
+                    < col("rate"))
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        rates.join(sampled, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs").cast("long").as("n_running"),
+                  round(col("rate"), 6).as("rate"),
+                  coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+                  lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

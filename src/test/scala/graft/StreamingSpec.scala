@@ -439,4 +439,47 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$tmp/store").distinct().count() == 6)
     } finally q.stop()
   }
+
+  test("streaming temperature mixture refreshes keep-rates from running counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.DataMix
+    val tmp = java.nio.file.Files.createTempDirectory("dm05_").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "lang")
+    val q = EventStreams.temperatureMixture(
+      stream, s"$tmp/counts", s"$tmp/out", s"$tmp/ckpt")
+    def fracs(ids: Seq[Long]): Seq[Double] =
+      ids.toDF("doc_id").select(DataMix.hashFraction(col("doc_id")).as("f"))
+        .as[Double].collect().toSeq
+    try {
+      // batch 0: en dominant (4), fr rare (1) → rate_en = √(1/4) = 0.5,
+      // rate_fr = 1
+      mem.addData((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"), (5L, "fr"))
+      q.processAllAvailable()
+      // batch 1: a wave of fr — running counts become en 5, fr 4, so
+      // rate_en must REFRESH to √(4/5), not stay at batch-0's 0.5
+      mem.addData((6L, "fr"), (7L, "fr"), (8L, "fr"), (9L, "en"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+        .select(col("batch_id").cast("long"), col("lang"),
+                col("n_running"), col("rate"), col("n_sampled"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+      // batch 0: rates from its own counts; the rate-1 language keeps all
+      val expEn0 = fracs(Seq(1L, 2L, 3L, 4L)).count(_ < 0.5).toLong
+      assert(out((0L, "en")) == ((4L, 0.5, expEn0)), s"$out")
+      assert(out((0L, "fr")) == ((1L, 1.0, 1L)), s"$out")
+      // batch 1: rates refreshed from RUNNING counts (en 5, fr 4)
+      val rateEn1 = math.sqrt(4.0 / 5)
+      val expEn1 = fracs(Seq(9L)).count(_ < rateEn1).toLong
+      val (nEn1, rEn1, sEn1) = out((1L, "en"))
+      assert(nEn1 == 5L && math.abs(rEn1 - rateEn1) < 1e-6 && sEn1 == expEn1,
+             s"$out")
+      assert(out((1L, "fr")) == ((4L, 1.0, 3L)), s"$out") // all 3 fr kept
+      // stateless plan: running counts live in the delta table
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
