@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.analytics.DataQuality
+
+/** Adversarial property tests for the curation gates (dq02, dq03, and
+  * the gram gate behind dc01/id01/st11): pathological whitespace,
+  * unicode, empty/1-word docs, and all-duplicate docs — the inputs a
+  * real crawl contains and the clean synthetic fixture doesn't. These
+  * pin the `greatest(n, 1)` guards and empty-gram branches the oracle
+  * run can't reach (the fixture has no degenerate docs).
+  *
+  * The registry entries are exercised through their REAL plans: docs
+  * are written to a temp dir shaped like the driver fixture and run via
+  * `SparkEntry.queries`, so a regression in the shipped QueryDef (not
+  * just a helper) fails here. Plain-ScalaCheck sampling with fixed
+  * seeds (same discipline as EtlPropertySpec). */
+class CurationPropertySpec extends SparkSpec {
+
+  private def forAllSampled[A](g: Gen[A], n: Int = 3)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(1234L + i))
+        .getOrElse(fail(s"generator failed at sample $i")))
+    }
+
+  // whitespace the tokenizer must split on (space/tab/newline/CR) plus
+  // U+00A0 NBSP, which \s matches in NEITHER Java regex NOR DuckDB RE2
+  // — it glues tokens into one "word" identically in both engines
+  private val wsGen: Gen[String] =
+    Gen.oneOf(" ", "  ", "\t", "\n", "\r\n", " \t ", " ")
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf("the", "café", "日本語", "x", "a-b.c", "{brace}", "Lorem",
+              "ipsum", "🚀", "word1", "ALLCAPS", "ßharp")
+
+  /** A document assembled from adversarial words and separators. */
+  private val docGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 12)
+    words <- Gen.listOfN(n, wordGen)
+    seps <- Gen.listOfN(n + 1, wsGen)
+  } yield seps.zipAll(words, "", "").map { case (s, w) => s + w }.mkString
+
+  /** Deterministic edge docs present in EVERY sample, whatever the
+    * generator draws: empty, whitespace-only, 1-word, all-duplicate,
+    * a tie for the most frequent word, and a unicode-only doc. */
+  private val edgeDocs = Seq(
+    ""                              -> "empty",
+    " \t\n "                        -> "whitespace-only",
+    "solo"                          -> "one word",
+    Seq.fill(30)("dup").mkString(" ") -> "all-duplicate",
+    "b a b a"                       -> "tied mode",
+    "日本語 🚀 café"                 -> "unicode words")
+
+  private def writeDocs(texts: Seq[String]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("curation_").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("src"), col("doc_id") % 20))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def tokens(t: String): Seq[String] =
+    t.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("dq02: every adversarial doc gets a row; guards hold on degenerate inputs") {
+    forAllSampled(Gen.listOfN(20, docGen)) { generated =>
+      val texts = edgeDocs.map(_._1) ++ generated
+      val dir = writeDocs(texts)
+      val rows = SparkEntry.queries("dq02_quality_filters")(spark, dir)
+        .collect()
+      // census: one decision per doc, no drops, no duplicates
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+             texts.indices.map(_.toLong))
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val t = texts(id.toInt)
+        val nWords = r.getAs[Int]("n_words")
+        assert(nWords == tokens(t).size, s"doc $id [$t]")
+        val dup = r.getAs[Double]("dup_word_frac")
+        assert(dup >= 0.0 && dup <= 1.0, s"doc $id dup=$dup")
+        assert(r.getAs[Double]("mean_word_len") >= 0.0)
+        Seq("f_word_count", "f_mean_word_len", "f_stopword", "f_no_brace",
+            "f_no_lorem", "f_low_repetition").foreach { f =>
+          assert(Set(0, 1)(r.getAs[Int](f)), s"doc $id flag $f")
+        }
+        // the keep gate is exactly the conjunction of its flags
+        val prod = Seq("f_word_count", "f_mean_word_len", "f_stopword",
+                       "f_no_brace", "f_no_lorem", "f_low_repetition")
+          .map(r.getAs[Int](_)).product
+        assert(r.getAs[Int]("keep") == prod, s"doc $id")
+        if (nWords == 0) {
+          // greatest(n,1) guards: zero words divides by 1, not 0
+          assert(r.getAs[Double]("mean_word_len") == 0.0, s"doc $id")
+          assert(dup == 0.0 && r.getAs[Int]("f_word_count") == 0 &&
+                 r.getAs[Int]("keep") == 0, s"doc $id")
+        }
+      }
+      // the all-duplicate edge doc trips the repetition gate
+      // (29/30 rounded to 6 places — the entry rounds in-plan)
+      val dupRow = rows(3)
+      assert(dupRow.getAs[Double]("dup_word_frac") == 0.966667 &&
+             dupRow.getAs[Int]("f_low_repetition") == 0)
+    }
+  }
+
+  test("dq03: degenerate docs keep their row with NULL modes; ties break lexicographically") {
+    forAllSampled(Gen.listOfN(20, docGen)) { generated =>
+      val texts = edgeDocs.map(_._1) ++ generated
+      val dir = writeDocs(texts)
+      val rows = SparkEntry.queries("dq03_repetition_stats")(spark, dir)
+        .collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+             texts.indices.map(_.toLong))
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val t = texts(id.toInt)
+        val ws = tokens(t)
+        if (ws.isEmpty) {
+          assert(r.isNullAt(r.fieldIndex("top_word")) &&
+                 r.isNullAt(r.fieldIndex("top_word_char_frac")), s"doc $id")
+        } else {
+          // the mode is the lexicographically SMALLEST most-frequent word
+          val counts = ws.groupBy(identity).view.mapValues(_.size)
+          val best = counts.toSeq.map { case (w, n) => (-n, w) }.min._2
+          assert(r.getAs[String]("top_word") == best, s"doc $id [$t]")
+        }
+        if (ws.size < 2)
+          assert(r.isNullAt(r.fieldIndex("top_bigram")), s"doc $id")
+        else assert(!r.isNullAt(r.fieldIndex("top_bigram")), s"doc $id")
+      }
+      // all-duplicate doc: the single word covers ALL non-ws characters
+      assert(rows(3).getAs[String]("top_word") == "dup" &&
+             rows(3).getAs[Double]("top_word_char_frac") == 1.0)
+      // tied mode "b a b a": both have count 2 → "a" wins
+      assert(rows(4).getAs[String]("top_word") == "a")
+    }
+  }
+
+  test("gramGate: adversarial batches always get a decision; containment is sound") {
+    import spark.implicits._
+    forAllSampled(Gen.listOfN(12, docGen)) { generated =>
+      val corpusTexts = Seq(
+        "alpha beta gamma delta epsilon zeta",
+        Seq.fill(30)("dup").mkString(" ")) ++ generated.take(6)
+      val batchTexts = Seq(
+        "",                                       // no grams → keep
+        "four words only here",                   // < 5 words → keep
+        "alpha beta gamma delta epsilon zeta",    // exact corpus dup → drop
+        Seq.fill(30)("dup").mkString(" "),        // all-dup corpus dup → drop
+        "totally novel content never seen anywhere before") ++
+        generated.drop(6)
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = DataQuality.gramGate(batch, DataQuality.gramKeys(corpus))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // census: every batch doc decided exactly once
+      assert(out.keySet == batchTexts.indices.map(_.toLong).toSet)
+      out.values.foreach { r =>
+        val (n, h) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))
+        val c = r.getAs[Double]("containment")
+        assert(h >= 0 && h <= n, s"row $r")
+        assert(c >= 0.0 && c <= 1.0, s"row $r")
+        assert(r.getAs[Int]("keep") == (if (c < 0.5) 1 else 0), s"row $r")
+        if (n == 0) assert(c == 0.0 && r.getAs[Int]("keep") == 1, s"row $r")
+      }
+      // gram-less docs pass; exact corpus duplicates are fully contained
+      assert(out(0L).getAs[Long]("n_grams") == 0L &&
+             out(0L).getAs[Int]("keep") == 1)
+      assert(out(1L).getAs[Long]("n_grams") == 0L &&
+             out(1L).getAs[Int]("keep") == 1)
+      assert(out(2L).getAs[Double]("containment") == 1.0 &&
+             out(2L).getAs[Int]("keep") == 0)
+      // 30×"dup" has ONE distinct 5-gram, already in the corpus
+      assert(out(3L).getAs[Long]("n_grams") == 1L &&
+             out(3L).getAs[Double]("containment") == 1.0)
+      assert(out(4L).getAs[Int]("keep") == 1)
+    }
+  }
+}
