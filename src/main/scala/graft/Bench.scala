@@ -36,6 +36,11 @@ object Bench {
     // timings measure the ADC scan + re-rank, not codebook training
     try graft.analytics.Similarity.pqCodebooksFor(spark, sfDir)
     catch { case _: Throwable => () }
+    // sem01's corpus-scaled index (k ∝ N) is offline by the same
+    // contract; at verify-fixture sizes this is the same index as above
+    try graft.analytics.IvfIndex.ensure(spark, sfDir,
+      graft.analytics.Similarity.semLists(spark, sfDir))
+    catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The

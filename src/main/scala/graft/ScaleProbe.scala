@@ -32,8 +32,20 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = if (args.length > 3) args.drop(3).toSet else Set.empty[String]
-    def enabled(n: String) = names.isEmpty || names.contains(n)
+    val rawNames = if (args.length > 3) args.drop(3).toSet else Set.empty[String]
+    // stageonly: materialize every table group and run NO probes — used
+    // to build a complete N× directory for a full-registry Bench run.
+    // distinctsalt: salt every WORD with the replica id instead of
+    // appending one suffix token, and re-draw replica embeddings as
+    // deterministic hash noise — replicas share no shingles and no
+    // near-dup vectors, so the staged corpus models REALISTIC growth
+    // (N× data at a constant dup rate) rather than the dup-stress shape
+    // the near-dup salt deliberately creates for the dd02/dd03 probes.
+    val stageOnly = rawNames.contains("stageonly")
+    val distinctSalt = rawNames.contains("distinctsalt")
+    val names = rawNames - "stageonly" - "distinctsalt"
+    def enabled(n: String) =
+      !stageOnly && (names.isEmpty || names.contains(n))
 
     // multi-column replication with EXPLICIT per-column strides: a FK
     // column must shift by its referenced DIMENSION's stride (max key
@@ -54,11 +66,19 @@ object ScaleProbe {
           .cast(df.schema(c).dataType))
       }
       salt.fold(rep.drop("__k")) { textCol =>
-        // distinct replica suffix: near-dup of the original, so fuzzy
-        // dedup has real work (realistic crawl-duplication shape)
-        rep.withColumn(textCol,
-            concat(col(textCol), lit(" replica"), col("__k")))
-          .drop("__k")
+        if (distinctSalt)
+          // every word carries the replica id → replicas share zero
+          // shingles (vocabulary grows N×, constant dup rate)
+          rep.withColumn(textCol,
+              regexp_replace(col(textCol), lit("(\\S+)"),
+                             concat(lit("$1r"), col("__k"))))
+            .drop("__k")
+        else
+          // distinct replica suffix: near-dup of the original, so fuzzy
+          // dedup has real work (dup-stress crawl shape)
+          rep.withColumn(textCol,
+              concat(col(textCol), lit(" replica"), col("__k")))
+            .drop("__k")
       }
     }
     // single-key convenience: stride from the column's own max (correct
@@ -77,21 +97,40 @@ object ScaleProbe {
 
     // inputs are replicated lazily, per enabled probe group — a
     // relational-only run shouldn't pay for a 10x documents copy
-    val wantsDocs = Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
-                        "dc01", "bp01", "id01", "dm04", "cp01").exists(enabled)
-    val wantsEmb = Seq("ivf", "ss04", "ss05", "ss06", "sem01").exists(enabled)
-    val wantsEvents = Seq("aj01", "st03", "st08").exists(enabled)
-    val wantsRel = Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
+    val wantsDocs = stageOnly ||
+      Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
+          "dc01", "bp01", "id01", "dm04", "cp01").exists(enabled)
+    val wantsEmb = stageOnly ||
+      Seq("ivf", "ss04", "ss05", "ss06", "sem01").exists(enabled)
+    val wantsEvents = stageOnly || Seq("aj01", "st03", "st08").exists(enabled)
+    val wantsRel = stageOnly ||
+      Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
       .exists(enabled)
 
     if (wantsDocs)
       stage("documents", replicate1(
         spark.read.parquet(s"$baseDir/documents.parquet"),
         Seq("doc_id"), Some("text")))
-    if (wantsEmb || wantsDocs)
-      stage("embeddings", replicate1(
-        spark.read.parquet(s"$baseDir/embeddings.parquet"),
-        Seq("vec_id"), None))
+    if (wantsEmb || wantsDocs) {
+      val emb0 = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val embRep = replicate1(emb0, Seq("vec_id"), None)
+      val emb =
+        if (!distinctSalt) embRep
+        else {
+          // replicas (vec_id >= original stride) re-drawn as
+          // deterministic hash noise: ~orthogonal new points in 64-dim,
+          // not N exact copies of every original — constant near-dup
+          // rate as the corpus grows
+          val stride = maxPlus1(emb0, "vec_id")
+          embRep.withColumn("embedding", expr(
+            s"""CASE WHEN vec_id < ${stride}L THEN embedding
+               |ELSE transform(embedding, (x, i) -> CAST(
+               |  (pmod(xxhash64(concat(cast(vec_id AS string), ':',
+               |                        cast(i AS string))), 2001) - 1000)
+               |  / 1000.0 AS FLOAT)) END""".stripMargin))
+        }
+      stage("embeddings", emb)
+    }
     if (wantsEvents) {
       // events scale by adding USERS (ids offset per replica), keeping
       // per-user event density constant — the realistic growth axis for

@@ -355,6 +355,23 @@ object Similarity {
     * and the cluster count grows with the corpus (k ∝ N / target
     * cluster size) exactly as the IVF index it reuses. No global stage
     * anywhere: one equi-join + one per-vector aggregate. */
+  /** Vectors per cluster targeted by [[semLists]]. */
+  val SemTargetPerList = 256
+
+  /** Cluster count for [[semDedup]] honoring its k ∝ N contract: one
+    * list per ~[[SemTargetPerList]] vectors, never below the serving
+    * default. At the driver's verify fixtures (≤ 4k vectors) this
+    * equals `DefaultLists`, so small-SF results are unchanged; at
+    * larger corpora the per-cluster pairwise cost Σ|cluster|² stays
+    * linear in N instead of blowing up N²/k at a frozen k (the failure
+    * mode the round-4 probe measured at 42.7 s for 10× data). The
+    * count() is parquet-metadata-only. */
+  def semLists(spark: org.apache.spark.sql.SparkSession, sfDir: String): Int = {
+    val n = table(spark, sfDir, "embeddings").count()
+    math.max(IvfIndex.DefaultLists,
+             math.ceil(n.toDouble / SemTargetPerList).toInt)
+  }
+
   def semDedup(assignments: DataFrame, tau: Double): DataFrame = {
     val spark = assignments.sparkSession
     val a = assignments.select(col("list"), col("vec_id"), col("embedding"))
@@ -530,12 +547,16 @@ object Similarity {
     QueryDef(
       "sem01_semdedup",
       // production configuration: clusters are the persisted IVF lists
-      // (offline, partition-pruned layout reused from ss03+). Learned
-      // clusters aren't SQL-replayable → rows-only; sem01x is the
-      // driver-visible exactness anchor for the dominance logic, and
-      // DedupSpec pins within-cluster consistency on this entry.
+      // (offline, partition-pruned layout reused from ss03+), with the
+      // cluster count derived from the corpus size ([[semLists]]) so the
+      // k ∝ N contract is honored by the ENTRY itself, not by operator
+      // tuning — at the driver's verify fixtures this degenerates to
+      // DefaultLists. Learned clusters aren't SQL-replayable →
+      // rows-only; sem01x/sem01y are the driver-visible exactness
+      // anchors for the dominance logic, and DedupSpec pins
+      // within-cluster consistency on this entry.
       (s, d) => {
-        val dir = IvfIndex.ensure(s, d)
+        val dir = IvfIndex.ensure(s, d, semLists(s, d))
         semDedup(IvfIndex.readAssignments(s, dir), tau = 0.35)
       },
       None
