@@ -372,6 +372,33 @@ object Similarity {
              math.ceil(n.toDouble / SemTargetPerList).toInt)
   }
 
+  /** [[semDedup]] with the hot-cluster census cap: clusters larger than
+    * `cap` are deterministically hash-split into ⌈|c|/cap⌉ sub-lists
+    * before the pairwise pass, bounding Σ|cluster|² to ~N·cap even when
+    * Lloyd leaves skewed lists (measured at the sf1 bench: 13.7× skew,
+    * max list 4064 of 20k — 69.7M pairs where balance predicts 5.1M).
+    * Near-dups landing in different sub-splits of an OVERSIZED cluster
+    * are missed — the same bounded-recall trade the LSH hot-bucket
+    * census cap makes, and the reason the cap only engages above `cap`
+    * (clusters at the [[SemTargetPerList]] design size are untouched,
+    * so verify-fixture results are identical). The split key rides
+    * inside the `list` column (a struct), so [[semDedup]]'s plan is
+    * reused unchanged and dominance stays within (list, sub). */
+  def semDedupCapped(assignments: DataFrame, tau: Double,
+                     cap: Int = 4 * SemTargetPerList): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("list")
+    val sub = assignments
+      .withColumn("__csize", count(lit(1)).over(w))
+      .withColumn("__nsub",
+        ceil(col("__csize") / lit(cap.toDouble)).cast("int"))
+      .withColumn("list",
+        struct(col("list").as("l"),
+               pmod(xxhash64(col("vec_id")), col("__nsub")).cast("int")
+                 .as("sub")))
+      .drop("__csize", "__nsub")
+    semDedup(sub, tau)
+  }
+
   def semDedup(assignments: DataFrame, tau: Double): DataFrame = {
     val spark = assignments.sparkSession
     val a = assignments.select(col("list"), col("vec_id"), col("embedding"))
@@ -557,7 +584,7 @@ object Similarity {
       // within-cluster consistency on this entry.
       (s, d) => {
         val dir = IvfIndex.ensure(s, d, semLists(s, d))
-        semDedup(IvfIndex.readAssignments(s, dir), tau = 0.35)
+        semDedupCapped(IvfIndex.readAssignments(s, dir), tau = 0.35)
       },
       None
     ),

@@ -343,6 +343,29 @@ class DedupSpec extends SparkSpec {
     assert(clusterDrops.subsetOf(globalDrops))
   }
 
+  test("semDedupCapped: under-cap clusters are identical; oversized ones bound their pair count") {
+    import spark.implicits._
+    // 300 near-identical vectors in ONE cluster (all pairwise cos ≈ 1)
+    val big = (0L until 300L)
+      .map(i => (i, 0, Array(1.0f, (i % 7) * 1e-4f, 0f)))
+      .toDF("vec_id", "list", "embedding")
+    // under the cap: capped ≡ uncapped, bit for bit
+    val uncapped = Similarity.semDedup(big, tau = 0.9)
+      .collect().map(_.toSeq).toSet
+    val underCap = Similarity.semDedupCapped(big, tau = 0.9, cap = 1000)
+      .collect().map(_.toSeq).toSet
+    assert(underCap == uncapped)
+    // over the cap: drops are a SUBSET (sub-splits can only remove
+    // pairs) and every vector still dominated inside its sub-split is
+    // found — with all-identical vectors each sub-split of ~100 drops
+    // all but its own minimum, so ~(300 - nSub) drops survive
+    val capped = Similarity.semDedupCapped(big, tau = 0.9, cap = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val uncappedIds = uncapped.map(_.head.asInstanceOf[Long])
+    assert(capped.subsetOf(uncappedIds))
+    assert(capped.size >= 290, s"cap lost too much: ${capped.size}")
+  }
+
   test("semDedup: near-dups split across clusters are never paired (cross-cluster leak pin)") {
     import spark.implicits._
     // two identical-vector pairs, each pair SPLIT across the two
