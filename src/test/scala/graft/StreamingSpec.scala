@@ -440,6 +440,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental gram gate: kill + restart from checkpoint — one decision per doc, store intact") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("st11r-landing").toString
+    val tmp = Files.createTempDirectory("st11r-state").toString
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    // file 1 lands, gets processed, then the query is killed
+    land(Seq((1L, "alpha beta gamma delta epsilon zeta eta")))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.incrementalGramGate(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down: a near-dup of the accepted doc and a
+    // novel doc land
+    land(Seq((2L, "alpha beta gamma delta epsilon zeta theta"),
+             (3L, "one two three four five six seven")))
+    // restart from the same checkpoint: the first file must NOT be
+    // re-decided, and the store grown before the kill must still gate
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(out.length == 3 && out.toMap.size == 3,
+           s"duplicate or missing decisions: ${out.toSeq}")
+    assert(out.toMap == Map(1L -> 1, 2L -> 0, 3L -> 1), s"${out.toSeq}")
+    // store: 3 grams from doc 1 (pre-kill) + 3 from doc 3, none from
+    // the rejected near-dup
+    assert(spark.read.parquet(s"$tmp/store").distinct().count() == 6)
+  }
+
   test("streaming temperature mixture refreshes keep-rates from running counts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.analytics.DataMix
