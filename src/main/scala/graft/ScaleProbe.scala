@@ -99,7 +99,8 @@ object ScaleProbe {
     // relational-only run shouldn't pay for a 10x documents copy
     val wantsDocs = stageOnly ||
       Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
-          "dc01", "bp01", "id01", "dm04", "cp01").exists(enabled)
+          "dc01", "bp01", "id01", "dm04", "cp01",
+          "st11", "dm05", "mm04", "tx10").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01").exists(enabled)
     val wantsEvents = stageOnly || Seq("aj01", "st03", "st08").exists(enabled)
@@ -234,7 +235,12 @@ object ScaleProbe {
     // over the replicated index)
     Seq("dq03_repetition_stats", "dc01_decontaminate",
         "bp01_boilerplate_ngrams", "id01_incremental_gate",
-        "dm04_epoch_shuffle", "cp01_curation_manifest").foreach { qn =>
+        "dm04_epoch_shuffle", "cp01_curation_manifest",
+        // round-5 additions: cross-batch gram gate (two-batch fold),
+        // running-counts temperature mixture, real PNG codec round
+        // trip, and the de-windowed vocabulary curve
+        "st11_incremental_gram_gate", "dm05_streaming_temperature",
+        "mm04_png_decode", "tx10_vocab_coverage").foreach { qn =>
       if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
         SparkEntry.queries(qn)(spark, workDir).count()
       }

@@ -260,7 +260,7 @@ object DataMix {
             .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         def out(batchNo: Int, rates: org.apache.spark.sql.DataFrame,
                 sampled: org.apache.spark.sql.DataFrame) =
-          rates.join(sampled, Seq("lang"), "left")
+          rates.join(broadcast(sampled), Seq("lang"), "left")
             .select(lit(batchNo).as("batch"), col("lang"),
                     col("n_docs").cast("long").as("n_running"),
                     round(col("rate"), 6).as("rate"),

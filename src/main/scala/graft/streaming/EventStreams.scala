@@ -210,7 +210,7 @@ object EventStreams {
           .filter(graft.analytics.DataMix.hashFraction(col("doc_id"))
                     < col("rate"))
           .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-        rates.join(sampled, Seq("lang"), "left")
+        rates.join(broadcast(sampled), Seq("lang"), "left")
           .select(col("lang"), col("n_docs").cast("long").as("n_running"),
                   round(col("rate"), 6).as("rate"),
                   coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),

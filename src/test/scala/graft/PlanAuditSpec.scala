@@ -147,6 +147,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("st11: batch gram sets broadcast onto the corpus — corpus grams never hash-shuffled") {
+    val p = plan("st11_incremental_gram_gate")
+    // the gate's semi-joins must broadcast the (batch-sized) gram sets;
+    // a sort-merge join here would shuffle every gram of the corpus per
+    // ingest batch — the cost id01's design note rules out
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dm05: per-batch rates broadcast back onto the corpus gate") {
+    val p = plan("dm05_streaming_temperature")
+    assert(p.contains("BroadcastHashJoin") ||
+           p.contains("BroadcastNestedLoopJoin"), p)
+    // the md5 hash gate is a map-side filter: no corpus shuffle between
+    // the scan and the gate other than the final per-language aggregate
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tx08: corpus size broadcasts; tf/df aggregate partially map-side") {
     val p = plan("tx08_tfidf_top_terms")
     // the 1-row n_docs side must broadcast, never shuffle the tf frame
