@@ -475,6 +475,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/store").distinct().count() == 6)
   }
 
+  test("temperature mixture: kill + restart — counts resume, batches never double-counted") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("dm05r-landing").toString
+    val tmp = Files.createTempDirectory("dm05r-state").toString
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "lang").coalesce(1)
+        .write.mode("append").parquet(landing)
+    land(Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"), (5L, "fr")))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.temperatureMixture(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      s"$tmp/counts", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while down: more docs land; on restart the running counts must
+    // CONTINUE from the pre-kill deltas (en 4 + 1 = 5, fr 1 + 3 = 4),
+    // not restart from zero and not double-count batch 0
+    land(Seq((6L, "fr"), (7L, "fr"), (8L, "fr"), (9L, "en")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val counts = spark.read.parquet(s"$tmp/counts")
+      .groupBy("lang").sum("n_batch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 5L, "fr" -> 4L), s"$counts")
+    val out = spark.read.parquet(s"$tmp/out")
+      .select(col("batch_id").cast("long"), col("lang"), col("rate"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.size == 4, s"$out") // 2 langs × 2 batches, no duplicates
+    assert(out((1L, "en")) == math.floor(math.sqrt(4.0 / 5) * 1e6) / 1e6 ||
+           math.abs(out((1L, "en")) - math.sqrt(4.0 / 5)) < 1e-6, s"$out")
+  }
+
   test("streaming temperature mixture refreshes keep-rates from running counts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.analytics.DataMix
