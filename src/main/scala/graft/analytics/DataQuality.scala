@@ -320,10 +320,14 @@ object DataQuality {
     // Cross-document repeated spans: word 8-grams occurring in >= 3
     // DISTINCT documents — the RefinedWeb/Gopher boilerplate-removal
     // primitive (navigation chrome, license headers, templated spans
-    // repeat across pages; prose doesn't). One explode → one partially
-    // aggregated groupBy keyed by the gram; no pairwise stage. At
-    // 100 TB the gram key would be hashed (as dc01 does) — kept as text
-    // here because the output IS the gram list a cleaning pass needs.
+    // repeat across pages; prose doesn't). Two passes so the
+    // corpus-wide shuffle never carries gram TEXT: pass 1 censuses on a
+    // 128-bit hash pair (16-byte key vs ~50-byte grams; two independent
+    // xxhash64 seeds ⇒ collision odds ~n²/2¹²⁹, negligible even at
+    // 10¹² grams) and keeps the >= 3-doc survivors; pass 2 re-scans and
+    // recovers the text for that (tiny) flagged set via a broadcast
+    // join — the boilerplate list a cleaning pass needs, at the shuffle
+    // cost of a census. No pairwise stage anywhere.
     QueryDef(
       "bp01_boilerplate_ngrams",
       (s, d) => {
@@ -332,13 +336,20 @@ object DataQuality {
             |  transform(sequence(0, size(words) - 8),
             |            i -> concat_ws(' ', slice(words, i + 1, 8)))
             |ELSE cast(array() as array<string>) END""".stripMargin
-        table(s, d, "documents")
+        val grams = table(s, d, "documents")
           .select(col("doc_id"), expr(wordsExpr).as("words"))
           .select(col("doc_id"), explode(expr(grams8)).as("gram"))
-          .groupBy("gram")
+          .withColumn("h1", xxhash64(col("gram")))
+          .withColumn("h2", xxhash64(col("gram"), lit(1)))
+        val flagged = grams
+          .groupBy("h1", "h2")
           .agg(countDistinct("doc_id").as("n_docs"),
                count(lit(1)).as("n_occ"))
           .filter(col("n_docs") >= 3)
+        grams.select("gram", "h1", "h2")
+          .join(broadcast(flagged), Seq("h1", "h2"))
+          .select("gram", "n_docs", "n_occ")
+          .distinct()
           .orderBy(desc("n_docs"), desc("n_occ"), asc("gram"))
       },
       Some(s"""WITH words AS (
