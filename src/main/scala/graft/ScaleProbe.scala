@@ -100,7 +100,7 @@ object ScaleProbe {
     val wantsDocs = stageOnly ||
       Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
           "dc01", "bp01", "id01", "dm04", "cp01",
-          "st11", "dm05", "mm04", "tx10").exists(enabled)
+          "st11", "dm05", "mm04", "tx10", "dd08").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01").exists(enabled)
     val wantsEvents = stageOnly || Seq("aj01", "st03", "st08").exists(enabled)
@@ -240,7 +240,8 @@ object ScaleProbe {
         // running-counts temperature mixture, real PNG codec round
         // trip, and the de-windowed vocabulary curve
         "st11_incremental_gram_gate", "dm05_streaming_temperature",
-        "mm04_png_decode", "tx10_vocab_coverage").foreach { qn =>
+        "mm04_png_decode", "tx10_vocab_coverage",
+        "dd08_dup_spans").foreach { qn =>
       if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
         SparkEntry.queries(qn)(spark, workDir).count()
       }

@@ -545,6 +545,106 @@ object Dedup {
              |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.35
              |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    // ---- exact duplicated-substring spans (Lee et al. / RefinedWeb) ----
+    // Per-document coverage by EXACT token spans (20-grams) that also
+    // occur in another document — the "deduplicate exact substrings"
+    // family member the gram-containment gate approximates. Plan: one
+    // positioned-gram explode; census on a 128-bit hash pair (16-byte
+    // shuffle keys, the bp01 discipline) keeps grams seen in >= 2 docs;
+    // duplicated POSITIONS per doc survive a broadcast semi-join; the
+    // union length of the [p, p+19] intervals is a sorted-array fold —
+    // map-side after a per-doc aggregate that shuffles only duplicated
+    // positions. Census-anchored: every doc reports, short docs as 0s.
+    QueryDef(
+      "dd08_dup_spans",
+      (s, d) => {
+        val L = 20
+        val gramsL =
+          s"""CASE WHEN size(words) >= $L THEN
+             |  transform(sequence(0, size(words) - $L),
+             |            i -> concat_ws(' ', slice(words, i + 1, $L)))
+             |ELSE cast(array() as array<string>) END""".stripMargin
+        val words = table(s, d, "documents")
+          .select(col("doc_id"),
+                  expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)")
+                    .as("words"))
+        val grams = words
+          .select(col("doc_id"), posexplode(expr(gramsL)).as(Seq("p", "gram")))
+          .withColumn("h1", xxhash64(col("gram")))
+          .withColumn("h2", xxhash64(col("gram"), lit(1)))
+          .select("doc_id", "p", "h1", "h2")
+        val flagged = grams.groupBy("h1", "h2")
+          .agg(countDistinct("doc_id").as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select("h1", "h2")
+        val dupPos = grams
+          .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
+        val perDoc = dupPos.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("p"))).as("ps"))
+          .select(col("doc_id"),
+                  size(col("ps")).cast("long").as("n_dup_grams"),
+                  aggregate(col("ps"),
+                    struct(lit(-1).as("end"), lit(0L).as("cov")),
+                    (acc, p) => {
+                      val start = greatest(p, acc("end") + lit(1))
+                      val add = greatest(p + lit(L) - start, lit(0))
+                      struct(greatest(acc("end"), p + lit(L) - 1).as("end"),
+                             (acc("cov") + add.cast("long")).as("cov"))
+                    },
+                    acc => acc("cov")).as("dup_covered"))
+        words.select(col("doc_id"),
+                     size(col("words")).cast("long").as("n_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_dup_grams", "dup_covered"))
+          .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+                  col("dup_covered"),
+                  round(col("dup_covered") * lit(1.0) /
+                        greatest(col("n_tokens"), lit(1L)), 6)
+                    .as("dup_span_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             |                             w -> length(w) > 0) AS w
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, w,
+             |    CAST(unnest(range(greatest(len(w) - 19, 0))) AS INT) AS p
+             |  FROM words),
+             |g2 AS (
+             |  SELECT doc_id, p, array_to_string(w[p + 1:p + 20], ' ') AS g
+             |  FROM pos),
+             |census AS (
+             |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+             |dup AS (
+             |  SELECT doc_id, p FROM g2 WHERE g IN (SELECT g FROM census)),
+             |marked AS (
+             |  SELECT doc_id, p,
+             |    CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 19
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+             |numbered AS (
+             |  SELECT doc_id, p,
+             |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |  FROM marked),
+             |merged AS (
+             |  SELECT doc_id, count(*) AS n_grams_isl,
+             |    max(p) + 19 - min(p) + 1 AS covered
+             |  FROM numbered GROUP BY doc_id, isl),
+             |stats AS (
+             |  SELECT doc_id, CAST(SUM(n_grams_isl) AS BIGINT) AS n_dup_grams,
+             |    CAST(SUM(covered) AS BIGINT) AS dup_covered
+             |  FROM merged GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+             |  CAST(coalesce(s.dup_covered, 0) AS BIGINT) AS dup_covered,
+             |  round(coalesce(s.dup_covered, 0) * 1.0 /
+             |        greatest(len(d.w), 1), 6) AS dup_span_frac
+             |FROM words d LEFT JOIN stats s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)
     )
   )
 }
