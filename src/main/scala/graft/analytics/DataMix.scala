@@ -307,6 +307,80 @@ object DataMix {
               |  FROM r2 r LEFT JOIN s2 s ON r.lang = s.lang)
               |SELECT * FROM o1 UNION ALL SELECT * FROM o2
               |ORDER BY batch, lang""".stripMargin)
+    ),
+
+    // TOKEN-budget mixture: dm01/dm03 mix by document COUNT, but a
+    // training run's real resource is tokens — long documents must not
+    // let a language overshoot its share. Target: a uniform token
+    // mixture at the largest feasible size (budget = the smallest
+    // language's token mass, computed in-plan). Selection is
+    // deterministic "random": docs ordered by md5 within each of 16
+    // hash shards per language, kept while the shard's running token
+    // total is under budget/16 (a doc may overrun its shard budget by
+    // one tail — the dm02 streaming-pack convention). Sharding is the
+    // 100 TB shape: one UNPARTITIONED per-language running sum would
+    // funnel each language through a single task, while (lang, shard)
+    // windows parallelize 16-way per language and the shuffle carries
+    // only (doc_id, n_tokens) scalars. Output: per-language census of
+    // the selection (pins budget math, hash order, and gate).
+    QueryDef(
+      "dm06_token_budget_mixture",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+                  TextAnalysis.tokenCount(col("text")).cast("long")
+                    .as("n_tokens"))
+        val totals = docs.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
+        val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
+        val h = md5(concat(col("doc_id").cast("string"), lit(":tb"))
+          .cast("binary"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "shard").orderBy("h", "doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs.withColumn("h", h)
+          .withColumn("shard",
+            conv(substring(col("h"), 1, 2), 16, 10).cast("int") % 16)
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .crossJoin(broadcast(budget))
+          .filter(col("cum_before") < col("shard_budget"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs_kept"),
+               sum("n_tokens").as("tok_kept"))
+          .join(broadcast(totals), Seq("lang"))
+          .select("lang", "tok_lang", "n_docs_kept", "tok_kept")
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             |    md5(CAST(doc_id AS VARCHAR) || ':tb') AS h
+             |  FROM documents),
+             |sharded AS (
+             |  SELECT *, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+             |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+             |     AS INT) % 16 AS shard
+             |  FROM toks),
+             |totals AS (
+             |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_lang
+             |  FROM toks GROUP BY lang),
+             |budget AS (
+             |  SELECT CAST(min(tok_lang) // 16 AS BIGINT) AS shard_budget
+             |  FROM totals),
+             |cum AS (
+             |  SELECT lang, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+             |      ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum_before
+             |  FROM sharded),
+             |kept AS (
+             |  SELECT lang, n_tokens FROM cum, budget
+             |  WHERE cum_before < shard_budget)
+             |SELECT k.lang, t.tok_lang, COUNT(*) AS n_docs_kept,
+             |  CAST(SUM(k.n_tokens) AS BIGINT) AS tok_kept
+             |FROM kept k JOIN totals t ON k.lang = t.lang
+             |GROUP BY k.lang, t.tok_lang ORDER BY k.lang""".stripMargin)
     )
   )
 }

@@ -160,6 +160,36 @@ object Multimodal {
             "min_px", "max_px")
   }
 
+  /** REAL resize: decode the PNG payload and 2×2 average-pool the 8×8
+    * raster down to 4×4 — the downsample step of any image-preprocessing
+    * pipeline, through a genuine codec. Pooled values are sums of four
+    * 0-255 ints divided by 4.0 (exact dyadic doubles — replayable in
+    * closed form by an engine with no codec). Batch-shaped like every
+    * codec op here: decode amortizes per partition, rasters never
+    * outlive one map step, only the 16 pooled scalars leave. */
+  def resizePngPool(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val raster = img.getRaster
+          for {
+            py <- 0 until PngSide / 2
+            px <- 0 until PngSide / 2
+          } yield {
+            val s = raster.getSample(2 * px, 2 * py, 0) +
+              raster.getSample(2 * px + 1, 2 * py, 0) +
+              raster.getSample(2 * px, 2 * py + 1, 0) +
+              raster.getSample(2 * px + 1, 2 * py + 1, 0)
+            (id, py, px, s / 4.0)
+          }
+        }
+      }.toDF("media_id", "py", "px", "pooled")
+  }
+
   /** Build a media table from `documents` by treating each text as an
     * opaque UTF-8 payload — exercises the binary plumbing end-to-end on
     * driver-provided data. */
@@ -292,6 +322,29 @@ object Multimodal {
              |  CAST(list_min(p) AS INT) AS min_px,
              |  CAST(list_max(p) AS INT) AS max_px
              |FROM px ORDER BY media_id""".stripMargin)
+    ),
+    // REAL resize through the codec: decode each 8×8 PNG and 2×2
+    // average-pool to 4×4 ([[resizePngPool]]) — the downsample /
+    // thumbnail step of an image-preprocessing pipeline. Pixel values
+    // are (media_id*31+i)%256 by construction, so the oracle replays
+    // every pooled cell in closed form with no codec; pooled = sum of
+    // four 0-255 ints / 4.0 is an exact dyadic double in both engines.
+    QueryDef(
+      "mm05_resize_pool",
+      (s, d) =>
+        resizePngPool(pngMedia(table(s, d, "documents")))
+          .orderBy("media_id", "py", "px"),
+      Some("""WITH g AS (
+             |  SELECT doc_id AS media_id, unnest(range(16)) AS i
+             |  FROM documents)
+             |SELECT media_id,
+             |  CAST(i // 4 AS INT) AS py, CAST(i % 4 AS INT) AS px,
+             |  ((media_id * 31 + (i // 4) * 2 * 8 + (i % 4) * 2) % 256
+             | + (media_id * 31 + (i // 4) * 2 * 8 + (i % 4) * 2 + 1) % 256
+             | + (media_id * 31 + ((i // 4) * 2 + 1) * 8 + (i % 4) * 2) % 256
+             | + (media_id * 31 + ((i // 4) * 2 + 1) * 8 + (i % 4) * 2 + 1) % 256)
+             |   / 4.0 AS pooled
+             |FROM g ORDER BY media_id, py, px""".stripMargin)
     )
   )
 }

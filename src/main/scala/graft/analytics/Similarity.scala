@@ -46,6 +46,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8-quantized cosine top-k — the memory-bandwidth serving path:
+    * unit-normalize, symmetric int8 quantization (the ef01 transform),
+    * then an INTEGER dot product per row, rescaled by the two
+    * quantization scales back to an approximate cosine. Every step is
+    * deterministic IEEE/integer math, so unlike LSH/IVF this
+    * "approximation" is exactly replayable by an oracle engine: the
+    * approximation is in the REPRESENTATION (4× smaller vectors, integer
+    * multiplies), not in which rows get scanned. Same plan shape as
+    * [[bruteForceTopK]]: broadcast one quantized query row, map-side
+    * scoring, TakeOrderedAndProject — no shuffle of the corpus. */
+  def int8TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val norm = sqrt(aggregate(
+      transform(col("embedding"), c => c.cast("double") * c.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val qz = emb
+      .withColumn("__unit", transform(col("embedding"),
+        c => c.cast("double") / norm))
+      .withColumn("__scale", lit(127.0) /
+        array_max(transform(col("__unit"), u => abs(u))))
+      .withColumn("__q", transform(col("__unit"),
+        u => round(u * col("__scale"), 0).cast("long")))
+      .select(col("vec_id"), col("__scale"), col("__q"))
+    val q = qz.filter(col("vec_id") === queryId)
+      .select(col("__scale").as("q_scale"), col("__q").as("q_q"))
+    qz.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("qdot",
+        aggregate(zip_with(col("__q"), col("q_q"), (a, b) => a * b),
+                  lit(0L), (acc, v) => acc + v))
+      .withColumn("score",
+        round(col("qdot") / (col("__scale") * col("q_scale")), 6))
+      .select(col("vec_id"), col("qdot"), col("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: both corpus and query are bucketed by
     * random-hyperplane sign bits; only the query's bucket is scanned.
     * Returns the approximate top-k (exact within the probed bucket). */
@@ -570,6 +606,44 @@ object Similarity {
               |FROM embeddings e, q
               |WHERE e.vec_id <> 0 AND round($cosSql, 6) >= 0.30
               |ORDER BY vec_id""".stripMargin)
+    ),
+    QueryDef(
+      "ss09_int8_topk",
+      // int8-quantized cosine top-k ([[int8TopK]]): the scan-path dual
+      // of ss05's PQ compression — 4× smaller vectors, integer
+      // multiplies, one broadcast + TakeOrderedAndProject. Deterministic
+      // end to end (quantization is IEEE round, scoring is integer),
+      // so the full DuckDB replay hash-checks it — an ANN-serving
+      // entry that needs no rows-only escape hatch. SimilaritySpec pins
+      // its overlap against the exact float path (ss01).
+      (s, d) => int8TopK(table(s, d, "embeddings"), queryId = 0L, k = 10),
+      Some("""WITH nrm AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |un AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, c -> CAST(c AS DOUBLE) / nrm) AS unit
+             |  FROM nrm),
+             |sc AS (
+             |  SELECT vec_id, unit,
+             |    127.0 / list_max(list_transform(unit, u -> abs(u))) AS scale
+             |  FROM un),
+             |qz AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(unit,
+             |      u -> CAST(round(u * scale, 0) AS BIGINT)) AS q
+             |  FROM sc),
+             |qv AS (SELECT scale AS q_scale, q AS q_q FROM qz WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  CAST(list_sum(list_transform(list_zip(e.q, qv.q_q),
+             |    p -> p[1] * p[2])) AS BIGINT) AS qdot,
+             |  round(CAST(list_sum(list_transform(list_zip(e.q, qv.q_q),
+             |    p -> p[1] * p[2])) AS BIGINT)
+             |    / (e.scale * qv.q_scale), 6) AS score
+             |FROM qz e, qv WHERE e.vec_id <> 0
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     ),
     QueryDef(
       "sem01_semdedup",

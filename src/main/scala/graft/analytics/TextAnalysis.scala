@@ -270,6 +270,71 @@ object TextAnalysis {
              |FROM ranked""".stripMargin)
     ),
     QueryDef(
+      "tx11_collocations",
+      // Collocation mining: top word bigrams by LIFT — the association
+      // statistic behind phrase/tokenizer-merge discovery. lift =
+      // P(xy) / (P(x)·P(y)) = n_xy·N / (n_x·n_y); PMI is log(lift), and
+      // lift is monotone in PMI, so ranking by lift gives the PMI
+      // ordering from integer counts through one IEEE multiply/divide —
+      // bit-identical across engines, no transcendental drift (the tx08
+      // rational-IDF discipline). min support n_xy >= 5 cuts hapax
+      // noise, the standard collocation floor.
+      //
+      // Scale shape: one explode for unigram counts + one for bigram
+      // counts, both partially aggregated (dictionary-sized after the
+      // combine); the unigram joins are dictionary⋈dictionary equi-joins
+      // (NOT broadcast — a web-corpus vocabulary is 10^8+, so it must
+      // stay a shuffle join); the 1-row total broadcasts; final top-20
+      // is a TakeOrderedAndProject, never a global sort.
+      (s, d) => {
+        val words = table(s, d, "documents")
+          .select(expr(
+            "filter(split(lower(text), '\\\\s+'), w -> length(w) > 0)")
+            .as("w"))
+        val uni = words.select(explode(col("w")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        val total = uni.agg(sum("n").cast("double").as("n_total"))
+        val bi = words.select(explode(expr(
+            """zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
+              |         slice(w, 2, greatest(size(w) - 1, 0)),
+              |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+            .as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 5)
+        bi.join(uni.select(col("term").as("w1"), col("n").as("n_x")), Seq("w1"))
+          .join(uni.select(col("term").as("w2"), col("n").as("n_y")), Seq("w2"))
+          .crossJoin(broadcast(total))
+          .withColumn("lift",
+            round(col("n_xy").cast("double") * col("n_total") /
+                  (col("n_x").cast("double") * col("n_y").cast("double")), 6))
+          .select("w1", "w2", "n_xy", "n_x", "n_y", "lift")
+          .orderBy(desc("lift"), asc("w1"), asc("w2")).limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             |                     x -> length(x) > 0) AS w
+             |  FROM documents),
+             |uni AS (SELECT unnest(w) AS term FROM w),
+             |un AS (SELECT term, COUNT(*) AS n FROM uni GROUP BY term),
+             |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM un),
+             |big AS (
+             |  SELECT unnest(w[1:len(w) - 1]) AS w1,
+             |         unnest(w[2:len(w)]) AS w2
+             |  FROM w),
+             |bn AS (
+             |  SELECT w1, w2, COUNT(*) AS n_xy FROM big
+             |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+             |SELECT b.w1, b.w2, b.n_xy, ux.n AS n_x, uy.n AS n_y,
+             |  round(CAST(b.n_xy AS DOUBLE) * t.n_total /
+             |        (CAST(ux.n AS DOUBLE) * CAST(uy.n AS DOUBLE)), 6) AS lift
+             |FROM bn b
+             |JOIN un ux ON b.w1 = ux.term
+             |JOIN un uy ON b.w2 = uy.term
+             |CROSS JOIN tot t
+             |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)
+    ),
+    QueryDef(
       "tx05_corpus_stats",
       (s, d) =>
         table(s, d, "documents")

@@ -407,6 +407,79 @@ object EventStreams {
       }
   }
 
+  /** Per-user STREAMING funnel: view → click (within `windowDays` of
+    * the first view) → purchase (within `windowDays` of the first
+    * click), tracked as explicit per-user state and emitted as one
+    * funnel-snapshot row per user per micro-batch (downstream keeps the
+    * latest — the "live conversion dashboard" shape). In BATCH mode the
+    * state starts empty and each user's whole history arrives as one
+    * group, so the fold must reproduce the ev01 conditional-ordered-
+    * aggregate SQL exactly — the same batch-oracle discipline as st08.
+    *
+    * The fold processes events in (ts, stage-rank, event_id) order;
+    * ascending time makes "first qualifying in order" identical to
+    * "min qualifying" and the stage rank (view < click < purchase)
+    * resolves same-instant ties the way the SQL's >= window bounds do.
+    * All window arithmetic is in exact MICROseconds (Timestamp.getTime
+    * is millis — sub-ms components live in getNanos; truncating them
+    * could flip a boundary comparison vs the oracle's µs INTERVAL
+    * math). Stage timestamps update monotonically (first-set wins), so
+    * cross-batch arrivals compose; an event later than the watermark
+    * horizon is dropped upstream like every watermarked op here. State
+    * is three timestamps per live user, evicted by event-time timeout
+    * once a user has been idle past the funnel horizon. */
+  def funnelProgress(events: DataFrame, windowDays: Int = 3)
+      : Dataset[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+                 Option[java.sql.Timestamp], Int)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowDays * 86400L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def rank(t: String): Int =
+      t match { case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3 }
+    events
+      .selectExpr("user_id", "event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+         Option[java.sql.Timestamp]),
+        (Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+         Option[java.sql.Timestamp], Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows,
+              state: GroupState[(Option[java.sql.Timestamp],
+                Option[java.sql.Timestamp], Option[java.sql.Timestamp])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (fv, fc, fp) = state.getOption.getOrElse(
+              (Option.empty[java.sql.Timestamp], Option.empty[java.sql.Timestamp],
+               Option.empty[java.sql.Timestamp]))
+            var maxTsMs = Long.MinValue
+            rows.toSeq.sortBy(e => (micros(e._4), rank(e._3), e._2)).foreach { e =>
+              val t = micros(e._4)
+              if (e._4.getTime > maxTsMs) maxTsMs = e._4.getTime
+              e._3 match {
+                case "view" if fv.isEmpty => fv = Some(e._4)
+                case "click" if fc.isEmpty && fv.isDefined &&
+                    t >= micros(fv.get) && t <= micros(fv.get) + winUs =>
+                  fc = Some(e._4)
+                case "purchase" if fp.isEmpty && fc.isDefined &&
+                    t >= micros(fc.get) && t <= micros(fc.get) + winUs =>
+                  fp = Some(e._4)
+                case _ =>
+              }
+            }
+            state.update((fv, fc, fp))
+            state.setTimeoutTimestamp(maxTsMs + 2 * windowDays * 86400000L)
+            Iterator.single((userId, fv, fc, fp,
+              if (fv.isDefined && fc.isDefined && fp.isDefined) 1 else 0))
+          }
+      }
+  }
+
   /** Per-user running counters via explicit state — the
     * mapGroupsWithState escape hatch for semantics windows can't
     * express (here: lifetime event count + last-seen, emitted per

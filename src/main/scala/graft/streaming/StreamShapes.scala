@@ -13,6 +13,33 @@ import graft.queries.QueryDef
 object StreamShapes {
   import QueryDef.table
 
+  /** Funnel semantics shared by ev01 (conditional ordered aggregates)
+    * and st12 (the stateful streaming fold run in batch mode): the two
+    * entries must answer the same question, so they share one oracle. */
+  private val funnelOracleSql =
+    """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |v AS (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      |      FROM ev GROUP BY user_id),
+      |c AS (SELECT e.user_id, v.first_view,
+      |        min(CASE WHEN e.event_type = 'click'
+      |                  AND e.ts >= v.first_view
+      |                  AND e.ts <= v.first_view + INTERVAL '3 days'
+      |             THEN e.ts END) AS first_click
+      |      FROM v LEFT JOIN ev e USING (user_id)
+      |      GROUP BY e.user_id, v.first_view),
+      |p AS (SELECT c.user_id, c.first_view, c.first_click,
+      |        min(CASE WHEN e.event_type = 'purchase'
+      |                  AND e.ts >= c.first_click
+      |                  AND e.ts <= c.first_click + INTERVAL '3 days'
+      |             THEN e.ts END) AS first_purchase
+      |      FROM c LEFT JOIN ev e USING (user_id)
+      |      GROUP BY c.user_id, c.first_view, c.first_click)
+      |SELECT user_id, first_view, first_click, first_purchase,
+      |  CAST(first_view IS NOT NULL AND first_click IS NOT NULL
+      |       AND first_purchase IS NOT NULL AS INT) AS converted
+      |FROM p ORDER BY user_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     // tumbling window: floor-aligned 5-minute buckets.
     QueryDef(
@@ -238,28 +265,25 @@ object StreamShapes {
              col("first_purchase").isNotNull).cast("int").as("converted"))
           .orderBy("user_id")
       },
-      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
-             |v AS (SELECT user_id,
-             |        min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
-             |      FROM ev GROUP BY user_id),
-             |c AS (SELECT e.user_id, v.first_view,
-             |        min(CASE WHEN e.event_type = 'click'
-             |                  AND e.ts >= v.first_view
-             |                  AND e.ts <= v.first_view + INTERVAL '3 days'
-             |             THEN e.ts END) AS first_click
-             |      FROM v LEFT JOIN ev e USING (user_id)
-             |      GROUP BY e.user_id, v.first_view),
-             |p AS (SELECT c.user_id, c.first_view, c.first_click,
-             |        min(CASE WHEN e.event_type = 'purchase'
-             |                  AND e.ts >= c.first_click
-             |                  AND e.ts <= c.first_click + INTERVAL '3 days'
-             |             THEN e.ts END) AS first_purchase
-             |      FROM c LEFT JOIN ev e USING (user_id)
-             |      GROUP BY c.user_id, c.first_view, c.first_click)
-             |SELECT user_id, first_view, first_click, first_purchase,
-             |  CAST(first_view IS NOT NULL AND first_click IS NOT NULL
-             |       AND first_purchase IS NOT NULL AS INT) AS converted
-             |FROM p ORDER BY user_id""".stripMargin)
+      Some(funnelOracleSql)
+    ),
+
+    // the STREAMING funnel ([[EventStreams.funnelProgress]]) run in
+    // batch mode: empty state + each user's whole history as one sorted
+    // group ⇒ the stateful fold must reproduce ev01's conditional-
+    // ordered-aggregate SQL exactly (the st08 batch-oracle discipline
+    // applied to funnel state). The same code path runs per micro-batch
+    // in streaming, emitting a funnel snapshot per user per batch with
+    // three-timestamp bounded state; StreamingSpec pins cross-batch
+    // progression and the 3-day-window rejection.
+    QueryDef(
+      "st12_funnel_state",
+      (s, d) =>
+        EventStreams.funnelProgress(table(s, d, "events"), windowDays = 3)
+          .toDF("user_id", "first_view", "first_click", "first_purchase",
+                "converted")
+          .orderBy("user_id"),
+      Some(funnelOracleSql)
     ),
 
     // cohort retention triangle: users bucketed by first-seen week,

@@ -187,6 +187,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 regressed: $recall")
   }
 
+  test("int8-quantized top-k tracks the exact float cosine ranking") {
+    // ss09's approximation lives in the REPRESENTATION (64-dim unit
+    // vectors rounded to int8), so its top-10 must nearly coincide with
+    // the exact float path — a deterministic fidelity floor, unlike the
+    // probabilistic LSH/IVF recall pins.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val int8 = Similarity.int8TopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val overlap = (exact & int8).size
+    assert(overlap >= 8, s"int8 fidelity collapsed: $overlap/10 vs exact")
+  }
+
   test("multi-probe LSH recalls at least as much as single-probe") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, 0L, 10)

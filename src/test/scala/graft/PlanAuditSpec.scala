@@ -58,6 +58,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
   }
 
+  test("ss09: int8 scan path keeps the ss01 shape — no corpus shuffle") {
+    val p = plan("ss09_int8_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
+  }
+
+  test("tx11: collocation top-20 is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("tx11_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // dictionary joins must not broadcast the unigram side blindly is a
+    // scale DECISION, not assertable at sf0.001 (AQE rightly broadcasts
+    // tiny sides here); what must hold is that no global Sort survives
+    assert(!p.contains("Sort [lift"), p)
+  }
+
   test("ss03: IVF probe prunes unprobed list partitions at the scan") {
     graft.analytics.IvfIndex.ensure(spark, sf0001)
     val df = graft.analytics.Similarity.ivfTopK(

@@ -275,6 +275,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: progression across micro-batches, window rejection") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.funnelProgress(events, windowDays = 3)
+      .toDF("user_id", "first_view", "first_click", "first_purchase", "converted")
+      .writeStream
+      .queryName("funnel_test").outputMode("append").format("memory").start()
+    try {
+      // batch 0: user 7 views; user 8 views
+      mem.addData((7L, 1L, "view", ts(0)), (8L, 2L, "view", ts(0)))
+      q.processAllAvailable()
+      // batch 1: user 7 clicks in-window then purchases in-window →
+      // converts; user 8 clicks OUTSIDE the 3-day view window (4320
+      // min) — the click must NOT register, so the later in-window
+      // purchase can't convert them either
+      mem.addData(
+        (7L, 3L, "click", ts(10)), (7L, 4L, "purchase", ts(20)),
+        (8L, 5L, "click", ts(5000)), (8L, 6L, "purchase", ts(5010)))
+      q.processAllAvailable()
+      val snaps = spark.table("funnel_test").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)),
+                   Option(r.getTimestamp(2)), Option(r.getTimestamp(3)),
+                   r.getInt(4)))
+      // batch-0 snapshots: view only, not converted (user 8 repeats the
+      // identical snapshot in batch 1 — the stuck funnel is the point)
+      assert(snaps.count(_ == ((7L, Some(ts(0)), None, None, 0))) == 1, snaps.toSeq)
+      assert(snaps.count(_ == ((8L, Some(ts(0)), None, None, 0))) == 2, snaps.toSeq)
+      // batch-1 snapshots: user 7 converted with the batch-0 view as
+      // the anchor; user 8's out-of-window click left the funnel stuck
+      assert(snaps.count(_ == ((7L, Some(ts(0)), Some(ts(10)), Some(ts(20)), 1))) == 1,
+             snaps.toSeq)
+      assert(snaps.count(t => t._1 == 8L && t._3.isEmpty && t._4.isEmpty) == 2,
+             snaps.toSeq)
+    } finally q.stop()
+  }
+
   test("kafka-shaped source: encode → decode round-trips typed events (batch)") {
     val events = graft.queries.QueryDef.eventsTable(spark, sf0001).limit(100)
     val decoded = graft.sources.KafkaShapedSource.decodeEvents(
