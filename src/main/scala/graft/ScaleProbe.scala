@@ -100,10 +100,12 @@ object ScaleProbe {
     val wantsDocs = stageOnly ||
       Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
           "dc01", "bp01", "id01", "dm04", "cp01",
-          "st11", "dm05", "mm04", "tx10", "dd08").exists(enabled)
+          "st11", "dm05", "mm04", "tx10", "dd08",
+          "tx11", "dm06", "mm05").exists(enabled)
     val wantsEmb = stageOnly ||
-      Seq("ivf", "ss04", "ss05", "ss06", "sem01").exists(enabled)
-    val wantsEvents = stageOnly || Seq("aj01", "st03", "st08").exists(enabled)
+      Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09").exists(enabled)
+    val wantsEvents = stageOnly ||
+      Seq("aj01", "st03", "st08", "st12").exists(enabled)
     val wantsRel = stageOnly ||
       Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
       .exists(enabled)
@@ -241,10 +243,25 @@ object ScaleProbe {
         // trip, and the de-windowed vocabulary curve
         "st11_incremental_gram_gate", "dm05_streaming_temperature",
         "mm04_png_decode", "tx10_vocab_coverage",
-        "dd08_dup_spans").foreach { qn =>
+        "dd08_dup_spans",
+        // late round-5 additions: collocation mining (two dictionary
+        // joins), token-budget mixture (sharded running sums), codec
+        // resize (decode + pool per image)
+        "tx11_collocations", "dm06_token_budget_mixture",
+        "mm05_resize_pool").foreach { qn =>
       if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
         SparkEntry.queries(qn)(spark, workDir).count()
       }
+    }
+    // int8 scan-path ANN over the replicated embeddings (map-only +
+    // TakeOrderedAndProject — the probe checks the scan stays the only
+    // N-term) and the stateful streaming funnel in batch mode (state
+    // scales with USERS, which is the replication axis for events)
+    if (enabled("ss09")) time("ss09_int8_topk") {
+      SparkEntry.queries("ss09_int8_topk")(spark, workDir).count()
+    }
+    if (enabled("st12")) time("st12_funnel_state") {
+      SparkEntry.queries("st12_funnel_state")(spark, workDir).count()
     }
     if (enabled("sem01")) {
       // sem01's scale contract: cluster count grows with the corpus
