@@ -101,9 +101,9 @@ object ScaleProbe {
       Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
           "dc01", "bp01", "id01", "dm04", "cp01",
           "st11", "dm05", "mm04", "tx10", "dd08",
-          "tx11", "dm06", "mm05").exists(enabled)
+          "tx11", "dm06", "mm05", "dq04").exists(enabled)
     val wantsEmb = stageOnly ||
-      Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09").exists(enabled)
+      Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10").exists(enabled)
     val wantsEvents = stageOnly ||
       Seq("aj01", "st03", "st08", "st12").exists(enabled)
     val wantsRel = stageOnly ||
@@ -248,7 +248,7 @@ object ScaleProbe {
         // joins), token-budget mixture (sharded running sums), codec
         // resize (decode + pool per image)
         "tx11_collocations", "dm06_token_budget_mixture",
-        "mm05_resize_pool").foreach { qn =>
+        "mm05_resize_pool", "dq04_adaptive_quality_gate").foreach { qn =>
       if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
         SparkEntry.queries(qn)(spark, workDir).count()
       }
@@ -259,6 +259,9 @@ object ScaleProbe {
     // scales with USERS, which is the replication axis for events)
     if (enabled("ss09")) time("ss09_int8_topk") {
       SparkEntry.queries("ss09_int8_topk")(spark, workDir).count()
+    }
+    if (enabled("ss10")) time("ss10_mips_topk") {
+      SparkEntry.queries("ss10_mips_topk")(spark, workDir).count()
     }
     if (enabled("st12")) time("st12_funnel_state") {
       SparkEntry.queries("st12_funnel_state")(spark, workDir).count()

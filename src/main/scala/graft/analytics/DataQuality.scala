@@ -410,6 +410,56 @@ object DataQuality {
               |ORDER BY c.doc_id""".stripMargin)
     ),
 
+    // ---- adaptive (percentile-derived) quality gate -------------------
+    // dq02's fixed constants (word-count band 20–10000, dup ratio 0.5)
+    // assume the corpus looks like C4's; a real curation pass derives
+    // its cutoffs from the corpus itself — keep docs at or above the
+    // 25th percentile of length and at or below the 75th percentile of
+    // duplicate-word fraction. The thresholds are ONE tiny exact-
+    // percentile aggregate (x15's interpolated-percentile machinery)
+    // broadcast back over the map-only per-doc stats — the same
+    // one-aggregate + broadcast-gate shape as dm01/dm03, so the corpus
+    // is never shuffled. Gate compares UNROUNDED thresholds (identical
+    // IEEE interpolation in both engines); rounded copies are emitted
+    // for display.
+    QueryDef(
+      "dq04_adaptive_quality_gate",
+      (s, d) => {
+        val stats = table(s, d, "documents")
+          .select(col("doc_id"), expr(wordsExpr).as("words"))
+          .select(col("doc_id"), size(col("words")).as("n_words"),
+                  size(array_distinct(col("words"))).as("n_distinct"))
+          .select(col("doc_id"), col("n_words"),
+                  round((col("n_words") - col("n_distinct")) * lit(1.0) /
+                        greatest(col("n_words"), lit(1)), 6)
+                    .as("dup_word_frac"))
+        val th = stats.agg(
+          expr("percentile(n_words, 0.25)").as("p25w"),
+          expr("percentile(dup_word_frac, 0.75)").as("p75d"))
+        stats.crossJoin(broadcast(th))
+          .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+                  round(col("p25w"), 4).as("p25_words"),
+                  round(col("p75d"), 6).as("p75_dup"),
+                  (col("n_words") >= col("p25w") &&
+                   col("dup_word_frac") <= col("p75d"))
+                    .cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH st AS (
+              |  SELECT doc_id, len(w) AS n_words,
+              |    round((len(w) - len(list_distinct(w))) * 1.0 /
+              |          greatest(len(w), 1), 6) AS dup_word_frac
+              |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)),
+              |th AS (
+              |  SELECT quantile_cont(n_words, 0.25) AS p25w,
+              |         quantile_cont(dup_word_frac, 0.75) AS p75d
+              |  FROM st)
+              |SELECT doc_id, n_words, dup_word_frac,
+              |  round(p25w, 4) AS p25_words, round(p75d, 6) AS p75_dup,
+              |  CAST(n_words >= p25w AND dup_word_frac <= p75d AS INT) AS keep
+              |FROM st CROSS JOIN th ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- log scrubbing / pseudonymization -----------------------------
     // PII-style cleanup of event logs before they can feed a training
     // corpus: numeric identifiers in the payload are masked, the user

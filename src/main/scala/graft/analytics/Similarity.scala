@@ -646,6 +646,33 @@ object Similarity {
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     ),
     QueryDef(
+      "ss10_mips_topk",
+      // maximum-inner-product top-k: the recommender-serving metric
+      // (user·item affinity scores are dots of UNnormalized vectors —
+      // cosine would erase the magnitude signal that encodes item
+      // popularity/confidence). Same no-shuffle scan shape as ss01;
+      // the dot is the same left-to-right HOF fold both engines run
+      // (the ef01/cosSql precedent), so the entry is hash-exact.
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qvec"))
+        emb.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+                  round(graft.functions.VectorOps.dot(
+                    col("embedding"), col("qvec")), 6).as("dot"))
+          .orderBy(desc("dot"), asc("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id,
+             |  round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+             |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS dot
+             |FROM embeddings e, q WHERE e.vec_id <> 0
+             |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
       "sem01_semdedup",
       // production configuration: clusters are the persisted IVF lists
       // (offline, partition-pruned layout reused from ss03+), with the

@@ -65,6 +65,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
   }
 
+  test("ss10: MIPS scan keeps the ss01 shape — no corpus shuffle") {
+    val p = plan("ss10_mips_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
+  }
+
+  test("dq04: adaptive gate never hash-shuffles the corpus") {
+    // the only exchanges allowed are the single-partition reduce for
+    // the 1-row percentile aggregate and its broadcast back — a
+    // hashpartitioning exchange would mean the per-doc stats shuffled
+    val p = plan("dq04_adaptive_quality_gate")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
+  }
+
   test("tx11: collocation top-20 is a TakeOrderedAndProject, not a global sort") {
     val p = plan("tx11_collocations")
     assert(p.contains("TakeOrderedAndProject"), p)
