@@ -103,7 +103,8 @@ object ScaleProbe {
           "st11", "dm05", "mm04", "tx10", "dd08",
           "tx11", "dm06", "mm05", "dq04").exists(enabled)
     val wantsEmb = stageOnly ||
-      Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10").exists(enabled)
+      Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
+          "st13").exists(enabled)
     val wantsEvents = stageOnly ||
       Seq("aj01", "st03", "st08", "st12").exists(enabled)
     val wantsRel = stageOnly ||
@@ -262,6 +263,9 @@ object ScaleProbe {
     }
     if (enabled("ss10")) time("ss10_mips_topk") {
       SparkEntry.queries("ss10_mips_topk")(spark, workDir).count()
+    }
+    if (enabled("st13")) time("st13_ann_serving") {
+      SparkEntry.queries("st13_ann_serving")(spark, workDir).count()
     }
     if (enabled("st12")) time("st12_funnel_state") {
       SparkEntry.queries("st12_funnel_state")(spark, workDir).count()

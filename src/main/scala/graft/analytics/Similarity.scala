@@ -56,11 +56,14 @@ object Similarity {
     * multiplies), not in which rows get scanned. Same plan shape as
     * [[bruteForceTopK]]: broadcast one quantized query row, map-side
     * scoring, TakeOrderedAndProject — no shuffle of the corpus. */
-  def int8TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+  /** (vec_id, __scale, __q): the int8 representation behind ss09/st13 —
+    * unit-normalize then symmetric int8 quantization (ef01's transform),
+    * computed as a map-only projection. */
+  def int8Quantized(emb: DataFrame): DataFrame = {
     val norm = sqrt(aggregate(
       transform(col("embedding"), c => c.cast("double") * c.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-    val qz = emb
+    emb
       .withColumn("__unit", transform(col("embedding"),
         c => c.cast("double") / norm))
       .withColumn("__scale", lit(127.0) /
@@ -68,6 +71,10 @@ object Similarity {
       .withColumn("__q", transform(col("__unit"),
         u => round(u * col("__scale"), 0).cast("long")))
       .select(col("vec_id"), col("__scale"), col("__q"))
+  }
+
+  def int8TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val qz = int8Quantized(emb)
     val q = qz.filter(col("vec_id") === queryId)
       .select(col("__scale").as("q_scale"), col("__q").as("q_q"))
     qz.filter(col("vec_id") =!= queryId)
@@ -80,6 +87,33 @@ object Similarity {
       .select(col("vec_id"), col("qdot"), col("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Batch multi-query int8 top-k: a TABLE of queries served against
+    * the int8-quantized corpus in one plan — the query side broadcasts
+    * onto the corpus scan (queries ≪ corpus always, in a serving tier),
+    * integer dots score map-side, and a per-query window takes the
+    * top-k. Deterministic end to end like [[int8TopK]], so the batch
+    * plumbing is fully oracle-checkable; the STREAMING form
+    * ([[graft.streaming.EventStreams.annServe]]) runs this exact plan
+    * per micro-batch of arriving queries — stateless, corpus never
+    * re-shuffled. */
+  def int8BatchTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qz = int8Quantized(corpus)
+    val qs = int8Quantized(queries)
+      .select(col("vec_id").as("query_id"), col("__scale").as("q_scale"),
+              col("__q").as("q_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    qz.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("__q"), col("q_q"), (a, b) => a * b),
+                  lit(0L), (acc, v) => acc + v))
+      .withColumn("score",
+        round(col("qdot") / (col("__scale") * col("q_scale")), 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
   }
 
   /** LSH-bucketed ANN: both corpus and query are bucketed by

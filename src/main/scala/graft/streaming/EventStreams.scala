@@ -178,6 +178,31 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING ANN serving: arriving query vectors answered per
+    * micro-batch against a STATIC corpus via the deterministic int8
+    * batch plan ([[graft.analytics.Similarity.int8BatchTopK]]). The
+    * streaming plan is stateless — the corpus is a static parquet table
+    * the (small) query batch broadcasts onto, so nothing is re-shuffled
+    * per batch and no state store exists; results land partitioned by
+    * batch_id with dynamic overwrite (replayed batches overwrite their
+    * own partition — idempotent, the st11 discipline). */
+  def annServe(queries: DataFrame, corpusDir: String, outDir: String,
+               checkpointDir: String, k: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val corpus = spark.read.parquet(corpusDir)
+        graft.analytics.Similarity.int8BatchTopK(corpus, batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
+
   /** STREAMING temperature mixture (dm05): per micro-batch, refresh the
     * α = 1/2 keep-rates from the RUNNING language counts (update counts
     * with the batch, then gate the batch), so the mixture self-corrects

@@ -268,6 +268,55 @@ object StreamShapes {
       Some(funnelOracleSql)
     ),
 
+    // STREAMING ANN serving in batch form: a query TABLE (vec_id < 32)
+    // answered against the int8-quantized corpus in one plan
+    // ([[graft.analytics.Similarity.int8BatchTopK]] — queries broadcast
+    // onto the corpus scan, integer dots map-side, per-query window
+    // top-k). Deterministic end to end, so the whole serving plumbing
+    // is hash-checked; the streaming form (EventStreams.annServe) runs
+    // THIS plan per micro-batch of arriving queries — stateless
+    // (corpus static, no state store), pinned by a MemoryStream test.
+    QueryDef(
+      "st13_ann_serving",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        graft.analytics.Similarity.int8BatchTopK(
+          emb, emb.filter(col("vec_id") < 32), k = 10)
+      },
+      Some("""WITH nrm AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |un AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, c -> CAST(c AS DOUBLE) / nrm) AS unit
+             |  FROM nrm),
+             |sc AS (
+             |  SELECT vec_id, unit,
+             |    127.0 / list_max(list_transform(unit, u -> abs(u))) AS scale
+             |  FROM un),
+             |qz AS (
+             |  SELECT vec_id, scale,
+             |    list_transform(unit,
+             |      u -> CAST(round(u * scale, 0) AS BIGINT)) AS q
+             |  FROM sc),
+             |qs AS (SELECT vec_id AS query_id, scale AS q_scale, q AS q_q
+             |       FROM qz WHERE vec_id < 32),
+             |scored AS (
+             |  SELECT qs.query_id, e.vec_id,
+             |    round(CAST(list_sum(list_transform(list_zip(e.q, qs.q_q),
+             |      p -> p[1] * p[2])) AS BIGINT) / (e.scale * qs.q_scale), 6)
+             |      AS score
+             |  FROM qz e, qs WHERE e.vec_id <> qs.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, score, CAST(row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rk
+             |  FROM scored)
+             |SELECT query_id, vec_id, score, rk FROM ranked
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
+    ),
+
     // the STREAMING funnel ([[EventStreams.funnelProgress]]) run in
     // batch mode: empty state + each user's whole history as one sorted
     // group ⇒ the stateful fold must reproduce ev01's conditional-

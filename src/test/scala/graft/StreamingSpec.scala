@@ -312,6 +312,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving: per-batch results equal the batch plan, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("st13_").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    corpus.write.parquet(s"$tmp/corpus")
+    // stream queries with ids beyond the corpus (pure lookups, no
+    // self-exclusion interplay): reuse corpus vectors under new ids
+    val qvecs = corpus.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = EventStreams.annServe(stream, s"$tmp/corpus", s"$tmp/out",
+                                  s"$tmp/ckpt", k = 5)
+    try {
+      mem.addData(qvecs(0), qvecs(1))
+      q.processAllAvailable()
+      mem.addData(qvecs(2), qvecs(3))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(out.select("batch_id").distinct().count() == 2)
+      // every query answered with exactly k results
+      assert(out.groupBy("query_id").count().collect()
+        .forall(_.getLong(1) == 5), out.collect().toSeq)
+      // per-batch streaming results == the batch plan on the same queries
+      val queriesDf = qvecs.toSeq.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      val batchRes = graft.analytics.Similarity
+        .int8BatchTopK(corpus, queriesDf, k = 5)
+        .select("query_id", "vec_id", "score", "rk").collect().toSet
+      val streamRes = out.select("query_id", "vec_id", "score", "rk")
+        .collect().toSet
+      assert(streamRes == batchRes)
+      // stateless: the corpus is a static table, not streaming state
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("kafka-shaped source: encode → decode round-trips typed events (batch)") {
     val events = graft.queries.QueryDef.eventsTable(spark, sf0001).limit(100)
     val decoded = graft.sources.KafkaShapedSource.decodeEvents(
