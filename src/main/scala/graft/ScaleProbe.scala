@@ -101,7 +101,7 @@ object ScaleProbe {
       Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
           "dc01", "bp01", "id01", "dm04", "cp01",
           "st11", "dm05", "mm04", "tx10", "dd08",
-          "tx11", "dm06", "mm05", "dq04").exists(enabled)
+          "tx11", "dm06", "mm05", "dq04", "bp02").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
           "st13").exists(enabled)
@@ -254,10 +254,25 @@ object ScaleProbe {
         SparkEntry.queries(qn)(spark, workDir).count()
       }
     }
+    // dd08's span fold is a projection count() would prune — force it
+    // (the bp02 lesson: a probe must evaluate the operator, not the
+    // column-pruned skeleton of it)
+    if (enabled("dd08")) time("dd08_dup_spans_fold") {
+      SparkEntry.queries("dd08_dup_spans")(spark, workDir)
+        .agg(sum(col("dup_covered") + col("n_dup_grams"))).head(); 1L
+    }
     // int8 scan-path ANN over the replicated embeddings (map-only +
     // TakeOrderedAndProject — the probe checks the scan stays the only
     // N-term) and the stateful streaming funnel in batch mode (state
     // scales with USERS, which is the replication axis for events)
+    // bp02 under count() would let Catalyst PRUNE the per-doc rebuild
+    // fold (the map-side half of the operator) — force it with an
+    // aggregate over the cleaned text itself
+    if (enabled("bp02")) time("bp02_boilerplate_strip") {
+      SparkEntry.queries("bp02_boilerplate_strip")(spark, workDir)
+        .agg(sum(length(col("cleaned_text")) + col("n_removed")))
+        .head(); 1L
+    }
     if (enabled("ss09")) time("ss09_int8_topk") {
       SparkEntry.queries("ss09_int8_topk")(spark, workDir).count()
     }

@@ -364,6 +364,120 @@ object DataQuality {
               |ORDER BY n_docs DESC, n_occ DESC, gram""".stripMargin)
     ),
 
+    // ---- boilerplate REMOVAL (the transform downstream of bp01) ------
+    // bp01 finds the cross-document repeated 8-grams; this entry
+    // actually strips them: every word position covered by a flagged
+    // gram's [p, p+7] span is removed and the surviving words are
+    // re-joined — RefinedWeb's boilerplate-removal step as a transform,
+    // not just a census. Plan: positioned-gram explode → 128-bit hash
+    // census (bp01 discipline, 16-byte shuffle keys) → broadcast
+    // semi-join keeps flagged positions → ONE O(n) map-side fold per
+    // doc rebuilds the text: flagged starts are distinct sorted
+    // positions, so walking positions 0..n-1 needs at most one pointer
+    // advance per step (no per-word interval scan — that would be
+    // O(n²) on long docs). Census-anchored: clean docs pass through
+    // verbatim with n_removed = 0.
+    QueryDef(
+      "bp02_boilerplate_strip",
+      (s, d) => {
+        val L = 8
+        val grams8 =
+          s"""CASE WHEN size(words) >= $L THEN
+             |  transform(sequence(0, size(words) - $L),
+             |            i -> concat_ws(' ', slice(words, i + 1, $L)))
+             |ELSE cast(array() as array<string>) END""".stripMargin
+        val words = table(s, d, "documents")
+          .select(col("doc_id"), expr(wordsExpr).as("words"))
+        val grams = words
+          .select(col("doc_id"), posexplode(expr(grams8)).as(Seq("p", "gram")))
+          .withColumn("h1", xxhash64(col("gram")))
+          .withColumn("h2", xxhash64(col("gram"), lit(1)))
+          .select("doc_id", "p", "h1", "h2")
+        val flagged = grams.groupBy("h1", "h2")
+          .agg(countDistinct("doc_id").as("n_docs"))
+          .filter(col("n_docs") >= 3)
+          .select("h1", "h2")
+        val starts = grams
+          .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("p"))).as("ps"))
+        val kept = aggregate(
+          sequence(lit(0), size(col("words")) - 1),
+          struct(lit(1).as("k"), lit(-1).as("end"),
+                 expr("cast(array() as array<string>)").as("out")),
+          (acc, j) => {
+            val hasStart = acc("k") <= size(col("ps")) &&
+              element_at(col("ps"), acc("k")) === j
+            val newEnd = when(hasStart, greatest(acc("end"), j + lit(L - 1)))
+              .otherwise(acc("end"))
+            val newK = when(hasStart, acc("k") + 1).otherwise(acc("k"))
+            struct(newK.as("k"), newEnd.as("end"),
+                   when(j > newEnd,
+                        concat(acc("out"),
+                               array(element_at(col("words"), j + 1))))
+                     .otherwise(acc("out")).as("out"))
+          },
+          acc => acc("out"))
+        words.join(starts, Seq("doc_id"), "left")
+          .withColumn("ps",
+            coalesce(col("ps"), expr("cast(array() as array<int>)")))
+          // 0-word guard: sequence(0, -1) would DESCEND in Spark
+          .withColumn("cleaned",
+            when(size(col("words")) >= 1, kept)
+              .otherwise(expr("cast(array() as array<string>)")))
+          .select(col("doc_id"),
+                  size(col("words")).cast("long").as("n_tokens"),
+                  (size(col("words")) - size(col("cleaned"))).cast("long")
+                    .as("n_removed"),
+                  concat_ws(" ", col("cleaned")).as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, $wordsSql AS w FROM documents),
+              |pos AS (
+              |  SELECT doc_id, w,
+              |    CAST(unnest(range(greatest(len(w) - 7, 0))) AS INT) AS p
+              |  FROM words),
+              |g2 AS (
+              |  SELECT doc_id, p, array_to_string(w[p + 1:p + 8], ' ') AS g
+              |  FROM pos),
+              |census AS (
+              |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+              |dup AS (
+              |  SELECT doc_id, p FROM g2 WHERE g IN (SELECT g FROM census)),
+              |marked AS (
+              |  SELECT doc_id, p,
+              |    CASE WHEN lag(p) OVER win IS NULL OR p > lag(p) OVER win + 7
+              |         THEN 1 ELSE 0 END AS brk
+              |  FROM dup WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+              |numbered AS (
+              |  SELECT doc_id, p,
+              |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+              |  FROM marked),
+              |islands AS (
+              |  SELECT doc_id, min(p) AS mn, max(p) + 7 AS mx
+              |  FROM numbered GROUP BY doc_id, isl),
+              |wp AS (
+              |  SELECT doc_id, w, CAST(unnest(range(len(w))) AS INT) AS j
+              |  FROM words),
+              |keptw AS (
+              |  SELECT wp.doc_id, wp.w[wp.j + 1] AS word, wp.j
+              |  FROM wp
+              |  WHERE NOT EXISTS (
+              |    SELECT 1 FROM islands i
+              |    WHERE i.doc_id = wp.doc_id AND wp.j BETWEEN i.mn AND i.mx)),
+              |agg AS (
+              |  SELECT doc_id, count(*) AS n_kept,
+              |    string_agg(word, ' ' ORDER BY j) AS cleaned_text
+              |  FROM keptw GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+              |  CAST(len(d.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+              |  coalesce(a.cleaned_text, '') AS cleaned_text
+              |FROM words d LEFT JOIN agg a USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)
+    ),
+
     // ---- incremental ingest gate --------------------------------------
     // Dedup of a NEW batch against the standing corpus — the shape every
     // continuously-fed training pipeline runs per ingest: for each new

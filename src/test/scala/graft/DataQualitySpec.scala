@@ -109,6 +109,40 @@ class DataQualitySpec extends SparkSpec {
     assert(reported.toSet == expected)
   }
 
+  test("bp02: strip removes exactly the positions covered by flagged grams (brute recount)") {
+    // brute-force reference: recompute the >= 3-doc 8-gram census and
+    // the covered position set per doc in plain Scala, then check the
+    // plan's O(n) pointer fold rebuilt the same cleaned text
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+    val census = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, w) =>
+      w.sliding(8).filter(_.length == 8).map(_.mkString(" "))
+        .foreach(g => census(g) = census.getOrElse(g, Set.empty) + id)
+    }
+    val flagged = census.collect { case (g, ds) if ds.size >= 3 => g }.toSet
+    val expected = docs.map { case (id, w) =>
+      val covered = w.sliding(8).zipWithIndex
+        .filter { case (g, _) => g.length == 8 && flagged(g.mkString(" ")) }
+        .flatMap { case (_, p) => p until (p + 8) }.toSet
+      val kept = w.zipWithIndex.collect { case (x, j) if !covered(j) => x }
+      id -> ((w.length.toLong, (w.length - kept.length).toLong,
+              kept.mkString(" ")))
+    }.toMap
+    val out = run("bp02_boilerplate_strip").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (id, got) =>
+      assert(got == expected(id), s"doc $id: $got vs ${expected(id)}")
+    }
+    // the fixture must exercise the strip (some doc loses words) AND
+    // the passthrough (some doc survives verbatim)
+    assert(out.values.exists(_._2 > 0))
+    assert(out.values.exists(_._2 == 0L))
+  }
+
   test("id01: gate covers exactly the src19 batch; keep agrees with containment") {
     val rows = run("id01_incremental_gate").collect()
     val batch = spark.read.parquet(s"$sf0001/documents.parquet")

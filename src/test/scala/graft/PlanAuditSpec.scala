@@ -81,6 +81,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
   }
 
+  test("dm06: running-sum windows are (lang, shard)-partitioned, never global") {
+    // an unpartitioned running sum would funnel each language (or the
+    // whole corpus) through one task; the plan must show every window
+    // keyed by the hash shard
+    val p = plan("dm06_token_budget_mixture")
+    val specs = "windowspecdefinition\\(([^,]*, [^,]*)," .r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { s =>
+      assert(s.contains("lang") && s.contains("shard"),
+             s"window not sharded: $s\n$p")
+    }
+  }
+
   test("tx11: collocation top-20 is a TakeOrderedAndProject, not a global sort") {
     val p = plan("tx11_collocations")
     assert(p.contains("TakeOrderedAndProject"), p)
