@@ -6,10 +6,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Each query is forced with `count()` (full pipeline executes; only the
-  * final count crosses to the driver — no collect of result rows). A
-  * single warm-up query amortizes JVM/codegen warm-up out of the
-  * numbers, matching how a long-lived cluster session behaves.
+  * Each query is forced with a NOOP-sink write: every output column of
+  * every row is materialized on the executors and nothing crosses to
+  * the driver. The earlier `count()` forcing silently UNDER-measured
+  * map-only operators — Catalyst's column pruning deletes projection
+  * work (folds, regex columns, even whole Window nodes) that a count
+  * doesn't need, so a pure-projection entry benched as its scan
+  * skeleton. The noop sink is what the driver's Verify effectively does
+  * (parquet write), minus the encode/IO. A single warm-up query
+  * amortizes JVM/codegen warm-up out of the numbers, matching how a
+  * long-lived cluster session behaves.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -60,7 +66,10 @@ object Bench {
     def timeOne(q: graft.queries.QueryDef): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { q.df(spark, sfDir).count(); true }
+        try {
+          q.df(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false

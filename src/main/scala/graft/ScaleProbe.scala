@@ -181,9 +181,20 @@ object ScaleProbe {
     import graft.analytics.{Dedup, IvfIndex, Similarity}
     import graft.queries.QueryDef.table
 
-    if (enabled("dd01")) time("dd01_exact_dedup") {
-      SparkEntry.queries("dd01_exact_dedup")(spark, workDir).count()
-    }
+    // Registry-entry probes are forced through the NOOP sink, not
+    // count(): column pruning under a count deletes exactly the
+    // map-side work (folds, regex projections, whole Window nodes)
+    // these probes exist to measure — dq03's "0.5 s at 10×" and dd08's
+    // "1 s" were scan skeletons. The trailing count (cheap, pruned) is
+    // only for the rows field of the probe line.
+    def probeEntry(qn: String): Unit =
+      if (enabled(qn.takeWhile(_ != '_')) || enabled(qn)) time(qn) {
+        val df = SparkEntry.queries(qn)(spark, workDir)
+        df.write.format("noop").mode("overwrite").save()
+        df.count()
+      }
+
+    probeEntry("dd01_exact_dedup")
     if (enabled("dd02")) time("dd02_minhash_lsh") {
       Dedup.minhashPairs(table(spark, workDir, "documents"),
                          shingleN = 3, minJaccard = 0.3).count()
@@ -219,18 +230,10 @@ object ScaleProbe {
       Similarity.ivfPqTopK(spark, workDir, queryId = 0L, k = 10,
         nLists = IvfIndex.DefaultLists, nProbe = 4).count()
     }
-    if (enabled("tx08")) time("tx08_tfidf_top_terms") {
-      SparkEntry.queries("tx08_tfidf_top_terms")(spark, workDir).count()
-    }
-    if (enabled("aj01")) time("aj01_asof_join") {
-      SparkEntry.queries("aj01_asof_join")(spark, workDir).count()
-    }
-    if (enabled("st03")) time("st03_session_window") {
-      SparkEntry.queries("st03_session_window")(spark, workDir).count()
-    }
-    if (enabled("st08")) time("st08_sessionize") {
-      SparkEntry.queries("st08_sessionize")(spark, workDir).count()
-    }
+    probeEntry("tx08_tfidf_top_terms")
+    probeEntry("aj01_asof_join")
+    probeEntry("st03_session_window")
+    probeEntry("st08_sessionize")
     // round-4 curation surface at N×: repetition stats (explode+window),
     // decontamination (broadcast n-gram join), boilerplate census
     // (gram groupBy), incremental gate (batch semi-join), epoch shuffle
@@ -249,42 +252,15 @@ object ScaleProbe {
         // joins), token-budget mixture (sharded running sums), codec
         // resize (decode + pool per image)
         "tx11_collocations", "dm06_token_budget_mixture",
-        "mm05_resize_pool", "dq04_adaptive_quality_gate").foreach { qn =>
-      if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
-        SparkEntry.queries(qn)(spark, workDir).count()
-      }
-    }
-    // dd08's span fold is a projection count() would prune — force it
-    // (the bp02 lesson: a probe must evaluate the operator, not the
-    // column-pruned skeleton of it)
-    if (enabled("dd08")) time("dd08_dup_spans_fold") {
-      SparkEntry.queries("dd08_dup_spans")(spark, workDir)
-        .agg(sum(col("dup_covered") + col("n_dup_grams"))).head(); 1L
-    }
-    // int8 scan-path ANN over the replicated embeddings (map-only +
-    // TakeOrderedAndProject — the probe checks the scan stays the only
-    // N-term) and the stateful streaming funnel in batch mode (state
-    // scales with USERS, which is the replication axis for events)
-    // bp02 under count() would let Catalyst PRUNE the per-doc rebuild
-    // fold (the map-side half of the operator) — force it with an
-    // aggregate over the cleaned text itself
-    if (enabled("bp02")) time("bp02_boilerplate_strip") {
-      SparkEntry.queries("bp02_boilerplate_strip")(spark, workDir)
-        .agg(sum(length(col("cleaned_text")) + col("n_removed")))
-        .head(); 1L
-    }
-    if (enabled("ss09")) time("ss09_int8_topk") {
-      SparkEntry.queries("ss09_int8_topk")(spark, workDir).count()
-    }
-    if (enabled("ss10")) time("ss10_mips_topk") {
-      SparkEntry.queries("ss10_mips_topk")(spark, workDir).count()
-    }
-    if (enabled("st13")) time("st13_ann_serving") {
-      SparkEntry.queries("st13_ann_serving")(spark, workDir).count()
-    }
-    if (enabled("st12")) time("st12_funnel_state") {
-      SparkEntry.queries("st12_funnel_state")(spark, workDir).count()
-    }
+        "mm05_resize_pool", "dq04_adaptive_quality_gate",
+        "bp02_boilerplate_strip").foreach(probeEntry)
+    // int8 scan-path ANN + MIPS over the replicated embeddings
+    // (map-only + TakeOrderedAndProject — the probes check the scan
+    // stays the only N-term), streaming ANN serving in batch form, and
+    // the stateful streaming funnel in batch mode (state scales with
+    // USERS, which is the replication axis for events)
+    Seq("ss09_int8_topk", "ss10_mips_topk", "st13_ann_serving",
+        "st12_funnel_state").foreach(probeEntry)
     if (enabled("sem01")) {
       // sem01's scale contract: cluster count grows with the corpus
       // (k ∝ N), keeping per-cluster pairwise work flat. Probing N×
@@ -304,11 +280,7 @@ object ScaleProbe {
     // assumptions bend first at scale
     Seq("q06_join_filter_gt", "q14_join_notnull", "q17_join_full_sort",
         "q20_join_group_multiagg", "x07_subquery_above_avg",
-        "dq01_quality_gate").foreach { qn =>
-      if (enabled(qn.takeWhile(_ != '_'))) time(qn) {
-        SparkEntry.queries(qn)(spark, workDir).count()
-      }
-    }
+        "dq01_quality_gate").foreach(probeEntry)
     // shuffle-partition sensitivity: the same shuffle-bound queries
     // timed at several initial partition counts (AQE coalesces from
     // this number — too low starves parallelism before AQE can split,
@@ -320,7 +292,11 @@ object ScaleProbe {
            qn <- Seq("q14_join_notnull", "q17_join_full_sort",
                      "q20_join_group_multiagg")) {
         spark.conf.set("spark.sql.shuffle.partitions", p)
-        time(s"$qn@p$p") { SparkEntry.queries(qn)(spark, workDir).count() }
+        time(s"$qn@p$p") {
+          val df = SparkEntry.queries(qn)(spark, workDir)
+          df.write.format("noop").mode("overwrite").save()
+          df.count()
+        }
       }
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
