@@ -186,4 +186,38 @@ class CurationPropertySpec extends SparkSpec {
       assert(out(4L).getAs[Int]("keep") == 1)
     }
   }
+
+  test("bp02: adversarial docs keep census, strip matches a brute recount") {
+    forAllSampled(Gen.listOfN(20, docGen), n = 2) { generated =>
+      // three docs share an 8-word navigation chrome prefix so the
+      // >= 3-doc flag genuinely fires (random short docs rarely collide)
+      val boiler = (0 until 3).map(i =>
+        s"nav home about contact legal privacy terms search unique$i tail")
+      val texts = edgeDocs.map(_._1) ++ boiler ++ generated
+      val dir = writeDocs(texts)
+      val out = SparkEntry.queries("bp02_boilerplate_strip")(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // census: every doc (incl. empty / whitespace-only) gets a row
+      assert(out.keySet == texts.indices.map(_.toLong).toSet)
+      // brute recount of the >= 3-doc 8-gram strip in plain Scala
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, tokens(t)) }
+      val census = scala.collection.mutable.Map.empty[String, Set[Long]]
+      docs.foreach { case (id, w) =>
+        w.sliding(8).filter(_.length == 8).map(_.mkString(" "))
+          .foreach(g => census(g) = census.getOrElse(g, Set.empty) + id)
+      }
+      val flagged = census.collect { case (g, ds) if ds.size >= 3 => g }.toSet
+      docs.foreach { case (id, w) =>
+        val covered = w.sliding(8).zipWithIndex
+          .filter { case (g, _) => g.length == 8 && flagged(g.mkString(" ")) }
+          .flatMap { case (_, p) => p until (p + 8) }.toSet
+        val kept = w.zipWithIndex.collect { case (x, j) if !covered(j) => x }
+        assert(out(id) == ((w.length.toLong, (w.length - kept.length).toLong,
+                            kept.mkString(" "))),
+               s"doc $id: ${out(id)} vs expected over ${w.mkString("|")}")
+      }
+    }
+  }
 }
