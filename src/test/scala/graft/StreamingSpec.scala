@@ -353,6 +353,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving: kill + restart — every query answered exactly once") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("st13r-landing").toString
+    val tmp = Files.createTempDirectory("st13r-state").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    corpus.write.parquet(s"$tmp/corpus")
+    val qvecs = corpus.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def land(rows: Seq[(Long, Seq[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .coalesce(1).write.mode("append").parquet(landing)
+    land(Seq(qvecs(0), qvecs(1)))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.annServe(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      s"$tmp/corpus", s"$tmp/out", s"$tmp/ckpt", k = 5)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the server is down, more queries land; the restart must
+    // answer only the new file (checkpoint resume) and a replayed
+    // batch id would overwrite, not duplicate, its own partition
+    land(Seq(qvecs(2), qvecs(3)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    val counts = out.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == qvecs.map(_._1 -> 5L).toMap,
+           s"duplicate or missing answers after restart: $counts")
+  }
+
   test("kafka-shaped source: encode → decode round-trips typed events (batch)") {
     val events = graft.queries.QueryDef.eventsTable(spark, sf0001).limit(100)
     val decoded = graft.sources.KafkaShapedSource.decodeEvents(
