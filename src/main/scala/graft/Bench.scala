@@ -47,6 +47,9 @@ object Bench {
     try graft.analytics.IvfIndex.ensure(spark, sfDir,
       graft.analytics.Similarity.semLists(spark, sfDir))
     catch { case _: Throwable => () }
+    // the persisted int8 codes (ss11) are offline by the same contract
+    try graft.analytics.Int8Index.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The

@@ -104,7 +104,7 @@ object ScaleProbe {
           "tx11", "dm06", "mm05", "dq04", "bp02").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
-          "st13").exists(enabled)
+          "ss11", "st13").exists(enabled)
     val wantsEvents = stageOnly ||
       Seq("aj01", "st03", "st08", "st12").exists(enabled)
     val wantsRel = stageOnly ||
@@ -261,6 +261,14 @@ object ScaleProbe {
     // USERS, which is the replication axis for events)
     Seq("ss09_int8_topk", "ss10_mips_topk", "st13_ann_serving",
         "st12_funnel_state").foreach(probeEntry)
+    if (enabled("ss11")) {
+      // the codes build is offline by the index contract — stage it
+      // untimed, then probe the serve path alone
+      time("int8_build") {
+        graft.analytics.Int8Index.ensure(spark, workDir); 1L
+      }
+      probeEntry("ss11_int8_indexed")
+    }
     if (enabled("sem01")) {
       // sem01's scale contract: cluster count grows with the corpus
       // (k ∝ N), keeping per-cluster pairwise work flat. Probing N×

@@ -73,9 +73,13 @@ object Similarity {
       .select(col("vec_id"), col("__scale"), col("__q"))
   }
 
-  def int8TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val qz = int8Quantized(emb)
-    val q = qz.filter(col("vec_id") === queryId)
+  /** Top-k over an already-quantized (vec_id, __scale, __q) frame: the
+    * query row is taken FROM `queryQz` (one-row broadcast), scoring is
+    * the integer-dot rescale, top-k a TakeOrderedAndProject. Shared by
+    * the in-plan path (ss09) and the persisted-index path (ss11). */
+  def int8ScoreTopK(qz: DataFrame, queryQz: DataFrame, queryId: Long,
+                    k: Int): DataFrame = {
+    val q = queryQz.filter(col("vec_id") === queryId)
       .select(col("__scale").as("q_scale"), col("__q").as("q_q"))
     qz.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
@@ -87,6 +91,11 @@ object Similarity {
       .select(col("vec_id"), col("qdot"), col("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
+  }
+
+  def int8TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val qz = int8Quantized(emb)
+    int8ScoreTopK(qz, qz, queryId, k)
   }
 
   /** Batch multi-query int8 top-k: a TABLE of queries served against
@@ -364,6 +373,38 @@ object Similarity {
     pqCodebooks.computeIfAbsent(
       s"$sfDir|${IvfIndex.contentStamp(sfDir)}",
       _ => PqIndex.fitCodebooks(table(spark, sfDir, "embeddings")))
+
+  /** DuckDB replay of the int8 top-k (ss09/ss11): derives the codes
+    * from raw embeddings — identical math whether the Spark side
+    * quantizes in-plan or reads the persisted index. */
+  private val int8OracleSql =
+    """WITH nrm AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |un AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, c -> CAST(c AS DOUBLE) / nrm) AS unit
+      |  FROM nrm),
+      |sc AS (
+      |  SELECT vec_id, unit,
+      |    127.0 / list_max(list_transform(unit, u -> abs(u))) AS scale
+      |  FROM un),
+      |qz AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(unit,
+      |      u -> CAST(round(u * scale, 0) AS BIGINT)) AS q
+      |  FROM sc),
+      |qv AS (SELECT scale AS q_scale, q AS q_q FROM qz WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(list_sum(list_transform(list_zip(e.q, qv.q_q),
+      |    p -> p[1] * p[2])) AS BIGINT) AS qdot,
+      |  round(CAST(list_sum(list_transform(list_zip(e.q, qv.q_q),
+      |    p -> p[1] * p[2])) AS BIGINT)
+      |    / (e.scale * qv.q_scale), 6) AS score
+      |FROM qz e, qv WHERE e.vec_id <> 0
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   private val cosSql =
     """list_sum(list_transform(list_zip(e.embedding, q.qvec),
@@ -651,33 +692,24 @@ object Similarity {
       // entry that needs no rows-only escape hatch. SimilaritySpec pins
       // its overlap against the exact float path (ss01).
       (s, d) => int8TopK(table(s, d, "embeddings"), queryId = 0L, k = 10),
-      Some("""WITH nrm AS (
-             |  SELECT vec_id, embedding,
-             |    sqrt(list_sum(list_transform(embedding,
-             |      c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS nrm
-             |  FROM embeddings),
-             |un AS (
-             |  SELECT vec_id,
-             |    list_transform(embedding, c -> CAST(c AS DOUBLE) / nrm) AS unit
-             |  FROM nrm),
-             |sc AS (
-             |  SELECT vec_id, unit,
-             |    127.0 / list_max(list_transform(unit, u -> abs(u))) AS scale
-             |  FROM un),
-             |qz AS (
-             |  SELECT vec_id, scale,
-             |    list_transform(unit,
-             |      u -> CAST(round(u * scale, 0) AS BIGINT)) AS q
-             |  FROM sc),
-             |qv AS (SELECT scale AS q_scale, q AS q_q FROM qz WHERE vec_id = 0)
-             |SELECT e.vec_id,
-             |  CAST(list_sum(list_transform(list_zip(e.q, qv.q_q),
-             |    p -> p[1] * p[2])) AS BIGINT) AS qdot,
-             |  round(CAST(list_sum(list_transform(list_zip(e.q, qv.q_q),
-             |    p -> p[1] * p[2])) AS BIGINT)
-             |    / (e.scale * qv.q_scale), 6) AS score
-             |FROM qz e, qv WHERE e.vec_id <> 0
-             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+      Some(int8OracleSql)
+    ),
+    QueryDef(
+      "ss11_int8_indexed",
+      // the same int8 top-k served from the PERSISTED codes
+      // ([[Int8Index]]): quantization runs once offline and the scan
+      // reads 1-byte codes (array<tinyint> — 4× narrower than the raw
+      // float column) instead of re-quantizing the corpus per query.
+      // Quantization is deterministic, so the persisted path answers
+      // EXACTLY like ss09 and the same DuckDB replay (which derives the
+      // codes from raw embeddings) hash-checks the whole
+      // build→persist→scan machinery, content stamp included.
+      (s, d) => {
+        val dir = Int8Index.ensure(s, d)
+        val codes = Int8Index.readCodes(s, dir)
+        int8ScoreTopK(codes, codes, queryId = 0L, k = 10)
+      },
+      Some(int8OracleSql)
     ),
     QueryDef(
       "ss10_mips_topk",

@@ -201,6 +201,18 @@ class DedupSpec extends SparkSpec {
     assert(overlap >= 8, s"int8 fidelity collapsed: $overlap/10 vs exact")
   }
 
+  test("persisted int8 index answers exactly like the in-plan quantization") {
+    // ss11's contract: the offline codes are THE SAME representation
+    // ss09 derives per query, so the two paths must agree row-for-row
+    // (a lossy tinyint narrowing or a stale index would diverge here)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val inPlan = Similarity.int8TopK(emb, 0L, 10).collect().toSeq
+    val dir = graft.analytics.Int8Index.ensure(spark, sf0001)
+    val codes = graft.analytics.Int8Index.readCodes(spark, dir)
+    val served = Similarity.int8ScoreTopK(codes, codes, 0L, 10).collect().toSeq
+    assert(served == inPlan)
+  }
+
   test("multi-probe LSH recalls at least as much as single-probe") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(emb, 0L, 10)

@@ -65,6 +65,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
   }
 
+  test("ss11: persisted-index scan reads 1-byte codes, no corpus shuffle") {
+    val f = formatted("ss11_int8_indexed")
+    // the serving scan must read the tinyint codes, not re-derive them
+    // from the 4-byte float embedding column
+    assert(f.contains("array<tinyint>"), f)
+    assert(!f.matches("(?s).*ReadSchema:[^\\n]*array<float>.*"), f)
+    val p = plan("ss11_int8_indexed")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("ss10: MIPS scan keeps the ss01 shape — no corpus shuffle") {
     val p = plan("ss10_mips_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
