@@ -107,13 +107,19 @@ object Similarity {
     * ([[graft.streaming.EventStreams.annServe]]) runs this exact plan
     * per micro-batch of arriving queries — stateless, corpus never
     * re-shuffled. */
-  def int8BatchTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val qz = int8Quantized(corpus)
+  def int8BatchTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    int8BatchServe(int8Quantized(corpus), queries, k)
+
+  /** [[int8BatchTopK]] over an ALREADY-quantized corpus frame — the
+    * serving deployment reads [[Int8Index]]'s persisted codes here, so
+    * each micro-batch quantizes only its own handful of queries. */
+  def int8BatchServe(corpusQz: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
     val qs = int8Quantized(queries)
       .select(col("vec_id").as("query_id"), col("__scale").as("q_scale"),
               col("__q").as("q_q"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
-    qz.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    corpusQz.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("qdot",
         aggregate(zip_with(col("__q"), col("q_q"), (a, b) => a * b),
                   lit(0L), (acc, v) => acc + v))

@@ -187,15 +187,27 @@ object EventStreams {
     * batch_id with dynamic overwrite (replayed batches overwrite their
     * own partition — idempotent, the st11 discipline). */
   def annServe(queries: DataFrame, corpusDir: String, outDir: String,
-               checkpointDir: String, k: Int = 10)
+               checkpointDir: String, k: Int = 10,
+               codesDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val corpus = spark.read.parquet(corpusDir)
-        graft.analytics.Similarity.int8BatchTopK(corpus, batch, k)
+        // with a persisted Int8Index the per-batch plan scans 1-byte
+        // codes and quantizes only the (tiny) query batch; without one
+        // it derives the corpus codes in-plan — same answers either
+        // way (deterministic quantization, pinned in DedupSpec)
+        val result = codesDir match {
+          case Some(dir) =>
+            graft.analytics.Similarity.int8BatchServe(
+              graft.analytics.Int8Index.readCodes(spark, dir), batch, k)
+          case None =>
+            graft.analytics.Similarity.int8BatchTopK(
+              spark.read.parquet(corpusDir), batch, k)
+        }
+        result
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -359,6 +359,12 @@ class StreamingSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("st13r-state").toString
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
     corpus.write.parquet(s"$tmp/corpus")
+    // this restart test serves from PERSISTED codes (the deployment
+    // path); the previous test covers the quantize-in-plan fallback
+    graft.analytics.Similarity.int8Quantized(corpus)
+      .select(col("vec_id"), col("__scale").as("scale"),
+              expr("transform(__q, x -> cast(x as tinyint))").as("q"))
+      .write.parquet(s"$tmp/int8/codes")
     val qvecs = corpus.filter(col("vec_id") < 4)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -371,7 +377,8 @@ class StreamingSpec extends SparkSpec {
     def start() = EventStreams.annServe(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(landing),
-      s"$tmp/corpus", s"$tmp/out", s"$tmp/ckpt", k = 5)
+      s"$tmp/corpus", s"$tmp/out", s"$tmp/ckpt", k = 5,
+      codesDir = Some(s"$tmp/int8"))
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
     // while the server is down, more queries land; the restart must
