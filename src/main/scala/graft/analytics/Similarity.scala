@@ -203,6 +203,80 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cluster the (metadata-sized) IVF centroid table into `nSuper`
+    * super-centroids — plain deterministic Scala k-means on the driver
+    * (seeds evenly spaced over the id-sorted centroids, 3 Lloyd
+    * rounds). This is the layered-coarse-quantizer role HNSW plays in
+    * big ANN systems: once the centroid count reaches 10⁵⁺ (a 10¹⁰-
+    * vector corpus at ~10⁵ vectors/list), ranking every centroid per
+    * query stops being free; a √k top layer cuts the driver-side
+    * ranking from O(k) to O(√k · probes). Returns each super-centroid
+    * with its member list ids. */
+  def fitSuperCentroids(centroids: Seq[(Int, Array[Double])], nSuper: Int)
+      : Seq[(Array[Double], Seq[Int])] = {
+    val sorted = centroids.sortBy(_._1)
+    val n = sorted.length
+    val k = math.min(nSuper, n)
+    var supers: Seq[Array[Double]] =
+      (0 until k).map(i => sorted((i.toLong * n / k).toInt)._2)
+    def nearest(v: Array[Double], cs: Seq[Array[Double]]): Int =
+      cs.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._2
+    var assign: Map[Int, Seq[(Int, Array[Double])]] = Map.empty
+    (0 until 3).foreach { _ =>
+      assign = sorted.groupBy { case (_, v) => nearest(v, supers) }
+      supers = supers.zipWithIndex.map { case (old, si) =>
+        assign.get(si) match {
+          case Some(members) =>
+            val dim = old.length
+            val mean = Array.tabulate(dim)(d =>
+              members.map(_._2(d)).sum / members.length)
+            // round like IvfIndex.fit: summation order can never flip
+            // an assignment between runs
+            mean.map(x => math.rint(x * 1e6) / 1e6)
+          case None => old
+        }
+      }
+    }
+    supers.zipWithIndex.map { case (c, si) =>
+      (c, assign.getOrElse(si, Seq.empty).map(_._1))
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** Two-level IVF probe: rank super-centroids, keep the top
+    * `superProbe` groups, rank only THEIR member centroids, probe the
+    * top `nProbe` lists. The executor-side plan is IDENTICAL to
+    * [[ivfProbe]] (partition-pruned scan of the probed lists) — the
+    * layer only changes which lists the driver picks, which is why
+    * `superProbe` = all groups degenerates exactly to [[ivfTopK]]
+    * (pinned in DedupSpec). */
+  def ivf2TopK(spark: SparkSession, sfDir: String, queryId: Long, k: Int,
+               nLists: Int, nProbe: Int, superProbe: Int): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    val centroids = IvfIndex.readCentroids(spark, dir)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    val nSuper = math.max(1, math.round(math.sqrt(nLists.toDouble)).toInt)
+    val layered = fitSuperCentroids(centroids, nSuper)
+    val qvec = assignments.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def sqDist(c: Array[Double]): Double =
+      c.zip(qvec).map { case (ci, qi) => (ci - qi) * (ci - qi) }.sum
+    val memberIds = layered.zipWithIndex
+      .map { case ((c, members), si) => (sqDist(c), si, members) }
+      .sortBy { case (d, si, _) => (d, si) }
+      .take(superProbe).flatMap(_._3).toSet
+    val probes = centroids.filter(c => memberIds(c._1))
+      .map { case (l, c) => (l, sqDist(c)) }
+      .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
+    assignments
+      .filter(col("list").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+              round(VectorOps.cosineNative(spark, col("embedding"),
+                    array(qvec.map(lit): _*)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF ANN against the persisted [[IvfIndex]] — nothing is trained at
     * query time. With nProbe = nLists this degenerates to exact brute
     * force (the property `DedupSpec` pins via [[ivfTopKOf]]). */
@@ -570,6 +644,32 @@ object Similarity {
       (s, d) => ivfTopK(s, d, queryId = 0L, k = 10,
                         nLists = IvfIndex.DefaultLists,
                         nProbe = IvfIndex.DefaultLists),
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
+              |FROM embeddings e, q WHERE e.vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "ss12_ivf2_topk",
+      // two-level coarse quantizer probe ([[ivf2TopK]]): the HNSW-role
+      // top layer over the IVF centroids — rank √k super-centroids,
+      // descend into the best groups, probe their lists. Approximate
+      // for superProbe < nSuper (rows-only); ss12x is the exact anchor
+      // and DedupSpec pins the all-groups degeneracy to ss03's path.
+      (s, d) => ivf2TopK(s, d, queryId = 0L, k = 10,
+                         nLists = IvfIndex.DefaultLists, nProbe = 4,
+                         superProbe = 2),
+      None
+    ),
+    QueryDef(
+      "ss12x_ivf2_exact",
+      // all groups descended + all lists probed ⇒ exact regardless of
+      // both learned layers — the brute-force oracle hash-checks the
+      // whole layered rank→descend→prune→scan machinery
+      (s, d) => ivf2TopK(s, d, queryId = 0L, k = 10,
+                         nLists = IvfIndex.DefaultLists,
+                         nProbe = IvfIndex.DefaultLists,
+                         superProbe = IvfIndex.DefaultLists),
       Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
               |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
               |FROM embeddings e, q WHERE e.vec_id <> 0

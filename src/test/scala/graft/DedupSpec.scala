@@ -201,6 +201,28 @@ class DedupSpec extends SparkSpec {
     assert(overlap >= 8, s"int8 fidelity collapsed: $overlap/10 vs exact")
   }
 
+  test("two-level quantizer with all groups descended equals the flat IVF probe") {
+    // the top layer only changes WHICH lists the driver picks; with
+    // every super-group descended the candidate centroid set is the
+    // full set, so ss12 must reproduce ss03's ranking exactly — and
+    // with a pruned descent it must still keep useful recall
+    import graft.analytics.IvfIndex
+    val flat = Similarity.ivfTopK(spark, sf0001, 0L, 10,
+      IvfIndex.DefaultLists, nProbe = 4).collect().toSeq
+    val layeredFull = Similarity.ivf2TopK(spark, sf0001, 0L, 10,
+      IvfIndex.DefaultLists, nProbe = 4,
+      superProbe = IvfIndex.DefaultLists).collect().toSeq
+    assert(layeredFull == flat)
+    val exact = Similarity.bruteForceTopK(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pruned = Similarity.ivf2TopK(spark, sf0001, 0L, 10,
+      IvfIndex.DefaultLists, nProbe = 4, superProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & pruned).size >= 3,
+           s"layered recall collapsed: ${(exact & pruned).size}/10")
+  }
+
   test("persisted int8 index answers exactly like the in-plan quantization") {
     // ss11's contract: the offline codes are THE SAME representation
     // ss09 derives per query, so the two paths must agree row-for-row
@@ -246,7 +268,9 @@ class DedupSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     emb1.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val k1 = IvfIndex.indexDir(dir, 4)
+    val i1 = graft.analytics.Int8Index.indexDir(dir)
     assert(k1 == IvfIndex.indexDir(dir, 4), "stamp must be stable")
+    assert(i1 == graft.analytics.Int8Index.indexDir(dir))
     // regenerate the dataset at the SAME path → the key must change,
     // otherwise a stale persisted index would be silently reused
     Thread.sleep(1100) // mtime granularity on some filesystems is 1s
@@ -255,6 +279,10 @@ class DedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     assert(IvfIndex.indexDir(dir, 4) != k1,
            "regenerated data must invalidate the index key")
+    // the int8 codes share the stamp discipline — regeneration must
+    // invalidate that key too
+    assert(graft.analytics.Int8Index.indexDir(dir) != i1,
+           "regenerated data must invalidate the int8 codes key")
   }
 
   test("PQ: codebooks deterministic; ADC equals reconstruction distance") {
