@@ -142,6 +142,185 @@ object CurationPipeline {
               |SELECT doc_id, n_tokens, shard, pos,
               |  CAST(floor(cum_before / 512) AS BIGINT) AS seq_id
               |FROM ordered ORDER BY doc_id""".stripMargin)
+    ),
+
+    // The second-generation pipeline, composing the round-5 operators
+    // into ONE plan: boilerplate strip (bp02's >= 3-doc 8-gram spans,
+    // text rebuilt by the O(n) pointer fold) → ADAPTIVE quality gate
+    // (dq04's percentile-derived cutoffs, computed over the CLEANED
+    // corpus) → exact dedup on the cleaned fingerprint (keep-first) →
+    // per-language token-budget selection (dm06's sharded running
+    // sums). Versus cp01: thresholds adapt to the corpus instead of C4
+    // constants, the dedup key sees post-strip text (boilerplate can't
+    // mask near-identical bodies), and the output is budget-balanced by
+    // tokens, not doc counts. Same composition discipline: every stage
+    // keeps its unit-operator scale shape; the only corpus-wide
+    // barriers are the census, the 1-row percentile aggregate, and the
+    // dedup shuffle the semantics require.
+    QueryDef(
+      "cp02_curation_v2",
+      (s, d) => {
+        val L = 8
+        val grams8 =
+          s"""CASE WHEN size(words) >= $L THEN
+             |  transform(sequence(0, size(words) - $L),
+             |            i -> concat_ws(' ', slice(words, i + 1, $L)))
+             |ELSE cast(array() as array<string>) END""".stripMargin
+        val words = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), expr(wordsExpr).as("words"))
+        // stage 1: boilerplate strip (bp02)
+        val grams = words
+          .select(col("doc_id"), posexplode(expr(grams8)).as(Seq("p", "gram")))
+          .withColumn("h1", xxhash64(col("gram")))
+          .withColumn("h2", xxhash64(col("gram"), lit(1)))
+          .select("doc_id", "p", "h1", "h2")
+        val flagged = grams.groupBy("h1", "h2")
+          .agg(countDistinct("doc_id").as("n_docs"))
+          .filter(col("n_docs") >= 3).select("h1", "h2")
+        val starts = grams
+          .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("p"))).as("ps"))
+        val fold = aggregate(
+          sequence(lit(0), size(col("words")) - 1),
+          struct(lit(1).as("k"), lit(-1).as("end"),
+                 expr("cast(array() as array<string>)").as("out")),
+          (acc, j) => {
+            val hasStart = acc("k") <= size(col("ps")) &&
+              element_at(col("ps"), acc("k")) === j
+            val newEnd = when(hasStart, greatest(acc("end"), j + lit(L - 1)))
+              .otherwise(acc("end"))
+            val newK = when(hasStart, acc("k") + 1).otherwise(acc("k"))
+            struct(newK.as("k"), newEnd.as("end"),
+                   when(j > newEnd,
+                        concat(acc("out"),
+                               array(element_at(col("words"), j + 1))))
+                     .otherwise(acc("out")).as("out"))
+          },
+          acc => acc("out"))
+        val cleaned = words.join(starts, Seq("doc_id"), "left")
+          .withColumn("ps",
+            coalesce(col("ps"), expr("cast(array() as array<int>)")))
+          .withColumn("cleaned",
+            when(size(col("words")) >= 1, fold)
+              .otherwise(expr("cast(array() as array<string>)")))
+          .select(col("doc_id"), col("lang"),
+                  size(col("cleaned")).cast("long").as("n_tokens"),
+                  round((size(col("cleaned")) -
+                         size(array_distinct(col("cleaned")))) * lit(1.0) /
+                        greatest(size(col("cleaned")), lit(1)), 6).as("dwf"),
+                  concat_ws(" ", col("cleaned")).as("ctext"))
+        // stage 2: adaptive gate over the cleaned corpus (dq04)
+        val th = cleaned.agg(
+          expr("percentile(n_tokens, 0.25)").as("p25w"),
+          expr("percentile(dwf, 0.75)").as("p75d"))
+        val gated = cleaned.crossJoin(broadcast(th))
+          .filter(col("n_tokens") >= col("p25w") && col("dwf") <= col("p75d"))
+        // stage 3: exact dedup on the CLEANED fingerprint, keep-first
+        val dw = Window.partitionBy(md5(lower(col("ctext")))).orderBy("doc_id")
+        val deduped = gated
+          .withColumn("rk", row_number().over(dw))
+          .filter(col("rk") === 1)
+        // stage 4: per-language token-budget selection (dm06)
+        val totals = deduped.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
+        val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
+        val h = md5(concat(col("doc_id").cast("string"), lit(":tb2"))
+          .cast("binary"))
+        val w = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        deduped.withColumn("h", h)
+          .withColumn("shard",
+            conv(substring(col("h"), 1, 2), 16, 10).cast("int") % 16)
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .crossJoin(broadcast(budget))
+          .filter(col("cum_before") < col("shard_budget"))
+          .select("doc_id", "lang", "n_tokens", "shard")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, lang, $wordsSql AS w FROM documents),
+              |pos AS (
+              |  SELECT doc_id, w,
+              |    CAST(unnest(range(greatest(len(w) - 7, 0))) AS INT) AS p
+              |  FROM words),
+              |g2 AS (
+              |  SELECT doc_id, p, array_to_string(w[p + 1:p + 8], ' ') AS g
+              |  FROM pos),
+              |census AS (
+              |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+              |dup AS (
+              |  SELECT doc_id, p FROM g2 WHERE g IN (SELECT g FROM census)),
+              |marked AS (
+              |  SELECT doc_id, p,
+              |    CASE WHEN lag(p) OVER win IS NULL OR p > lag(p) OVER win + 7
+              |         THEN 1 ELSE 0 END AS brk
+              |  FROM dup WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+              |numbered AS (
+              |  SELECT doc_id, p,
+              |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+              |  FROM marked),
+              |islands AS (
+              |  SELECT doc_id, min(p) AS mn, max(p) + 7 AS mx
+              |  FROM numbered GROUP BY doc_id, isl),
+              |wp AS (
+              |  SELECT doc_id, w, CAST(unnest(range(len(w))) AS INT) AS j
+              |  FROM words),
+              |keptw AS (
+              |  SELECT wp.doc_id, wp.w[wp.j + 1] AS word, wp.j
+              |  FROM wp
+              |  WHERE NOT EXISTS (
+              |    SELECT 1 FROM islands i
+              |    WHERE i.doc_id = wp.doc_id AND wp.j BETWEEN i.mn AND i.mx)),
+              |cstats AS (
+              |  SELECT d.doc_id, d.lang,
+              |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens,
+              |    round((coalesce(a.n_kept, 0) - coalesce(a.n_distinct, 0)) * 1.0 /
+              |          greatest(coalesce(a.n_kept, 0), 1), 6) AS dwf,
+              |    coalesce(a.ctext, '') AS ctext
+              |  FROM words d LEFT JOIN (
+              |    SELECT doc_id, count(*) AS n_kept,
+              |      count(DISTINCT word) AS n_distinct,
+              |      string_agg(word, ' ' ORDER BY j) AS ctext
+              |    FROM keptw GROUP BY doc_id) a USING (doc_id)),
+              |th AS (
+              |  SELECT quantile_cont(n_tokens, 0.25) AS p25w,
+              |         quantile_cont(dwf, 0.75) AS p75d
+              |  FROM cstats),
+              |gated AS (
+              |  SELECT c.* FROM cstats c, th
+              |  WHERE c.n_tokens >= th.p25w AND c.dwf <= th.p75d),
+              |dedup AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY md5(lower(ctext)) ORDER BY doc_id) AS rk
+              |    FROM gated) WHERE rk = 1),
+              |toks AS (
+              |  SELECT doc_id, lang, n_tokens,
+              |    md5(CAST(doc_id AS VARCHAR) || ':tb2') AS h
+              |  FROM dedup),
+              |sharded AS (
+              |  SELECT *, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+              |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+              |     AS INT) % 16 AS shard
+              |  FROM toks),
+              |totals AS (
+              |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_lang
+              |  FROM toks GROUP BY lang),
+              |budget AS (
+              |  SELECT CAST(min(tok_lang) // 16 AS BIGINT) AS shard_budget
+              |  FROM totals),
+              |cum AS (
+              |  SELECT doc_id, lang, n_tokens, shard,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+              |      ORDER BY h, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_before
+              |  FROM sharded)
+              |SELECT doc_id, lang, n_tokens, shard
+              |FROM cum, budget WHERE cum_before < shard_budget
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 }
