@@ -187,6 +187,29 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("cp02: composed pipeline survives adversarial corpora; manifest is sound") {
+    // the composed plan's oracle only ever sees the clean fixture, so
+    // the degenerate branches (0-token cleaned docs at the percentile
+    // gate, a language whose token mass collapses to 0 at the budget)
+    // are pinned here: no crash, manifest ⊆ corpus, no duplicate docs,
+    // and every manifest row carries a positive token count (a 0-token
+    // doc can never be selected: cum_before < budget requires budget
+    // > 0, and selecting it would add nothing but rows)
+    forAllSampled(Gen.listOfN(20, docGen), n = 2) { generated =>
+      val boiler = (0 until 3).map(i =>
+        s"nav home about contact legal privacy terms search unique$i tail")
+      val texts = edgeDocs.map(_._1) ++ boiler ++ generated
+      val dir = writeDocs(texts)
+      val rows = SparkEntry.queries("cp02_curation_v2")(spark, dir).collect()
+      val ids = rows.map(_.getLong(0))
+      assert(ids.distinct.length == ids.length, "duplicate manifest rows")
+      assert(ids.forall(i => i >= 0 && i < texts.length))
+      rows.foreach { r =>
+        assert(r.getLong(2) >= 0, s"negative token count: $r")
+      }
+    }
+  }
+
   test("bp02: adversarial docs keep census, strip matches a brute recount") {
     forAllSampled(Gen.listOfN(20, docGen), n = 2) { generated =>
       // three docs share an 8-word navigation chrome prefix so the
