@@ -101,10 +101,11 @@ object ScaleProbe {
       Seq("dd01", "dd02", "dd03", "dd06", "tx08", "dq03",
           "dc01", "bp01", "id01", "dm04", "cp01",
           "st11", "dm05", "mm04", "tx10", "dd08",
-          "tx11", "dm06", "mm05", "dq04", "bp02", "cp02").exists(enabled)
+          "tx11", "dm06", "mm05", "dq04", "bp02", "cp02",
+          "emb02").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
-          "ss11", "st13").exists(enabled)
+          "ss11", "st13", "emb02").exists(enabled)
     val wantsEvents = stageOnly ||
       Seq("aj01", "st03", "st08", "st12").exists(enabled)
     val wantsRel = stageOnly ||
@@ -253,7 +254,8 @@ object ScaleProbe {
         // resize (decode + pool per image)
         "tx11_collocations", "dm06_token_budget_mixture",
         "mm05_resize_pool", "dq04_adaptive_quality_gate",
-        "bp02_boilerplate_strip", "cp02_curation_v2").foreach(probeEntry)
+        "bp02_boilerplate_strip", "cp02_curation_v2",
+        "emb02_cluster_terms").foreach(probeEntry)
     // int8 scan-path ANN + MIPS over the replicated embeddings
     // (map-only + TakeOrderedAndProject — the probes check the scan
     // stays the only N-term), streaming ANN serving in batch form, and

@@ -590,6 +590,32 @@ object Similarity {
     semDedup(sub, tau)
   }
 
+  /** Top-`k` TF-IDF terms per cluster: `clusters` is (vec_id, cluster);
+    * docs join on doc_id ≡ vec_id. One explode → two partial-aggregated
+    * groupBys (cluster-tf, then term-df over the CLUSTER-term table, so
+    * df is bounded by cluster count × vocabulary — dictionary-sized);
+    * the 1-row cluster count broadcasts; per-cluster top-k is the only
+    * window and it partitions on cluster. */
+  def clusterTerms(clusters: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .join(clusters, docs("doc_id") === clusters("vec_id"))
+      .select(col("cluster"),
+              explode(expr(
+                "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)"))
+                .as("term"))
+    val tf = toks.groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nc = tf.agg(countDistinct("cluster").as("n_clusters"))
+    val w = Window.partitionBy("cluster").orderBy(desc("score"), asc("term"))
+    tf.join(df, Seq("term")).crossJoin(broadcast(nc))
+      .withColumn("score",
+        round(col("tf") * (col("n_clusters") + lit(1.0)) / (col("df") + lit(1.0)), 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("cluster", "term", "tf", "df", "score", "rk")
+      .orderBy("cluster", "rk")
+  }
+
   def semDedup(assignments: DataFrame, tau: Double): DataFrame = {
     val spark = assignments.sparkSession
     val a = assignments.select(col("list"), col("vec_id"), col("embedding"))
@@ -816,6 +842,59 @@ object Similarity {
         int8ScoreTopK(codes, codes, queryId = 0L, k = 10)
       },
       Some(int8OracleSql)
+    ),
+    QueryDef(
+      "emb02_cluster_terms",
+      // cluster LABELING: the top TF-IDF terms of the documents inside
+      // each embedding cluster — the corpus-exploration report a
+      // curation pass runs to see WHAT each semantic cluster is (before
+      // deciding to up/down-sample it). Joins the vector side (persisted
+      // IVF lists) to the text side (doc_id ≡ vec_id on the driver
+      // fixtures); cluster-level TF-IDF = tf × (C+1)/(df+1) with df =
+      // clusters containing the term (tx08's rational-IDF discipline at
+      // cluster granularity). Learned clusters aren't SQL-replayable →
+      // rows-only; emb02x pins the whole labeling machinery with
+      // deterministic clusters.
+      (s, d) => {
+        val dir = IvfIndex.ensure(s, d, IvfIndex.DefaultLists)
+        clusterTerms(
+          IvfIndex.readAssignments(s, dir)
+            .select(col("vec_id"), col("list").cast("int").as("cluster")),
+          table(s, d, "documents"), k = 3)
+      },
+      None
+    ),
+    QueryDef(
+      "emb02x_cluster_terms_exact",
+      // deterministic parity clusters ⇒ the full labeling pipeline
+      // (join, cluster tf, cluster df, rational TF-IDF, per-cluster
+      // top-k) replays exactly in DuckDB
+      (s, d) => clusterTerms(
+        table(s, d, "embeddings")
+          .select(col("vec_id"), (col("vec_id") % 4).cast("int").as("cluster")),
+        table(s, d, "documents"), k = 3),
+      Some("""WITH cl AS (
+             |  SELECT vec_id, CAST(vec_id % 4 AS INT) AS cluster
+             |  FROM embeddings),
+             |toks AS (
+             |  SELECT cl.cluster,
+             |    unnest(list_filter(string_split_regex(lower(d.text), '\s+'),
+             |                       t -> len(t) > 0)) AS term
+             |  FROM documents d JOIN cl ON d.doc_id = cl.vec_id),
+             |tf AS (SELECT cluster, term, COUNT(*) AS tf
+             |       FROM toks GROUP BY cluster, term),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |nc AS (SELECT COUNT(DISTINCT cluster) AS n_clusters FROM tf),
+             |scored AS (
+             |  SELECT tf.cluster, tf.term, tf.tf, df.df,
+             |    round(tf.tf * (nc.n_clusters + 1.0) / (df.df + 1.0), 6) AS score
+             |  FROM tf JOIN df USING (term) CROSS JOIN nc),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY cluster ORDER BY score DESC, term) AS INT) AS rk
+             |  FROM scored)
+             |SELECT cluster, term, tf, df, score, rk FROM ranked
+             |WHERE rk <= 3 ORDER BY cluster, rk""".stripMargin)
     ),
     QueryDef(
       "ss10_mips_topk",

@@ -223,6 +223,39 @@ class DedupSpec extends SparkSpec {
            s"layered recall collapsed: ${(exact & pruned).size}/10")
   }
 
+  test("emb02: learned-cluster labels match a brute recount") {
+    // the oracle can't see the learned lists, so pin the whole labeling
+    // computation (cluster tf, cluster df, rational TF-IDF, top-3)
+    // against a plain-Scala recount over the same persisted assignments
+    import graft.analytics.IvfIndex
+    val dir = IvfIndex.ensure(spark, sf0001, IvfIndex.DefaultLists)
+    val assigns = IvfIndex.readAssignments(spark, dir)
+      .selectExpr("vec_id", "cast(list as int) as list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tf = scala.collection.mutable.Map.empty[(Int, String), Long]
+    for ((id, cl) <- assigns; text <- docs.get(id);
+         w <- text.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      tf((cl, w)) = tf.getOrElse((cl, w), 0L) + 1
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nC = tf.keys.map(_._1).toSet.size
+    val expected = tf.keys.groupBy(_._1).toSeq.flatMap { case (cl, keys) =>
+      keys.toSeq.map { case (_, term) =>
+        val score = math.rint(
+          tf((cl, term)) * (nC + 1.0) / (df(term) + 1.0) * 1e6) / 1e6
+        (cl, term, tf((cl, term)), df(term), score)
+      }.sortBy { case (_, term, _, _, score) => (-score, term) }
+        .take(3).zipWithIndex
+        .map { case ((c, t, f, d, s), i) => (c, t, f, d, s, i + 1) }
+    }.sortBy(r => (r._1, r._6))
+    val got = SparkEntry.queries("emb02_cluster_terms")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+                           r.getLong(3), r.getDouble(4), r.getInt(5))).toSeq
+    assert(got == expected)
+  }
+
   test("persisted int8 index answers exactly like the in-plan quantization") {
     // ss11's contract: the offline codes are THE SAME representation
     // ss09 derives per query, so the two paths must agree row-for-row
