@@ -48,4 +48,21 @@ object Int8Index {
     spark.read.parquet(s"$dir/codes")
       .select(col("vec_id"), col("scale").as("__scale"),
               expr("transform(q, x -> cast(x as bigint))").as("__q"))
+
+  /** INCREMENTAL maintenance: append newly-arrived vectors' codes to an
+    * existing index dir. Sound for int8 codes specifically because each
+    * vector's quantization depends on NOTHING but that vector (its own
+    * norm and abs-max) — unlike IVF centroids or PQ codebooks, which are
+    * corpus statistics and go stale under growth (those indexes rebuild
+    * via the content stamp instead). Appending the delta is therefore
+    * EXACTLY equal to rebuilding over the grown corpus, which is what
+    * makes a continuously-fed serving tier affordable: per batch, write
+    * codes for the batch, never rescan the corpus. Callers own dedup of
+    * re-delivered vec_ids (the st11 membership discipline — or route
+    * arrivals through the st10 ingest gate first). */
+  def appendCodes(newVecs: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    Similarity.int8Quantized(newVecs)
+      .select(col("vec_id"), col("__scale").as("scale"),
+              expr("transform(__q, x -> cast(x as tinyint))").as("q"))
+      .write.mode("append").parquet(s"$dir/codes")
 }

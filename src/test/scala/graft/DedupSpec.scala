@@ -223,6 +223,27 @@ class DedupSpec extends SparkSpec {
            s"layered recall collapsed: ${(exact & pruned).size}/10")
   }
 
+  test("int8 index: appending a batch equals rebuilding over the grown corpus") {
+    // int8 codes are per-vector (no corpus statistics), so incremental
+    // append must be EXACTLY a rebuild — the property that makes a
+    // continuously-fed serving tier affordable
+    import graft.analytics.{Int8Index, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("int8app_").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    Similarity.int8Quantized(base)
+      .select(col("vec_id"), col("__scale").as("scale"),
+              expr("transform(__q, x -> cast(x as tinyint))").as("q"))
+      .write.parquet(s"$tmp/codes")
+    Int8Index.appendCodes(delta, tmp)
+    val grown = Int8Index.readCodes(spark, tmp)
+    val served = Similarity.int8ScoreTopK(grown, grown, 0L, 10).collect().toSeq
+    val rebuilt = Similarity.int8TopK(emb, 0L, 10).collect().toSeq
+    assert(served == rebuilt)
+    assert(grown.count() == emb.count())
+  }
+
   test("emb02: learned-cluster labels match a brute recount") {
     // the oracle can't see the learned lists, so pin the whole labeling
     // computation (cluster tf, cluster df, rational TF-IDF, top-3)
