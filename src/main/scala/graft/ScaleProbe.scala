@@ -102,7 +102,7 @@ object ScaleProbe {
           "dc01", "bp01", "id01", "dm04", "cp01",
           "st11", "dm05", "mm04", "tx10", "dd08",
           "tx11", "dm06", "mm05", "dq04", "bp02", "cp02",
-          "emb02").exists(enabled)
+          "emb02", "dm07").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
           "ss11", "st13", "emb02").exists(enabled)
@@ -255,7 +255,7 @@ object ScaleProbe {
         "tx11_collocations", "dm06_token_budget_mixture",
         "mm05_resize_pool", "dq04_adaptive_quality_gate",
         "bp02_boilerplate_strip", "cp02_curation_v2",
-        "emb02_cluster_terms").foreach(probeEntry)
+        "emb02_cluster_terms", "dm07_upsample_repeats").foreach(probeEntry)
     // int8 scan-path ANN + MIPS over the replicated embeddings
     // (map-only + TakeOrderedAndProject — the probes check the scan
     // stays the only N-term), streaming ANN serving in batch form, and

@@ -381,6 +381,63 @@ object DataMix {
              |  CAST(SUM(k.n_tokens) AS BIGINT) AS tok_kept
              |FROM kept k JOIN totals t ON k.lang = t.lang
              |GROUP BY k.lang, t.tok_lang ORDER BY k.lang""".stripMargin)
+    ),
+
+    // UPsampling: dm01/dm03/dm06 only ever subsample the head; the other
+    // half of mixture control is repeating the TAIL (a rare language
+    // appears w > 1 times per epoch). α = 1/2 up-weights: w_l =
+    // √(n_max / n_l) ≥ 1, with w = 1 for the largest language. Each doc
+    // gets floor(w) whole copies plus one more where its md5 fraction
+    // falls under frac(w) — deterministic, no RNG, exactly E[copies] = w
+    // per doc. Plan: one language-count aggregate broadcast back, then a
+    // map-only sequence-explode (each row carries its own copy index —
+    // downstream epoch shuffles spread the copies). Census output pins
+    // weights, whole-copy explode, and the fractional gate.
+    QueryDef(
+      "dm07_upsample_repeats",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val counts = docs.groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n_docs"))
+        val weights = counts
+          .crossJoin(broadcast(counts.agg(max("n_docs").as("n_max"))))
+          .select(col("lang"), col("n_docs"),
+                  sqrt(col("n_max") / col("n_docs")).as("w"))
+        docs.join(broadcast(weights), Seq("lang"))
+          .withColumn("copies",
+            (floor(col("w")) +
+             (hashFraction(col("doc_id")) < col("w") - floor(col("w")))
+               .cast("long")).cast("int"))
+          .select(col("lang"), col("doc_id"),
+                  explode(expr("sequence(1, copies)")).as("copy_idx"))
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("n_docs"),
+               count(lit(1)).as("n_copies"))
+          .join(broadcast(weights.select(col("lang"),
+                round(col("w"), 6).as("w"))), Seq("lang"))
+          .select("lang", "n_docs", "n_copies", "w")
+          .orderBy("lang")
+      },
+      Some(s"""WITH counts AS (
+              |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_docs
+              |  FROM documents GROUP BY lang),
+              |weights AS (
+              |  SELECT lang, n_docs,
+              |    sqrt((SELECT max(n_docs) FROM counts) / n_docs) AS w
+              |  FROM counts),
+              |copies AS (
+              |  SELECT d.lang, d.doc_id,
+              |    CAST(floor(w.w) +
+              |      CAST(${hashFractionSql("d.doc_id")} < w.w - floor(w.w)
+              |           AS INT) AS INT) AS copies
+              |  FROM documents d JOIN weights w ON d.lang = w.lang),
+              |exploded AS (
+              |  SELECT lang, doc_id, unnest(range(copies)) AS copy_idx
+              |  FROM copies)
+              |SELECT e.lang, COUNT(DISTINCT e.doc_id) AS n_docs,
+              |  COUNT(*) AS n_copies, round(w.w, 6) AS w
+              |FROM exploded e JOIN weights w ON e.lang = w.lang
+              |GROUP BY e.lang, w.w ORDER BY e.lang""".stripMargin)
     )
   )
 }
