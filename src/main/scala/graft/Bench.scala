@@ -58,7 +58,8 @@ object Bench {
     // them) — they stay in Verify's gate but are not operator latencies,
     // so the no-args bench skips them.
     val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
-                      "dd03p_simhash_precision", "dd03r_simhash_recall")
+                      "dd03p_simhash_precision", "dd03r_simhash_recall",
+                      "x14x_ndv_anchor")
     val names = args.toSet
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))

@@ -503,11 +503,26 @@ object Relational {
     ),
     QueryDef(
       "x14_approx_count_distinct",
-      // HLL++ sketch — engine-specific estimate, so the oracle checks a
-      // bound, not the estimate: the output carries the exact NDV plus a
-      // flag that the sketch landed within 5× its configured 1% rsd.
-      // At 100 TB the sketch replaces the exact distinct's full shuffle
-      // with a fixed-size merge.
+      // HLL++ sketch — the operator users actually run at 100 TB: a
+      // fixed-size merge instead of the exact distinct's full shuffle.
+      // The estimate is engine-specific (not DuckDB-replayable), so the
+      // entry is rows-only; `x14x_ndv_anchor` (bench-excluded) runs the
+      // hash-green bound check against the exact NDV. Benching the
+      // sketch alone keeps its latency honest — the earlier combined
+      // form booked the exact distinct's shuffle (≈29 s at sf1) against
+      // the sketch's number.
+      (s, d) =>
+        table(s, d, "lineitem")
+          .agg(approx_count_distinct(col("l_partkey"), 0.01)
+            .as("ndv_approx")),
+      None
+    ),
+    QueryDef(
+      "x14x_ndv_anchor",
+      // Correctness anchor for x14: the sketch must land within 5× its
+      // configured 1% rsd of the exact NDV. Stays in Verify's oracle
+      // gate; excluded from the bench total (its cost IS the exact
+      // distinct it exists to compare against).
       (s, d) =>
         table(s, d, "lineitem")
           .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
