@@ -50,6 +50,10 @@ object Bench {
     // the persisted int8 codes (ss11) are offline by the same contract
     try graft.analytics.Int8Index.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    // the corpus-gram bloom filter (id02) is offline by the same
+    // contract — one filter build per corpus epoch, probed per batch
+    try graft.analytics.BloomGramIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The
@@ -59,7 +63,7 @@ object Bench {
     // so the no-args bench skips them.
     val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
                       "dd03p_simhash_precision", "dd03r_simhash_recall",
-                      "x14x_ndv_anchor")
+                      "x14x_ndv_anchor", "id02x_bloom_anchor")
     val names = args.toSet
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSim, MinHashSig, NearestCentroid, SimHash64}
+import graft.functions.{BloomFns, BloomProbeFile, CosineSim, MinHashSig, NearestCentroid, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to ANY session (including pure-SQL users) via
@@ -34,5 +34,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(NearestCentroid.fnName),
       NearestCentroid.info,
       exprs => NearestCentroid(exprs(0), exprs(1))))
+    // Spark's own runtime-filter bloom pair (see BloomFns): the build
+    // aggregate + probe predicate behind the id02 bloom ingest gate.
+    ext.injectFunction((
+      FunctionIdentifier(BloomFns.aggName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, BloomFns.aggName),
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(BloomFns.containsName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, BloomFns.containsName),
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(BloomProbeFile.fnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomProbeFile].getName, BloomProbeFile.fnName),
+      exprs => BloomProbeFile(exprs(0), exprs(1))))
   }
 }

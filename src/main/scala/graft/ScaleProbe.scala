@@ -271,6 +271,42 @@ object ScaleProbe {
       }
       probeEntry("ss11_int8_indexed")
     }
+    if (enabled("id02")) {
+      // The ingest-gate scale claim measured directly: gate a FIXED
+      // batch (baseDir's src19 docs) against the 1× and the N× corpus.
+      // The exact gate (id01 shape) re-scans corpus grams per batch —
+      // its time must grow ~N×; the bloom gate probes a prebuilt
+      // filter — its per-batch time must stay FLAT (the filter build,
+      // timed separately, is the once-per-epoch cost).
+      import graft.analytics.{BloomGramIndex, DataQuality}
+      def batch = table(spark, baseDir, "documents")
+        .filter(col("source") === "src19")
+      def corpusGrams(dir: String) = DataQuality.gramKeys(
+        table(spark, dir, "documents").filter(col("source") =!= "src19"))
+      def force(df: DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); df.count()
+      }
+      time("id02_exact_1x_corpus") {
+        force(DataQuality.gramGate(batch, corpusGrams(baseDir)))
+      }
+      time(s"id02_exact_${factor}x_corpus") {
+        force(DataQuality.gramGate(batch, corpusGrams(workDir)))
+      }
+      time("id02_bloom_build_1x") {
+        BloomGramIndex.ensure(spark, baseDir); 1L
+      }
+      time(s"id02_bloom_build_${factor}x") {
+        BloomGramIndex.ensure(spark, workDir); 1L
+      }
+      time("id02_bloom_1x_filter") {
+        force(DataQuality.bloomGate(spark, batch,
+          BloomGramIndex.ensure(spark, baseDir)))
+      }
+      time(s"id02_bloom_${factor}x_filter") {
+        force(DataQuality.bloomGate(spark, batch,
+          BloomGramIndex.ensure(spark, workDir)))
+      }
+    }
     if (enabled("sem01")) {
       // sem01's scale contract: cluster count grows with the corpus
       // (k ∝ N), keeping per-cluster pairwise work flat. Probing N×

@@ -85,6 +85,49 @@ object DataQuality {
                 .cast("int").as("keep"))
   }
 
+  /** Bloom-filter tier of the ingest gate: same census-anchored
+    * containment contract as [[gramGate]], but membership is a probe of
+    * a prebuilt corpus-gram bloom filter ([[BloomGramIndex]]) instead
+    * of a semi-join against the corpus gram table — the arriving batch
+    * is the ONLY data scanned, so per-batch cost is independent of
+    * corpus size (id01 re-scans the corpus every batch; at 100 TB that
+    * scan dominates each ingest tick).
+    *
+    * One-sided error: `bloom_might_contain` is never false for an
+    * inserted gram, so per-doc n_hit here ≥ the exact gate's n_hit and
+    * keep = 1 here implies keep = 1 there (bloom-keep ⊆ exact-keep —
+    * the gate can over-drop at the filter's fpp, never under-drop).
+    * The id02x anchor pins both the subset direction and the realized
+    * false-positive rate.
+    *
+    * Plan shape: the plan carries only the filter's PATH — the filter
+    * itself loads once per executor through
+    * [[graft.functions.BloomFilterCache]] (an in-plan literal filter is
+    * re-deserialized per task: measured 2.7 s → 17.1 s on a fixed batch
+    * as the filter grew 12 → 36 MB). The probe folds into the
+    * batch-gram groupBy map-side, so the only shuffle carries one
+    * (doc_id, counts) row per batch doc. */
+  def bloomGate(spark: org.apache.spark.sql.SparkSession,
+                newDocs: org.apache.spark.sql.DataFrame,
+                filterPath: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    val newG = gramKeys(newDocs).distinct()
+    val hit = graft.functions.BloomProbeFile.probe(
+      spark, lit(filterPath), xxhash64(col("g")))
+    val per = newG.groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+    newDocs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+              round(col("n_hit") * lit(1.0) /
+                    greatest(col("n_grams"), lit(1L)), 6).as("containment"),
+              (col("n_hit") * lit(1.0) /
+               greatest(col("n_grams"), lit(1L)) < threshold)
+                .cast("int").as("keep"))
+  }
+
   def all: Seq[QueryDef] = Seq(
 
     // ---- C4/Gopher-style heuristic quality filters --------------------
@@ -522,6 +565,84 @@ object DataQuality {
               |       greatest(coalesce(p.n_grams, 0), 1) < 0.5 AS INT) AS keep
               |FROM census c LEFT JOIN per p USING (doc_id)
               |ORDER BY c.doc_id""".stripMargin)
+    ),
+
+    // ---- bloom-filter ingest gate -------------------------------------
+    // id01's containment semantics with the corpus distilled into a
+    // prebuilt bloom filter ([[BloomGramIndex]]): per-batch cost is
+    // independent of corpus size — the batch is the only data scanned;
+    // the corpus contributes a fixed-size probe literal. Bloom hits are
+    // engine-specific (DuckDB cannot replay Spark's filter), so the
+    // entry is rows-only; `id02x_bloom_anchor` (bench-excluded)
+    // hash-pins the subset direction and the realized fp rate.
+    QueryDef(
+      "id02_bloom_gate",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        bloomGate(s, docs.filter(col("source") === "src19"),
+                  BloomGramIndex.ensure(s, d))
+          .orderBy("doc_id")
+      },
+      None
+    ),
+    // Correctness anchor for id02, hash-exact against DuckDB:
+    //   leaked   = docs the bloom gate keeps that the exact gate drops
+    //              — MUST be 0 (no false negatives in membership ⇒
+    //              bloom containment ≥ exact containment ⇒ bloom-keep ⊆
+    //              exact-keep);
+    //   n_absent = batch grams truly absent from the corpus (exact,
+    //              data-dependent — pins the absent-set construction);
+    //   fp_ok    = realized false-positive rate over those absent grams
+    //              ≤ 5× the filter's configured 1% — the sketch honors
+    //              its sizing;
+    //   n_batch  = batch census (both gates decided every doc).
+    // Re-runs the exact id01 machinery to compare against — that cost
+    // is the anchor's point, so it sits outside the bench total.
+    QueryDef(
+      "id02x_bloom_anchor",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val batch = docs.filter(col("source") === "src19")
+        val corpusGrams = gramKeys(docs.filter(col("source") =!= "src19"))
+        val bf = BloomGramIndex.ensure(s, d)
+        val bloomKeep = bloomGate(s, batch, bf)
+          .filter(col("keep") === 1).select("doc_id")
+        val exactKeep = gramGate(batch, corpusGrams)
+          .filter(col("keep") === 1).select("doc_id")
+        val leaked = bloomKeep
+          .join(exactKeep, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("leaked"))
+        // absent set via id01's broadcast discipline: batch gram set
+        // onto the corpus scan, never the reverse
+        val newGset = gramKeys(batch).select("g").distinct()
+        val matched = corpusGrams.select("g")
+          .join(broadcast(newGset), Seq("g"), "left_semi").distinct()
+        val absent = newGset.join(broadcast(matched), Seq("g"), "left_anti")
+        val hit = graft.functions.BloomProbeFile.probe(
+          s, lit(bf), xxhash64(col("g")))
+        val fp = absent.agg(
+          count(lit(1)).as("n_absent"),
+          coalesce(avg(when(hit, 1.0).otherwise(0.0)) <= 0.05, lit(true))
+            .as("fp_ok"))
+        val census = batch.agg(count(lit(1)).as("n_batch"))
+        leaked.crossJoin(fp).crossJoin(census)
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |newg AS (SELECT DISTINCT g FROM grams WHERE source = 'src19'),
+              |corp AS (SELECT DISTINCT g FROM grams WHERE source <> 'src19')
+              |SELECT CAST(0 AS BIGINT) AS leaked,
+              |  CAST((SELECT count(*) FROM newg
+              |        WHERE g NOT IN (SELECT g FROM corp)) AS BIGINT)
+              |    AS n_absent,
+              |  true AS fp_ok,
+              |  CAST((SELECT count(*) FROM documents
+              |        WHERE source = 'src19') AS BIGINT) AS n_batch""".stripMargin)
     ),
 
     // ---- adaptive (percentile-derived) quality gate -------------------

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Once-per-JVM cache of deserialized bloom filters, keyed by file
+  * path. The point: a corpus-scale filter must NOT ride inside the
+  * plan — a literal/subquery filter is re-deserialized by EVERY task
+  * (measured: the id02 probe went 2.7 s → 17.1 s as the embedded
+  * filter grew 12 → 36 MB, each task re-materializing the bit array).
+  * Loading from the persisted file through this cache makes the
+  * per-task marginal cost zero and the per-executor cost one read,
+  * independent of batch task count. On a cluster the path must be
+  * executor-readable (shared storage, or shipped via
+  * `SparkContext.addFile`); the build side stays the in-plan
+  * distributed aggregate ([[BloomFns.bloomAgg]]).
+  */
+object BloomFilterCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+
+  def get(path: String): BloomFilter =
+    cache.computeIfAbsent(path, { p =>
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(p))
+      try BloomFilter.readFrom(in) finally in.close()
+    })
+}
+
+/** `bloom_probe_file(path, xxhash64(item)) → boolean` — membership
+  * probe against the filter persisted at `path`, resolved through
+  * [[BloomFilterCache]] (loaded once per executor, NOT embedded in the
+  * plan). Same one-sided-error contract as `bloom_might_contain`, and
+  * bit-compatible with filters built by [[BloomFns.bloomAgg]] over the
+  * same `xxhash64` values. Codegen keeps the filter reference in a
+  * lazily-initialized instance field, so the hot loop is one array
+  * probe per row. */
+case class BloomProbeFile(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string path, bigint hash), got ($l, $r)")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_probe_file"
+
+  override def nullSafeEval(path: Any, hash: Any): Any =
+    BloomFilterCache.get(path.asInstanceOf[UTF8String].toString)
+      .mightContainLong(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (path, hash) => {
+      val bf = ctx.addMutableState(
+        "org.apache.spark.util.sketch.BloomFilter", "bloomProbeFilter")
+      s"""
+         |if ($bf == null) {
+         |  $bf = graft.functions.BloomFilterCache.get($path.toString());
+         |}
+         |${ev.value} = $bf.mightContainLong($hash);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbeFile =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomProbeFile {
+  val fnName = "bloom_probe_file"
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnName, exprs => BloomProbeFile(exprs(0), exprs(1)), "built-in")
+
+  def probe(spark: org.apache.spark.sql.SparkSession,
+            path: org.apache.spark.sql.Column,
+            hashed: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(fnName, path, hashed)
+  }
+}

@@ -157,6 +157,66 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("id02: bloom gate errs one-sided only (keep subset, n_hit dominance)") {
+    val bloom = run("id02_bloom_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+         r.getAs[Int]("keep"))).toMap
+    val exact = run("id01_incremental_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+         r.getAs[Int]("keep"))).toMap
+    // both gates decide exactly the same census
+    assert(bloom.keySet == exact.keySet)
+    bloom.foreach { case (id, (bg, bh, bk)) =>
+      val (eg, eh, ek) = exact(id)
+      assert(bg == eg, s"doc $id: gram count differs ($bg vs $eg)")
+      // no false negatives in membership ⇒ bloom hits dominate
+      assert(bh >= eh, s"doc $id: bloom n_hit $bh < exact $eh")
+      // ⇒ bloom-keep ⊆ exact-keep (over-drop allowed, under-drop never)
+      assert(bk <= ek, s"doc $id: bloom kept what exact dropped")
+    }
+    // the fixture must exercise both decisions
+    assert(bloom.values.exists(_._3 == 1) && bloom.values.exists(_._3 == 0))
+  }
+
+  test("id02: census anchor — gram-less docs still get a keep decision") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "so short"),
+                    (11L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val bytes = graft.analytics.DataQuality.gramKeys(corpus)
+      .agg(graft.functions.BloomFns.bloomAgg(
+        spark, xxhash64(col("g")), lit(1024L), lit(16384L)))
+      .head().getAs[Array[Byte]](0)
+    val bf = java.io.File.createTempFile("graft-test-bloom", ".bf")
+    bf.deleteOnExit()
+    java.nio.file.Files.write(bf.toPath, bytes)
+    val out = graft.analytics.DataQuality.bloomGate(
+        spark, batch, bf.getAbsolutePath)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("containment"),
+         r.getAs[Int]("keep"))).toMap
+    // 2-word doc forms no 5-gram: containment 0, kept
+    assert(out(10L) == ((0L, 0.0, 1)))
+    // full-overlap doc: every gram inserted, bloom never misses ⇒ dropped
+    assert(out(11L)._2 > 0.5 && out(11L)._3 == 0)
+  }
+
+  test("plan: id02 probes the filter without scanning the corpus") {
+    val bloomPlan = run("id02_bloom_gate").queryExecution.executedPlan.toString
+    val exactPlan = run("id01_incremental_gate")
+      .queryExecution.executedPlan.toString
+    def scans(p: String) = "Scan parquet".r.findAllIn(p).length
+    // id01 reads documents for batch AND corpus grams; id02's only
+    // input is the batch — corpus membership rides in the probe literal
+    assert(scans(bloomPlan) < scans(exactPlan),
+           s"bloom=${scans(bloomPlan)} exact=${scans(exactPlan)}\n$bloomPlan")
+    assert(bloomPlan.contains("bloom_probe_file"), bloomPlan)
+  }
+
   test("emb01: centroid groups partition the corpus (counts per label consistent)") {
     val rows = run("emb01_label_centroids").collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos"), r.getAs[Long]("n_vecs")))
