@@ -63,7 +63,8 @@ object Bench {
     // so the no-args bench skips them.
     val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
                       "dd03p_simhash_precision", "dd03r_simhash_recall",
-                      "x14x_ndv_anchor", "id02x_bloom_anchor")
+                      "x14x_ndv_anchor", "id02x_bloom_anchor",
+                      "st14x_bloom_stream_anchor")
     val names = args.toSet
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))

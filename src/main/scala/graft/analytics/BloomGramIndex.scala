@@ -54,7 +54,7 @@ object BloomGramIndex {
   def filterPath(sfDir: String): String = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
-    s"${sys.props("java.io.tmpdir")}/graft-bloomgram-$key-${contentStamp(sfDir)}-v1.bf"
+    s"${sys.props("java.io.tmpdir")}/graft-bloomgram-$key-${contentStamp(sfDir)}-v2.bf"
   }
 
   /** Builds (once per dataset + content stamp) and persists the
@@ -90,11 +90,77 @@ object BloomGramIndex {
           .agg(BloomFns.bloomAgg(spark, xxhash64(col("g")),
                                  lit(est), lit(bits)).as("bf"))
           .head().getAs[Array[Byte]](0)
-        val tmp = new java.io.File(path + ".tmp")
-        java.nio.file.Files.write(tmp.toPath, bytes)
-        tmp.renameTo(f)
+        writeFilter(path, bytes, est, bits)
       }
       path
     })
+  }
+
+  /** Atomic write of filter bytes + a `.meta` sidecar recording the
+    * (estItems, numBits) the filter was created with — a later
+    * incremental merge must build its delta with the SAME sizing or
+    * `mergeInPlace` rejects it as incompatible. */
+  private def writeFilter(path: String, bytes: Array[Byte],
+                          est: Long, bits: Long): Unit = {
+    val tmp = new java.io.File(path + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, bytes)
+    tmp.renameTo(new java.io.File(path))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path + ".meta"),
+      s"$est:$bits".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The (estItems, numBits) sizing recorded beside a filter file. */
+  def sizing(path: String): (Long, Long) = {
+    val Array(est, bits) = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path + ".meta")),
+      java.nio.charset.StandardCharsets.UTF_8).split(":")
+    (est.toLong, bits.toLong)
+  }
+
+  /** An empty filter at `path` with explicit sizing — the seed of a
+    * from-scratch streaming gate (no standing corpus yet). */
+  def emptyFilter(path: String, est: Long, bits: Long): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    org.apache.spark.util.sketch.BloomFilter.create(est, bits).writeTo(out)
+    writeFilter(path, out.toByteArray, est, bits)
+    path
+  }
+
+  /** INCREMENTAL maintenance: `prevPath`'s filter plus `grams` (column
+    * `g`), written to `outPath`. The delta filter is built IN-PLAN with
+    * prev's recorded sizing (compatible by construction) and bit-OR
+    * merged on the driver — two filter-sized buffers, never corpus
+    * data. Sound for the same reason Int8Index.appendCodes is: filter
+    * bits are a pure membership union, so merging a batch's grams is
+    * EXACTLY equal to rebuilding over the grown corpus (at the original
+    * sizing — fpp drifts up as insertions outgrow estItems; epoch
+    * rebuilds via the content stamp re-size). Deterministic given
+    * (prev, grams), so a replayed streaming batch rewrites identical
+    * bytes — the st11 idempotence discipline. */
+  def merged(spark: SparkSession, prevPath: String,
+             grams: org.apache.spark.sql.DataFrame,
+             outPath: String): String = {
+    val (est, bits) = sizing(prevPath)
+    val deltaBytes = grams
+      .agg(BloomFns.bloomAgg(spark, xxhash64(col("g")),
+                             lit(est), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val merged =
+      if (deltaBytes == null) // empty batch: nothing to insert
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath))
+      else {
+        val prev = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(prevPath)))
+        prev.mergeInPlace(
+          org.apache.spark.util.sketch.BloomFilter.readFrom(deltaBytes))
+        val out = new java.io.ByteArrayOutputStream()
+        prev.writeTo(out)
+        out.toByteArray
+      }
+    writeFilter(outPath, merged, est, bits)
+    outPath
   }
 }

@@ -178,6 +178,58 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING bloom ingest gate: [[incrementalGramGate]]'s containment
+    * semantics with the standing state collapsed from a growing gram
+    * TABLE (re-scanned per batch) to a FIXED-SIZE bloom filter chain —
+    * the id02 design run continuously. Batch b gates against
+    * `filter_{b-1}` (batch 0 against `seedFilterPath`, the corpus
+    * filter from [[graft.analytics.BloomGramIndex.ensure]] — or an
+    * [[graft.analytics.BloomGramIndex.emptyFilter]] when starting cold)
+    * and writes `filter_b` = previous ∪ accepted grams. Per-batch cost
+    * is batch-sized regardless of how much was ever ingested; the only
+    * growing artifact is the decision log.
+    *
+    * Idempotence on replay: decisions overwrite their own batch_id
+    * partition (st11 discipline), and `filter_b` is a deterministic
+    * function of (filter_{b-1}, batch) — a replayed batch rewrites
+    * identical filter bytes. Versioned filter files keep
+    * [[graft.functions.BloomFilterCache]] sound: a path's content
+    * never changes after creation.
+    *
+    * Error is one-sided per batch (bloom-keep ⊆ exact-keep against the
+    * same inserted gram set); across batches the chains can diverge
+    * only where an earlier batch's accepted sets already differed —
+    * the st14x anchor pins both stages on the batch form. */
+  def bloomIngestGate(stream: DataFrame, seedFilterPath: String,
+                      filterDir: String, outDir: String,
+                      checkpointDir: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        new java.io.File(filterDir).mkdirs()
+        val prevPath =
+          if (batchId == 0) seedFilterPath
+          else s"$filterDir/filter_${batchId - 1}.bf"
+        val decisions = graft.analytics.DataQuality
+          .bloomGate(spark, batch, prevPath, threshold)
+          .withColumn("batch_id", lit(batchId))
+        decisions.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        val accepted = spark.read.parquet(outDir)
+          .filter(col("batch_id") === batchId && col("keep") === 1)
+          .select("doc_id")
+        graft.analytics.BloomGramIndex.merged(spark, prevPath,
+          graft.analytics.DataQuality.gramKeys(batch)
+            .join(accepted, Seq("doc_id"), "left_semi").select("g"),
+          s"$filterDir/filter_$batchId.bf")
+        ()
+      }
+      .start()
+
   /** STREAMING ANN serving: arriving query vectors answered per
     * micro-batch against a STATIC corpus via the deterministic int8
     * batch plan ([[graft.analytics.Similarity.int8BatchTopK]]). The

@@ -482,6 +482,90 @@ object StreamShapes {
              |UNION ALL
              |SELECT 2 AS batch, * FROM g2
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- streaming bloom ingest gate (batch form) ---------------------
+    // st11's two-batch incremental shape with the standing state
+    // collapsed to the id02 bloom-filter chain: batch 1 gates against
+    // the corpus filter, batch 2 against corpus ∪ grams(accepted batch
+    // 1) — merged via BloomGramIndex.merged, the exact per-batch step
+    // EventStreams.bloomIngestGate runs continuously. Bloom hits are
+    // engine-specific → rows-only; `st14x` (bench-excluded) hash-pins
+    // the chain against st11's exact store.
+    QueryDef(
+      "st14_bloom_stream_gate",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val seed = graft.analytics.BloomGramIndex.ensure(s, d)
+        val b1 = docs.filter((col("source") === "src19") &&
+                             (col("doc_id") % 2 === 0))
+        val b2 = docs.filter((col("source") === "src19") &&
+                             (col("doc_id") % 2 === 1))
+        val g1 = graft.analytics.DataQuality.bloomGate(s, b1, seed)
+        val acc1Grams = graft.analytics.DataQuality.gramKeys(b1)
+          .join(g1.filter(col("keep") === 1).select("doc_id"),
+                Seq("doc_id"), "left_semi")
+          .select("g")
+        val f1 = graft.analytics.BloomGramIndex.merged(
+          s, seed, acc1Grams, seed + ".b1")
+        val g2 = graft.analytics.DataQuality.bloomGate(s, b2, f1)
+        g1.withColumn("batch", lit(1))
+          .unionByName(g2.withColumn("batch", lit(2)))
+          .orderBy("doc_id")
+      },
+      None
+    ),
+    // Anchor for st14, hash-exact against DuckDB. The cross-batch
+    // subset claim is conditional — batch 2's filters diverge only
+    // where batch 1's accepted sets already did — so the anchor pins
+    // BOTH stages:
+    //   acc1_diff = symmetric difference between bloom- and
+    //               exact-accepted batch-1 sets (0 ⇒ batch 2 probes a
+    //               filter over exactly the exact store's gram set);
+    //   leaked    = docs the bloom chain keeps that st11's exact chain
+    //               drops, across both batches (0 — one-sided error);
+    //   n_docs    = decisions cover the full src19 census.
+    QueryDef(
+      "st14x_bloom_stream_anchor",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val corpus = graft.analytics.DataQuality.gramKeys(
+          docs.filter(col("source") =!= "src19")).select("g")
+        val seed = graft.analytics.BloomGramIndex.ensure(s, d)
+        val b1 = docs.filter((col("source") === "src19") &&
+                             (col("doc_id") % 2 === 0))
+        val b2 = docs.filter((col("source") === "src19") &&
+                             (col("doc_id") % 2 === 1))
+        def keeps(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("keep") === 1).select("doc_id")
+        // bloom chain
+        val bg1 = graft.analytics.DataQuality.bloomGate(s, b1, seed)
+        val bAcc1Grams = graft.analytics.DataQuality.gramKeys(b1)
+          .join(keeps(bg1), Seq("doc_id"), "left_semi").select("g")
+        val f1 = graft.analytics.BloomGramIndex.merged(
+          s, seed, bAcc1Grams, seed + ".b1")
+        val bg2 = graft.analytics.DataQuality.bloomGate(s, b2, f1)
+        // exact chain (st11's)
+        val eg1 = graft.analytics.DataQuality.gramGate(b1, corpus)
+        val eAcc1Grams = graft.analytics.DataQuality.gramKeys(b1)
+          .join(keeps(eg1), Seq("doc_id"), "left_semi").select("g")
+        val eg2 = graft.analytics.DataQuality.gramGate(
+          b2, corpus.union(eAcc1Grams))
+        val acc1Diff = keeps(bg1).join(keeps(eg1), Seq("doc_id"), "left_anti")
+          .unionByName(
+            keeps(eg1).join(keeps(bg1), Seq("doc_id"), "left_anti"))
+          .agg(count(lit(1)).as("acc1_diff"))
+        val leaked = keeps(bg1).unionByName(keeps(bg2))
+          .join(keeps(eg1).unionByName(keeps(eg2)),
+                Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("leaked"))
+        val census = bg1.unionByName(bg2).agg(count(lit(1)).as("n_docs"))
+        acc1Diff.crossJoin(leaked).crossJoin(census)
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS acc1_diff,
+             |  CAST(0 AS BIGINT) AS leaked,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents WHERE source = 'src19'""".stripMargin)
     )
   )
 }

@@ -559,6 +559,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom ingest gate: near-dup arrival gated by filter grown one batch earlier") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st14_").toString
+    // cold start: an empty seed filter (no standing corpus)
+    val seed = graft.analytics.BloomGramIndex.emptyFilter(
+      s"$tmp/seed.bf", 1024L, 16384L)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.bloomIngestGate(
+      mem.toDF().toDF("doc_id", "text"),
+      seed, s"$tmp/filters", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // batch 0: a novel doc and a doc too short to form any 5-gram —
+      // the gate must decide for BOTH (census anchor)
+      mem.addData((1L, "alpha beta gamma delta epsilon zeta eta"),
+                  (2L, "tiny doc"))
+      q.processAllAvailable()
+      // batch 1: doc 3 is a NEAR-dup of doc 1 (shares 2 of its 3
+      // 5-grams) and must be rejected by the filter grown in batch 0;
+      // doc 4 is novel
+      mem.addData((3L, "alpha beta gamma delta epsilon zeta theta"),
+                  (4L, "one two three four five six seven"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("doc_id", "n_grams", "n_hit", "keep").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(out(1L) == ((3L, 0L, 1)), s"novel doc must pass: $out")
+      assert(out(2L) == ((0L, 0L, 1)), s"gram-less doc must get keep=1: $out")
+      assert(out(3L) == ((3L, 2L, 0)),
+             s"near-dup (containment 2/3) must be rejected: $out")
+      assert(out(4L) == ((3L, 0L, 1)), s"novel doc in batch 1 must pass: $out")
+      // stateless streaming plan: the standing state is the versioned
+      // filter FILES, not a state store
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+      assert(new java.io.File(s"$tmp/filters/filter_0.bf").exists())
+      assert(new java.io.File(s"$tmp/filters/filter_1.bf").exists())
+    } finally q.stop()
+  }
+
+  test("bloom ingest gate: kill + restart from checkpoint — one decision per doc, chain intact") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("st14r-landing").toString
+    val tmp = Files.createTempDirectory("st14r-state").toString
+    val seed = graft.analytics.BloomGramIndex.emptyFilter(
+      s"$tmp/seed.bf", 1024L, 16384L)
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    land(Seq((1L, "alpha beta gamma delta epsilon zeta eta")))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.bloomIngestGate(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      seed, s"$tmp/filters", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down: a near-dup of the accepted doc and a
+    // novel doc land
+    land(Seq((2L, "alpha beta gamma delta epsilon zeta theta"),
+             (3L, "one two three four five six seven")))
+    // restart from the same checkpoint: the first file must NOT be
+    // re-decided, and the filter grown before the kill must still gate
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(out.length == 3 && out.toMap.size == 3,
+           s"duplicate or missing decisions: ${out.toSeq}")
+    assert(out.toMap == Map(1L -> 1, 2L -> 0, 3L -> 1), s"${out.toSeq}")
+  }
+
   test("incremental gram gate: kill + restart from checkpoint — one decision per doc, store intact") {
     import java.nio.file.Files
     val landing = Files.createTempDirectory("st11r-landing").toString
