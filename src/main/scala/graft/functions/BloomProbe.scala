@@ -20,15 +20,38 @@ import org.apache.spark.util.sketch.BloomFilter
   * distributed aggregate ([[BloomFns.bloomAgg]]).
   */
 object BloomFilterCache {
+  /** Bounded cache: a long-running streaming gate probes a NEW
+    * versioned filter every micro-batch (filter_0, filter_1, …) and the
+    * old versions are dead the moment the next one exists — an
+    * unbounded map would leak one filter-sized buffer per batch for the
+    * life of the executor. Eviction is insertion-order (versioned chain
+    * files age exactly that way); 8 entries comfortably covers every
+    * live filter of concurrent gates. Lookups are lock-free (the
+    * interpreted eval path calls per ROW; only a miss takes the lock —
+    * codegen additionally pins the filter in an instance field, so the
+    * hot loop touches no map at all). */
+  private val MaxEntries = 8
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+  private val order = new java.util.ArrayDeque[String]()
 
-  def get(path: String): BloomFilter =
-    cache.computeIfAbsent(path, { p =>
-      val in = new java.io.BufferedInputStream(
-        new java.io.FileInputStream(p))
-      try BloomFilter.readFrom(in) finally in.close()
-    })
+  def get(path: String): BloomFilter = {
+    val hit = cache.get(path)
+    if (hit != null) hit
+    else order.synchronized {
+      val again = cache.get(path) // raced loader may have won
+      if (again != null) again
+      else {
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(path))
+        val bf = try BloomFilter.readFrom(in) finally in.close()
+        cache.put(path, bf)
+        order.addLast(path)
+        while (order.size() > MaxEntries) cache.remove(order.removeFirst())
+        bf
+      }
+    }
+  }
 }
 
 /** `bloom_probe_file(path, xxhash64(item)) → boolean` — membership

@@ -187,6 +187,56 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("bloomGate: dominance over gramGate holds on adversarial corpora") {
+    import spark.implicits._
+    forAllSampled(Gen.listOfN(12, docGen)) { generated =>
+      val corpusTexts = Seq(
+        "alpha beta gamma delta epsilon zeta",
+        Seq.fill(30)("dup").mkString(" ")) ++ generated.take(6)
+      val batchTexts = Seq(
+        "",                                       // no grams → keep
+        "alpha beta gamma delta epsilon zeta",    // exact corpus dup → drop
+        "totally novel content never seen anywhere before") ++
+        generated.drop(6)
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bytes = DataQuality.gramKeys(corpus)
+        .agg(graft.functions.BloomFns.bloomAgg(
+          spark, org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("g")),
+          org.apache.spark.sql.functions.lit(1024L),
+          org.apache.spark.sql.functions.lit(16384L)))
+        .head().getAs[Array[Byte]](0)
+      val bf = java.io.File.createTempFile("graft-prop-bloom", ".bf")
+      bf.deleteOnExit()
+      java.nio.file.Files.write(bf.toPath, bytes)
+      val bloom = DataQuality.bloomGate(spark, batch, bf.getAbsolutePath)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+            r.getAs[Int]("keep")))).toMap
+      val exact = DataQuality.gramGate(batch, DataQuality.gramKeys(corpus))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+            r.getAs[Int]("keep")))).toMap
+      // identical census, identical gram counts; bloom hits dominate
+      // (no false negatives) so bloom can only over-drop, never leak
+      assert(bloom.keySet == exact.keySet)
+      bloom.foreach { case (id, (bg, bh, bk)) =>
+        val (eg, eh, ek) = exact(id)
+        assert(bg == eg, s"doc $id: gram count $bg vs $eg")
+        assert(bh >= eh, s"doc $id: bloom n_hit $bh < exact $eh")
+        assert(bh <= bg, s"doc $id: n_hit $bh > n_grams $bg")
+        assert(bk <= ek, s"doc $id: bloom kept what exact dropped")
+      }
+      // guaranteed (not probabilistic) decisions: gram-less docs keep;
+      // a full corpus dup has every gram inserted → containment 1 → drop
+      assert(bloom(0L) == ((0L, 0L, 1)))
+      assert(bloom(1L)._1 == bloom(1L)._2 && bloom(1L)._3 == 0)
+    }
+  }
+
   test("cp02: composed pipeline survives adversarial corpora; manifest is sound") {
     // the composed plan's oracle only ever sees the clean fixture, so
     // the degenerate branches (0-token cleaned docs at the percentile
