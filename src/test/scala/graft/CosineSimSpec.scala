@@ -39,6 +39,34 @@ class CosineSimSpec extends SparkSpec {
     assert(rows(2).getDouble(0).isNaN)
   }
 
+  test("bloom trio: SQL agg builds a filter; literal and file probes agree bit-for-bit") {
+    import graft.functions.{BloomFns, BloomProbeFile}
+    BloomFns.register(spark)
+    Seq("alpha", "beta", "gamma").toDF("s")
+      .createOrReplaceTempView("bloom_items")
+    val bytes = spark.sql(
+      "SELECT bloom_agg(xxhash64(s), 16L, 256L) FROM bloom_items")
+      .head().getAs[Array[Byte]](0)
+    val f = java.io.File.createTempFile("graft-test-trio", ".bf")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, bytes)
+    val rows = Seq("alpha", "beta", "gamma", "never-inserted-1",
+                   "never-inserted-2").toDF("s")
+      .select(col("s"),
+        BloomFns.bloomContains(spark, lit(bytes), xxhash64(col("s")))
+          .as("via_literal"),
+        BloomProbeFile.probe(spark, lit(f.getAbsolutePath),
+                             xxhash64(col("s"))).as("via_file"))
+      .collect()
+    rows.foreach { r =>
+      // the file-backed probe must be bit-compatible with Spark's own
+      // might_contain over the same serialized filter
+      assert(r.getBoolean(1) == r.getBoolean(2), s"probe disagreement: $r")
+    }
+    // no false negatives for inserted items
+    assert(rows.take(3).forall(_.getBoolean(2)))
+  }
+
   test("session-extensions route registers the function for SQL users") {
     val s2 = spark.newSession()
     new GraftExtensions().apply(
