@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{BloomFns, BloomProbeFile, CosineSim, MinHashSig, NearestCentroid, SimHash64}
+import graft.functions.{BloomFns, BloomProbeFile, CosineSim, MinHashSig, NearestCentroid, PqAdc, SimHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to ANY session (including pure-SQL users) via
@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .BloomFilterMightContain].getName, BloomFns.containsName),
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(PqAdc.fnName),
+      PqAdc.info,
+      exprs => PqAdc(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       FunctionIdentifier(BloomProbeFile.fnName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

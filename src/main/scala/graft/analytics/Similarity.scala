@@ -357,7 +357,6 @@ object Similarity {
       .map { case (l, c) => (l, c.toSeq) }
       .toDF("list", "centroid")
     val rcbs = IvfIndex.readResidualCodebooks(spark, dir)
-    val dSub = rcbs.head.head.length
     val cbLit = array(rcbs.map(cb =>
       array(cb.map(c => array(c.map(lit): _*)): _*)): _*)
     val queries = assignments.filter(col("vec_id") < queryMaxId)
@@ -372,15 +371,15 @@ object Similarity {
       .select(col("query_id"), col("qvec"),
               zip_with(col("qvec"), col("centroid"), _ - _).as("qres"),
               col("list"))
-    val adc = aggregate(
-      sequence(lit(0), lit(rcbs.size - 1)), lit(0.0), (acc, m) =>
-        acc + aggregate(
-          zip_with(
-            slice(col("qres"), m * lit(dSub) + lit(1), lit(dSub)),
-            element_at(element_at(cbLit, m + 1),
-                       element_at(col("res_codes"), m + 1) + 1),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), (a2, d) => a2 + d))
+    // Native codegen'd ADC (graft.functions.PqAdc): identical doubles
+    // to the HOF fold (same m-then-i accumulation order — equality
+    // pinned in DedupSpec), ~m×dSub fewer interpreted lambda calls per
+    // (query, vector) pair. This is the corpus-sized stage of the
+    // batch path; the HOF form ran entirely in the expression
+    // interpreter (higher-order functions have no codegen).
+    graft.functions.PqAdc.register(spark)
+    val adc = call_function(graft.functions.PqAdc.fnName,
+                            col("qres"), col("res_codes"), cbLit)
     val shortRank = Window.partitionBy("query_id")
       .orderBy(asc("adc"), asc("vec_id"))
     val shortlist = assignments.join(broadcast(probes), Seq("list"))

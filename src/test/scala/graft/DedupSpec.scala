@@ -366,6 +366,51 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[Int](1).size == PqIndex.SubSpaces))
   }
 
+  test("pq_adc native expression is bit-identical to the HOF fold") {
+    import graft.analytics.{IvfIndex, Similarity}
+    val dir = IvfIndex.ensure(spark, sf0001)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    val rcbs = IvfIndex.readResidualCodebooks(spark, dir)
+    val dSub = rcbs.head.head.length
+    val cbLit = array(rcbs.map(cb =>
+      array(cb.map(c => array(c.map(lit): _*)): _*)): _*)
+    // a realistic qres: this query's residual against list 0's centroid
+    val cent = IvfIndex.readCentroids(spark, dir).head._2
+    val centLit = array(cent.map(lit): _*)
+    val qres = zip_with(transform($"embedding", _.cast("double")),
+                        centLit, _ - _)
+    // HOF reference formulation (what batchIvfPqTopK ran pre-native):
+    // aggregate over subspaces of aggregate-over-zip_with slices —
+    // same m-then-i accumulation order the native loop generates
+    val hof = aggregate(
+      sequence(lit(0), lit(rcbs.size - 1)), lit(0.0), (acc, m) =>
+        acc + aggregate(
+          zip_with(
+            slice(qres, m * lit(dSub) + lit(1), lit(dSub)),
+            element_at(element_at(cbLit, m + 1),
+                       element_at($"res_codes", m + 1) + 1),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (a2, d) => a2 + d))
+    graft.functions.PqAdc.register(spark)
+    val rows = assignments
+      .select($"vec_id", hof.as("hof"),
+              call_function(graft.functions.PqAdc.fnName,
+                            qres, $"res_codes", cbLit).as("native"))
+      .limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // bit-identical, not approximately equal: same accumulation order
+      assert(r.getDouble(1) == r.getDouble(2),
+             s"vec ${r.getLong(0)}: hof ${r.getDouble(1)} != native ${r.getDouble(2)}")
+    }
+    // ties/ordering downstream are therefore unchanged: the batch plan
+    // must still produce the exact result under full probe + shortlist
+    val exact = Similarity.batchIvfPqTopK(spark, sf0001, queryMaxId = 4L,
+      k = 5, nLists = IvfIndex.DefaultLists,
+      nProbe = IvfIndex.DefaultLists, shortlistFactor = 2000)
+    assert(exact.count() == 20)
+  }
+
   test("PQ ANN recall floor against exact L2 top-k on driver data") {
     import graft.analytics.{IvfIndex, PqIndex}
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
