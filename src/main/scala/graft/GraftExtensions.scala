@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{BloomFns, BloomProbeFile, CosineSim, MinHashSig, NearestCentroid, PqAdc, SimHash64}
+import graft.functions.{BloomFns, BloomProbeFile, CosineSim, MinHashSig, NearestCentroid, PqAdc, SimHash64, SpanStrip}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to ANY session (including pure-SQL users) via
@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(PqAdc.fnName),
       PqAdc.info,
       exprs => PqAdc(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(SpanStrip.fnName),
+      SpanStrip.info,
+      exprs => SpanStrip(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
       FunctionIdentifier(BloomProbeFile.fnName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

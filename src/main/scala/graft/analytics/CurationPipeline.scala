@@ -181,29 +181,16 @@ object CurationPipeline {
           .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("p"))).as("ps"))
-        val fold = aggregate(
-          sequence(lit(0), size(col("words")) - 1),
-          struct(lit(1).as("k"), lit(-1).as("end"),
-                 expr("cast(array() as array<string>)").as("out")),
-          (acc, j) => {
-            val hasStart = acc("k") <= size(col("ps")) &&
-              element_at(col("ps"), acc("k")) === j
-            val newEnd = when(hasStart, greatest(acc("end"), j + lit(L - 1)))
-              .otherwise(acc("end"))
-            val newK = when(hasStart, acc("k") + 1).otherwise(acc("k"))
-            struct(newK.as("k"), newEnd.as("end"),
-                   when(j > newEnd,
-                        concat(acc("out"),
-                               array(element_at(col("words"), j + 1))))
-                     .otherwise(acc("out")).as("out"))
-          },
-          acc => acc("out"))
+        // Native codegen'd two-pointer scan — same SpanStrip swap as
+        // bp02 (see DataQuality): identical kept-set to the HOF fold,
+        // O(n + |ps|) per doc instead of O(n²) element copies.
+        graft.functions.SpanStrip.register(s)
         val cleaned = words.join(starts, Seq("doc_id"), "left")
           .withColumn("ps",
             coalesce(col("ps"), expr("cast(array() as array<int>)")))
           .withColumn("cleaned",
-            when(size(col("words")) >= 1, fold)
-              .otherwise(expr("cast(array() as array<string>)")))
+            call_function(graft.functions.SpanStrip.fnName,
+                          col("words"), col("ps"), lit(L)))
           .select(col("doc_id"), col("lang"),
                   size(col("cleaned")).cast("long").as("n_tokens"),
                   round((size(col("cleaned")) -

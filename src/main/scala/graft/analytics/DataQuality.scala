@@ -444,30 +444,17 @@ object DataQuality {
           .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("p"))).as("ps"))
-        val kept = aggregate(
-          sequence(lit(0), size(col("words")) - 1),
-          struct(lit(1).as("k"), lit(-1).as("end"),
-                 expr("cast(array() as array<string>)").as("out")),
-          (acc, j) => {
-            val hasStart = acc("k") <= size(col("ps")) &&
-              element_at(col("ps"), acc("k")) === j
-            val newEnd = when(hasStart, greatest(acc("end"), j + lit(L - 1)))
-              .otherwise(acc("end"))
-            val newK = when(hasStart, acc("k") + 1).otherwise(acc("k"))
-            struct(newK.as("k"), newEnd.as("end"),
-                   when(j > newEnd,
-                        concat(acc("out"),
-                               array(element_at(col("words"), j + 1))))
-                     .otherwise(acc("out")).as("out"))
-          },
-          acc => acc("out"))
+        // Native codegen'd two-pointer scan (graft.functions.SpanStrip):
+        // identical kept-set to the interpreted HOF fold it replaced
+        // (equality pinned in DataQualitySpec), O(n + |ps|) per doc vs
+        // the fold's O(n²) element copies from concat-per-kept-word.
+        graft.functions.SpanStrip.register(s)
         words.join(starts, Seq("doc_id"), "left")
           .withColumn("ps",
             coalesce(col("ps"), expr("cast(array() as array<int>)")))
-          // 0-word guard: sequence(0, -1) would DESCEND in Spark
           .withColumn("cleaned",
-            when(size(col("words")) >= 1, kept)
-              .otherwise(expr("cast(array() as array<string>)")))
+            call_function(graft.functions.SpanStrip.fnName,
+                          col("words"), col("ps"), lit(L)))
           .select(col("doc_id"),
                   size(col("words")).cast("long").as("n_tokens"),
                   (size(col("words")) - size(col("cleaned"))).cast("long")

@@ -143,6 +143,52 @@ class DataQualitySpec extends SparkSpec {
     assert(out.values.exists(_._2 == 0L))
   }
 
+  test("span_strip: native scan matches the interval-union reference on adversarial spans") {
+    import spark.implicits._
+    import graft.functions.SpanStrip
+    val L = 3
+    // (words, sorted starts): passthrough, empty doc, span at 0, full
+    // coverage, overlapping + adjacent + duplicate starts, tail span
+    // clipped by doc end, 1-word doc
+    val cases: Seq[(Seq[String], Seq[Int])] = Seq(
+      (Seq("a", "b", "c", "d"), Seq.empty),
+      (Seq.empty, Seq.empty),
+      (Seq("a", "b", "c", "d"), Seq(0)),
+      (Seq("a", "b", "c"), Seq(0)),
+      (Seq.tabulate(10)(i => s"w$i"), Seq(1, 2, 6)),
+      (Seq.tabulate(10)(i => s"w$i"), Seq(1, 1, 4, 7)),
+      (Seq("a", "b"), Seq(1)),
+      (Seq("solo"), Seq.empty)
+    )
+    def reference(w: Seq[String], ps: Seq[Int]): Seq[String] = {
+      val covered = ps.flatMap(p => p until (p + L)).toSet
+      w.zipWithIndex.collect { case (x, j) if !covered(j) => x }
+    }
+    SpanStrip.register(spark)
+    // codegen path: through a DataFrame plan
+    val out = cases.toDF("words", "ps")
+      .select(call_function(SpanStrip.fnName,
+        col("words"), col("ps"), lit(L)).as("kept"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    cases.zip(out).foreach { case ((w, ps), got) =>
+      assert(got == reference(w, ps), s"codegen: words=$w ps=$ps")
+    }
+    // interpreted path: direct eval with Literal children
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    cases.foreach { case (w, ps) =>
+      val got = SpanStrip(
+        Literal.create(w, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+        Literal.create(ps, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
+        Literal(L)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toSeq[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString)
+      assert(got == reference(w, ps), s"eval: words=$w ps=$ps")
+    }
+  }
+
   test("id01: gate covers exactly the src19 batch; keep agrees with containment") {
     val rows = run("id01_incremental_gate").collect()
     val batch = spark.read.parquet(s"$sf0001/documents.parquet")
