@@ -54,6 +54,10 @@ object Bench {
     // contract — one filter build per corpus epoch, probed per batch
     try graft.analytics.BloomGramIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    // the sharded family (id03) is offline by the same epoch contract
+    try graft.analytics.BloomGramIndex.ensureSharded(
+      spark, sfDir, graft.analytics.DataQuality.ShardedK)
+    catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The
@@ -64,7 +68,7 @@ object Bench {
     val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
                       "dd03p_simhash_precision", "dd03r_simhash_recall",
                       "x14x_ndv_anchor", "id02x_bloom_anchor",
-                      "st14x_bloom_stream_anchor")
+                      "id03x_sharded_anchor", "st14x_bloom_stream_anchor")
     val names = args.toSet
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))

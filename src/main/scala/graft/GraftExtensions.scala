@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{BloomFns, BloomProbeFile, CosineSim, MinHashSig, NearestCentroid, PqAdc, SimHash64, SpanStrip}
+import graft.functions.{BloomFns, BloomProbeFile, BloomProbeSharded, CosineSim, MinHashSig, NearestCentroid, PqAdc, SimHash64, SpanStrip}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to ANY session (including pure-SQL users) via
@@ -63,5 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BloomProbeFile].getName, BloomProbeFile.fnName),
       exprs => BloomProbeFile(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(BloomProbeSharded.fnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BloomProbeSharded].getName, BloomProbeSharded.fnName),
+      exprs => BloomProbeSharded(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -96,6 +96,61 @@ object BloomGramIndex {
     })
   }
 
+  /** Hash-prefix-SHARDED corpus filter family — the documented growth
+    * path past ~10⁹ grams, where a single filter (~1.2 GB at 1% fpp)
+    * outgrows one executor buffer and the driver's merge. Grams route
+    * by `pmod(xxhash64(g), k)`; shard `i` lands at `{base}-s{i}` and
+    * holds exactly its residue class, so membership over the family is
+    * a DISJOINT union — no semantics change vs the single filter, and
+    * the probe ([[graft.functions.BloomProbeSharded]], same pmod
+    * routing) touches exactly one shard per gram.
+    *
+    * Build: ONE distributed groupBy(shard) aggregate produces all K
+    * partial-merged filters — K filter-sized buffers cross to the
+    * driver (each 1/K the single-filter size; the driver never holds
+    * the un-sharded total). Every shard gets uniform sizing from the
+    * total gram count (+25% slack for routing imbalance — xxhash64
+    * spreads residues near-uniformly, so realized per-shard fpp stays
+    * at or under the configured rate); a residue class with no grams
+    * still writes an (empty) filter so the probe side never routes to a
+    * missing file. Returns the BASE path. */
+  def ensureSharded(spark: SparkSession, sfDir: String, k: Int): String = {
+    require(k >= 1 && k <= 64, s"shard count out of range: $k")
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
+    val base = s"${sys.props("java.io.tmpdir")}/graft-bloomgram-" +
+      s"$key-${contentStamp(sfDir)}-k$k-v1.bf"
+    built.computeIfAbsent(base, { _ =>
+      if (!new java.io.File(s"$base-s0").exists()) {
+        val corpus = QueryDef.table(spark, sfDir, "documents")
+          .filter(col("source") =!= "src19")
+        val grams = DataQuality.gramKeys(corpus).select("g")
+        val total = math.max(1024L * k, grams.count())
+        val est = math.ceil(total * 1.25 / k).toLong
+        val bits = math.ceil(est * BitsPerItem).toLong
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", est max 4000000L)
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits max 67108864L)
+        val shards = grams
+          .withColumn("h", xxhash64(col("g")))
+          .withColumn("shard", pmod(col("h"), lit(k.toLong)).cast("int"))
+          .groupBy("shard")
+          .agg(BloomFns.bloomAgg(spark, col("h"),
+                                 lit(est), lit(bits)).as("bf"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        (0 until k).foreach { i =>
+          shards.get(i) match {
+            case Some(bytes) => writeFilter(s"$base-s$i", bytes, est, bits)
+            case None        => emptyFilter(s"$base-s$i", est, bits)
+          }
+        }
+      }
+      base
+    })
+  }
+
   /** Atomic write of filter bytes + a `.meta` sidecar recording the
     * (estItems, numBits) the filter was created with — a later
     * incremental merge must build its delta with the SAME sizing or

@@ -22,6 +22,12 @@ import graft.queries.QueryDef
 object DataQuality {
   import QueryDef.table
 
+  /** Shard count of the id03 sharded bloom gate — small here (the
+    * fixture corpus is nowhere near the ~10⁹-gram single-filter
+    * ceiling); the design is shard-count-agnostic and the anchor pins
+    * correctness at any K. */
+  val ShardedK = 4
+
   /** Whitespace word list (empty-token filtered, so both engines agree
     * on leading/trailing whitespace). */
   private val wordsExpr =
@@ -110,10 +116,36 @@ object DataQuality {
   def bloomGate(spark: org.apache.spark.sql.SparkSession,
                 newDocs: org.apache.spark.sql.DataFrame,
                 filterPath: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.DataFrame =
+    probeGate(newDocs,
+      graft.functions.BloomProbeFile.probe(
+        spark, lit(filterPath), xxhash64(col("g"))),
+      threshold)
+
+  /** [[bloomGate]] against a K-sharded filter family
+    * ([[BloomGramIndex.ensureSharded]]): identical census-anchored
+    * containment contract and one-sided error direction — each gram
+    * probes the single shard its hash routes to, so the per-row cost
+    * matches the single-filter gate while every filter buffer is 1/K
+    * the size (the past-10⁹-grams growth path). */
+  def bloomGateSharded(spark: org.apache.spark.sql.SparkSession,
+                       newDocs: org.apache.spark.sql.DataFrame,
+                       basePath: String, k: Int,
+                       threshold: Double = 0.5)
+      : org.apache.spark.sql.DataFrame =
+    probeGate(newDocs,
+      graft.functions.BloomProbeSharded.probe(
+        spark, lit(basePath), lit(k), xxhash64(col("g"))),
+      threshold)
+
+  /** Shared tail of the membership-probe gates: per-doc gram census +
+    * hit count under `hit`, containment, keep decision — anchored on
+    * the full `newDocs` census so gram-less docs still decide. */
+  private def probeGate(newDocs: org.apache.spark.sql.DataFrame,
+                        hit: org.apache.spark.sql.Column,
+                        threshold: Double)
       : org.apache.spark.sql.DataFrame = {
     val newG = gramKeys(newDocs).distinct()
-    val hit = graft.functions.BloomProbeFile.probe(
-      spark, lit(filterPath), xxhash64(col("g")))
     val per = newG.groupBy("doc_id").agg(
       count(lit(1)).as("n_grams"),
       sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
@@ -632,6 +664,80 @@ object DataQuality {
               |        WHERE source = 'src19') AS BIGINT) AS n_batch""".stripMargin)
     ),
 
+    // ---- sharded bloom ingest gate ------------------------------------
+    // id02's design past the single-filter ceiling: ~10⁹ corpus grams
+    // make one filter ~1.2 GB — too big for a comfortable per-executor
+    // buffer or a driver-side merge. The K-sharded family
+    // ([[BloomGramIndex.ensureSharded]]) routes each gram to
+    // `pmod(xxhash64, K)`; every buffer is 1/K the size, membership is
+    // a disjoint union (no semantics change), and the probe
+    // ([[graft.functions.BloomProbeSharded]]) still costs one bit-array
+    // probe per gram. Same rows-only status as id02 (bloom hits are
+    // engine-specific); `id03x_sharded_anchor` hash-pins the subset
+    // direction, fp bound, and census — which jointly pin that probe
+    // routing equals build routing (a mis-route would leak instantly).
+    QueryDef(
+      "id03_sharded_bloom_gate",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        bloomGateSharded(s, docs.filter(col("source") === "src19"),
+                         BloomGramIndex.ensureSharded(s, d, ShardedK),
+                         ShardedK)
+          .orderBy("doc_id")
+      },
+      None
+    ),
+    QueryDef(
+      "id03x_sharded_anchor",
+      // id02x's contract verbatim, against the sharded family: leaked
+      // (sharded-keep \ exact-keep) MUST be 0 — a gram mis-routed at
+      // probe time would miss its inserted shard and under-count
+      // containment, surfacing here; fp rate over truly-absent grams
+      // bounded; full batch census. Bench-excluded like every anchor
+      // that re-runs the exact machinery it compares against.
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val batch = docs.filter(col("source") === "src19")
+        val corpusGrams = gramKeys(docs.filter(col("source") =!= "src19"))
+        val base = BloomGramIndex.ensureSharded(s, d, ShardedK)
+        val bloomKeep = bloomGateSharded(s, batch, base, ShardedK)
+          .filter(col("keep") === 1).select("doc_id")
+        val exactKeep = gramGate(batch, corpusGrams)
+          .filter(col("keep") === 1).select("doc_id")
+        val leaked = bloomKeep
+          .join(exactKeep, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("leaked"))
+        val newGset = gramKeys(batch).select("g").distinct()
+        val matched = corpusGrams.select("g")
+          .join(broadcast(newGset), Seq("g"), "left_semi").distinct()
+        val absent = newGset.join(broadcast(matched), Seq("g"), "left_anti")
+        val hit = graft.functions.BloomProbeSharded.probe(
+          s, lit(base), lit(ShardedK), xxhash64(col("g")))
+        val fp = absent.agg(
+          count(lit(1)).as("n_absent"),
+          coalesce(avg(when(hit, 1.0).otherwise(0.0)) <= 0.05, lit(true))
+            .as("fp_ok"))
+        val census = batch.agg(count(lit(1)).as("n_batch"))
+        leaked.crossJoin(fp).crossJoin(census)
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |newg AS (SELECT DISTINCT g FROM grams WHERE source = 'src19'),
+              |corp AS (SELECT DISTINCT g FROM grams WHERE source <> 'src19')
+              |SELECT CAST(0 AS BIGINT) AS leaked,
+              |  CAST((SELECT count(*) FROM newg
+              |        WHERE g NOT IN (SELECT g FROM corp)) AS BIGINT)
+              |    AS n_absent,
+              |  true AS fp_ok,
+              |  CAST((SELECT count(*) FROM documents
+              |        WHERE source = 'src19') AS BIGINT) AS n_batch""".stripMargin)
+    ),
+
     // ---- adaptive (percentile-derived) quality gate -------------------
     // dq02's fixed constants (word-count band 20–10000, dup ratio 0.5)
     // assume the corpus looks like C4's; a real curation pass derives
@@ -680,6 +786,110 @@ object DataQuality {
               |  round(p25w, 4) AS p25_words, round(p75d, 6) AS p75_dup,
               |  CAST(n_words >= p25w AND dup_word_frac <= p75d AS INT) AS keep
               |FROM st CROSS JOIN th ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- LM-familiarity quality bins (CCNet-style) --------------------
+    // CCNet buckets a crawl into head/middle/tail by language-model
+    // perplexity and keeps the head for training. This is that gate
+    // with the corpus' own bigram statistics as the LM and a RATIONAL
+    // familiarity score standing in for perplexity: familiarity(doc) =
+    // mean corpus frequency of the doc's bigrams = sum(n_bg)/count(bg)
+    // — integer-derived, so both engines agree bit-for-bit (the tx08/
+    // tx11 no-transcendental discipline; log-perplexity is monotone-
+    // decreasing in geometric-mean frequency, and this arithmetic-mean
+    // form ranks repetitive/familiar text above novel text the same
+    // way). Cutoffs are per-language P25/P75 quartiles DERIVED from the
+    // corpus (dq04's adaptive-threshold discipline).
+    //
+    // The score is carried as an exact INTEGER micro-score
+    // (`(sum·10⁶) div count`) rather than a rounded double: quartile
+    // interpolation over integer order statistics at dyadic fractions
+    // (0.25·(n−1) mod 1 ∈ {0, ¼, ½, ¾}) is EXACT in IEEE arithmetic,
+    // so both engines' interpolation formulas produce the identical
+    // double — measured: P75 over the rounded-double score differed in
+    // the last ulp between Spark and DuckDB at sf0.001 (a + f·(b−a) vs
+    // (1−f)·a + f·b), flipping the 6-dp rounding. Headroom: the
+    // micro-score numerator is ≤ doc_bigrams · max_gram_count · 10⁶ —
+    // at 3·10² bigrams/doc over a 10⁹-max-count corpus that is ~3·10¹⁷,
+    // inside int64.
+    //
+    // Scale shape: one explode → dictionary-sized bigram counts
+    // (partially aggregated); the bigram⋈dictionary join stays a
+    // SHUFFLE join keyed on the bigram (a web corpus' bigram vocabulary
+    // is 10^9+ — broadcasting it is the scale bug, tx11's note); one
+    // per-doc aggregate; per-language cutoffs are language-cardinality-
+    // sized and broadcast back. Census-anchored: docs with < 2 words
+    // have no bigrams and bin as 'short' (NULL familiarity) instead of
+    // vanishing.
+    QueryDef(
+      "lm01_familiarity_bins",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"), expr(wordsExpr).as("w"))
+        val bigrams = docs.select(col("doc_id"), col("lang"),
+          explode(expr(
+            """zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
+              |         slice(w, 2, greatest(size(w) - 1, 0)),
+              |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+        val dict = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
+        val fam = bigrams.join(dict, Seq("bg"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_bigrams"),
+               expr("(sum(n) * 1000000L) div count(1)").as("fam_micro"))
+        val cuts = fam.groupBy("lang")
+          .agg(expr("percentile(fam_micro, 0.25)").as("p25m"),
+               expr("percentile(fam_micro, 0.75)").as("p75m"))
+        // cutoffs are emitted as RAW micro-score doubles: quartiles of
+        // integers at dyadic fractions are exact dyadic doubles, so no
+        // rounding is needed — and rounding would REINTRODUCE the
+        // engine split (a cutoff of x.5 µ lands exactly on a decimal
+        // tie, where Spark's BigDecimal HALF_UP and DuckDB's
+        // double-rounding disagree). familiarity itself is an integer
+        // µ-count: /10⁶ has exactly 6 decimal digits, no tie possible.
+        val scored = fam.join(broadcast(cuts), Seq("lang"))
+          .select(col("doc_id"), col("n_bigrams"),
+                  round(col("fam_micro") / 1e6, 6).as("familiarity"),
+                  col("p25m").as("p25_micro"), col("p75m").as("p75_micro"),
+                  when(col("fam_micro") < col("p25m"), "tail")
+                    .when(col("fam_micro") >= col("p75m"), "head")
+                    .otherwise("middle").as("bin"))
+        docs.select("doc_id", "lang")
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+                  coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+                  col("familiarity"), col("p25_micro"), col("p75_micro"),
+                  coalesce(col("bin"), lit("short")).as("bin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+              |bgp AS (SELECT doc_id, lang,
+              |          unnest(w[1:len(w) - 1]) AS a,
+              |          unnest(w[2:len(w)]) AS b
+              |        FROM d),
+              |bg AS (SELECT doc_id, lang, a || ' ' || b AS bg FROM bgp),
+              |dict AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+              |fam AS (
+              |  SELECT doc_id, lang, count(*) AS n_bigrams,
+              |    CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS fam_micro
+              |  FROM bg JOIN dict USING (bg) GROUP BY doc_id, lang),
+              |cuts AS (
+              |  SELECT lang, quantile_cont(fam_micro, 0.25) AS p25m,
+              |         quantile_cont(fam_micro, 0.75) AS p75m
+              |  FROM fam GROUP BY lang),
+              |sc AS (
+              |  SELECT f.doc_id, f.n_bigrams,
+              |    round(f.fam_micro / 1e6, 6) AS familiarity,
+              |    c.p25m AS p25_micro, c.p75m AS p75_micro,
+              |    CASE WHEN f.fam_micro < c.p25m THEN 'tail'
+              |         WHEN f.fam_micro >= c.p75m THEN 'head'
+              |         ELSE 'middle' END AS bin
+              |  FROM fam f JOIN cuts c ON f.lang = c.lang)
+              |SELECT d0.doc_id, d0.lang,
+              |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+              |  sc.familiarity, sc.p25_micro, sc.p75_micro,
+              |  coalesce(sc.bin, 'short') AS bin
+              |FROM documents d0 LEFT JOIN sc ON d0.doc_id = sc.doc_id
+              |ORDER BY d0.doc_id""".stripMargin)
     ),
 
     // ---- log scrubbing / pseudonymization -----------------------------

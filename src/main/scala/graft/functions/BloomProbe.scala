@@ -25,12 +25,14 @@ object BloomFilterCache {
     * old versions are dead the moment the next one exists — an
     * unbounded map would leak one filter-sized buffer per batch for the
     * life of the executor. Eviction is insertion-order (versioned chain
-    * files age exactly that way); 8 entries comfortably covers every
-    * live filter of concurrent gates. Lookups are lock-free (the
+    * files age exactly that way); 16 entries covers every live filter
+    * of concurrent gates including a full K-shard family
+    * ([[BloomProbeSharded]]: K files live at once, K ≤ 8 here) beside a
+    * streaming chain's newest links. Lookups are lock-free (the
     * interpreted eval path calls per ROW; only a miss takes the lock —
     * codegen additionally pins the filter in an instance field, so the
     * hot loop touches no map at all). */
-  private val MaxEntries = 8
+  private val MaxEntries = 16
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
   private val order = new java.util.ArrayDeque[String]()

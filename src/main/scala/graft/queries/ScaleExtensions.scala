@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, SkewJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 
 /** Round-2 extension surface: the scale-first operators a production
   * training-data pipeline leans on beyond the reference's own SQL —
@@ -62,6 +62,51 @@ object ScaleExtensions {
              |SELECT user_id, purchase_ts, purchase_id, value, click_id, click_ts
              |FROM cand WHERE rk = 1
              |ORDER BY user_id, purchase_ts, purchase_id""".stripMargin)
+    ),
+
+    // ---- bounded time-range (interval) join ---------------------------
+    QueryDef(
+      "rj01_range_join",
+      // per error event: how many clicks (and how much click value) the
+      // same user produced in the preceding hour — the lookback-window
+      // join behind feature windows and burst correlation. The bucketed
+      // rewrite in [[RangeJoin]] keeps it a plain (key, bucket)
+      // equi-join (≤ 2× left replication, matching-pair-linear) instead
+      // of the per-key cross product a raw inequality join plans to;
+      // PlanAuditSpec pins the absence of nested-loop/cartesian nodes.
+      // Census-anchored: every error event gets a row (0s when the
+      // window is empty).
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+        val pairs = RangeJoin.rangeJoin(errors, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "click_ts",
+          loUs = -3600000000L, hiUs = 0L,
+          rightPayload = Seq("value"))
+        val agg = pairs.groupBy("event_id")
+          .agg(count(lit(1)).as("n_clicks"),
+               round(sum("value"), 4).as("click_value"))
+        errors.select("event_id", "user_id")
+          .join(agg, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+                  coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+                  coalesce(col("click_value"), lit(0.0)).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |e AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+             |c AS (SELECT user_id, ts AS click_ts, value FROM ev
+             |      WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id,
+             |  count(c.click_ts) AS n_clicks,
+             |  round(coalesce(sum(c.value), 0), 4) AS click_value
+             |FROM e LEFT JOIN c ON e.user_id = c.user_id
+             |  AND c.click_ts >= e.ts - INTERVAL '1 hour'
+             |  AND c.click_ts < e.ts
+             |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin)
     ),
 
     // ---- deterministic stratified hash sample -------------------------

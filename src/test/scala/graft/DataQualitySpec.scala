@@ -251,6 +251,73 @@ class DataQualitySpec extends SparkSpec {
     assert(out(11L)._2 > 0.5 && out(11L)._3 == 0)
   }
 
+  test("id03: sharded gate errs one-sided only; census and gram counts match the exact gate") {
+    val sharded = run("id03_sharded_bloom_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+         r.getAs[Int]("keep"))).toMap
+    val exact = run("id01_incremental_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+         r.getAs[Int]("keep"))).toMap
+    assert(sharded.keySet == exact.keySet)
+    sharded.foreach { case (id, (sg, sh, sk)) =>
+      val (eg, eh, ek) = exact(id)
+      assert(sg == eg, s"doc $id: gram count differs ($sg vs $eg)")
+      // membership union over disjoint shards never misses an inserted
+      // gram — a routing mismatch between build and probe breaks this
+      assert(sh >= eh, s"doc $id: sharded n_hit $sh < exact $eh")
+      assert(sk <= ek, s"doc $id: sharded gate kept what exact dropped")
+    }
+    assert(sharded.values.exists(_._3 == 1) &&
+           sharded.values.exists(_._3 == 0))
+  }
+
+  test("id03: every inserted gram hits its routed shard, across all shards") {
+    import spark.implicits._
+    val k = 3
+    // enough distinct grams that xxhash64 populates every residue class
+    val corpus = (0L until 40L).map(i =>
+      (i, (0 to 5).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val grams = graft.analytics.DataQuality.gramKeys(corpus)
+      .select(col("g"), xxhash64(col("g")).as("h"),
+              pmod(xxhash64(col("g")), lit(k.toLong)).cast("int").as("shard"))
+    val base = java.nio.file.Files.createTempDirectory("graft-shard-test")
+      .resolve("fam.bf").toString
+    val parts = grams.groupBy("shard")
+      .agg(graft.functions.BloomFns.bloomAgg(
+        spark, col("h"), lit(1024L), lit(16384L)).as("bf"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(parts.keySet == (0 until k).toSet, s"residues hit: ${parts.keySet}")
+    parts.foreach { case (i, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base-s$i"), bytes)
+    }
+    val probed = grams.select(
+      graft.functions.BloomProbeSharded.probe(
+        spark, lit(base), lit(k), col("h")).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(probed.nonEmpty && probed.forall(identity),
+           "an inserted gram missed its routed shard")
+    // absent grams stay mostly absent (sanity that shards aren't
+    // saturated / the probe isn't trivially true)
+    val absentHits = (0 until 200).map(i =>
+        (s"absent_gram_$i", i)).toDF("g", "i")
+      .select(graft.functions.BloomProbeSharded.probe(
+        spark, lit(base), lit(k), xxhash64(col("g"))).as("hit"))
+      .collect().count(_.getBoolean(0))
+    assert(absentHits < 20, s"$absentHits/200 absent grams hit")
+  }
+
+  test("plan: id03 probes the sharded family without scanning the corpus") {
+    val p = run("id03_sharded_bloom_gate").queryExecution.executedPlan.toString
+    val exactPlan = run("id01_incremental_gate")
+      .queryExecution.executedPlan.toString
+    def scans(s: String) = "Scan parquet".r.findAllIn(s).length
+    assert(scans(p) < scans(exactPlan), s"sharded=${scans(p)}\n$p")
+    assert(p.contains("bloom_probe_sharded"), p)
+  }
+
   test("plan: id02 probes the filter without scanning the corpus") {
     val bloomPlan = run("id02_bloom_gate").queryExecution.executedPlan.toString
     val exactPlan = run("id01_incremental_gate")

@@ -164,6 +164,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("rj01: range join is a bucketed equi-join — no nested-loop or cartesian node") {
+    val p = plan("rj01_range_join")
+    // a raw inequality join plans to BroadcastNestedLoopJoin (driver
+    // OOM once the lookback side grows) or a per-key cross product; the
+    // bucketed rewrite must keep every join an equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("lm01: language cutoffs broadcast back; no single-partition exchange") {
+    val p = plan("lm01_familiarity_bins")
+    // the per-language P25/P75 frame is language-cardinality-sized and
+    // must broadcast; nothing in the plan may funnel one partition
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("lm01: bins agree with the emitted cutoffs; short docs never vanish") {
+    val df = SparkEntry.queries("lm01_familiarity_bins")(spark, sf0001)
+    val rows = df.collect()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length == nDocs, "census: one row per document")
+    rows.foreach { r =>
+      val bin = r.getAs[String]("bin")
+      if (r.getAs[Long]("n_bigrams") == 0L) assert(bin == "short")
+      else {
+        // familiarity has exactly 6 decimals → ×10⁶ recovers the exact
+        // integer micro-score the gate compared against the cutoffs
+        val fm = math.round(r.getAs[Double]("familiarity") * 1e6)
+        val (p25, p75) =
+          (r.getAs[Double]("p25_micro"), r.getAs[Double]("p75_micro"))
+        assert(p25 <= p75)
+        if (fm < p25) assert(bin == "tail", s"$fm $p25 $bin")
+        else if (fm >= p75) assert(bin == "head", s"$fm $p75 $bin")
+        else assert(bin == "middle", s"$fm [$p25,$p75) $bin")
+      }
+    }
+    assert(rows.map(_.getAs[String]("bin")).toSet
+             .intersect(Set("head", "middle", "tail")).size == 3,
+           "fixture must exercise all three quality bins")
+  }
+
   test("dm03: temperature mixture — smallest language keeps rate 1, rates monotone in count") {
     val rows = SparkEntry.queries("dm03_temperature_mixture")(spark, sf0001)
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),

@@ -120,6 +120,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("range join equals a brute-force theta join, boundaries half-open") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    def ts(sec: Long) = new Timestamp(1704067200000L + sec * 1000)
+    // dense seeded data + hand-placed boundary rows: right rows exactly
+    // AT lt+lo (must match: inclusive), exactly AT lt+hi (must NOT:
+    // exclusive), and straddling bucket edges
+    val lefts = (0 until 80).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(7200).toLong), 100L + i)) ++
+      Seq((9L, ts(3600), 900L))
+    val rights = (0 until 120).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(7200).toLong), 200L + i)) ++
+      Seq((9L, ts(3600 - 600), 901L), // == lt+lo → in
+          (9L, ts(3600), 902L),       // == lt+hi → out
+          (9L, ts(3600 - 601), 903L)) // just before lo → out
+    val (loUs, hiUs) = (-600000000L, 0L) // lookback 10 min
+    val expected = lefts.flatMap { case (k, lts, lid) =>
+      rights.collect { case (rk, rts, rid)
+        if rk == k && rts.getTime * 1000 >= lts.getTime * 1000 + loUs &&
+           rts.getTime * 1000 < lts.getTime * 1000 + hiUs => (lid, rid) }
+    }.toSet
+    val out = graft.operators.RangeJoin.rangeJoin(
+        lefts.toDF("k", "ts", "lid"),
+        rights.toDF("k", "rts", "rid"),
+        "k", "ts", "rts", loUs, hiUs, Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(out.length == out.toSet.size, "pair emitted twice")
+    assert(out.toSet == expected)
+    assert(expected.contains((900L, 901L)) && !expected.exists(_._2 == 902L))
+  }
+
   test("token chunking covers every token with the declared overlap") {
     // tx06 contract: chunks start at 0,40,80,…; each holds ≤50 tokens;
     // their union covers all n tokens exactly
