@@ -102,12 +102,12 @@ object ScaleProbe {
           "dc01", "bp01", "id01", "dm04", "cp01",
           "st11", "dm05", "mm04", "tx10", "dd08",
           "tx11", "dm06", "mm05", "dq04", "bp02", "cp02",
-          "emb02", "dm07").exists(enabled)
+          "emb02", "dm07", "lm01", "id03", "cp03").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
           "ss11", "st13", "emb02").exists(enabled)
     val wantsEvents = stageOnly ||
-      Seq("aj01", "st03", "st08", "st12").exists(enabled)
+      Seq("aj01", "st03", "st08", "st12", "rj01").exists(enabled)
     val wantsRel = stageOnly ||
       Seq("q06", "q14", "q17", "q20", "x07", "dq01", "partsweep")
       .exists(enabled)
@@ -233,6 +233,7 @@ object ScaleProbe {
     }
     probeEntry("tx08_tfidf_top_terms")
     probeEntry("aj01_asof_join")
+    probeEntry("rj01_range_join")
     probeEntry("st03_session_window")
     probeEntry("st08_sessionize")
     // round-4 curation surface at N×: repetition stats (explode+window),
@@ -255,7 +256,14 @@ object ScaleProbe {
         "tx11_collocations", "dm06_token_budget_mixture",
         "mm05_resize_pool", "dq04_adaptive_quality_gate",
         "bp02_boilerplate_strip", "cp02_curation_v2",
-        "emb02_cluster_terms", "dm07_upsample_repeats").foreach(probeEntry)
+        "emb02_cluster_terms", "dm07_upsample_repeats",
+        // LM-familiarity bins: two dictionary-keyed shuffles + tiny
+        // per-language cutoff broadcast — the probe checks the
+        // dictionary join, not the corpus, is the growth term
+        "lm01_familiarity_bins",
+        // curriculum ordering: lm01's shuffles + per-(phase, shard)
+        // rank windows — 48 window partitions, no global funnel
+        "cp03_curriculum_order").foreach(probeEntry)
     // int8 scan-path ANN + MIPS over the replicated embeddings
     // (map-only + TakeOrderedAndProject — the probes check the scan
     // stays the only N-term), streaming ANN serving in batch form, and
@@ -305,6 +313,33 @@ object ScaleProbe {
       time(s"id02_bloom_${factor}x_filter") {
         force(DataQuality.bloomGate(spark, batch,
           BloomGramIndex.ensure(spark, workDir)))
+      }
+    }
+    if (enabled("id03")) {
+      // sharded family: same fixed-batch design as id02 — the probe
+      // must stay flat as the corpus (and so each shard file) grows,
+      // and within measurement noise of the single-filter gate (the
+      // routing modulo is the only extra per-row work)
+      import graft.analytics.{BloomGramIndex, DataQuality}
+      def batch = table(spark, baseDir, "documents")
+        .filter(col("source") === "src19")
+      def force(df: DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); df.count()
+      }
+      val k = DataQuality.ShardedK
+      time("id03_sharded_build_1x") {
+        BloomGramIndex.ensureSharded(spark, baseDir, k); 1L
+      }
+      time(s"id03_sharded_build_${factor}x") {
+        BloomGramIndex.ensureSharded(spark, workDir, k); 1L
+      }
+      time("id03_sharded_1x_gate") {
+        force(DataQuality.bloomGateSharded(spark, batch,
+          BloomGramIndex.ensureSharded(spark, baseDir, k), k))
+      }
+      time(s"id03_sharded_${factor}x_gate") {
+        force(DataQuality.bloomGateSharded(spark, batch,
+          BloomGramIndex.ensureSharded(spark, workDir, k), k))
       }
     }
     if (enabled("sem01")) {

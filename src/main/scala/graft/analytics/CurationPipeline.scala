@@ -308,6 +308,71 @@ object CurationPipeline {
               |SELECT doc_id, lang, n_tokens, shard
               |FROM cum, budget WHERE cum_before < shard_budget
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- curriculum ordering ------------------------------------------
+    // Curriculum learning's data-side contract: feed the model familiar
+    // text first, novel text last. Phase = lm01's LM-familiarity bin
+    // (head → 1, middle → 2, tail → 3; 'short' docs carry no signal and
+    // are excluded — a real run drops them at the quality gate anyway);
+    // within a phase the order is a deterministic md5 shuffle (dm04's
+    // epoch-shuffle discipline: 16 hash shards so no window sees more
+    // than 1/16 of a phase — a single per-phase ORDER BY would funnel
+    // one task at 100 TB). A trainer replays (phase, shard, pos)
+    // lexicographically and gets the same curriculum on any engine.
+    QueryDef(
+      "cp03_curriculum_order",
+      (s, d) => {
+        val binned = DataQuality.familiarityBins(s, d)
+          .filter(col("bin") =!= "short")
+          .select(col("doc_id"),
+                  when(col("bin") === "head", 1)
+                    .when(col("bin") === "middle", 2)
+                    .otherwise(3).as("phase"))
+        val h = md5(concat(col("doc_id").cast("string"), lit(":c1"))
+          .cast("binary"))
+        val w = Window.partitionBy("phase", "shard")
+          .orderBy(col("h"), col("doc_id"))
+        binned
+          .withColumn("h", h)
+          .withColumn("shard",
+            conv(substring(col("h"), 1, 2), 16, 10).cast("int") % 16)
+          .withColumn("pos", row_number().over(w).cast("int"))
+          .select("doc_id", "phase", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+              |bgp AS (SELECT doc_id, lang,
+              |          unnest(w[1:len(w) - 1]) AS a,
+              |          unnest(w[2:len(w)]) AS b
+              |        FROM d),
+              |bg AS (SELECT doc_id, lang, a || ' ' || b AS bg FROM bgp),
+              |dict AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+              |fam AS (
+              |  SELECT doc_id, lang,
+              |    CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS fam_micro
+              |  FROM bg JOIN dict USING (bg) GROUP BY doc_id, lang),
+              |cuts AS (
+              |  SELECT lang, quantile_cont(fam_micro, 0.25) AS p25m,
+              |         quantile_cont(fam_micro, 0.75) AS p75m
+              |  FROM fam GROUP BY lang),
+              |phased AS (
+              |  SELECT f.doc_id,
+              |    CASE WHEN f.fam_micro >= c.p75m THEN 1
+              |         WHEN f.fam_micro < c.p25m THEN 3
+              |         ELSE 2 END AS phase,
+              |    md5(CAST(f.doc_id AS VARCHAR) || ':c1') AS h
+              |  FROM fam f JOIN cuts c ON f.lang = c.lang),
+              |sharded AS (
+              |  SELECT doc_id, phase, h,
+              |    CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+              |       + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+              |       AS INT) % 16 AS shard
+              |  FROM phased)
+              |SELECT doc_id, phase, shard,
+              |  CAST(row_number() OVER (PARTITION BY phase, shard
+              |                          ORDER BY h, doc_id) AS INT) AS pos
+              |FROM sharded ORDER BY doc_id""".stripMargin)
     )
   )
 }

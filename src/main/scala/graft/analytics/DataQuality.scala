@@ -138,6 +138,48 @@ object DataQuality {
         spark, lit(basePath), lit(k), xxhash64(col("g"))),
       threshold)
 
+  /** lm01's scored frame, one row per corpus document: `(doc_id, lang,
+    * n_bigrams, fam_micro, p25_micro, p75_micro, bin)`. `fam_micro` is
+    * the exact integer micro-score `(Σ corpus-bigram-count · 10⁶) div
+    * n_bigrams` (see the lm01 entry for why integers); the cutoff
+    * columns are the per-language P25/P75 over it (exact dyadic
+    * doubles); `bin` ∈ head/middle/tail, or 'short' for docs with no
+    * bigram (NULL fam_micro/cutoffs — the census anchor). Shared by
+    * the lm01 report and the cp03 curriculum ordering. */
+  def familiarityBins(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), expr(wordsExpr).as("w"))
+    val bigrams = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        """zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
+          |         slice(w, 2, greatest(size(w) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val dict = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
+    val fam = bigrams.join(dict, Seq("bg"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+           expr("(sum(n) * 1000000L) div count(1)").as("fam_micro"))
+    val cuts = fam.groupBy("lang")
+      .agg(expr("percentile(fam_micro, 0.25)").as("p25m"),
+           expr("percentile(fam_micro, 0.75)").as("p75m"))
+    // cutoffs stay RAW micro-score doubles: quartiles of integers at
+    // dyadic fractions are exact dyadic doubles, so no rounding is
+    // needed — and rounding would REINTRODUCE the engine split (a
+    // cutoff of x.5 µ lands exactly on a decimal tie, where Spark's
+    // BigDecimal HALF_UP and DuckDB's double-rounding disagree).
+    // fam_micro/10⁶ has exactly 6 decimal digits: no tie possible.
+    val scored = fam.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("n_bigrams"), col("fam_micro"),
+              col("p25m").as("p25_micro"), col("p75m").as("p75_micro"),
+              when(col("fam_micro") < col("p25m"), "tail")
+                .when(col("fam_micro") >= col("p75m"), "head")
+                .otherwise("middle").as("bin"))
+    docs.select("doc_id", "lang")
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("bin", coalesce(col("bin"), lit("short")))
+  }
+
   /** Shared tail of the membership-probe gates: per-doc gram census +
     * hit count under `hit`, containment, keep decision — anchored on
     * the full `newDocs` census so gram-less docs still decide. */
@@ -823,44 +865,14 @@ object DataQuality {
     // vanishing.
     QueryDef(
       "lm01_familiarity_bins",
-      (s, d) => {
-        val docs = table(s, d, "documents")
-          .select(col("doc_id"), col("lang"), expr(wordsExpr).as("w"))
-        val bigrams = docs.select(col("doc_id"), col("lang"),
-          explode(expr(
-            """zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
-              |         slice(w, 2, greatest(size(w) - 1, 0)),
-              |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
-        val dict = bigrams.groupBy("bg").agg(count(lit(1)).as("n"))
-        val fam = bigrams.join(dict, Seq("bg"))
-          .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).as("n_bigrams"),
-               expr("(sum(n) * 1000000L) div count(1)").as("fam_micro"))
-        val cuts = fam.groupBy("lang")
-          .agg(expr("percentile(fam_micro, 0.25)").as("p25m"),
-               expr("percentile(fam_micro, 0.75)").as("p75m"))
-        // cutoffs are emitted as RAW micro-score doubles: quartiles of
-        // integers at dyadic fractions are exact dyadic doubles, so no
-        // rounding is needed — and rounding would REINTRODUCE the
-        // engine split (a cutoff of x.5 µ lands exactly on a decimal
-        // tie, where Spark's BigDecimal HALF_UP and DuckDB's
-        // double-rounding disagree). familiarity itself is an integer
-        // µ-count: /10⁶ has exactly 6 decimal digits, no tie possible.
-        val scored = fam.join(broadcast(cuts), Seq("lang"))
-          .select(col("doc_id"), col("n_bigrams"),
-                  round(col("fam_micro") / 1e6, 6).as("familiarity"),
-                  col("p25m").as("p25_micro"), col("p75m").as("p75_micro"),
-                  when(col("fam_micro") < col("p25m"), "tail")
-                    .when(col("fam_micro") >= col("p75m"), "head")
-                    .otherwise("middle").as("bin"))
-        docs.select("doc_id", "lang")
-          .join(scored, Seq("doc_id"), "left")
+      (s, d) =>
+        familiarityBins(s, d)
           .select(col("doc_id"), col("lang"),
                   coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-                  col("familiarity"), col("p25_micro"), col("p75_micro"),
-                  coalesce(col("bin"), lit("short")).as("bin"))
-          .orderBy("doc_id")
-      },
+                  round(col("fam_micro") / 1e6, 6).as("familiarity"),
+                  col("p25_micro"), col("p75_micro"),
+                  col("bin"))
+          .orderBy("doc_id"),
       Some(s"""WITH d AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
               |bgp AS (SELECT doc_id, lang,
               |          unnest(w[1:len(w) - 1]) AS a,

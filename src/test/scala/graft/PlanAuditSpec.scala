@@ -208,6 +208,20 @@ class PlanAuditSpec extends SparkSpec {
            "fixture must exercise all three quality bins")
   }
 
+  test("cp03: curriculum windows partition by (phase, shard); positions are per-cell permutations") {
+    val df = SparkEntry.queries("cp03_curriculum_order")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(phase"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val rows = df.collect().map(r =>
+      (r.getAs[Int]("phase"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(rows.map(_._1).toSet == Set(1, 2, 3),
+           "fixture must populate all three curriculum phases")
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+  }
+
   test("dm03: temperature mixture — smallest language keeps rate 1, rates monotone in count") {
     val rows = SparkEntry.queries("dm03_temperature_mixture")(spark, sf0001)
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
