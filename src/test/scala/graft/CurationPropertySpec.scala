@@ -260,6 +260,72 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("lm01/cp03: adversarial docs keep census; bins and phases match a brute recount") {
+    forAllSampled(Gen.listOfN(24, docGen)) { generated =>
+      val texts = edgeDocs.map(_._1) ++ generated
+      val dir = writeDocs(texts)
+      val rows = SparkEntry.queries("lm01_familiarity_bins")(spark, dir)
+        .collect()
+      // census, in doc_id order (the entry's contract)
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+             texts.indices.map(_.toLong))
+      // brute recount: bigram dictionary, integer micro-score, type-7
+      // quantile (exact for integer order statistics at dyadic fracs —
+      // the same argument the entry's cross-engine exactness rests on)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, tokens(t)) }
+      val bigrams = docs.map { case (id, w) =>
+        id -> w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq }
+      val dict = bigrams.flatMap(_._2).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val fam = bigrams.collect { case (id, bgs) if bgs.nonEmpty =>
+        id -> ((bgs.length.toLong, bgs.map(dict).sum * 1000000L / bgs.length))
+      }.toMap
+      val vals = fam.values.map(_._2).toSeq.sorted
+      def quant(p: Double): Double =
+        if (vals.length == 1) vals.head.toDouble
+        else {
+          val pos = p * (vals.length - 1)
+          val idx = pos.toInt
+          if (idx + 1 >= vals.length) vals(idx).toDouble
+          else vals(idx) + (pos - idx) * (vals(idx + 1) - vals(idx))
+        }
+      if (fam.nonEmpty) {
+        val (p25, p75) = (quant(0.25), quant(0.75))
+        rows.foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          fam.get(id) match {
+            case None =>
+              assert(r.getAs[String]("bin") == "short")
+              assert(r.getAs[Long]("n_bigrams") == 0L)
+            case Some((nb, fm)) =>
+              assert(r.getAs[Long]("n_bigrams") == nb)
+              assert(r.getAs[Double]("p25_micro") == p25 &&
+                     r.getAs[Double]("p75_micro") == p75,
+                     s"cutoffs: ${r.getAs[Double]("p25_micro")} vs $p25")
+              val bin = if (fm < p25) "tail"
+                        else if (fm >= p75) "head" else "middle"
+              assert(r.getAs[String]("bin") == bin,
+                     s"doc $id fm=$fm p25=$p25 p75=$p75")
+          }
+        }
+      } else rows.foreach(r => assert(r.getAs[String]("bin") == "short"))
+      // cp03 rides the same bins: exactly the non-short docs, phases
+      // mapped head→1 / middle→2 / tail→3
+      val cp = SparkEntry.queries("cp03_curriculum_order")(spark, dir)
+        .collect()
+      val binById = rows.map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("bin")).toMap
+      assert(cp.map(_.getAs[Long]("doc_id")).toSet ==
+             binById.filter(_._2 != "short").keySet)
+      cp.foreach { r =>
+        val exp = binById(r.getAs[Long]("doc_id")) match {
+          case "head" => 1; case "middle" => 2; case _ => 3
+        }
+        assert(r.getAs[Int]("phase") == exp)
+      }
+    }
+  }
+
   test("bp02: adversarial docs keep census, strip matches a brute recount") {
     forAllSampled(Gen.listOfN(20, docGen), n = 2) { generated =>
       // three docs share an 8-word navigation chrome prefix so the
