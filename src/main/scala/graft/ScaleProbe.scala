@@ -102,7 +102,7 @@ object ScaleProbe {
           "dc01", "bp01", "id01", "dm04", "cp01",
           "st11", "dm05", "mm04", "tx10", "dd08",
           "tx11", "dm06", "mm05", "dq04", "bp02", "cp02",
-          "emb02", "dm07", "lm01", "id03", "cp03").exists(enabled)
+          "emb02", "dm07", "lm01", "id03", "cp03", "st15").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
           "ss11", "st13", "emb02").exists(enabled)
@@ -263,7 +263,11 @@ object ScaleProbe {
         "lm01_familiarity_bins",
         // curriculum ordering: lm01's shuffles + per-(phase, shard)
         // rank windows — 48 window partitions, no global funnel
-        "cp03_curriculum_order").foreach(probeEntry)
+        "cp03_curriculum_order",
+        // familiarity routing: the fixed src19 batch scored against the
+        // N× corpus' model — the corpus-side dictionary/cutoffs are the
+        // epoch artifact, the batch side broadcasts onto them
+        "st15_familiarity_route").foreach(probeEntry)
     // int8 scan-path ANN + MIPS over the replicated embeddings
     // (map-only + TakeOrderedAndProject — the probes check the scan
     // stays the only N-term), streaming ANN serving in batch form, and

@@ -180,6 +180,75 @@ object DataQuality {
       .withColumn("bin", coalesce(col("bin"), lit("short")))
   }
 
+  /** Word-bigram rows `(doc_id, lang, bg)` of a documents frame — the
+    * shared explode behind lm01's corpus scoring and the st15 routing
+    * of arriving docs. */
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"), expr(wordsExpr).as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
+          |         slice(w, 2, greatest(size(w) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+
+  /** The EPOCH ARTIFACT of familiarity routing: the corpus' bigram
+    * dictionary and the per-language P25/P75 cutoffs of the corpus
+    * docs' own scores (lm01's integer micro-score discipline). In a
+    * continuously-fed pipeline this pair is computed once per corpus
+    * epoch and persisted; every arriving batch scores against it with
+    * no corpus IO ([[familiarityRouteFromModel]]). */
+  def familiarityModel(corpusDocs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dict = bigramsOf(corpusDocs).groupBy("bg")
+      .agg(count(lit(1)).as("n"))
+    val corpusFam = bigramsOf(corpusDocs).join(dict, Seq("bg"))
+      .groupBy("doc_id", "lang")
+      .agg(expr("(sum(n) * 1000000L) div count(1)").as("fam_micro"))
+    val cuts = corpusFam.groupBy("lang")
+      .agg(expr("percentile(fam_micro, 0.25)").as("p25m"),
+           expr("percentile(fam_micro, 0.75)").as("p75m"))
+    (dict, cuts)
+  }
+
+  /** Routes `newDocs` head/middle/tail/short under a corpus familiarity
+    * model ([[familiarityModel]]): score = mean corpus frequency of the
+    * doc's bigrams, bigrams ABSENT from the corpus dictionary counting
+    * zero — novel text scores low and routes 'tail', which is the
+    * point of the gate. A language with no cutoffs (never seen in the
+    * corpus) routes 'tail' for the same reason. Census-anchored.
+    *
+    * Scale shape: the batch's bigram frame BROADCASTS onto the
+    * dictionary scan (st11's discipline — the dictionary is 10⁹+ rows
+    * at web scale and must never re-shuffle per batch); per-doc
+    * aggregates shuffle only batch-sized frames; cutoffs broadcast. */
+  def familiarityRouteFromModel(newDocs: org.apache.spark.sql.DataFrame,
+                                dict: org.apache.spark.sql.DataFrame,
+                                cuts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val newBg = bigramsOf(newDocs)
+    val counts = newBg.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"))
+    val sums = dict.join(broadcast(newBg), Seq("bg"))
+      .groupBy("doc_id").agg(sum("n").as("s"))
+    newDocs.select("doc_id", "lang")
+      .join(counts, Seq("doc_id"), "left")
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+                   expr("(coalesce(s, 0L) * 1000000L) div n_bigrams"))
+                .as("fam_micro"))
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+              round(col("fam_micro") / 1e6, 6).as("familiarity"),
+              col("p25m").as("p25_micro"), col("p75m").as("p75_micro"),
+              when(col("n_bigrams") === 0, "short")
+                .when(col("p25m").isNull, "tail")
+                .when(col("fam_micro") < col("p25m"), "tail")
+                .when(col("fam_micro") >= col("p75m"), "head")
+                .otherwise("middle").as("route"))
+  }
+
   /** Shared tail of the membership-probe gates: per-doc gram census +
     * hit count under `hit`, containment, keep decision — anchored on
     * the full `newDocs` census so gram-less docs still decide. */

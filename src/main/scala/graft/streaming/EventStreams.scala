@@ -230,6 +230,35 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING familiarity routing: arriving docs scored per
+    * micro-batch under a PERSISTED corpus familiarity model
+    * ([[graft.analytics.DataQuality.familiarityModel]] written to
+    * `modelDir/dict.parquet` + `modelDir/cuts.parquet` — the
+    * once-per-epoch artifact) and routed head/middle/tail/short
+    * ([[graft.analytics.DataQuality.familiarityRouteFromModel]]).
+    * Stateless: the model is epoch-static, the batch's bigrams
+    * broadcast onto the dictionary scan, no state store exists;
+    * decisions land partitioned by batch_id with dynamic overwrite
+    * (replay-idempotent — the st11 discipline). */
+  def familiarityRouter(stream: DataFrame, modelDir: String,
+                        outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.analytics.DataQuality.familiarityRouteFromModel(batch,
+            spark.read.parquet(s"$modelDir/dict.parquet"),
+            spark.read.parquet(s"$modelDir/cuts.parquet"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** STREAMING ANN serving: arriving query vectors answered per
     * micro-batch against a STATIC corpus via the deterministic int8
     * batch plan ([[graft.analytics.Similarity.int8BatchTopK]]). The

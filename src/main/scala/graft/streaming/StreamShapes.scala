@@ -566,6 +566,87 @@ object StreamShapes {
              |  CAST(0 AS BIGINT) AS leaked,
              |  CAST(count(*) AS BIGINT) AS n_docs
              |FROM documents WHERE source = 'src19'""".stripMargin)
+    ),
+
+    // STREAMING familiarity routing in batch form: arriving (src19)
+    // docs scored under the STANDING corpus' LM-familiarity model
+    // (lm01's bigram dictionary + per-language P25/P75 cutoffs over
+    // the corpus docs' own scores — the once-per-epoch artifact) and
+    // routed head/middle/tail/short per micro-batch. Bigrams the
+    // corpus has never seen count ZERO, so novel text routes 'tail' —
+    // the router is a curriculum/buffering decision for a
+    // continuously-fed pipeline, complementing the ingest GATES
+    // (st10/st11/st14 drop duplicates; st15 classifies what survives).
+    // The model is epoch-static ⇒ the streaming form is a stateless
+    // per-batch plan (EventStreams.familiarityRouter: foreachBatch
+    // against the persisted model, batch-id-partitioned decisions);
+    // batch splitting cannot change any decision, so the batch form
+    // scores ALL src19 docs in one pass and is fully SQL-replayable —
+    // hash-exact, no rows-only escape.
+    QueryDef(
+      "st15_familiarity_route",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val (dict, cuts) = graft.analytics.DataQuality.familiarityModel(
+          docs.filter(col("source") =!= "src19"))
+        graft.analytics.DataQuality.familiarityRouteFromModel(
+            docs.filter(col("source") === "src19"), dict, cuts)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corp AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split_regex(text, '\s+'),
+             |                w -> length(w) > 0) AS w
+             |  FROM documents WHERE source <> 'src19'),
+             |cbgp AS (SELECT doc_id, lang,
+             |           unnest(w[1:len(w) - 1]) AS a,
+             |           unnest(w[2:len(w)]) AS b
+             |         FROM corp),
+             |cbg AS (SELECT doc_id, lang, a || ' ' || b AS bg FROM cbgp),
+             |dict AS (SELECT bg, count(*) AS n FROM cbg GROUP BY bg),
+             |cfam AS (
+             |  SELECT doc_id, lang,
+             |    CAST((sum(n) * 1000000) // count(*) AS BIGINT) AS fam_micro
+             |  FROM cbg JOIN dict USING (bg) GROUP BY doc_id, lang),
+             |cuts AS (
+             |  SELECT lang, quantile_cont(fam_micro, 0.25) AS p25m,
+             |         quantile_cont(fam_micro, 0.75) AS p75m
+             |  FROM cfam GROUP BY lang),
+             |batch AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split_regex(text, '\s+'),
+             |                w -> length(w) > 0) AS w
+             |  FROM documents WHERE source = 'src19'),
+             |nbgp AS (SELECT doc_id, lang,
+             |           unnest(w[1:len(w) - 1]) AS a,
+             |           unnest(w[2:len(w)]) AS b
+             |         FROM batch),
+             |nbg AS (SELECT doc_id, lang, a || ' ' || b AS bg FROM nbgp),
+             |counts AS (SELECT doc_id, count(*) AS n_bigrams
+             |           FROM nbg GROUP BY doc_id),
+             |sums AS (
+             |  SELECT doc_id, sum(n) AS s
+             |  FROM nbg JOIN dict USING (bg) GROUP BY doc_id),
+             |scored AS (
+             |  SELECT b.doc_id, b.lang,
+             |    CAST(coalesce(c.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |    CASE WHEN coalesce(c.n_bigrams, 0) > 0 THEN
+             |      CAST((coalesce(s.s, 0) * 1000000) // c.n_bigrams AS BIGINT)
+             |    END AS fam_micro
+             |  FROM (SELECT doc_id, lang FROM documents
+             |        WHERE source = 'src19') b
+             |  LEFT JOIN counts c ON b.doc_id = c.doc_id
+             |  LEFT JOIN sums s ON b.doc_id = s.doc_id)
+             |SELECT sc.doc_id, sc.lang, sc.n_bigrams,
+             |  round(sc.fam_micro / 1e6, 6) AS familiarity,
+             |  ct.p25m AS p25_micro, ct.p75m AS p75_micro,
+             |  CASE WHEN sc.n_bigrams = 0 THEN 'short'
+             |       WHEN ct.p25m IS NULL THEN 'tail'
+             |       WHEN sc.fam_micro < ct.p25m THEN 'tail'
+             |       WHEN sc.fam_micro >= ct.p75m THEN 'head'
+             |       ELSE 'middle' END AS route
+             |FROM scored sc LEFT JOIN cuts ct ON sc.lang = ct.lang
+             |ORDER BY sc.doc_id""".stripMargin)
     )
   )
 }

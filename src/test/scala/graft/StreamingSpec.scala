@@ -599,6 +599,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("familiarity router: head/middle/tail/short/unseen-language routing per micro-batch, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st15_").toString
+    // corpus with a graded bigram-frequency spread: scores (µ) are
+    // 1e6, 1e6, 2e6, 6e6 → en cutoffs p25 = 1e6, p75 = 3e6
+    val corpus = Seq(
+      (1L, "en", "u v w x"),
+      (2L, "en", "k l m n"),
+      (3L, "en", "p q p q p"),
+      (4L, "en", "a a a a a a a")).toDF("doc_id", "lang", "text")
+    val (dict, cuts) = graft.analytics.DataQuality.familiarityModel(corpus)
+    dict.write.parquet(s"$tmp/model/dict.parquet")
+    cuts.write.parquet(s"$tmp/model/cuts.parquet")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.familiarityRouter(
+      mem.toDF().toDF("doc_id", "lang", "text"),
+      s"$tmp/model", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // batch 0: familiar (6e6 ≥ p75), mid-frequency (2e6), novel
+      // vocabulary (0 < p25), and a doc too short for any bigram
+      mem.addData((10L, "en", "a a a"), (11L, "en", "p q p q"),
+                  (12L, "en", "zz yy xx"), (13L, "en", "solo"))
+      q.processAllAvailable()
+      // batch 1: a language the corpus never saw → no cutoffs → tail
+      mem.addData((14L, "xx", "foo bar baz"), (15L, "en", "a a a a"))
+      q.processAllAvailable()
+      // batch_id comes back as the partition-directory's inferred INT
+      val out = spark.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("route"),
+                col("batch_id").cast("long")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(out(10L) == (("head", 0L)), s"$out")
+      assert(out(11L) == (("middle", 0L)), s"$out")
+      assert(out(12L) == (("tail", 0L)), s"$out")
+      assert(out(13L) == (("short", 0L)), s"$out")
+      assert(out(14L) == (("tail", 1L)), s"unseen language must route tail: $out")
+      assert(out(15L) == (("head", 1L)), s"$out")
+      // the model is epoch-static: no streaming state store exists
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+      // per-batch result equals the batch plan over the same docs
+      val batch0 = Seq((10L, "en", "a a a"), (11L, "en", "p q p q"),
+                       (12L, "en", "zz yy xx"), (13L, "en", "solo"))
+        .toDF("doc_id", "lang", "text")
+      val direct = graft.analytics.DataQuality
+        .familiarityRouteFromModel(batch0, dict, cuts)
+        .select("doc_id", "route").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(direct == out.collect { case (id, (r, b)) if b == 0L => id -> r })
+    } finally q.stop()
+  }
+
   test("bloom ingest gate: kill + restart from checkpoint — one decision per doc, chain intact") {
     import java.nio.file.Files
     val landing = Files.createTempDirectory("st14r-landing").toString
