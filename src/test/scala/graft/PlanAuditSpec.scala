@@ -222,6 +222,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("st15: batch bigrams broadcast onto the dictionary — dictionary never re-shuffled") {
+    val p = plan("st15_familiarity_route")
+    // per-batch routing must broadcast the (batch-sized) bigram frame
+    // onto the corpus dictionary; a sort-merge join would re-shuffle
+    // the whole dictionary every ingest tick
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dm03: temperature mixture — smallest language keeps rate 1, rates monotone in count") {
     val rows = SparkEntry.queries("dm03_temperature_mixture")(spark, sf0001)
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),

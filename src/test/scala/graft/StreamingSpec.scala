@@ -652,6 +652,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("familiarity router: kill + restart from checkpoint — one decision per doc") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val landing = Files.createTempDirectory("st15r-landing").toString
+    val tmp = Files.createTempDirectory("st15r-state").toString
+    val corpus = Seq(
+      (1L, "en", "u v w x"), (2L, "en", "k l m n"),
+      (3L, "en", "p q p q p"), (4L, "en", "a a a a a a a"))
+      .toDF("doc_id", "lang", "text")
+    val (dict, cuts) = graft.analytics.DataQuality.familiarityModel(corpus)
+    dict.write.parquet(s"$tmp/model/dict.parquet")
+    cuts.write.parquet(s"$tmp/model/cuts.parquet")
+    def land(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    land(Seq((10L, "en", "a a a")))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.familiarityRouter(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      s"$tmp/model", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down, two more docs land
+    land(Seq((11L, "en", "zz yy xx"), (12L, "xx", "foo bar baz")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "route").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.length == 3 && out.toMap.size == 3,
+           s"duplicate or missing decisions: ${out.toSeq}")
+    assert(out.toMap == Map(10L -> "head", 11L -> "tail", 12L -> "tail"),
+           s"${out.toSeq}")
+  }
+
   test("bloom ingest gate: kill + restart from checkpoint — one decision per doc, chain intact") {
     import java.nio.file.Files
     val landing = Files.createTempDirectory("st14r-landing").toString
