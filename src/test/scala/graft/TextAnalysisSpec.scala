@@ -63,4 +63,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(decoded.keySet == Set(1L, 2L))
     assert(decoded.values.forall(_ >= 1))
   }
+
+  test("mm06 WAV codec: genuine RIFF round-trip, closed-form stats, corrupt payload rejected") {
+    val docs = Seq((7L, "x"), (42L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.wavMedia(docs)
+    // payloads are real RIFF/WAVE containers, not bare PCM
+    val bytes = media.orderBy("media_id").select("payload")
+      .as[Array[Byte]].collect()
+    assert(bytes.forall(b => new String(b.take(4), "US-ASCII") == "RIFF"
+      && new String(b.slice(8, 12), "US-ASCII") == "WAVE"))
+    // decoded stats match the closed-form sample definition exactly
+    val stats = Multimodal.decodeWavStats(media).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    for (((id, n, sumAbs, mn, mx), _) <- stats.zipWithIndex) {
+      val samples = (0 until Multimodal.WavSamples)
+        .map(i => (((id * 31 + i) * 2654435761L) % 65536 - 32768).toInt)
+      assert(n == Multimodal.WavSamples.toLong)
+      assert(sumAbs == samples.map(s => math.abs(s).toLong).sum)
+      assert(mn == samples.min && mx == samples.max)
+    }
+    // the decode genuinely parses the container: a corrupted header
+    // (first byte flipped) must be rejected, not silently averaged
+    val corrupt = media.withColumn("payload",
+      udf((b: Array[Byte]) => { val c = b.clone(); c(0) = 'X'.toByte; c })
+        .apply($"payload"))
+    intercept[Exception] {
+      Multimodal.decodeWavStats(corrupt).collect()
+    }
+  }
 }
