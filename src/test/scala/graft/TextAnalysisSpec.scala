@@ -92,4 +92,35 @@ class TextAnalysisSpec extends SparkSpec {
       Multimodal.decodeWavStats(corrupt).collect()
     }
   }
+
+  test("mm07 TIFF codec: multi-page container, stride skips odd frames, corrupt rejected") {
+    val docs = Seq((3L, "x"), (11L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.tiffMedia(docs)
+    // payloads are genuine TIFF containers (big- or little-endian magic)
+    val bytes = media.select("payload").as[Array[Byte]].collect()
+    assert(bytes.forall(b =>
+      (b(0) == 'M' && b(1) == 'M') || (b(0) == 'I' && b(1) == 'I')))
+    val rows = Multimodal.sampleTiffFrames(media)
+      .orderBy("media_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // stride 2 over 6 frames → exactly frames 0, 2, 4 per clip
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((3L, 0), (3L, 2), (3L, 4), (11L, 0), (11L, 2), (11L, 4)))
+    assert(rows.forall(_._3 == Multimodal.TiffFrames))
+    // decoded pixel sums match the closed-form frame definition
+    for ((id, f, _, sum) <- rows) {
+      val expect = (0 until Multimodal.TiffSide * Multimodal.TiffSide)
+        .map(i => (id * 31 + f * 97 + i) % 256).sum
+      assert(sum == expect, s"clip $id frame $f")
+    }
+    // a corrupted page-directory byte must fail the parse, not yield
+    // silently wrong frames (offset 4 = first IFD offset in the header)
+    val corrupt = media.withColumn("payload",
+      udf((b: Array[Byte]) => { val c = b.clone(); c(4) = -1; c(5) = -1
+        c(6) = -1; c(7) = -1; c })
+        .apply($"payload"))
+    intercept[Exception] {
+      Multimodal.sampleTiffFrames(corrupt).collect()
+    }
+  }
 }
