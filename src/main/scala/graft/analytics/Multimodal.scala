@@ -464,6 +464,71 @@ object Multimodal {
             "min_s", "max_s")
   }
 
+  /** Deterministic payload corruption for gate fixtures: clips where
+    * `media_id % k == 0` get their first byte flipped — breaking the
+    * RIFF magic so every installed audio provider rejects the parse. */
+  def corruptEvery(media: DataFrame, k: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val out = if (id % k == 0) {
+          val c = bytes.clone(); c(0) = 'X'.toByte; c
+        } else bytes
+        (id, out)
+      }.toDF("media_id", "payload")
+  }
+
+  /** Codec VALIDATION gate: tolerant decode that emits one decision row
+    * per clip — `ok=1` with real decoded stats when some provider parses
+    * the payload, `ok=0` with NULL stats when none does. At 100 TB of
+    * crawled media a malformed payload is routine, and an ingest
+    * pipeline must quarantine it (a decision row) rather than die on an
+    * executor exception ([[decodeWavStats]] by contrast throws — it is
+    * the trusted-corpus form). Stateless and batch-shaped, so the same
+    * operator body runs unchanged per micro-batch in Structured
+    * Streaming (pinned in StreamingSpec). */
+  def decodeWavStatsSafe(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val readers = wavReaders()
+        batch.map { case (id, bytes) =>
+          val parsed = readers.iterator.flatMap { r =>
+            try Iterator.single(r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                Iterator.empty
+              case _: java.io.IOException => Iterator.empty
+            }
+          }.nextOption()
+          parsed match {
+            case Some(in) =>
+              val fmt = in.getFormat
+              val n = in.getFrameLength.toInt
+              val pcm = in.readAllBytes()
+              var sumAbs = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+              var i = 0
+              while (i < n) {
+                val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8))
+                  .toShort.toInt
+                sumAbs += math.abs(s)
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                i += 1
+              }
+              (id, 1, Some(n.toLong), Some(sumAbs), Some(mn), Some(mx))
+            case None =>
+              (id, 0, None: Option[Long], None: Option[Long],
+               None: Option[Int], None: Option[Int])
+          }
+        }
+      }
+      .toDF("media_id", "ok", "n_samples", "sum_abs", "min_s", "max_s")
+  }
+
   /** Build a media table from `documents` by treating each text as an
     * opaque UTF-8 payload — exercises the binary plumbing end-to-end on
     * driver-provided data. */
@@ -628,6 +693,41 @@ object Multimodal {
     // arithmetic and never touches a WAV; any defect in the encode,
     // the container, or the decode breaks the hash. Retires the
     // module's audio-decode stub (video remains on the md5 contract).
+    // Codec validation gate over a deliberately dirty fixture: every
+    // 7th clip's RIFF magic is flipped, and the gate must emit ok=0 +
+    // NULL stats for exactly those clips while fully decoding the rest
+    // — one decision per arriving clip, the media analog of the id01
+    // ingest-gate census contract. The oracle replays both branches in
+    // closed form (corrupt set = media_id % 7 = 0 by construction).
+    QueryDef(
+      "mm08_codec_gate",
+      (s, d) =>
+        decodeWavStatsSafe(
+          corruptEvery(wavMedia(table(s, d, "documents")), 7))
+          .orderBy("media_id"),
+      Some(s"""WITH v AS (
+              |  SELECT doc_id AS media_id, unnest(range($WavSamples)) AS i
+              |  FROM documents WHERE doc_id % 7 <> 0),
+              |sm AS (
+              |  SELECT media_id,
+              |    CAST(((media_id * 31 + i) * 2654435761) % 65536 - 32768
+              |         AS BIGINT) AS s
+              |  FROM v),
+              |good AS (
+              |  SELECT media_id, 1 AS ok,
+              |    CAST($WavSamples AS BIGINT) AS n_samples,
+              |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+              |    CAST(min(s) AS INT) AS min_s, CAST(max(s) AS INT) AS max_s
+              |  FROM sm GROUP BY media_id),
+              |bad AS (
+              |  SELECT doc_id AS media_id, 0 AS ok,
+              |    CAST(NULL AS BIGINT) AS n_samples,
+              |    CAST(NULL AS BIGINT) AS sum_abs,
+              |    CAST(NULL AS INT) AS min_s, CAST(NULL AS INT) AS max_s
+              |  FROM documents WHERE doc_id % 7 = 0)
+              |SELECT * FROM good UNION ALL SELECT * FROM bad
+              |ORDER BY media_id""".stripMargin)
+    ),
     // REAL multi-frame sampling through a genuine multi-page TIFF
     // round trip ([[tiffMedia]] → [[sampleTiffFrames]]): frame f,
     // pixel i of clip `media_id` is (id·31 + f·97 + i) mod 256 by

@@ -832,4 +832,39 @@ class StreamingSpec extends SparkSpec {
              q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("codec validation gate runs per micro-batch: corrupt clip quarantined, good clips decoded") {
+    implicit val sqlCtx = spark.sqlContext
+    // real WAV payloads, prepared in batch and replayed as a stream
+    val payloads = graft.analytics.Multimodal.wavMedia(
+        Seq((10L, "a"), (14L, "b"), (21L, "c")).toDF("doc_id", "text"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val corrupt = { val c = payloads(14L).clone(); c(0) = 'X'.toByte; c }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val arriving = mem.toDF().toDF("media_id", "payload")
+    val q = graft.analytics.Multimodal.decodeWavStatsSafe(arriving)
+      .writeStream.queryName("codec_gate_test")
+      .outputMode("append").format("memory").start()
+    try {
+      // batch 1: one good clip, one with its RIFF magic destroyed —
+      // the gate must emit a decision for BOTH, not kill the batch
+      mem.addData((10L, payloads(10L)), (14L, corrupt))
+      q.processAllAvailable()
+      // batch 2: a later good clip decodes normally
+      mem.addData((21L, payloads(21L)))
+      q.processAllAvailable()
+      val rows = spark.table("codec_gate_test")
+        .select("media_id", "ok", "n_samples").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(rows(10L) ==
+        ((1, graft.analytics.Multimodal.WavSamples.toLong)))
+      assert(rows(14L) == ((0, -1L)), s"corrupt clip must quarantine: $rows")
+      assert(rows(21L) ==
+        ((1, graft.analytics.Multimodal.WavSamples.toLong)))
+      // stateless: the gate carries no streaming state between batches
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
