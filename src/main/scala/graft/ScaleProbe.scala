@@ -102,7 +102,8 @@ object ScaleProbe {
           "dc01", "bp01", "id01", "dm04", "cp01",
           "st11", "dm05", "mm04", "tx10", "dd08",
           "tx11", "dm06", "mm05", "dq04", "bp02", "cp02",
-          "emb02", "dm07", "lm01", "id03", "cp03", "st15").exists(enabled)
+          "emb02", "dm07", "lm01", "id03", "cp03", "st15",
+          "mm06", "mm07", "mm08").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
           "ss11", "st13", "emb02").exists(enabled)
@@ -267,7 +268,14 @@ object ScaleProbe {
         // familiarity routing: the fixed src19 batch scored against the
         // N× corpus' model — the corpus-side dictionary/cutoffs are the
         // epoch artifact, the batch side broadcasts onto them
-        "st15_familiarity_route").foreach(probeEntry)
+        "st15_familiarity_route",
+        // per-partition-resolved JDK codecs (WAV, multi-page TIFF, and
+        // the tolerant WAV gate): the probes pin that codec work stays
+        // map-only and embarrassingly parallel — the AudioSystem/
+        // ImageIO registry locks these ops originally serialized on
+        // would show up here as a flat-at-32-threads ceiling
+        "mm06_wav_decode", "mm07_tiff_frames",
+        "mm08_codec_gate").foreach(probeEntry)
     // int8 scan-path ANN + MIPS over the replicated embeddings
     // (map-only + TakeOrderedAndProject — the probes check the scan
     // stays the only N-term), streaming ANN serving in batch form, and
