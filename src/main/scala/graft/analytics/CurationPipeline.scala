@@ -373,6 +373,62 @@ object CurationPipeline {
               |  CAST(row_number() OVER (PARTITION BY phase, shard
               |                          ORDER BY h, doc_id) AS INT) AS pos
               |FROM sharded ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- output layout planner -----------------------------------------
+    // The write-side twin of the ingest gates: before a curated corpus
+    // is persisted, plan HOW MANY output files each source partition
+    // gets (target bytes per file — the small-files/giant-files
+    // problem) and assign every doc to one planned file. The plan is
+    // one tiny per-source aggregate broadcast back; the assignment is a
+    // map-only md5 bucket — no global sort, no rank window, so the
+    // layout step adds zero corpus-wide barriers at 100 TB. The actual
+    // write is then `df.repartition(col("source"), col("file_no"))
+    // .write.partitionBy("source")`: each planned file lands in one
+    // task. The manifest (file counts + per-file bytes) is the
+    // oracle-checked contract; near-uniform md5 bucketing keeps every
+    // file within noise of the target size.
+    QueryDef(
+      "cp04_layout_plan",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val stats = docs.groupBy("source").agg(
+          sum("n_chars").as("sum_chars"))
+          .withColumn("n_files",
+            greatest(ceil(col("sum_chars") / lit(LayoutTargetChars.toDouble))
+              .cast("long"), lit(1L)))
+        val assigned = docs
+          .join(broadcast(stats.select(col("source"), col("n_files"))),
+                Seq("source"))
+          .withColumn("file_no",
+            floor(DataMix.hashFraction(col("doc_id")) * col("n_files"))
+              .cast("int"))
+        assigned.groupBy("source", "file_no", "n_files")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_chars").as("file_chars"))
+          .select("source", "file_no", "n_files", "n_docs", "file_chars")
+          .orderBy("source", "file_no")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT source,
+              |    greatest(CAST(ceil(SUM(n_chars) / $LayoutTargetChars.0)
+              |                  AS BIGINT), 1) AS n_files
+              |  FROM documents GROUP BY source),
+              |assigned AS (
+              |  SELECT d.source,
+              |    CAST(floor(${graft.analytics.DataMix.hashFractionSql("d.doc_id")}
+              |               * s.n_files) AS INT) AS file_no,
+              |    s.n_files, d.n_chars
+              |  FROM documents d JOIN stats s USING (source))
+              |SELECT source, file_no, n_files,
+              |  COUNT(*) AS n_docs, SUM(n_chars) AS file_chars
+              |FROM assigned
+              |GROUP BY source, file_no, n_files
+              |ORDER BY source, file_no""".stripMargin)
     )
   )
+
+  /** Target characters per planned output file (the test-scale stand-in
+    * for a 256 MB parquet target; a parameter in production). */
+  val LayoutTargetChars = 65536
 }

@@ -298,4 +298,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 4, // tf + df, each 2-phase
            p)
   }
+
+  test("cp04: layout plan broadcasts the per-source stats; assignment is map-only") {
+    val p = plan("cp04_layout_plan")
+    // the tiny per-source plan joins back by broadcast — the corpus is
+    // never shuffled to meet it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // no rank window anywhere: file assignment is a hash bucket, so the
+    // layout step adds no per-source sort at 100 TB
+    assert(!p.contains("Window"), p)
+  }
 }
