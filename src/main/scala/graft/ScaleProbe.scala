@@ -103,7 +103,7 @@ object ScaleProbe {
           "st11", "dm05", "mm04", "tx10", "dd08",
           "tx11", "dm06", "mm05", "dq04", "bp02", "cp02",
           "emb02", "dm07", "lm01", "id03", "cp03", "st15",
-          "mm06", "mm07", "mm08").exists(enabled)
+          "mm06", "mm07", "mm08", "cp04").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
           "ss11", "st13", "emb02").exists(enabled)
@@ -275,7 +275,10 @@ object ScaleProbe {
         // ImageIO registry locks these ops originally serialized on
         // would show up here as a flat-at-32-threads ceiling
         "mm06_wav_decode", "mm07_tiff_frames",
-        "mm08_codec_gate").foreach(probeEntry)
+        "mm08_codec_gate",
+        // output layout planner: per-source stats + map-only bucket —
+        // the probe pins that growth lands on the map side, not the plan
+        "cp04_layout_plan").foreach(probeEntry)
     // int8 scan-path ANN + MIPS over the replicated embeddings
     // (map-only + TakeOrderedAndProject — the probes check the scan
     // stays the only N-term), streaming ANN serving in batch form, and

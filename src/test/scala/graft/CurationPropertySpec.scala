@@ -359,4 +359,37 @@ class CurationPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("cp04: layout plan conserves docs and bytes; file numbers stay in range") {
+    forAllSampled(Gen.listOfN(40, docGen)) { generated =>
+      val texts = edgeDocs.map(_._1) ++ generated
+      val dir = writeDocs(texts)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val bySource = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val rows = SparkEntry.queries("cp04_layout_plan")(spark, dir).collect()
+      // conservation: per source, manifest docs and chars sum to the
+      // corpus census — no doc lost or double-assigned by the bucketing
+      val manifest = rows.groupBy(_.getAs[String]("source"))
+      assert(manifest.keySet == bySource.keySet)
+      for ((src, rs) <- manifest) {
+        val (nDocs, chars) = bySource(src)
+        assert(rs.map(_.getAs[Long]("n_docs")).sum == nDocs, src)
+        assert(rs.map(_.getAs[Long]("file_chars")).sum == chars, src)
+        val nFiles = rs.map(_.getAs[Long]("n_files")).distinct
+        assert(nFiles.length == 1, s"$src: inconsistent n_files $nFiles")
+        // plan formula holds even for empty/degenerate sources, and
+        // every assigned file number is a real planned file
+        val expected = math.max(
+          math.ceil(chars.toDouble /
+            graft.analytics.CurationPipeline.LayoutTargetChars).toLong, 1L)
+        assert(nFiles.head == expected, src)
+        assert(rs.forall { r =>
+          val f = r.getAs[Int]("file_no"); f >= 0 && f < nFiles.head
+        }, src)
+      }
+    }
+  }
 }
