@@ -38,6 +38,11 @@ object DataQuality {
   private val wordsSql =
     """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
 
+  /** dq05: minimum per-source dq02 keep-rate for the source to survive
+    * the reputation gate (the fixture's rates span 0.08–0.48, so 0.3
+    * exercises both branches). */
+  val SourceKeepRateMin = 0.3
+
   /** (doc_id, g) rows: md5 keys of word `n`-grams of `docs.text` — the
     * shared gram pipeline behind the batch ingest gate (id01), the
     * incremental two-batch form (st11), and the streaming gate. Docs
@@ -52,6 +57,47 @@ object DataQuality {
          |ELSE cast(array() as array<string>) END""".stripMargin
     docs.select(col("doc_id"), expr(wordsExpr).as("words"))
       .select(col("doc_id"), explode(expr(gramsN)).as("g"))
+  }
+
+  /** dq02's C4/Gopher per-document flag columns, shared with the
+    * source-reputation gate (dq05). Mean word length is defined over
+    * WORD characters (alphanumerics) per the C4/Gopher heuristic —
+    * counting punctuation would shift the 3.0–10.0 band on
+    * punctuation-heavy real corpora. The explicit [A-Za-z0-9] class
+    * (not \w) keeps Java-regex and DuckDB-RE2 semantics identical.
+    * Map-only: one codegen'd projection over the pruned scan. */
+  def qualityFlags(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("text"),
+              expr(wordsExpr).as("words"),
+              length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+                .as("n_word_chars"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_word_chars"),
+              size(col("words")).as("n_words"),
+              size(array_distinct(col("words"))).as("n_distinct"))
+    base.select(
+        col("doc_id"), col("source"), col("n_words"),
+        round(col("n_word_chars") * lit(1.0) /
+              greatest(col("n_words"), lit(1)), 4).as("mean_word_len"),
+        round((col("n_words") - col("n_distinct")) * lit(1.0) /
+              greatest(col("n_words"), lit(1)), 6).as("dup_word_frac"),
+        col("n_words").between(20, 10000).cast("int").as("f_word_count"),
+        (col("n_word_chars") * lit(1.0) /
+          greatest(col("n_words"), lit(1))).between(3.0, 10.0)
+          .cast("int").as("f_mean_word_len"),
+        (regexp_count(col("text"), lit("\\b(the|a|and|of|to|in)\\b")) > 0)
+          .cast("int").as("f_stopword"),
+        (!col("text").contains("{")).cast("int").as("f_no_brace"),
+        (!lower(col("text")).contains("lorem ipsum"))
+          .cast("int").as("f_no_lorem"),
+        ((col("n_words") - col("n_distinct")) * lit(1.0) /
+          greatest(col("n_words"), lit(1)) <= 0.5)
+          .cast("int").as("f_low_repetition"))
+      .withColumn("keep",
+        (col("f_word_count") * col("f_mean_word_len") * col("f_stopword") *
+         col("f_no_brace") * col("f_no_lorem") * col("f_low_repetition"))
+          .cast("int"))
   }
 
   /** NEAR-dup ingest gate against a standing corpus GRAM table — the
@@ -282,44 +328,10 @@ object DataQuality {
     // Map-only: one projection over the pruned (doc_id, text) scan.
     QueryDef(
       "dq02_quality_filters",
-      (s, d) => {
-        // mean word length is defined over WORD characters (alphanumerics)
-        // per the C4/Gopher heuristic — counting punctuation would shift
-        // the 3.0–10.0 band on punctuation-heavy real corpora. The
-        // explicit [A-Za-z0-9] class (not \w) keeps Java-regex and
-        // DuckDB-RE2 semantics identical.
-        val base = table(s, d, "documents")
-          .select(col("doc_id"), col("text"),
-                  expr(wordsExpr).as("words"),
-                  length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
-                    .as("n_word_chars"))
-          .select(col("doc_id"), col("text"), col("n_word_chars"),
-                  size(col("words")).as("n_words"),
-                  size(array_distinct(col("words"))).as("n_distinct"))
-        base.select(
-            col("doc_id"), col("n_words"),
-            round(col("n_word_chars") * lit(1.0) /
-                  greatest(col("n_words"), lit(1)), 4).as("mean_word_len"),
-            round((col("n_words") - col("n_distinct")) * lit(1.0) /
-                  greatest(col("n_words"), lit(1)), 6).as("dup_word_frac"),
-            col("n_words").between(20, 10000).cast("int").as("f_word_count"),
-            (col("n_word_chars") * lit(1.0) /
-              greatest(col("n_words"), lit(1))).between(3.0, 10.0)
-              .cast("int").as("f_mean_word_len"),
-            (regexp_count(col("text"), lit("\\b(the|a|and|of|to|in)\\b")) > 0)
-              .cast("int").as("f_stopword"),
-            (!col("text").contains("{")).cast("int").as("f_no_brace"),
-            (!lower(col("text")).contains("lorem ipsum"))
-              .cast("int").as("f_no_lorem"),
-            ((col("n_words") - col("n_distinct")) * lit(1.0) /
-              greatest(col("n_words"), lit(1)) <= 0.5)
-              .cast("int").as("f_low_repetition"))
-          .withColumn("keep",
-            (col("f_word_count") * col("f_mean_word_len") * col("f_stopword") *
-             col("f_no_brace") * col("f_no_lorem") * col("f_low_repetition"))
-              .cast("int"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        qualityFlags(table(s, d, "documents"))
+          .drop("source")
+          .orderBy("doc_id"),
       Some(s"""WITH base AS (
               |  SELECT doc_id, text, $wordsSql AS words,
               |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_word_chars
@@ -348,6 +360,76 @@ object DataQuality {
               |     * CAST((n_words - n_distinct) * 1.0 / greatest(n_words, 1) <= 0.5 AS INT)
               |     AS INT) AS keep
               |FROM st ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- source reputation: the domain-level quality gate --------------
+    // RefinedWeb-style two-level filtering: a page from a low-quality
+    // domain is suspect even when the page itself passes the per-doc
+    // rules, so the gate (a) scores every doc with dq02's flags,
+    // (b) aggregates a keep-rate per source, (c) drops WHOLE sources
+    // whose rate is below threshold, and (d) ands the two levels into
+    // the final per-doc decision. Scale shape: flags are map-only; the
+    // per-source aggregate is dictionary-sized and partially aggregated
+    // map-side; the rates broadcast back onto the doc frame — the
+    // corpus is never shuffled, so the reputation tier costs one small
+    // aggregate more than dq02 itself at any corpus size.
+    QueryDef(
+      "dq05_source_reputation",
+      (s, d) => {
+        // the narrow flag frame feeds BOTH the per-source aggregate and
+        // the final join; without materialization Spark recomputes the
+        // whole regex flag suite on each side (measured 9.9 s vs dq02's
+        // own 7 s at sf1 — i.e. 2× the dominant map cost). An eager
+        // localCheckpoint (the dd06 pattern) runs the expensive pass
+        // once and both consumers read its blocks; at 100 TB this is
+        // the persisted narrow intermediate a two-pass algorithm wants.
+        val flags = qualityFlags(table(s, d, "documents"))
+          .select("doc_id", "source", "keep")
+          .localCheckpoint(true)
+        val srcStats = flags.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"))
+          .select(col("source"),
+                  round(col("n_keep") * lit(1.0) / col("n_docs"), 6)
+                    .as("keep_rate"),
+                  (col("n_keep") * lit(1.0) / col("n_docs")
+                     >= SourceKeepRateMin).cast("int").as("source_ok"))
+        flags.join(broadcast(srcStats), Seq("source"))
+          .select(col("doc_id"), col("source"),
+                  col("keep").as("keep_doc"),
+                  col("keep_rate"), col("source_ok"),
+                  (col("keep") * col("source_ok")).cast("int")
+                    .as("keep_final"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, text, $wordsSql AS words,
+              |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_word_chars
+              |  FROM documents),
+              |st AS (
+              |  SELECT doc_id, source, text, n_word_chars,
+              |    len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+              |  FROM base),
+              |k AS (
+              |  SELECT doc_id, source,
+              |    CAST(CAST(n_words BETWEEN 20 AND 10000 AS INT)
+              |       * CAST(n_word_chars * 1.0 / greatest(n_words, 1) BETWEEN 3.0 AND 10.0 AS INT)
+              |       * CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in)\\b')) > 0 AS INT)
+              |       * CAST(NOT contains(text, '{') AS INT)
+              |       * CAST(NOT contains(lower(text), 'lorem ipsum') AS INT)
+              |       * CAST((n_words - n_distinct) * 1.0 / greatest(n_words, 1) <= 0.5 AS INT)
+              |       AS INT) AS keep
+              |  FROM st),
+              |srcs AS (
+              |  SELECT source,
+              |    round(sum(keep) * 1.0 / count(*), 6) AS keep_rate,
+              |    CAST(sum(keep) * 1.0 / count(*) >= $SourceKeepRateMin
+              |         AS INT) AS source_ok
+              |  FROM k GROUP BY source)
+              |SELECT k.doc_id, k.source, k.keep AS keep_doc,
+              |  s.keep_rate, s.source_ok,
+              |  CAST(k.keep * s.source_ok AS INT) AS keep_final
+              |FROM k JOIN srcs s USING (source)
+              |ORDER BY k.doc_id""".stripMargin)
     ),
 
     // ---- Gopher repetition metrics ------------------------------------
