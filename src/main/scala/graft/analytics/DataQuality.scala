@@ -43,6 +43,12 @@ object DataQuality {
     * exercises both branches). */
   val SourceKeepRateMin = 0.3
 
+  /** dc02: max-cosine-vs-benchmark threshold above which a corpus
+    * vector is dropped as semantically contaminated (the fixture's
+    * max-cos distribution has p90 ≈ 0.355, so 0.35 drops a real
+    * ~10% tail). */
+  val SemanticDeconTau = 0.35
+
   /** (doc_id, g) rows: md5 keys of word `n`-grams of `docs.text` — the
     * shared gram pipeline behind the batch ingest gate (id01), the
     * incremental two-batch form (st11), and the streaming gate. Docs
@@ -582,6 +588,54 @@ object DataQuality {
               |SELECT doc_id, count(*) AS n_hit
               |FROM corpus JOIN bench USING (g)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- SEMANTIC decontamination -------------------------------------
+    // dc01 catches verbatim benchmark overlap (shared 5-grams); a
+    // paraphrased eval item shares no grams, so the semantic tier scores
+    // every corpus vector's max cosine against the benchmark EMBEDDING
+    // set (label 0 stands in for the eval suite) and drops anything
+    // above tau. Census-anchored: one decision per corpus vector.
+    // Scale shape: benchmark sets are small by nature (an eval suite,
+    // not a corpus) — the bench side broadcasts, the corpus flows
+    // map-only through the dot products, and the max-aggregate is
+    // partial map-side so the shuffle carries ONE row per corpus
+    // vector. Past ~10⁵ benchmark rows the ss02 LSH-bucket prefilter
+    // bounds candidates before the exact refine; the contract here is
+    // the exact tier.
+    QueryDef(
+      "dc02_semantic_decon",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val bench = emb.filter(col("label") === 0)
+          .select(col("embedding").as("qvec"))
+        emb.filter(col("label") =!= 0)
+          .crossJoin(broadcast(bench))
+          .groupBy("vec_id")
+          .agg(max(graft.functions.VectorOps.cosineNative(
+                 s, col("embedding"), col("qvec"))).as("mc"))
+          .select(col("vec_id"),
+                  round(col("mc"), 6).as("max_benchmark_sim"),
+                  (col("mc") < SemanticDeconTau).cast("int").as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |c AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+              |m AS (
+              |  SELECT c.vec_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(b.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM c, b GROUP BY c.vec_id)
+              |SELECT vec_id, round(mc, 6) AS max_benchmark_sim,
+              |  CAST(mc < $SemanticDeconTau AS INT) AS keep
+              |FROM m ORDER BY vec_id""".stripMargin)
     ),
 
     // ---- boilerplate n-gram detection ---------------------------------
