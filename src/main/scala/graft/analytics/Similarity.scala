@@ -641,6 +641,35 @@ object Similarity {
               |FROM embeddings e, q WHERE e.vec_id <> 0
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
     ),
+    // FILTERED vector search: top-k cosine restricted to vectors whose
+    // metadata passes a predicate (label ∈ {2, 5}) — the
+    // "filter + ANN" capability every vector store names. The predicate
+    // composes BEFORE the vector math, so Catalyst pushes it into the
+    // parquet scan (PushedFilters: In(label…), pinned in PlanAuditSpec)
+    // and the dot products run over the filtered slice only — at 100 TB
+    // a selective predicate cuts the scan itself, not just the ranking.
+    // Exact by construction ⇒ hash-green directly, no anchor needed; the
+    // approximate path composes the same way (filter the probed lists).
+    QueryDef(
+      "ss13_filtered_topk",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qvec"))
+        emb.filter(col("vec_id") =!= 0L && col("label").isin(2, 5))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+                  round(graft.functions.VectorOps.cosineNative(
+                    s, col("embedding"), col("qvec")), 6).as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, e.label, round($cosSql, 6) AS cos_sim
+              |FROM embeddings e, q
+              |WHERE e.vec_id <> 0 AND e.label IN (2, 5)
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
     QueryDef(
       "ss02_ann_lsh",
       // approximate by construction — no SQL oracle (rows-only check);

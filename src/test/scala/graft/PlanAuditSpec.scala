@@ -299,6 +299,15 @@ class PlanAuditSpec extends SparkSpec {
            p)
   }
 
+  test("ss13: metadata predicate pushes into the scan before the vector math") {
+    val f = formatted("ss13_filtered_topk")
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(label[^\\]]*\\].*"), f)
+    val p = plan("ss13_filtered_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"filtered corpus shuffled $shuffles times:\n$p")
+  }
+
   test("cp04: layout plan broadcasts the per-source stats; assignment is map-only") {
     val p = plan("cp04_layout_plan")
     // the tiny per-source plan joins back by broadcast — the corpus is
