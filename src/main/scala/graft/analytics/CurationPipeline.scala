@@ -421,7 +421,7 @@ object CurationPipeline {
               |    s.n_files, d.n_chars
               |  FROM documents d JOIN stats s USING (source))
               |SELECT source, file_no, n_files,
-              |  COUNT(*) AS n_docs, SUM(n_chars) AS file_chars
+              |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS file_chars
               |FROM assigned
               |GROUP BY source, file_no, n_files
               |ORDER BY source, file_no""".stripMargin)
