@@ -177,8 +177,10 @@ object CurationPipeline {
         val flagged = grams.groupBy("h1", "h2")
           .agg(countDistinct("doc_id").as("n_docs"))
           .filter(col("n_docs") >= 3).select("h1", "h2")
+        // unhinted (AQE-decided) semi-join — see bp01's census note; the
+        // flagged set must never be forced through the driver
         val starts = grams
-          .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
+          .join(flagged, Seq("h1", "h2"), "left_semi")
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("p"))).as("ps"))
         // Native codegen'd two-pointer scan — same SpanStrip swap as

@@ -49,6 +49,59 @@ object DataQuality {
     * ~10% tail). */
   val SemanticDeconTau = 0.35
 
+  /** dc03 banded-LSH config: `DeconLshBands` bands of `DeconLshRows`
+    * sign bits each, carved out of ONE simhash signature (48 bits
+    * total). At the recall-anchor stratum s = 0.9 the per-hyperplane
+    * collision odds are p = 1 − acos(s)/π ≈ 0.856, so a ≥ 0.9-cosine
+    * (corpus, bench) pair misses every band with probability
+    * (1 − p⁴)¹² ≈ 9.5e-5 — the dd02r-style derived bound dc03r pins. */
+  val DeconLshBands = 12
+  val DeconLshRows = 4
+
+  /** dc02's LSH prefilter — the scale path for benchmark sets past
+    * ~10⁵ rows (dc02's exact corpus×benchmark pass stays the small-set
+    * fast path). Both sides hash once to a 48-bit sign signature
+    * (map-only, no weight broadcast), split into [[DeconLshBands]]
+    * band keys; candidates are (corpus, bench) pairs sharing ANY band
+    * bucket, refined with EXACT cosine, dropped at the same
+    * [[SemanticDeconTau]] gate. Refinement is exact, so the drop set is
+    * always a SUBSET of dc02's (precision 1 by construction — dc03p);
+    * recall is the banded-LSH bound above (dc03r). Scale shape: the
+    * bench band table is eval-suite-sized → AQE broadcasts it; the
+    * corpus flows map-only into the join; a band-duplicated pair can't
+    * change the max, so no pair-dedup shuffle; the per-vector
+    * max-aggregate is partial map-side. */
+  def semanticDeconLshDrops(s: org.apache.spark.sql.SparkSession,
+                            emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val nBits = DeconLshBands * DeconLshRows
+    require(nBits <= 63, s"signature does not fit one long: $nBits bits")
+    val mask = (1L << DeconLshRows) - 1
+    def banded(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__sig",
+        graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
+      .select(col("*"), explode(array((0 until DeconLshBands).map { b =>
+        struct(lit(b).as("band"),
+               shiftright(col("__sig"), b * DeconLshRows)
+                 .bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("*"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .drop("bk", "__sig")
+    val bench = banded(emb.filter(col("label") === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding")))
+      .withColumnRenamed("embedding", "qvec")
+    val corpus = banded(emb.filter(col("label") =!= 0)
+        .select("vec_id", "embedding"))
+    corpus.join(bench, Seq("band", "key"))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.VectorOps.cosineNative(
+             s, col("embedding"), col("qvec"))).as("mc"),
+           countDistinct("bench_id").as("n_cand"))
+      .filter(col("mc") >= SemanticDeconTau)
+      .select(col("vec_id"), round(col("mc"), 6).as("max_cand_sim"),
+              col("n_cand"))
+  }
+
   /** (doc_id, g) rows: md5 keys of word `n`-grams of `docs.text` — the
     * shared gram pipeline behind the batch ingest gate (id01), the
     * incremental two-batch form (st11), and the streaming gate. Docs
@@ -638,6 +691,74 @@ object DataQuality {
               |FROM m ORDER BY vec_id""".stripMargin)
     ),
 
+    // ---- semantic decon, LSH-prefiltered (dc02's scale path) ----------
+    // The banded-LSH prefilter dc02's comment promises for benchmark
+    // sets past ~10⁵ rows: candidates from shared sign-hash band
+    // buckets, exact cosine refine, same tau gate. Engine-specific
+    // hashing → rows-only here; bracketed exactly like dd02 by the two
+    // anchors below.
+    QueryDef(
+      "dc03_semantic_decon_lsh",
+      (s, d) =>
+        semanticDeconLshDrops(s, table(s, d, "embeddings"))
+          .orderBy("vec_id"),
+      None
+    ),
+
+    // dc03 precision anchor: the refine stage scores candidates with
+    // EXACT cosine at the same tau, so every dc03 drop must be a dc02
+    // drop (a candidate's max-over-candidates never exceeds the true
+    // max). Empty anti-join, hash-checkable oracle.
+    QueryDef(
+      "dc03p_decon_precision",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val exactDrops = emb.filter(col("label") =!= 0)
+          .crossJoin(broadcast(emb.filter(col("label") === 0)
+            .select(col("embedding").as("qvec"))))
+          .groupBy("vec_id")
+          .agg(max(graft.functions.VectorOps.cosineNative(
+                 s, col("embedding"), col("qvec"))).as("mc"))
+          .filter(col("mc") >= SemanticDeconTau)
+          .select("vec_id")
+        semanticDeconLshDrops(s, emb).select("vec_id")
+          .except(exactDrops)
+          .orderBy("vec_id")
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false")
+    ),
+
+    // dc03 recall anchor: a corpus vector whose true max benchmark
+    // cosine is ≥ 0.9 shares a band bucket with that benchmark vector
+    // unless all DeconLshBands bands miss — probability (1 − p^Rows)^
+    // Bands ≈ 9.5e-5 at p = 1 − acos(0.9)/π (derived below from the
+    // config, dd02r discipline, so the bound can't drift). The strongly
+    // contaminated stratum must therefore be fully recalled. Empty
+    // anti-join, hash-checkable oracle.
+    QueryDef(
+      "dc03r_decon_recall",
+      (s, d) => {
+        val p = 1.0 - math.acos(0.9) / math.Pi
+        val missBound =
+          math.pow(1.0 - math.pow(p, DeconLshRows), DeconLshBands)
+        require(missBound < 1e-4,
+          s"band config too weak for a recall anchor: miss=$missBound")
+        val emb = table(s, d, "embeddings")
+        val strongDrops = emb.filter(col("label") =!= 0)
+          .crossJoin(broadcast(emb.filter(col("label") === 0)
+            .select(col("embedding").as("qvec"))))
+          .groupBy("vec_id")
+          .agg(max(graft.functions.VectorOps.cosineNative(
+                 s, col("embedding"), col("qvec"))).as("mc"))
+          .filter(col("mc") >= 0.9)
+          .select("vec_id")
+        strongDrops
+          .except(semanticDeconLshDrops(s, emb).select("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false")
+    ),
+
     // ---- boilerplate n-gram detection ---------------------------------
     // Cross-document repeated spans: word 8-grams occurring in >= 3
     // DISTINCT documents — the RefinedWeb/Gopher boilerplate-removal
@@ -647,9 +768,9 @@ object DataQuality {
     // 128-bit hash pair (16-byte key vs ~50-byte grams; two independent
     // xxhash64 seeds ⇒ collision odds ~n²/2¹²⁹, negligible even at
     // 10¹² grams) and keeps the >= 3-doc survivors; pass 2 re-scans and
-    // recovers the text for that (tiny) flagged set via a broadcast
-    // join — the boilerplate list a cleaning pass needs, at the shuffle
-    // cost of a census. No pairwise stage anywhere.
+    // recovers the text for the flagged set via an AQE-decided join —
+    // the boilerplate list a cleaning pass needs, at the shuffle cost
+    // of a census. No pairwise stage anywhere.
     QueryDef(
       "bp01_boilerplate_ngrams",
       (s, d) => {
@@ -668,8 +789,13 @@ object DataQuality {
           .agg(countDistinct("doc_id").as("n_docs"),
                count(lit(1)).as("n_occ"))
           .filter(col("n_docs") >= 3)
+        // no broadcast hint: the >= 3-doc census of a 100 TB crawl is an
+        // unbounded corpus statistic — a mandatory broadcast bypasses
+        // AQE's size check and OOMs the driver at real scale. Unhinted,
+        // AQE broadcasts when the flagged set is genuinely small and
+        // otherwise shuffles on the 16-byte (h1, h2) keys.
         grams.select("gram", "h1", "h2")
-          .join(broadcast(flagged), Seq("h1", "h2"))
+          .join(flagged, Seq("h1", "h2"))
           .select("gram", "n_docs", "n_occ")
           .distinct()
           .orderBy(desc("n_docs"), desc("n_occ"), asc("gram"))
@@ -692,7 +818,7 @@ object DataQuality {
     // gram's [p, p+7] span is removed and the surviving words are
     // re-joined — RefinedWeb's boilerplate-removal step as a transform,
     // not just a census. Plan: positioned-gram explode → 128-bit hash
-    // census (bp01 discipline, 16-byte shuffle keys) → broadcast
+    // census (bp01 discipline, 16-byte shuffle keys) → AQE-decided
     // semi-join keeps flagged positions → ONE O(n) map-side fold per
     // doc rebuilds the text: flagged starts are distinct sorted
     // positions, so walking positions 0..n-1 needs at most one pointer
@@ -719,8 +845,11 @@ object DataQuality {
           .agg(countDistinct("doc_id").as("n_docs"))
           .filter(col("n_docs") >= 3)
           .select("h1", "h2")
+        // unhinted (AQE-decided) semi-join: see bp01's census note — the
+        // flagged set is corpus-sized in the worst case, never forced
+        // through the driver
         val starts = grams
-          .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
+          .join(flagged, Seq("h1", "h2"), "left_semi")
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("p"))).as("ps"))
         // Native codegen'd two-pointer scan (graft.functions.SpanStrip):

@@ -553,7 +553,7 @@ object Dedup {
     // family member the gram-containment gate approximates. Plan: one
     // positioned-gram explode; census on a 128-bit hash pair (16-byte
     // shuffle keys, the bp01 discipline) keeps grams seen in >= 2 docs;
-    // duplicated POSITIONS per doc survive a broadcast semi-join; the
+    // duplicated POSITIONS per doc survive an AQE-decided semi-join; the
     // union length of the [p, p+19] intervals is a sorted-array fold —
     // map-side after a per-doc aggregate that shuffles only duplicated
     // positions. Census-anchored: every doc reports, short docs as 0s.
@@ -579,8 +579,12 @@ object Dedup {
           .agg(countDistinct("doc_id").as("n_docs"))
           .filter(col("n_docs") >= 2)
           .select("h1", "h2")
+        // unhinted (AQE-decided) semi-join: the >= 2-doc census of a
+        // 100 TB corpus is unbounded — forcing a broadcast would OOM the
+        // driver; AQE broadcasts small censuses and shuffles big ones on
+        // the 16-byte (h1, h2) keys
         val dupPos = grams
-          .join(broadcast(flagged), Seq("h1", "h2"), "left_semi")
+          .join(flagged, Seq("h1", "h2"), "left_semi")
         val perDoc = dupPos.groupBy("doc_id")
           .agg(sort_array(collect_list(col("p"))).as("ps"))
           .select(col("doc_id"),

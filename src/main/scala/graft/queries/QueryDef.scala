@@ -24,19 +24,40 @@ object QueryDef {
     if (name == "events") eventsTable(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's Parquet
-    * reader rejects (Spark time is µs). Read nanos as long and floor to
-    * µs — the same truncation DuckDB applies casting TIMESTAMP_NS →
-    * TIMESTAMP, keeping both engines on identical instants. */
+  /** Normalize `events.parquet`'s `ts` to a plain `TimestampType` (UTC
+    * instant, µs) regardless of how the writer encoded it. Three shapes
+    * have shipped so far:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it (Spark time is µs);
+    *    read nanos as long and floor to µs — the truncation DuckDB
+    *    applies casting TIMESTAMP_NS → TIMESTAMP;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, which `unix_micros`, event-time watermarks, and
+    *    window functions all reject — cast to TimestampType, value-
+    *    preserving under the pinned UTC session timezone (DuckDB treats
+    *    the same bytes as plain TIMESTAMP, so both engines agree);
+    *  - plain µs TIMESTAMP (our own derived copies): passthrough.
+    *
+    * Every operator reads events through this one seam so a writer-side
+    * format drift is a one-line fix here, not a per-operator hunt. */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // driver data is TIMESTAMP(NANOS) (surfaces as long under the legacy
-    // conf); derived copies (scale-probe replicas, landing dirs) may
-    // already carry a real µs timestamp — convert only the former
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else raw
+    normalizeEventTs(raw)
+  }
+
+  /** The `ts`-normalization half of [[eventsTable]], reusable on any
+    * frame derived from the events table (streaming landing dirs,
+    * scale-probe replicas). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long under the legacy conf
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // µs isAdjustedToUTC=0; session TZ is UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -88,6 +88,92 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("dc03: 1e5-row benchmark probe — candidate pairs bounded below the exact product") {
+    // the reason dc03 exists: past ~1e5 benchmark rows dc02's exact
+    // corpus x benchmark product is the cost driver. Bucket a synthetic
+    // 1e5-vector benchmark with the dc03 band config and count the
+    // candidate pairs the refine stage would actually score: near-
+    // orthogonal pairs collide in >= 1 of the 12 bands w.p.
+    // ~1-(1-0.5^4)^12 = 0.54, so the bound asserted here (< 0.7x) holds
+    // with huge margin in expectation, and the probe pins that the
+    // candidate count SCALES BOUNDED, not that a hint got lucky.
+    import graft.analytics.DataQuality.{DeconLshBands, DeconLshRows}
+    val nBits = DeconLshBands * DeconLshRows
+    val mask = (1L << DeconLshRows) - 1
+    val dim = 64
+    val nBench = 100000L
+    val bench = spark.range(nBench)
+      .select(col("id").as("bench_id"), expr(
+        s"""transform(sequence(0, ${dim - 1}),
+           |  i -> cast((pmod(hash(id, i), 2001) - 1000) / 1000.0 as float))"""
+          .stripMargin).as("embedding"))
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("label") =!= 0).select("vec_id", "embedding")
+    def banded(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__sig",
+        graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
+      .select(col("*"), explode(array((0 until DeconLshBands).map { b =>
+        struct(lit(b).as("band"),
+               shiftright(col("__sig"), b * DeconLshRows)
+                 .bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("*"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val nCorpus = corpus.count()
+    val pairs = banded(corpus).select("vec_id", "band", "key")
+      .join(banded(bench).select("bench_id", "band", "key"),
+            Seq("band", "key"))
+      .select("vec_id", "bench_id").distinct().count()
+    val ratio = pairs.toDouble / (nCorpus * nBench)
+    assert(ratio < 0.7,
+           s"prefilter prunes nothing: $pairs of ${nCorpus * nBench} " +
+           f"pairs survive (${ratio}%.3f)")
+  }
+
+  test("bp01: 30x-duplicated corpus flows the shuffled census path, counts scale exactly") {
+    // dup-stress probe of the non-broadcast path: replicate documents
+    // 30x under fresh doc_ids so the flagged census covers EVERY gram
+    // (each original doc's grams now span >= 30 distinct docs) — the
+    // shape where a forced broadcast of the census would be at its
+    // worst. With the broadcast threshold off the semi-join must run
+    // shuffled end-to-end, and the result is fully predictable from the
+    // unstressed corpus: n_docs and n_occ scale by exactly 30.
+    val reps = 30
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val stressed = (0 until reps).map { r =>
+      docs.select((col("doc_id") + lit(r * maxId)).as("doc_id"), col("text"))
+    }.reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("bp01-stress").toString
+    stressed.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = SparkEntry.queries("bp01_boilerplate_ngrams")(spark, dir)
+      val got = out.collect()
+        .map(r => r.getAs[String]("gram") ->
+               (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"))).toMap
+      // expected: the unfiltered census of the ORIGINAL corpus, x30
+      val words = "filter(split(text, '\\\\s+'), w -> length(w) > 0)"
+      val base = docs
+        .select(col("doc_id"), expr(
+          s"""CASE WHEN size($words) >= 8 THEN
+             |  transform(sequence(0, size($words) - 8),
+             |            i -> concat_ws(' ', slice($words, i + 1, 8)))
+             |ELSE cast(array() as array<string>) END""".stripMargin).as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("gram"))
+        .groupBy("gram")
+        .agg(countDistinct("doc_id").as("d"), count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val expected = base.view
+        .mapValues { case (d, c) => (d * reps, c * reps) }
+        .filter(_._2._1 >= 3).toMap
+      assert(got == expected,
+             s"stressed census mismatch: got ${got.size} grams, " +
+             s"expected ${expected.size}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bp01: every reported gram really spans >= 3 distinct docs (brute recount)") {
     val reported = run("bp01_boilerplate_ngrams").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -308,6 +308,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 0, s"filtered corpus shuffled $shuffles times:\n$p")
   }
 
+  test("bp01/bp02/dd08/cp02: census join is AQE-decided, never a forced broadcast") {
+    // the >= k-doc gram census of a 100 TB crawl is an unbounded corpus
+    // statistic; a mandatory broadcast hint would bypass AQE's size
+    // check and OOM the driver. Proof the hint is gone: with the
+    // broadcast threshold off and AQE disabled, the planner must fall
+    // back to a shuffled join — a lingering hint would still force
+    // BroadcastHashJoin here.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("bp01_boilerplate_ngrams", "bp02_boilerplate_strip",
+          "dd08_dup_spans").foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("BroadcastHashJoin") &&
+               !p.contains("BroadcastNestedLoopJoin"),
+               s"$n still forces a broadcast:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+               s"$n census join missing a shuffled fallback:\n$p")
+      }
+      // cp02 keeps legitimate broadcasts of provably bounded frames
+      // (eval-suite grams, 1-row threshold/budget aggregates); only its
+      // census semi-join on (h1, h2) must plan shuffled
+      val p = plan("cp02_curation_v2")
+      assert("SortMergeJoin(?: \\S+)? \\[h1#[\\s\\S]*?LeftSemi".r
+               .findFirstIn(p).isDefined,
+             s"cp02 census semi-join is not shuffle-planned:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("cp04: layout plan broadcasts the per-source stats; assignment is map-only") {
     val p = plan("cp04_layout_plan")
     // the tiny per-source plan joins back by broadcast — the corpus is

@@ -26,6 +26,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.except(salted).count() == 0 && salted.except(plain).count() == 0)
   }
 
+  test("events read seam always yields a plain TIMESTAMP ts") {
+    // the driver's events.parquet has shipped as TIMESTAMP(NANOS), then
+    // as µs isAdjustedToUTC=0 (→ TIMESTAMP_NTZ in Spark 4); every
+    // event-time operator (unix_micros, watermarks, windows) requires
+    // TimestampType, so pin the seam's output type — a future writer
+    // drift must fail HERE, not deep inside an operator
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val events = QueryDef.eventsTable(spark, sf0001)
+    assert(events.schema("ts").dataType == TimestampType,
+           s"seam leaked ${events.schema("ts").dataType}")
+    // and the normalizer handles each encoding it claims to
+    val ntz = events.withColumn("ts", col("ts").cast(TimestampNTZType))
+    assert(QueryDef.normalizeEventTs(ntz).schema("ts").dataType == TimestampType)
+    val asLong = events.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    val backFromNanos = QueryDef.normalizeEventTs(asLong)
+    assert(backFromNanos.schema("ts").dataType == TimestampType)
+    assert(backFromNanos.exceptAll(events).count() == 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
