@@ -1,0 +1,371 @@
+package graft.analytics
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+
+/** Learned byte-pair-merge tokenizer feeding the token-budget operators
+  * (dm02b/dm06b): real mixture budgets and sequence packing are computed
+  * in subword tokens, not whitespace words (reference shape: the
+  * whitespace counts in `DataMix`; this is the engine-roadmap upgrade).
+  *
+  * Algorithm — deterministic and ENGINE-NEUTRAL so the whole pipeline,
+  * learning included, is oracle-checkable in DuckDB:
+  *
+  *  1. vocab = distinct whitespace words with corpus frequencies,
+  *     capped at the [[VocabCap]] most frequent (ties by word) — the
+  *     standard sample-bounded tokenizer-training discipline (the cap
+  *     never binds on the fixtures; at 100 TB it bounds driver state
+  *     exactly like [[IvfIndex]]'s sample-bounded Lloyd);
+  *  2. each word's segmentation starts as space-joined characters,
+  *     padded with one space each side;
+  *  3. repeat [[Merges]] times: count adjacent symbol pairs weighted by
+  *     word frequency; the argmax pair (count desc, then pair asc)
+  *     becomes the next merge; apply it everywhere via ONE literal
+  *     `replace(seg, ' l r ', ' lr ')` pass — left-to-right
+  *     non-overlapping, identical semantics in Spark and DuckDB, so
+  *     both engines derive bit-identical merge tables.
+  *
+  * Scale shape: learning aggregates the corpus ONCE into the vocab
+  * frame (word-cardinality-sized, cached); each merge round is an
+  * aggregate over that tiny frame plus a 1-row argmax collect —
+  * [[IvfIndex]]'s Lloyd-round discipline. Application is a pure
+  * per-row expression chain (map-only, codegen'd string ops, no
+  * shuffle, no UDF): token counts ride the same scan that reads the
+  * text. The merges table is persisted content-stamped (same contract
+  * as the ANN indexes) so a round's queries learn at most once.
+  */
+object BpeTokenizer {
+  import QueryDef.table
+
+  /** Number of learned merges. Small by design: the oracle replays
+    * learning as [[Merges]] unrolled CTE rounds, and the fixtures'
+    * synthetic vocabulary saturates quickly; the machinery is
+    * merge-count-agnostic. */
+  val Merges = 12
+
+  /** Vocabulary cap for learning (most-frequent first, ties by word). */
+  val VocabCap = 4096
+
+  /** Spark-side whitespace word list of `text`. */
+  private val wordsExpr =
+    "filter(split(text, '\\\\s+'), w -> length(w) > 0)"
+
+  /** DuckDB replay of [[wordsExpr]]. */
+  private val wordsSql =
+    """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
+
+  final case class Merge(rank: Int, l: String, r: String, cnt: Long)
+
+  // -- learning ----------------------------------------------------------
+
+  /** ` a b c `-style padded character segmentation of a word column. */
+  private def seg0(w: Column): Column =
+    concat(lit(" "),
+           concat_ws(" ", transform(sequence(lit(1), length(w)),
+             i => call_function("substring", w, i, lit(1)))),
+           lit(" "))
+
+  private def applyMerge(seg: Column, l: String, r: String): Column =
+    call_function("replace", seg, lit(s" $l $r "), lit(s" $l$r "))
+
+  /** Learn [[Merges]] merges from the corpus word-frequency table.
+    * One corpus aggregate; then per round one argmax over the cached
+    * vocab frame (driver receives exactly one row per round). */
+  def learnMerges(spark: SparkSession, sfDir: String): Seq[Merge] = {
+    val vocab = table(spark, sfDir, "documents")
+      .select(explode(expr(wordsExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word")).limit(VocabCap)
+      .select(col("freq"), seg0(col("word")).as("seg"))
+      .persist()
+    try {
+      val merges = Seq.newBuilder[Merge]
+      var seg: Column = col("seg")
+      for (rank <- 0 until Merges) {
+        // NB Spark's sequence(1, 0) DESCENDS rather than being empty, so
+        // fully-merged single-symbol words need the explicit guard
+        val best = vocab.select(col("freq"),
+            filter(split(seg, " "), x => x =!= "").as("syms"))
+          .select(col("freq"), explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("l"),
+                          element_at(col("syms"), i + 1).as("r"))))
+            .otherwise(expr(
+              "cast(array() as array<struct<l:string,r:string>>)"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), asc("l"), asc("r"))
+          .limit(1).collect()
+        require(best.nonEmpty,
+          s"vocabulary exhausted after $rank merges — corpus too small " +
+          s"for Merges=$Merges")
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += Merge(rank, l, r, best(0).getLong(2))
+        seg = applyMerge(seg, l, r)
+      }
+      merges.result()
+    } finally { vocab.unpersist(); () }
+  }
+
+  // -- persistence (content-stamped, IvfIndex contract) ------------------
+
+  private val built = new ConcurrentHashMap[String, Seq[Merge]]()
+
+  private def stamp(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(s"$sfDir/documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig, 0x9747b28c))
+  }
+
+  def mergesDir(sfDir: String): String = {
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
+    s"${sys.props("java.io.tmpdir")}/graft-bpe-$key-${stamp(sfDir)}-$Merges-v1"
+  }
+
+  /** Learned merges for a corpus dir: JVM-cached, then the persisted
+    * content-stamped parquet, then a fresh learn+persist. A regenerated
+    * dataset at the same path changes the stamp and forces a relearn. */
+  def loadOrLearn(spark: SparkSession, sfDir: String): Seq[Merge] = {
+    val dir = mergesDir(sfDir)
+    built.computeIfAbsent(dir, { _ =>
+      val f = new java.io.File(dir)
+      if (!f.exists()) {
+        val merges = learnMerges(spark, sfDir)
+        import spark.implicits._
+        merges.toDF("rank", "l", "r", "cnt")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        merges
+      } else {
+        spark.read.parquet(dir).orderBy("rank").collect()
+          .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("l"),
+                          r.getAs[String]("r"), r.getAs[Long]("cnt"))).toSeq
+      }
+    })
+  }
+
+  // -- application -------------------------------------------------------
+
+  /** Subword token count of one word column under a learned merge list:
+    * character segmentation → the merge replace chain in rank order →
+    * surviving symbol count. Pure codegen'd string expressions. */
+  def bpeWordTokens(w: Column, merges: Seq[Merge]): Column = {
+    val segd = merges.foldLeft(seg0(w))((s, m) => applyMerge(s, m.l, m.r))
+    size(filter(split(segd, " "), x => x =!= ""))
+  }
+
+  /** Per-document subword token count over `text`. */
+  def bpeTokenCount(text: Column, merges: Seq[Merge]): Column =
+    aggregate(
+      filter(split(text, "\\s+"), w => length(w) > 0),
+      lit(0L), (acc, w) => acc + bpeWordTokens(w, merges).cast("long"))
+
+  // -- oracle SQL generation --------------------------------------------
+
+  /** The learning rounds as unrolled DuckDB CTEs (`w0, v0, p0, b0, v1,
+    * …`) — the oracle DERIVES the merge table itself, so tok01 checks
+    * learning end-to-end, not a copied answer. */
+  def learnCtesSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""w0 AS MATERIALIZED (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+              |  FROM (SELECT unnest($wordsSql) AS word FROM documents)
+              |  GROUP BY word ORDER BY freq DESC, word LIMIT $VocabCap),
+              |v0 AS MATERIALIZED (
+              |  SELECT freq, ' ' || array_to_string(list_transform(
+              |    range(length(word)),
+              |    i -> substring(word, i + 1, 1)), ' ') || ' ' AS seg
+              |  FROM w0)""".stripMargin
+    for (i <- 0 until Merges) {
+      sb ++= s""",
+                |p$i AS MATERIALIZED (
+                |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+                |  FROM (
+                |    SELECT freq, p['l'] AS l, p['r'] AS r FROM (
+                |      SELECT freq, unnest(list_transform(range(len(syms) - 1),
+                |        i -> struct_pack(l := syms[i + 1], r := syms[i + 2]))) AS p
+                |      FROM (SELECT freq, list_filter(string_split(seg, ' '),
+                |                             x -> x <> '') AS syms FROM v$i)))
+                |  GROUP BY l, r),
+                |b$i AS MATERIALIZED (SELECT $i AS rank, l, r, cnt FROM p$i
+                |        ORDER BY cnt DESC, l, r LIMIT 1),
+                |v${i + 1} AS MATERIALIZED (
+                |  SELECT freq, replace(seg,
+                |    ' ' || (SELECT l FROM b$i) || ' ' || (SELECT r FROM b$i) || ' ',
+                |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS seg
+                |  FROM v$i)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** 1-row CTE `m` exposing the derived merges as columns l0,r0,…  —
+    * the form the application lambdas can reference (scalar subqueries
+    * are not usable inside DuckDB lambdas; correlated columns are). */
+  def mergeRowCteSql: String =
+    "m AS MATERIALIZED (SELECT " + (0 until Merges).map(i =>
+      s"(SELECT l FROM b$i) AS l$i, (SELECT r FROM b$i) AS r$i")
+      .mkString(", ") + ")"
+
+  /** DuckDB per-document token count under the derived merges; requires
+    * `documents, m` in the enclosing FROM. */
+  def bpeTokenCountSql: String = {
+    val chain = (0 until Merges).foldLeft(
+      "' ' || array_to_string(list_transform(range(length(w)), " +
+        "i -> substring(w, i + 1, 1)), ' ') || ' '") { (s, i) =>
+      s"replace($s, ' ' || m.l$i || ' ' || m.r$i || ' ', " +
+        s"' ' || m.l$i || m.r$i || ' ')"
+    }
+    s"""CAST(COALESCE(list_sum(list_transform($wordsSql,
+       |    w -> len(list_filter(string_split($chain, ' '),
+       |             x -> x <> '')))), 0) AS BIGINT)""".stripMargin
+  }
+
+  // -- query surface -----------------------------------------------------
+
+  def all: Seq[QueryDef] = Seq(
+    // the learned merge table itself — pins vocabulary census, pair
+    // counting, argmax tie-breaks, and the replace-application step of
+    // EVERY round, because round i's counts depend on rounds 0..i-1
+    // having applied identically.
+    QueryDef(
+      "tok01_bpe_merges",
+      (s, d) => {
+        val merges = loadOrLearn(s, d)
+        import s.implicits._
+        merges.map(m => (m.rank, m.l, m.r, m.l + m.r, m.cnt))
+          .toDF("rank", "lft", "rgt", "merged", "cnt")
+          .orderBy("rank")
+      },
+      Some(s"""WITH $learnCtesSql
+              |SELECT rank, l AS lft, r AS rgt, l || r AS merged, cnt
+              |FROM (${(0 until Merges).map(i => s"SELECT * FROM b$i")
+                        .mkString(" UNION ALL ")})
+              |ORDER BY rank""".stripMargin)
+    ),
+
+    // dm02 re-expressed in learned subword tokens: pack documents into
+    // PackBudget-token training sequences per 1000-doc shard (same
+    // running-sum window shape — see DataMix.dm02 for the sharding
+    // rationale; only the token metric changes).
+    QueryDef(
+      "dm02b_pack_bpe",
+      (s, d) => {
+        val merges = loadOrLearn(s, d)
+        val tokens = table(s, d, "documents")
+          .select(col("doc_id"),
+                  bpeTokenCount(col("text"), merges).as("n_tokens"))
+          .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val packed = tokens
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("seq_id",
+            (col("cum_before") / lit(DataMix.PackBudget)).cast("long"))
+        val pos = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard", "seq_id").orderBy("doc_id")
+        packed
+          .withColumn("pos_in_seq", row_number().over(pos).cast("int"))
+          .select("doc_id", "n_tokens", "shard", "seq_id", "pos_in_seq")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $learnCtesSql,
+              |$mergeRowCteSql,
+              |toks AS (
+              |  SELECT doc_id, $bpeTokenCountSql AS n_tokens,
+              |    CAST(floor(doc_id / 1000) AS BIGINT) AS shard
+              |  FROM documents, m),
+              |packed AS (
+              |  SELECT doc_id, n_tokens, shard,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_before
+              |  FROM toks)
+              |SELECT doc_id, n_tokens, shard,
+              |  CAST(floor(cum_before / ${DataMix.PackBudget}) AS BIGINT) AS seq_id,
+              |  CAST(row_number() OVER (
+              |    PARTITION BY shard,
+              |      CAST(floor(cum_before / ${DataMix.PackBudget}) AS BIGINT)
+              |    ORDER BY doc_id) AS INT) AS pos_in_seq
+              |FROM packed ORDER BY doc_id""".stripMargin)
+    ),
+
+    // dm06 re-expressed in learned subword tokens: uniform TOKEN
+    // mixture at the largest feasible size, (lang, shard)-windowed
+    // running totals — see DataMix.dm06 for the budget math and the
+    // 100 TB sharding rationale; only the token metric changes.
+    QueryDef(
+      "dm06b_token_budget_bpe",
+      (s, d) => {
+        val merges = loadOrLearn(s, d)
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+                  bpeTokenCount(col("text"), merges).as("n_tokens"))
+        val totals = docs.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
+        val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
+        val h = md5(concat(col("doc_id").cast("string"), lit(":tb"))
+          .cast("binary"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "shard").orderBy("h", "doc_id")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs.withColumn("h", h)
+          .withColumn("shard",
+            conv(substring(col("h"), 1, 2), 16, 10).cast("int") % 16)
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .crossJoin(broadcast(budget))
+          .filter(col("cum_before") < col("shard_budget"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs_kept"),
+               sum("n_tokens").as("tok_kept"))
+          .join(broadcast(totals), Seq("lang"))
+          .select("lang", "tok_lang", "n_docs_kept", "tok_kept")
+          .orderBy("lang")
+      },
+      Some(s"""WITH $learnCtesSql,
+              |$mergeRowCteSql,
+              |toks AS (
+              |  SELECT doc_id, lang, $bpeTokenCountSql AS n_tokens,
+              |    md5(CAST(doc_id AS VARCHAR) || ':tb') AS h
+              |  FROM documents, m),
+              |sharded AS (
+              |  SELECT *, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+              |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+              |     AS INT) % 16 AS shard
+              |  FROM toks),
+              |totals AS (
+              |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_lang
+              |  FROM toks GROUP BY lang),
+              |budget AS (
+              |  SELECT CAST(min(tok_lang) // 16 AS BIGINT) AS shard_budget
+              |  FROM totals),
+              |cum AS (
+              |  SELECT lang, n_tokens,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+              |      ORDER BY h, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_before
+              |  FROM sharded),
+              |kept AS (
+              |  SELECT lang, n_tokens FROM cum, budget
+              |  WHERE cum_before < shard_budget)
+              |SELECT k.lang, t.tok_lang, COUNT(*) AS n_docs_kept,
+              |  CAST(SUM(k.n_tokens) AS BIGINT) AS tok_kept
+              |FROM kept k JOIN totals t ON k.lang = t.lang
+              |GROUP BY k.lang, t.tok_lang ORDER BY k.lang""".stripMargin)
+    )
+  )
+}
