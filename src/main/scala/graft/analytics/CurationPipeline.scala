@@ -393,18 +393,7 @@ object CurationPipeline {
     QueryDef(
       "cp04_layout_plan",
       (s, d) => {
-        val docs = table(s, d, "documents")
-        val stats = docs.groupBy("source").agg(
-          sum("n_chars").as("sum_chars"))
-          .withColumn("n_files",
-            greatest(ceil(col("sum_chars") / lit(LayoutTargetChars.toDouble))
-              .cast("long"), lit(1L)))
-        val assigned = docs
-          .join(broadcast(stats.select(col("source"), col("n_files"))),
-                Seq("source"))
-          .withColumn("file_no",
-            floor(DataMix.hashFraction(col("doc_id")) * col("n_files"))
-              .cast("int"))
+        val assigned = layoutAssignment(table(s, d, "documents"))
         assigned.groupBy("source", "file_no", "n_files")
           .agg(count(lit(1)).as("n_docs"),
                sum("n_chars").as("file_chars"))
@@ -433,4 +422,37 @@ object CurationPipeline {
   /** Target characters per planned output file (the test-scale stand-in
     * for a 256 MB parquet target; a parameter in production). */
   val LayoutTargetChars = 65536
+
+  /** cp04's per-doc file assignment, shared verbatim by the plan entry
+    * and [[executeLayout]] so the executed layout can never drift from
+    * the oracle-checked manifest. */
+  private def layoutAssignment(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = docs.groupBy("source").agg(
+      sum("n_chars").as("sum_chars"))
+      .withColumn("n_files",
+        greatest(ceil(col("sum_chars") / lit(LayoutTargetChars.toDouble))
+          .cast("long"), lit(1L)))
+    docs
+      .join(broadcast(stats.select(col("source"), col("n_files"))),
+            Seq("source"))
+      .withColumn("file_no",
+        floor(DataMix.hashFraction(col("doc_id")) * col("n_files"))
+          .cast("int"))
+  }
+
+  /** Execute the cp04 plan as the real partitioned write its comment
+    * promises: `repartition(source, file_no)` co-locates each planned
+    * file in exactly one task, `partitionBy(source, file_no)` lands it
+    * as exactly ONE parquet data file per planned (source, file_no)
+    * cell — no global sort, no rank window, and each write task streams
+    * one target-sized file. CurationPropertySpec asserts the landed
+    * layout matches the oracle-checked manifest file-for-file. */
+  def executeLayout(s: org.apache.spark.sql.SparkSession, sfDir: String,
+                    outDir: String): Unit =
+    layoutAssignment(table(s, sfDir, "documents"))
+      .drop("n_files")
+      .repartition(col("source"), col("file_no"))
+      .write.mode("overwrite").partitionBy("source", "file_no")
+      .parquet(outDir)
 }

@@ -491,6 +491,90 @@ object DataQuality {
               |ORDER BY k.doc_id""".stripMargin)
     ),
 
+    // ---- model-based quality score (fastText-style linear gate) -------
+    // The most common real curation filter after C4 rules: a linear
+    // classifier over hashed bigram features. Features: word bigrams
+    // hashed to 4096 buckets (md5 digits, engine-neutral); weights: a
+    // deterministic pseudo-trained integer vector derived per bucket
+    // (stands in for trained weights — the PLAN is the deliverable);
+    // score: integer logit = Σ w[bucket(bigram)]. Two-level gate in
+    // dq05's shape: per-doc keep_model = score ≥ 0, per-source mean
+    // score reputation, keep_final = both. Scale shape: the 4096-row
+    // weight vector broadcasts onto the exploded-bigram scan (never a
+    // corpus shuffle); the per-doc sum partial-aggregates map-side so
+    // the only exchanges carry (doc_id, partial-logit) scalars; docs
+    // with < 2 words anchor through the census left-join with score 0.
+    QueryDef(
+      "ql01_model_quality_score",
+      (s, d) => {
+        val D = 4096
+        def conv4(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c.cast("binary")), 1, 4), 16, 10).cast("int")
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), expr(wordsExpr).as("words"))
+        val bigrams = docs.select(col("doc_id"), explode(expr(
+            """zip_with(slice(words, 1, greatest(size(words) - 1, 0)),
+              |         slice(words, 2, greatest(size(words) - 1, 0)),
+              |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+          .withColumn("bucket", conv4(col("bg")) % D)
+        val weights = s.range(D).select(
+          col("id").cast("int").as("bucket"),
+          (conv4(concat(lit("w:"), col("id").cast("string"))) - 32768)
+            .as("w"))
+        val scores = bigrams.join(broadcast(weights), Seq("bucket"))
+          .groupBy("doc_id").agg(sum("w").as("score"))
+        val scored = docs.select("doc_id", "source")
+          .join(scores, Seq("doc_id"), "left")
+          .withColumn("score", coalesce(col("score"), lit(0L)))
+          .withColumn("keep_model", (col("score") >= 0).cast("int"))
+        val srcStats = scored.groupBy("source")
+          .agg(round(avg("score"), 6).as("src_mean"),
+               (avg("score") >= 0).cast("int").as("source_ok"))
+        scored.join(broadcast(srcStats), Seq("source"))
+          .select(col("doc_id"), col("source"), col("score"),
+                  col("keep_model"), col("src_mean"), col("source_ok"),
+                  (col("keep_model") * col("source_ok")).cast("int")
+                    .as("keep_final"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def dd(e: String, i: Int) =
+          s"(strpos('0123456789abcdef', substring(md5($e), $i, 1)) - 1)"
+        val bgB =
+          s"(${dd("bg", 2)} * 256 + ${dd("bg", 3)} * 16 + ${dd("bg", 4)})"
+        val wE = "'w:' || CAST(i AS VARCHAR)"
+        val wW = s"(${dd(wE, 1)} * 4096 + ${dd(wE, 2)} * 256 " +
+          s"+ ${dd(wE, 3)} * 16 + ${dd(wE, 4)}) - 32768"
+        s"""WITH docs AS (
+           |  SELECT doc_id, source, $wordsSql AS words FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    range(greatest(len(words) - 1, 0)),
+           |    i -> words[i + 1] || ' ' || words[i + 2])) AS bg
+           |  FROM docs),
+           |bk AS (SELECT doc_id, $bgB AS bucket FROM bg),
+           |w AS (SELECT CAST(i AS INT) AS bucket, CAST($wW AS INT) AS w
+           |      FROM range(4096) t(i)),
+           |scores AS (
+           |  SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+           |  FROM bk JOIN w USING (bucket) GROUP BY doc_id),
+           |scored AS (
+           |  SELECT d.doc_id, d.source, COALESCE(s.score, 0) AS score,
+           |    CAST(COALESCE(s.score, 0) >= 0 AS INT) AS keep_model
+           |  FROM (SELECT doc_id, source FROM documents) d
+           |  LEFT JOIN scores s USING (doc_id)),
+           |srcs AS (
+           |  SELECT source, round(avg(score), 6) AS src_mean,
+           |    CAST(avg(score) >= 0 AS INT) AS source_ok
+           |  FROM scored GROUP BY source)
+           |SELECT sc.doc_id, sc.source, sc.score, sc.keep_model,
+           |  s.src_mean, s.source_ok,
+           |  CAST(sc.keep_model * s.source_ok AS INT) AS keep_final
+           |FROM scored sc JOIN srcs s USING (source)
+           |ORDER BY sc.doc_id""".stripMargin
+      }
+    ),
+
     // ---- Gopher repetition metrics ------------------------------------
     // Per-document duplicate-word fraction plus the "fraction of
     // characters inside occurrences of the most frequent word / bigram"

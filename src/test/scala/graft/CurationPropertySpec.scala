@@ -392,4 +392,54 @@ class CurationPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("cp04: executed layout lands exactly the planned files, cell for cell") {
+    import org.apache.spark.sql.functions._
+    val outDir = java.nio.file.Files.createTempDirectory("cp04-layout").toString
+    graft.analytics.CurationPipeline.executeLayout(spark, sf0001, outDir)
+    // the oracle-checked manifest is the contract the landed layout
+    // must honor
+    val manifest = SparkEntry.queries("cp04_layout_plan")(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("file_no")) ->
+             (r.getAs[Long]("n_files"), r.getAs[Long]("n_docs"),
+              r.getAs[Long]("file_chars"))).toMap
+    // 1 parquet data file per planned (source, file_no) cell; per-source
+    // file count == n_files
+    val root = new java.io.File(outDir)
+    val srcDirs = root.listFiles().filter(_.isDirectory)
+    val cells = for {
+      s <- srcDirs.toSeq; f <- s.listFiles().toSeq if f.isDirectory
+    } yield {
+      val parts = f.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+             s"${f.getPath}: ${parts.length} data files in one planned cell")
+      (s.getName.stripPrefix("source="),
+       f.getName.stripPrefix("file_no=").toInt)
+    }
+    assert(cells.toSet == manifest.keySet,
+           "landed cells differ from the planned manifest")
+    cells.groupBy(_._1).foreach { case (src, cs) =>
+      assert(cs.size.toLong == manifest((src, cs.head._2))._1,
+             s"$src: files-per-source != planned n_files")
+    }
+    // read-back contents match the manifest doc counts and char sums
+    val landed = spark.read.parquet(outDir)
+      .groupBy("source", "file_no")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("file_chars"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("file_no")) ->
+             (r.getAs[Long]("n_docs"), r.getAs[Long]("file_chars"))).toMap
+    assert(landed.keySet == manifest.keySet)
+    landed.foreach { case (k, (n, c)) =>
+      assert((n, c) == (manifest(k)._2, manifest(k)._3), s"cell $k differs")
+    }
+    // near-uniform md5 bucketing: no landed file grossly over target
+    manifest.foreach { case ((src, f), (nf, _, chars)) =>
+      if (nf > 1)
+        assert(chars < 3L * graft.analytics.CurationPipeline.LayoutTargetChars,
+               s"$src/$f: $chars chars vs target " +
+               s"${graft.analytics.CurationPipeline.LayoutTargetChars}")
+    }
+  }
 }

@@ -88,6 +88,76 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("bloom chain across epochs: replays identical, keep ⊆ mirror-exact keep at every prefix, link sizes constant") {
+    // the id02/st14 chain run for 5 epochs from a cold filter, with
+    // every link REPLAYED: (a) a replayed gate emits identical
+    // decisions and a replayed merge writes identical filter bytes
+    // (the st11 idempotence discipline, here across the whole chain);
+    // (b) at every prefix the bloom gate's keep set is a SUBSET of an
+    // exact gate probing the mirror gram table fed with the same
+    // accepted docs — bloom error stays one-sided link after link,
+    // never leaking a doc the exact gate would drop; (c) every filter
+    // file in the chain has the seed's byte size — the fixed-size-state
+    // contract that makes the design 100 TB-viable.
+    import graft.analytics.{BloomGramIndex, DataQuality}
+    import graft.queries.QueryDef
+    import spark.implicits._
+    val docs = QueryDef.table(spark, sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bloom-chain").toString
+    val est = 20000L
+    val bits = math.ceil(est * 9.585).toLong
+    var prev = BloomGramIndex.emptyFilter(s"$dir/seed.bf", est, bits)
+    val seedSize = new java.io.File(prev).length()
+    var exactG = spark.emptyDataFrame.select(lit("").as("g")).filter(lit(false))
+    def gateMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    for (b <- 0 until 5) {
+      val batch = docs.filter(col("doc_id") % 5 === b)
+      val bloomKeep = gateMap(DataQuality.bloomGate(spark, batch, prev))
+      // (a) replayed gate: identical decisions
+      assert(gateMap(DataQuality.bloomGate(spark, batch, prev)) == bloomKeep,
+             s"epoch $b: replayed gate diverged")
+      // (b) mirror-exact gate over the same inserted gram trajectory
+      val newG = DataQuality.gramKeys(batch).distinct()
+      val per = newG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = newG.join(exactG.distinct(), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      val exactKeep = gateMap(batch.select("doc_id")
+        .join(per, Seq("doc_id"), "left").join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_grams", "n_hit"))
+        .select(col("doc_id"),
+                (col("n_hit") * lit(1.0) /
+                 greatest(col("n_grams"), lit(1L)) < 0.5)
+                  .cast("int").as("keep")))
+      bloomKeep.foreach { case (id, k) =>
+        assert(k <= exactKeep(id),
+               s"epoch $b: doc $id leaked past the bloom gate " +
+               s"(bloom keep=$k, exact keep=${exactKeep(id)})")
+      }
+      // advance BOTH chains with the bloom-accepted docs
+      val accepted = batch.select("doc_id").join(
+        bloomKeep.filter(_._2 == 1).keys.toSeq.toDF("doc_id"), Seq("doc_id"))
+      val accGrams = DataQuality.gramKeys(batch)
+        .join(accepted, Seq("doc_id"), "left_semi").select("g")
+      val next = BloomGramIndex.merged(spark, prev, accGrams,
+                                       s"$dir/filter_$b.bf")
+      // (a) replayed merge: identical bytes
+      BloomGramIndex.merged(spark, prev, accGrams, s"$dir/replay_$b.bf")
+      assert(java.util.Arrays.equals(
+               java.nio.file.Files.readAllBytes(
+                 java.nio.file.Paths.get(next)),
+               java.nio.file.Files.readAllBytes(
+                 java.nio.file.Paths.get(s"$dir/replay_$b.bf"))),
+             s"epoch $b: replayed merge wrote different filter bytes")
+      // (c) fixed-size state per link
+      assert(new java.io.File(next).length() == seedSize,
+             s"epoch $b: filter grew beyond the seed sizing")
+      exactG = exactG.union(accGrams).distinct().localCheckpoint()
+      prev = next
+    }
+  }
+
   test("dc03: 1e5-row benchmark probe — candidate pairs bounded below the exact product") {
     // the reason dc03 exists: past ~1e5 benchmark rows dc02's exact
     // corpus x benchmark product is the cost driver. Bucket a synthetic

@@ -340,6 +340,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ql01: weight vector broadcasts onto the bigram scan; no sort-merge join") {
+    val p = plan("ql01_model_quality_score")
+    // the 4096-row weight vector joins the exploded bigrams by
+    // broadcast — a shuffled join HERE would re-shuffle every corpus
+    // bigram. (The doc-census LEFT join on doc_id legitimately
+    // sort-merges: both of its sides are corpus-sized at scale, and its
+    // exchange carries only (doc_id, logit) scalars.)
+    assert("BroadcastHashJoin \\[bucket#".r.findFirstIn(p).isDefined, p)
+    assert("SortMergeJoin \\[bucket#".r.findFirstIn(p).isEmpty, p)
+    // partial aggregation keeps the logit sum map-side
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
   test("cp04: layout plan broadcasts the per-source stats; assignment is map-only") {
     val p = plan("cp04_layout_plan")
     // the tiny per-source plan joins back by broadcast — the corpus is
