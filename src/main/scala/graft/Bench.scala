@@ -58,6 +58,10 @@ object Bench {
     try graft.analytics.BloomGramIndex.ensureSharded(
       spark, sfDir, graft.analytics.DataQuality.ShardedK)
     catch { case _: Throwable => () }
+    // the BPE merges table (tok01) is trained once per corpus epoch by
+    // the same contract — dm02b/dm06b timings measure tokenization
+    try graft.analytics.BpeTokenizer.loadOrLearn(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The
@@ -68,7 +72,8 @@ object Bench {
     val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
                       "dd03p_simhash_precision", "dd03r_simhash_recall",
                       "x14x_ndv_anchor", "id02x_bloom_anchor",
-                      "id03x_sharded_anchor", "st14x_bloom_stream_anchor")
+                      "id03x_sharded_anchor", "st14x_bloom_stream_anchor",
+                      "dc03p_decon_precision", "dc03r_decon_recall")
     val names = args.toSet
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))

@@ -737,9 +737,9 @@ object DataQuality {
     // not a corpus) — the bench side broadcasts, the corpus flows
     // map-only through the dot products, and the max-aggregate is
     // partial map-side so the shuffle carries ONE row per corpus
-    // vector. Past ~10⁵ benchmark rows the ss02 LSH-bucket prefilter
-    // bounds candidates before the exact refine; the contract here is
-    // the exact tier.
+    // vector. Past ~10⁵ benchmark rows the dc03 banded-LSH prefilter
+    // (below) bounds candidates before the exact refine; the contract
+    // here is the exact tier — dc02 stays the small-set fast path.
     QueryDef(
       "dc02_semantic_decon",
       (s, d) => {
