@@ -164,6 +164,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("dm02b: BPE packing keeps dm02's sharded-window shape — no global funnel") {
+    val p = plan("dm02b_pack_bpe")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // tokenization is an expression chain on the scan, not a join: the
+    // only joins anywhere would be a leaked merges-table lookup
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dc03: banded decon candidates are equi-joined — no cartesian, no nested loop") {
+    val p = plan("dc03_semantic_decon_lsh")
+    // the prefilter exists to REPLACE dc02's cross join: candidates
+    // come from an equi-join on (band, key), so no cartesian/nested-
+    // loop node may appear anywhere in the plan
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+  }
+
   test("rj01: range join is a bucketed equi-join — no nested-loop or cartesian node") {
     val p = plan("rj01_range_join")
     // a raw inequality join plans to BroadcastNestedLoopJoin (driver
