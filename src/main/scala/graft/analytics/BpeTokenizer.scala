@@ -253,6 +253,86 @@ object BpeTokenizer {
               |ORDER BY rank""".stripMargin)
     ),
 
+    // tx06 re-expressed in learned subword tokens: chunk each document
+    // into SUBWORD-budget windows — words are never split; word k goes
+    // to chunk floor(cum_bpe_tokens_before_k / budget), the greedy
+    // streaming chunker every context-length-bounded pipeline runs.
+    // Map-only until the per-doc window (partitioned by doc_id — no
+    // global barrier); the (doc_id, chunk) regroup shuffles only what
+    // the chunk output IS. Wordless docs census-anchor as one empty
+    // chunk (tx06 convention).
+    QueryDef(
+      "tok02_chunk_bpe",
+      (s, d) => {
+        val merges = loadOrLearn(s, d)
+        val budget = 64
+        val docs = table(s, d, "documents")
+        val words = docs
+          .select(col("doc_id"), posexplode(expr(wordsExpr)).as(Seq("pos", "w")))
+          .withColumn("n_tok", bpeWordTokens(col("w"), merges).cast("long"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val agg = words
+          .withColumn("cum_before",
+            coalesce(sum("n_tok").over(win), lit(0L)))
+          .withColumn("chunk_idx",
+            (col("cum_before") / lit(budget)).cast("int"))
+          .groupBy("doc_id", "chunk_idx")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+               sum("n_tok").as("n_chunk_tokens"),
+               array_join(transform(
+                 sort_array(collect_list(struct(col("pos"), col("w")))),
+                 p => p("w")), " ").as("chunk_text"))
+        docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("chunk_idx"), lit(0)).as("chunk_idx"),
+                  coalesce(col("n_words"), lit(0L)).as("n_words"),
+                  coalesce(col("n_chunk_tokens"), lit(0L)).as("n_chunk_tokens"),
+                  coalesce(col("chunk_text"), lit("")).as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some {
+        val chain = (0 until Merges).foldLeft(
+          "' ' || array_to_string(list_transform(range(length(w)), " +
+            "i -> substring(w, i + 1, 1)), ' ') || ' '") { (s, i) =>
+          s"replace($s, ' ' || m.l$i || ' ' || m.r$i || ' ', " +
+            s"' ' || m.l$i || m.r$i || ' ')"
+        }
+        s"""WITH $learnCtesSql,
+           |$mergeRowCteSql,
+           |wlist AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+           |wflat AS (
+           |  SELECT doc_id, CAST(p['i'] AS INT) AS pos, p['w'] AS w
+           |  FROM (SELECT doc_id, unnest(list_transform(range(len(ws)),
+           |          i -> struct_pack(i := i, w := ws[i + 1]))) AS p
+           |        FROM wlist)),
+           |wtok AS (
+           |  SELECT doc_id, pos, w,
+           |    CAST(len(list_filter(string_split($chain, ' '),
+           |             x -> x <> '')) AS BIGINT) AS n_tok
+           |  FROM wflat, m),
+           |cum AS (
+           |  SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id
+           |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |    1 PRECEDING), 0) AS cum_before
+           |  FROM wtok),
+           |agg AS (
+           |  SELECT doc_id, CAST(floor(cum_before / 64) AS INT) AS chunk_idx,
+           |    COUNT(*) AS n_words, CAST(SUM(n_tok) AS BIGINT) AS n_chunk_tokens,
+           |    string_agg(w, ' ' ORDER BY pos) AS chunk_text
+           |  FROM cum GROUP BY 1, 2)
+           |SELECT d.doc_id, COALESCE(a.chunk_idx, 0) AS chunk_idx,
+           |  COALESCE(a.n_words, 0) AS n_words,
+           |  COALESCE(a.n_chunk_tokens, 0) AS n_chunk_tokens,
+           |  COALESCE(a.chunk_text, '') AS chunk_text
+           |FROM (SELECT doc_id FROM documents) d
+           |LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id, chunk_idx""".stripMargin
+      }
+    ),
+
     // dm02 re-expressed in learned subword tokens: pack documents into
     // PackBudget-token training sequences per 1000-doc shard (same
     // running-sum window shape — see DataMix.dm02 for the sharding

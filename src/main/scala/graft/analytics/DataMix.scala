@@ -51,6 +51,30 @@ object DataMix {
   /** Tokens per packed training sequence for dm02. */
   val PackBudget = 512
 
+  /** dm02's per-doc packing assignment — (doc_id, n_tokens, shard,
+    * seq_id, pos_in_seq) — shared by the dm02 plan entry and dm08's
+    * sequence materialization so the written sequences can never drift
+    * from the oracle-checked assignment. */
+  def packAssignments(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val packed = tokens
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", (col("cum_before") / lit(PackBudget)).cast("long"))
+    val pos = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "seq_id").orderBy("doc_id")
+    packed
+      .withColumn("pos_in_seq", row_number().over(pos).cast("int"))
+      .select("doc_id", "n_tokens", "shard", "seq_id", "pos_in_seq")
+  }
+
   def all: Seq[QueryDef] = Seq(
     // rebalance the corpus to a target language mixture at the MAXIMUM
     // size that achieves the exact proportions: the feasible total is
@@ -117,26 +141,7 @@ object DataMix {
     // position).
     QueryDef(
       "dm02_pack_sequences",
-      (s, d) => {
-        val tokens = table(s, d, "documents")
-          .select(col("doc_id"),
-                  TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val packed = tokens
-          .withColumn("cum_before",
-            coalesce(sum("n_tokens").over(w), lit(0L)))
-          .withColumn("seq_id", (col("cum_before") / lit(PackBudget))
-            .cast("long"))
-        val pos = org.apache.spark.sql.expressions.Window
-          .partitionBy("shard", "seq_id").orderBy("doc_id")
-        packed
-          .withColumn("pos_in_seq", row_number().over(pos).cast("int"))
-          .select("doc_id", "n_tokens", "shard", "seq_id", "pos_in_seq")
-          .orderBy("doc_id")
-      },
+      (s, d) => packAssignments(table(s, d, "documents")).orderBy("doc_id"),
       Some(s"""WITH toks AS (
               |  SELECT doc_id,
               |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -381,6 +386,51 @@ object DataMix {
              |  CAST(SUM(k.n_tokens) AS BIGINT) AS tok_kept
              |FROM kept k JOIN totals t ON k.lang = t.lang
              |GROUP BY k.lang, t.tok_lang ORDER BY k.lang""".stripMargin)
+    ),
+
+    // pack MATERIALIZATION — the write side of dm02 (cp04's "execute"
+    // twin for sequences): each (shard, seq_id) cell becomes one actual
+    // training row — member docs' texts joined in pos order, with the
+    // doc count and token total a loader needs. The ONLY corpus-text
+    // shuffle is the pack write itself (inherent: sequences ARE a
+    // regrouping of text), keyed by (shard, seq_id), every group
+    // bounded by PackBudget + one doc tail — no skew, no global sort;
+    // collect_list is made deterministic by sorting the (pos, text)
+    // structs, and the per-cell aggregate partial-aggregates map-side.
+    QueryDef(
+      "dm08_pack_materialize",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        packAssignments(docs)
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+          .groupBy("shard", "seq_id")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+               sum("n_tokens").as("seq_tokens"),
+               array_join(transform(
+                 sort_array(collect_list(struct(col("pos_in_seq"),
+                                                col("text")))),
+                 p => p("text")), " ").as("seq_text"))
+          .orderBy("shard", "seq_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, text,
+              |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+              |    CAST(floor(doc_id / 1000) AS BIGINT) AS shard
+              |  FROM documents),
+              |packed AS (
+              |  SELECT doc_id, text, n_tokens, shard,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_before
+              |  FROM toks)
+              |SELECT shard,
+              |  CAST(floor(cum_before / $PackBudget) AS BIGINT) AS seq_id,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+              |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+              |FROM packed
+              |GROUP BY shard, CAST(floor(cum_before / $PackBudget) AS BIGINT)
+              |ORDER BY shard, seq_id""".stripMargin)
     ),
 
     // UPsampling: dm01/dm03/dm06 only ever subsample the head; the other

@@ -371,6 +371,16 @@ class PlanAuditSpec extends SparkSpec {
     assert("SortMergeJoin \\[bucket#".r.findFirstIn(p).isEmpty, p)
     // partial aggregation keeps the logit sum map-side
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // every documents scan prunes to (doc_id, source, text) or fewer —
+    // a scorer that drags full rows through the feature explode is the
+    // classic 100 TB mistake
+    val f = formatted("ql01_model_quality_score")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(f).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(s.split(",").length <= 3, s"scan reads too many columns: $s")
+    }
   }
 
   test("cp04: layout plan broadcasts the per-source stats; assignment is map-only") {
