@@ -339,6 +339,53 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING source-reputation routing (st16's continuous form):
+    * each micro-batch's per-source (n, n_keep) quality evidence lands
+    * as a batch-id-partitioned delta in `countsDir` (dynamic overwrite
+    * — replay-idempotent, the dm05/st11 discipline), the RUNNING
+    * per-source reputation is re-aggregated from the deltas
+    * (source-cardinality-sized — O(sources × batches) to read, trivial
+    * at any corpus scale), and the batch's docs are gated by the
+    * reputation THROUGH that batch. Decisions land partitioned by
+    * batch_id the same way. */
+  def reputationRouter(stream: DataFrame, countsDir: String,
+                       outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val flags = graft.analytics.DataQuality.qualityFlags(batch)
+          .select("doc_id", "source", "keep")
+        flags.groupBy("source")
+          .agg(count(lit(1)).as("n_batch"), sum("keep").as("n_keep_batch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(countsDir)
+        val srcs = spark.read.parquet(countsDir)
+          .groupBy("source")
+          .agg(sum("n_batch").as("n_seen"), sum("n_keep_batch").as("n_keep"))
+          .select(col("source"), col("n_seen"),
+                  round(col("n_keep") * lit(1.0) / col("n_seen"), 6)
+                    .as("keep_rate"),
+                  (col("n_keep") * lit(1.0) / col("n_seen") >=
+                    graft.analytics.DataQuality.SourceKeepRateMin)
+                    .cast("int").as("source_ok"))
+        flags.join(broadcast(srcs), Seq("source"))
+          .select(col("doc_id"), col("source"), col("keep").as("keep_doc"),
+                  col("n_seen"), col("keep_rate"), col("source_ok"),
+                  (col("keep") * col("source_ok")).cast("int")
+                    .as("keep_final"),
+                  lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

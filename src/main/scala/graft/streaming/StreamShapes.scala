@@ -647,6 +647,101 @@ object StreamShapes {
              |       ELSE 'middle' END AS route
              |FROM scored sc LEFT JOIN cuts ct ON sc.lang = ct.lang
              |ORDER BY sc.doc_id""".stripMargin)
+    ),
+
+    // STREAMING source reputation: dq05's two-level gate run
+    // continuously — each micro-batch folds its per-source keep
+    // evidence into RUNNING per-source counts, and the batch's docs
+    // are gated by the reputation THROUGH that batch (update counts,
+    // then gate — the dm05 convention). A source whose quality decays
+    // loses its reputation as evidence accumulates, without any
+    // corpus re-scan: the running store is source-cardinality-sized.
+    // Batch form here (two parity micro-batches, running counts after
+    // batch 2 = full corpus — which the oracle exploits, dm05-style);
+    // the streaming form is the same per-batch plan via foreachBatch
+    // with the counts in a per-batch-delta store
+    // (EventStreams.reputationRouter); a MemoryStream test pins the
+    // reputation refresh across batches.
+    QueryDef(
+      "st16_streaming_reputation",
+      (s, d) => {
+        import graft.analytics.DataQuality
+        val docs = table(s, d, "documents")
+        def out(batchNo: Int, batch: org.apache.spark.sql.DataFrame,
+                runningOver: org.apache.spark.sql.DataFrame) = {
+          val flags = DataQuality.qualityFlags(batch)
+            .select("doc_id", "source", "keep")
+          val srcs = DataQuality.qualityFlags(runningOver)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_seen"), sum("keep").as("n_keep"))
+            .select(col("source"), col("n_seen"),
+                    round(col("n_keep") * lit(1.0) / col("n_seen"), 6)
+                      .as("keep_rate"),
+                    (col("n_keep") * lit(1.0) / col("n_seen") >=
+                      DataQuality.SourceKeepRateMin).cast("int")
+                      .as("source_ok"))
+          flags.join(broadcast(srcs), Seq("source"))
+            .select(lit(batchNo).as("batch"), col("doc_id"), col("source"),
+                    col("keep").as("keep_doc"), col("n_seen"),
+                    col("keep_rate"), col("source_ok"),
+                    (col("keep") * col("source_ok")).cast("int")
+                      .as("keep_final"))
+        }
+        val b1 = docs.filter(col("doc_id") % 2 === 0)
+        val b2 = docs.filter(col("doc_id") % 2 === 1)
+        out(1, b1, b1).unionByName(out(2, b2, docs))
+          .orderBy("batch", "doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, text,
+              |    list_filter(string_split_regex(text, '\\s+'),
+              |                w -> length(w) > 0) AS words,
+              |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              |      AS n_word_chars
+              |  FROM documents),
+              |st AS (
+              |  SELECT doc_id, source, text, n_word_chars,
+              |    len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+              |  FROM base),
+              |k AS (
+              |  SELECT doc_id, source, doc_id % 2 AS par,
+              |    CAST(CAST(n_words BETWEEN 20 AND 10000 AS INT)
+              |       * CAST(n_word_chars * 1.0 / greatest(n_words, 1)
+              |              BETWEEN 3.0 AND 10.0 AS INT)
+              |       * CAST(len(regexp_extract_all(text,
+              |              '\\b(the|a|and|of|to|in)\\b')) > 0 AS INT)
+              |       * CAST(NOT contains(text, '{') AS INT)
+              |       * CAST(NOT contains(lower(text), 'lorem ipsum') AS INT)
+              |       * CAST((n_words - n_distinct) * 1.0 /
+              |              greatest(n_words, 1) <= 0.5 AS INT)
+              |       AS INT) AS keep
+              |  FROM st),
+              |s1 AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seen,
+              |    round(sum(keep) * 1.0 / count(*), 6) AS keep_rate,
+              |    CAST(sum(keep) * 1.0 / count(*) >=
+              |         ${graft.analytics.DataQuality.SourceKeepRateMin}
+              |         AS INT) AS source_ok
+              |  FROM k WHERE par = 0 GROUP BY source),
+              |s2 AS (
+              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seen,
+              |    round(sum(keep) * 1.0 / count(*), 6) AS keep_rate,
+              |    CAST(sum(keep) * 1.0 / count(*) >=
+              |         ${graft.analytics.DataQuality.SourceKeepRateMin}
+              |         AS INT) AS source_ok
+              |  FROM k GROUP BY source),
+              |o1 AS (
+              |  SELECT 1 AS batch, k.doc_id, k.source, k.keep AS keep_doc,
+              |    s.n_seen, s.keep_rate, s.source_ok,
+              |    CAST(k.keep * s.source_ok AS INT) AS keep_final
+              |  FROM k JOIN s1 s USING (source) WHERE k.par = 0),
+              |o2 AS (
+              |  SELECT 2 AS batch, k.doc_id, k.source, k.keep AS keep_doc,
+              |    s.n_seen, s.keep_rate, s.source_ok,
+              |    CAST(k.keep * s.source_ok AS INT) AS keep_final
+              |  FROM k JOIN s2 s USING (source) WHERE k.par = 1)
+              |SELECT * FROM o1 UNION ALL SELECT * FROM o2
+              |ORDER BY batch, doc_id""".stripMargin)
     )
   )
 }

@@ -833,6 +833,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming reputation router: running evidence gates each batch; matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st16_").toString
+    val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
+      .select("doc_id", "source", "text").collect()
+    val (b1, b2) = docs.partition(_.getLong(0) % 2 == 0)
+    def rows(rs: Array[org.apache.spark.sql.Row]) =
+      rs.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "source", "text")
+    val q = EventStreams.reputationRouter(
+      stream, s"$tmp/counts", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(rows(b1): _*)
+      q.processAllAvailable()
+      mem.addData(rows(b2): _*)
+      q.processAllAvailable()
+      // the streamed decision log must equal the oracle-checked batch
+      // form row for row (batch_id is 0-based, the entry's batch 1-based)
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id").cast("int") + 1).as("batch"),
+                col("doc_id"), col("source"), col("keep_doc"),
+                col("n_seen"), col("keep_rate"), col("source_ok"),
+                col("keep_final"))
+      val batchForm =
+        SparkEntry.queries("st16_streaming_reputation")(spark, sf0001)
+      assert(streamed.count() == batchForm.count())
+      assert(streamed.exceptAll(batchForm).count() == 0 &&
+             batchForm.exceptAll(streamed).count() == 0,
+             "streamed decisions diverge from the batch form")
+      // stateless: the running evidence lives in the delta table, not
+      // a state store
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("codec validation gate runs per micro-batch: corrupt clip quarantined, good clips decoded") {
     implicit val sqlCtx = spark.sqlContext
     // real WAV payloads, prepared in batch and replayed as a stream
