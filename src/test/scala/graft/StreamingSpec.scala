@@ -688,6 +688,49 @@ class StreamingSpec extends SparkSpec {
            s"${out.toSeq}")
   }
 
+  test("reputation router: kill + restart from checkpoint — one decision per doc, evidence intact") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val landing = Files.createTempDirectory("st16r-landing").toString
+    val tmp = Files.createTempDirectory("st16r-state").toString
+    // srcA: high quality (keeps), srcB: junk (brace docs fail f_no_brace)
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      ("keeps running onward through the field of tall grass " * 3)
+    def land(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    land(Seq((1L, "srcA", good), (2L, "srcB", s"{ $good }")))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.reputationRouter(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      s"$tmp/counts", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down, more docs land: srcB keeps failing —
+    // its reputation after the restart batch reflects ALL its evidence
+    land(Seq((3L, "srcA", good), (4L, "srcB", s"{ $good }"),
+             (5L, "srcB", s"{{ $good }}")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "source", "keep_doc", "n_seen", "source_ok",
+              "keep_final").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3), r.getInt(4),
+          r.getInt(5)))).toMap
+    assert(out.size == 5, s"duplicate or missing decisions: $out")
+    // batch 0 evidence: srcA 1/1 keeps (ok), srcB 0/1 (not ok)
+    assert(out(1L) == (("srcA", 1, 1L, 1, 1)), s"$out")
+    assert(out(2L) == (("srcB", 0, 1L, 0, 0)), s"$out")
+    // after restart: running evidence spans both batches — srcB has
+    // seen 3 docs, all failing, reputation stays revoked
+    assert(out(3L) == (("srcA", 1, 2L, 1, 1)), s"$out")
+    assert(out(4L)._1 == "srcB" && out(4L)._3 == 3L &&
+           out(4L)._4 == 0 && out(4L)._5 == 0, s"$out")
+    assert(out(5L)._3 == 3L && out(5L)._5 == 0, s"$out")
+  }
+
   test("bloom ingest gate: kill + restart from checkpoint — one decision per doc, chain intact") {
     import java.nio.file.Files
     val landing = Files.createTempDirectory("st14r-landing").toString
