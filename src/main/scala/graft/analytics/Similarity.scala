@@ -287,6 +287,26 @@ object Similarity {
              IvfIndex.readCentroids(spark, dir), queryId, k, nProbe)
   }
 
+  /** FILTERED IVF ANN — ss13's pushed metadata predicate composed with
+    * the ss03 partition-pruned probe: the label filter and the probed-
+    * list filter reach the SAME index scan, so a selective predicate
+    * cuts the probe's IO on top of the list pruning (the filtered-ANN
+    * shape every metadata-scoped serving tier needs). The query vector
+    * row is exempted from the predicate (its label is irrelevant; the
+    * probe drops it from candidates anyway). Exact within the probed
+    * lists; nProbe = nLists degenerates to exact filtered brute force —
+    * the ss14x anchor. */
+  def filteredIvfTopK(spark: SparkSession, sfDir: String, queryId: Long,
+                      k: Int, nLists: Int, nProbe: Int,
+                      labels: Seq[Int]): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+      .filter(col("label").isin(labels.map(Int.box): _*) ||
+              col("vec_id") === queryId)
+    ivfProbe(assignments, IvfIndex.readCentroids(spark, dir),
+             queryId, k, nProbe)
+  }
+
   /** IVF ANN over an in-memory DataFrame (tests / ad-hoc corpora):
     * fits + assigns ephemerally, then runs the same probe. */
   def ivfTopKOf(emb: DataFrame, queryId: Long, k: Int,
@@ -701,6 +721,31 @@ object Similarity {
       Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
               |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
               |FROM embeddings e, q WHERE e.vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "ss14_filtered_ivf",
+      // metadata-filtered ANN over the persisted index: label predicate
+      // + list pruning reach the same scan. Approximate for nProbe <
+      // nLists (rows-only); ss14x is the exactness anchor.
+      (s, d) => filteredIvfTopK(s, d, queryId = 0L, k = 10,
+                                nLists = IvfIndex.DefaultLists, nProbe = 4,
+                                labels = Seq(2, 5)),
+      None
+    ),
+    QueryDef(
+      "ss14x_filtered_ivf_exact",
+      // nProbe = nLists: every list probed ⇒ exact filtered top-k
+      // regardless of the learned centroids — the whole filtered
+      // read→prune→probe machinery against a brute-force SQL oracle.
+      (s, d) => filteredIvfTopK(s, d, queryId = 0L, k = 10,
+                                nLists = IvfIndex.DefaultLists,
+                                nProbe = IvfIndex.DefaultLists,
+                                labels = Seq(2, 5)),
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
+              |FROM embeddings e, q
+              |WHERE e.vec_id <> 0 AND e.label IN (2, 5)
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
     ),
     QueryDef(

@@ -125,6 +125,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*list[^\\]]*\\].*"), f)
   }
 
+  test("ss14: filtered probe pushes the label predicate AND prunes list partitions") {
+    graft.analytics.IvfIndex.ensure(spark, sf0001)
+    val df = graft.analytics.Similarity.filteredIvfTopK(
+      spark, sf0001, queryId = 0L, k = 10,
+      nLists = graft.analytics.IvfIndex.DefaultLists, nProbe = 4,
+      labels = Seq(2, 5))
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // both optimizations must reach the same index scan: the probed-
+    // list partition filter AND the pushed label predicate
+    assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*list[^\\]]*\\].*"), f)
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*") ||
+           f.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(label[^\\]]*\\].*"), f)
+  }
+
   test("st01: windowed aggregation keeps partial aggregation map-side") {
     val p = plan("st01_tumbling_window")
     assert(p.contains("HashAggregate") &&
