@@ -187,6 +187,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 regressed: $recall")
   }
 
+  test("filtered IVF probe: recall floor against the filtered exact top-k") {
+    // ss14's quality contract mirrors ss03's: with a quarter of the
+    // lists probed, recall@10 against the label-filtered exact top-k
+    // (= the ss14x anchor, nProbe = nLists) must not silently regress.
+    // Deterministic: same persisted index, same probe order.
+    val exact = Similarity.filteredIvfTopK(spark, sf0001, 0L, 10,
+        nLists = graft.analytics.IvfIndex.DefaultLists,
+        nProbe = graft.analytics.IvfIndex.DefaultLists, labels = Seq(2, 5))
+      .select("vec_id").as[Long].collect().toSet
+    val probed = Similarity.filteredIvfTopK(spark, sf0001, 0L, 10,
+        nLists = graft.analytics.IvfIndex.DefaultLists, nProbe = 4,
+        labels = Seq(2, 5))
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & probed).size / 10.0
+    assert(recall >= 0.5, s"filtered IVF recall@10 regressed: $recall")
+  }
+
   test("int8-quantized top-k tracks the exact float cosine ranking") {
     // ss09's approximation lives in the REPRESENTATION (64-dim unit
     // vectors rounded to int8), so its top-10 must nearly coincide with
