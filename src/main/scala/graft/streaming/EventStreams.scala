@@ -386,6 +386,73 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING sequence packing (st17's continuous form): arriving
+    * docs extend each shard's RUNNING token total and take sequence
+    * ids continuing from where earlier batches left off. State is two
+    * delta tables, both replay-idempotent (batch-id-partitioned,
+    * dynamic overwrite): per-shard token totals in `countsDir` (one
+    * long per shard per batch) and the decision log itself in
+    * `outDir`, which doubles as the source of per-(shard, seq) doc
+    * counts so `pos_in_seq` continues across batches too. Per-batch
+    * cost is batch-sized + a shard-cardinality-sized read — nothing
+    * ever re-packs. */
+  def packStream(stream: DataFrame, countsDir: String, outDir: String,
+                 checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val W = org.apache.spark.sql.expressions.Window
+        val toks = batch
+          .select(col("doc_id"),
+                  graft.analytics.TextAnalysis.tokenCount(col("text"))
+                    .cast("long").as("n_tokens"))
+          .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
+        // write this batch's shard totals, then read ONLY earlier
+        // batches back as the base offsets — a replayed batch filters
+        // its own prior delta out, so replays assign identically
+        toks.groupBy("shard").agg(sum("n_tokens").as("n_batch"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(countsDir)
+        val base = spark.read.parquet(countsDir)
+          .filter(col("batch_id") < batchId)
+          .groupBy("shard").agg(sum("n_batch").as("base"))
+        val nPrev =
+          if (batchId == 0)
+            spark.range(0).select(col("id").as("shard"), col("id").as("seq_id"),
+                                  col("id").as("n_prev"))
+          else
+            spark.read.parquet(outDir).filter(col("batch_id") < batchId)
+              .groupBy("shard", "seq_id")
+              .agg(count(lit(1)).as("n_prev"))
+        val wIn = W.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val wPos = W.partitionBy("shard", "seq_id").orderBy("doc_id")
+        toks
+          .withColumn("cum_in", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+          .join(broadcast(base), Seq("shard"), "left")
+          .withColumn("cum_before", col("cum_in") + coalesce(col("base"), lit(0L)))
+          .withColumn("seq_id",
+            (col("cum_before") / lit(graft.analytics.DataMix.PackBudget))
+              .cast("long"))
+          .join(broadcast(nPrev), Seq("shard", "seq_id"), "left")
+          .withColumn("pos_in_seq",
+            (coalesce(col("n_prev"), lit(0L)) +
+             row_number().over(wPos)).cast("int"))
+          .select(col("doc_id"), col("n_tokens"), col("shard"),
+                  col("seq_id"), col("pos_in_seq"),
+                  lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

@@ -742,6 +742,79 @@ object StreamShapes {
               |  FROM k JOIN s2 s USING (source) WHERE k.par = 1)
               |SELECT * FROM o1 UNION ALL SELECT * FROM o2
               |ORDER BY batch, doc_id""".stripMargin)
+    ),
+
+    // STREAMING sequence packing: dm02 run continuously — arriving docs
+    // extend each shard's running token total and take sequence ids
+    // that CONTINUE from where the previous batch left off (a training
+    // feed packs as data lands; a per-epoch global re-pack would defeat
+    // the point of streaming ingest). Per-shard state is ONE running
+    // long — shard-cardinality-sized, the dm05/st16 delta-store
+    // discipline. Batch form here (two parity micro-batches; batch 2's
+    // base offsets are batch 1's shard totals — which the oracle
+    // replays); the streaming twin is EventStreams.packStream, pinned
+    // equal to this batch form row for row in StreamingSpec.
+    QueryDef(
+      "st17_streaming_pack",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val toks = table(s, d, "documents")
+          .select(col("doc_id"),
+                  graft.analytics.TextAnalysis.tokenCount(col("text"))
+                    .cast("long").as("n_tokens"))
+          .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
+          .withColumn("par", (col("doc_id") % 2).cast("int"))
+        val wIn = W.partitionBy("shard", "par").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val withinBatch = toks.withColumn("cum_in",
+          coalesce(sum("n_tokens").over(wIn), lit(0L)))
+        val base = toks.filter(col("par") === 0)
+          .groupBy("shard").agg(sum("n_tokens").as("base"))
+        val cum = withinBatch
+          .join(broadcast(base), Seq("shard"), "left")
+          .withColumn("cum_before",
+            col("cum_in") + when(col("par") === 1,
+              coalesce(col("base"), lit(0L))).otherwise(lit(0L)))
+          .withColumn("seq_id",
+            (col("cum_before") / lit(graft.analytics.DataMix.PackBudget))
+              .cast("long"))
+        val wPos = W.partitionBy("shard", "seq_id").orderBy("par", "doc_id")
+        cum
+          .withColumn("pos_in_seq", row_number().over(wPos).cast("int"))
+          .select((col("par") + 1).as("batch"), col("doc_id"),
+                  col("n_tokens"), col("shard"), col("seq_id"),
+                  col("pos_in_seq"))
+          .orderBy("batch", "doc_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+              |      AS n_tokens,
+              |    CAST(floor(doc_id / 1000) AS BIGINT) AS shard,
+              |    CAST(doc_id % 2 AS INT) AS par
+              |  FROM documents),
+              |cum_in AS (
+              |  SELECT *, COALESCE(SUM(n_tokens) OVER (
+              |      PARTITION BY shard, par ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_in
+              |  FROM toks),
+              |base AS (
+              |  SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS base
+              |  FROM toks WHERE par = 0 GROUP BY shard),
+              |cum AS (
+              |  SELECT c.*, c.cum_in + CASE WHEN c.par = 1
+              |      THEN COALESCE(b.base, 0) ELSE 0 END AS cum_before
+              |  FROM cum_in c LEFT JOIN base b USING (shard))
+              |SELECT CAST(par + 1 AS INT) AS batch, doc_id, n_tokens, shard,
+              |  CAST(floor(cum_before / ${graft.analytics.DataMix.PackBudget})
+              |       AS BIGINT) AS seq_id,
+              |  CAST(row_number() OVER (
+              |    PARTITION BY shard,
+              |      CAST(floor(cum_before / ${graft.analytics.DataMix.PackBudget})
+              |           AS BIGINT)
+              |    ORDER BY par, doc_id) AS INT) AS pos_in_seq
+              |FROM cum ORDER BY batch, doc_id""".stripMargin)
     )
   )
 }

@@ -913,6 +913,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack: sequence ids continue across batches; matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st17_").toString
+    val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+    val (b1, b2) = docs.partition(_.getLong(0) % 2 == 0)
+    def rows(rs: Array[org.apache.spark.sql.Row]) =
+      rs.toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.packStream(
+      stream, s"$tmp/counts", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(rows(b1): _*)
+      q.processAllAvailable()
+      mem.addData(rows(b2): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id").cast("int") + 1).as("batch"),
+                col("doc_id"), col("n_tokens"), col("shard"),
+                col("seq_id"), col("pos_in_seq"))
+      val batchForm =
+        SparkEntry.queries("st17_streaming_pack")(spark, sf0001)
+      assert(streamed.count() == batchForm.count())
+      assert(streamed.exceptAll(batchForm).count() == 0 &&
+             batchForm.exceptAll(streamed).count() == 0,
+             "streamed packing diverges from the batch form")
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("codec validation gate runs per micro-batch: corrupt clip quarantined, good clips decoded") {
     implicit val sqlCtx = spark.sqlContext
     // real WAV payloads, prepared in batch and replayed as a stream
