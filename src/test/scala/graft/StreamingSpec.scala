@@ -945,6 +945,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack: kill + restart from checkpoint — one assignment per doc, offsets intact") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val landing = Files.createTempDirectory("st17r-landing").toString
+    val tmp = Files.createTempDirectory("st17r-state").toString
+    // 300-token docs in one shard: budget 512 → doc 1 opens seq 0,
+    // doc 2 (cum 300) still seq 0, doc 3 (cum 600) seq 1, doc 4
+    // (cum 900) seq 1, doc 5 (cum 1200) seq 2 — crossing the restart
+    val text = ("tok " * 300).trim
+    def land(ids: Seq[Long]): Unit =
+      ids.map(id => (id, text)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    land(Seq(1L, 2L))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.packStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      s"$tmp/counts", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down, three more docs land
+    land(Seq(3L, 4L, 5L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "seq_id", "pos_in_seq").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out.size == 5, s"duplicate or missing assignments: $out")
+    assert(out(1L) == ((0L, 1)) && out(2L) == ((0L, 2)), s"$out")
+    // restart batch continues shard offsets AND in-sequence positions
+    assert(out(3L) == ((1L, 1)) && out(4L) == ((1L, 2)) &&
+           out(5L) == ((2L, 1)), s"$out")
+  }
+
   test("codec validation gate runs per micro-batch: corrupt clip quarantined, good clips decoded") {
     implicit val sqlCtx = spark.sqlContext
     // real WAV payloads, prepared in batch and replayed as a stream
