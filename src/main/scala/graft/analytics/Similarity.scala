@@ -1083,6 +1083,56 @@ object Similarity {
               |  FROM scored)
               |SELECT query_id, vec_id, cos_sim, rk FROM ranked
               |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
+    ),
+    QueryDef(
+      "ss15_batch_filtered_int8",
+      // metadata-filtered BATCH serving against the int8 corpus: the
+      // query table (vec_id < 32) answered over only the label-scoped
+      // corpus slice — ss13's predicate composed with st13's batch
+      // int8 plan. Quantization is per-vector, so filtering the corpus
+      // first changes nothing about any surviving code, and the whole
+      // filtered serve stays deterministic ⇒ hash-checked end to end
+      // (no rows-only escape). At 100 TB the label predicate prunes
+      // the codes scan itself; queries broadcast, integer dots score
+      // map-side, per-query window top-k.
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        int8BatchTopK(emb.filter(col("label").isin(2, 5)),
+                      emb.filter(col("vec_id") < 32), k = 10)
+      },
+      Some("""WITH nrm AS (
+             |  SELECT vec_id, label, embedding,
+             |    sqrt(list_sum(list_transform(embedding,
+             |      c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |un AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, c -> CAST(c AS DOUBLE) / nrm) AS unit
+             |  FROM nrm),
+             |sc AS (
+             |  SELECT vec_id, label, unit,
+             |    127.0 / list_max(list_transform(unit, u -> abs(u))) AS scale
+             |  FROM un),
+             |qz AS (
+             |  SELECT vec_id, label, scale,
+             |    list_transform(unit,
+             |      u -> CAST(round(u * scale, 0) AS BIGINT)) AS q
+             |  FROM sc),
+             |qs AS (SELECT vec_id AS query_id, scale AS q_scale, q AS q_q
+             |       FROM qz WHERE vec_id < 32),
+             |scored AS (
+             |  SELECT qs.query_id, e.vec_id,
+             |    round(CAST(list_sum(list_transform(list_zip(e.q, qs.q_q),
+             |      p -> p[1] * p[2])) AS BIGINT) / (e.scale * qs.q_scale), 6)
+             |      AS score
+             |  FROM qz e, qs
+             |  WHERE e.label IN (2, 5) AND e.vec_id <> qs.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, score, CAST(row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rk
+             |  FROM scored)
+             |SELECT query_id, vec_id, score, rk FROM ranked
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
     )
   )
 }
