@@ -416,6 +416,94 @@ object CurationPipeline {
               |FROM assigned
               |GROUP BY source, file_no, n_files
               |ORDER BY source, file_no""".stripMargin)
+    ),
+
+    // ---- joint text + vector curation gate ----------------------------
+    // Cross-modal composition: a document survives only if BOTH its
+    // text passes the C4/Gopher rules (dq02) and its embedding clears
+    // semantic decontamination (dc02's max-cosine-vs-benchmark gate).
+    // Conventions: a doc whose vector IS benchmark content (label 0)
+    // is dropped on the vector side by definition; a doc with no
+    // embedding row keeps keep_vec = 1 (no vector evidence — the text
+    // rules alone decide). Scale shape: each side keeps its unit
+    // operator's plan (map-only flags; broadcast bench + partial max),
+    // joined once on the id — the join's exchanges carry only
+    // (id, 0/1) scalars, never text or vectors.
+    QueryDef(
+      "cp05_joint_gate",
+      (s, d) => {
+        val text = DataQuality.qualityFlags(table(s, d, "documents"))
+          .select(col("doc_id"), col("source"), col("keep").as("keep_text"))
+        val emb = table(s, d, "embeddings")
+        val bench = emb.filter(col("label") === 0)
+          .select(col("embedding").as("qvec"))
+        val vecKeep = emb.filter(col("label") =!= 0)
+          .crossJoin(broadcast(bench))
+          .groupBy("vec_id")
+          .agg(max(graft.functions.VectorOps.cosineNative(
+                 s, col("embedding"), col("qvec"))).as("mc"))
+          .select(col("vec_id").as("doc_id"),
+                  (col("mc") < DataQuality.SemanticDeconTau).cast("int")
+                    .as("keep_vec"))
+          .unionByName(emb.filter(col("label") === 0)
+            .select(col("vec_id").as("doc_id"),
+                    lit(0).as("keep_vec")))
+        text.join(vecKeep, Seq("doc_id"), "left")
+          .withColumn("keep_vec", coalesce(col("keep_vec"), lit(1)))
+          .select(col("doc_id"), col("source"), col("keep_text"),
+                  col("keep_vec"),
+                  (col("keep_text") * col("keep_vec")).cast("int")
+                    .as("keep_joint"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, text, $wordsSql AS words,
+              |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              |      AS n_word_chars
+              |  FROM documents),
+              |st AS (
+              |  SELECT doc_id, source, text, n_word_chars,
+              |    len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+              |  FROM base),
+              |k AS (
+              |  SELECT doc_id, source,
+              |    CAST(CAST(n_words BETWEEN 20 AND 10000 AS INT)
+              |       * CAST(n_word_chars * 1.0 / greatest(n_words, 1)
+              |              BETWEEN 3.0 AND 10.0 AS INT)
+              |       * CAST(len(regexp_extract_all(text,
+              |              '\\b(the|a|and|of|to|in)\\b')) > 0 AS INT)
+              |       * CAST(NOT contains(text, '{') AS INT)
+              |       * CAST(NOT contains(lower(text), 'lorem ipsum') AS INT)
+              |       * CAST((n_words - n_distinct) * 1.0 /
+              |              greatest(n_words, 1) <= 0.5 AS INT)
+              |       AS INT) AS keep_text
+              |  FROM st),
+              |b AS (SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |m AS (
+              |  SELECT c.vec_id AS doc_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(b.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM (SELECT vec_id, embedding FROM embeddings
+              |        WHERE label <> 0) c, b
+              |  GROUP BY c.vec_id),
+              |v AS (
+              |  SELECT doc_id,
+              |    CAST(mc < ${DataQuality.SemanticDeconTau} AS INT) AS keep_vec
+              |  FROM m
+              |  UNION ALL
+              |  SELECT vec_id AS doc_id, 0 AS keep_vec
+              |  FROM embeddings WHERE label = 0)
+              |SELECT k.doc_id, k.source, k.keep_text,
+              |  COALESCE(v.keep_vec, 1) AS keep_vec,
+              |  CAST(k.keep_text * COALESCE(v.keep_vec, 1) AS INT)
+              |    AS keep_joint
+              |FROM k LEFT JOIN v USING (doc_id)
+              |ORDER BY k.doc_id""".stripMargin)
     )
   )
 
