@@ -429,9 +429,10 @@ object DataQuality {
     // whose rate is below threshold, and (d) ands the two levels into
     // the final per-doc decision. Scale shape: flags are map-only; the
     // per-source aggregate is dictionary-sized and partially aggregated
-    // map-side; the rates broadcast back onto the doc frame — the
-    // corpus is never shuffled, so the reputation tier costs one small
-    // aggregate more than dq02 itself at any corpus size.
+    // map-side; the rates join back onto the doc frame AQE-decided
+    // (broadcast when the source census is small, shuffle when source =
+    // crawl domains at 10^7-10^8 rows), so the reputation tier costs
+    // one small aggregate more than dq02 itself at any corpus size.
     QueryDef(
       "dq05_source_reputation",
       (s, d) => {
@@ -452,7 +453,12 @@ object DataQuality {
                     .as("keep_rate"),
                   (col("n_keep") * lit(1.0) / col("n_docs")
                      >= SourceKeepRateMin).cast("int").as("source_ok"))
-        flags.join(broadcast(srcStats), Seq("source"))
+        // no broadcast hint: per-SOURCE reputation is domain-cardinality
+        // state (10^7-10^8 rows in a real crawl) — a mandatory hint is a
+        // multi-GB driver broadcast at 100 TB. AQE broadcasts when the
+        // source census is genuinely small and shuffles otherwise; the
+        // no-hint plan is pinned in PlanAuditSpec.
+        flags.join(srcStats, Seq("source"))
           .select(col("doc_id"), col("source"),
                   col("keep").as("keep_doc"),
                   col("keep_rate"), col("source_ok"),
@@ -530,7 +536,10 @@ object DataQuality {
         val srcStats = scored.groupBy("source")
           .agg(round(avg("score"), 6).as("src_mean"),
                (avg("score") >= 0).cast("int").as("source_ok"))
-        scored.join(broadcast(srcStats), Seq("source"))
+        // no hint on the reputation join (dq05's rationale: source
+        // cardinality grows with the corpus; AQE decides). The 4096-row
+        // weights broadcast above stays — that frame is bounded by D.
+        scored.join(srcStats, Seq("source"))
           .select(col("doc_id"), col("source"), col("score"),
                   col("keep_model"), col("src_mean"), col("source_ok"),
                   (col("keep_model") * col("source_ok")).cast("int")

@@ -339,6 +339,23 @@ object EventStreams {
       }
       .start()
 
+  /** Read a batch-id-partitioned delta directory with an EXPLICIT
+    * schema, tolerating both a missing directory (no delta landed yet —
+    * e.g. every prior micro-batch was empty) and a directory holding
+    * only `_SUCCESS`. Schema inference on either kills the query with
+    * "Unable to infer schema for Parquet"; state reads must never
+    * depend on data having arrived. */
+  private def readDelta(spark: org.apache.spark.sql.SparkSession,
+                        dir: String,
+                        schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** STREAMING source-reputation routing (st16's continuous form):
     * each micro-batch's per-source (n, n_keep) quality evidence lands
     * as a batch-id-partitioned delta in `countsDir` (dynamic overwrite
@@ -355,33 +372,47 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val flags = graft.analytics.DataQuality.qualityFlags(batch)
-          .select("doc_id", "source", "keep")
-        flags.groupBy("source")
-          .agg(count(lit(1)).as("n_batch"), sum("keep").as("n_keep_batch"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(countsDir)
-        val srcs = spark.read.parquet(countsDir)
-          .groupBy("source")
-          .agg(sum("n_batch").as("n_seen"), sum("n_keep_batch").as("n_keep"))
-          .select(col("source"), col("n_seen"),
-                  round(col("n_keep") * lit(1.0) / col("n_seen"), 6)
-                    .as("keep_rate"),
-                  (col("n_keep") * lit(1.0) / col("n_seen") >=
-                    graft.analytics.DataQuality.SourceKeepRateMin)
-                    .cast("int").as("source_ok"))
-        flags.join(broadcast(srcs), Seq("source"))
-          .select(col("doc_id"), col("source"), col("keep").as("keep_doc"),
-                  col("n_seen"), col("keep_rate"), col("source_ok"),
-                  (col("keep") * col("source_ok")).cast("int")
-                    .as("keep_final"),
-                  lit(batchId).as("batch_id"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
+        // an empty micro-batch must be a no-op: a zero-row dynamic
+        // partitionBy write lands only _SUCCESS, and the state read
+        // back would then fail schema inference (reads below also use
+        // explicit schemas via readDelta for the same reason)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.types._
+          val flags = graft.analytics.DataQuality.qualityFlags(batch)
+            .select("doc_id", "source", "keep")
+          flags.groupBy("source")
+            .agg(count(lit(1)).as("n_batch"), sum("keep").as("n_keep_batch"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(countsDir)
+          val srcs = readDelta(spark, countsDir, StructType(Seq(
+              StructField("source", StringType),
+              StructField("n_batch", LongType),
+              StructField("n_keep_batch", LongType),
+              StructField("batch_id", LongType))))
+            .groupBy("source")
+            .agg(sum("n_batch").as("n_seen"), sum("n_keep_batch").as("n_keep"))
+            .select(col("source"), col("n_seen"),
+                    round(col("n_keep") * lit(1.0) / col("n_seen"), 6)
+                      .as("keep_rate"),
+                    (col("n_keep") * lit(1.0) / col("n_seen") >=
+                      graft.analytics.DataQuality.SourceKeepRateMin)
+                      .cast("int").as("source_ok"))
+          // no broadcast hint: the running reputation store is
+          // source-cardinality state that grows over the stream's
+          // lifetime (source = crawl domain); AQE decides per batch
+          flags.join(srcs, Seq("source"))
+            .select(col("doc_id"), col("source"), col("keep").as("keep_doc"),
+                    col("n_seen"), col("keep_rate"), col("source_ok"),
+                    (col("keep") * col("source_ok")).cast("int")
+                      .as("keep_final"),
+                    lit(batchId).as("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+        }
         ()
       }
       .start()
@@ -403,52 +434,66 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val W = org.apache.spark.sql.expressions.Window
-        val toks = batch
-          .select(col("doc_id"),
-                  graft.analytics.TextAnalysis.tokenCount(col("text"))
-                    .cast("long").as("n_tokens"))
-          .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
-        // write this batch's shard totals, then read ONLY earlier
-        // batches back as the base offsets — a replayed batch filters
-        // its own prior delta out, so replays assign identically
-        toks.groupBy("shard").agg(sum("n_tokens").as("n_batch"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(countsDir)
-        val base = spark.read.parquet(countsDir)
-          .filter(col("batch_id") < batchId)
-          .groupBy("shard").agg(sum("n_batch").as("base"))
-        val nPrev =
-          if (batchId == 0)
-            spark.range(0).select(col("id").as("shard"), col("id").as("seq_id"),
-                                  col("id").as("n_prev"))
-          else
-            spark.read.parquet(outDir).filter(col("batch_id") < batchId)
-              .groupBy("shard", "seq_id")
-              .agg(count(lit(1)).as("n_prev"))
-        val wIn = W.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(W.unboundedPreceding, -1)
-        val wPos = W.partitionBy("shard", "seq_id").orderBy("doc_id")
-        toks
-          .withColumn("cum_in", coalesce(sum("n_tokens").over(wIn), lit(0L)))
-          .join(broadcast(base), Seq("shard"), "left")
-          .withColumn("cum_before", col("cum_in") + coalesce(col("base"), lit(0L)))
-          .withColumn("seq_id",
-            (col("cum_before") / lit(graft.analytics.DataMix.PackBudget))
-              .cast("long"))
-          .join(broadcast(nPrev), Seq("shard", "seq_id"), "left")
-          .withColumn("pos_in_seq",
-            (coalesce(col("n_prev"), lit(0L)) +
-             row_number().over(wPos)).cast("int"))
-          .select(col("doc_id"), col("n_tokens"), col("shard"),
-                  col("seq_id"), col("pos_in_seq"),
-                  lit(batchId).as("batch_id"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
+        // empty micro-batch = no-op (same rationale as
+        // reputationRouter: a zero-row dynamic write leaves a dir that
+        // breaks schema inference, and there is nothing to pack)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.types._
+          val W = org.apache.spark.sql.expressions.Window
+          val toks = batch
+            .select(col("doc_id"),
+                    graft.analytics.TextAnalysis.tokenCount(col("text"))
+                      .cast("long").as("n_tokens"))
+            .withColumn("shard", (col("doc_id") / lit(1000)).cast("long"))
+          // write this batch's shard totals, then read ONLY earlier
+          // batches back as the base offsets — a replayed batch filters
+          // its own prior delta out, so replays assign identically
+          toks.groupBy("shard").agg(sum("n_tokens").as("n_batch"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(countsDir)
+          val base = readDelta(spark, countsDir, StructType(Seq(
+              StructField("shard", LongType),
+              StructField("n_batch", LongType),
+              StructField("batch_id", LongType))))
+            .filter(col("batch_id") < batchId)
+            .groupBy("shard").agg(sum("n_batch").as("base"))
+          // the decision log doubles as per-(shard, seq) doc counts;
+          // readDelta tolerates outDir not existing yet (batch 0, or
+          // every earlier batch empty)
+          val nPrev = readDelta(spark, outDir, StructType(Seq(
+              StructField("shard", LongType),
+              StructField("seq_id", LongType),
+              StructField("batch_id", LongType))))
+            .filter(col("batch_id") < batchId)
+            .groupBy("shard", "seq_id")
+            .agg(count(lit(1)).as("n_prev"))
+          val wIn = W.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+          val wPos = W.partitionBy("shard", "seq_id").orderBy("doc_id")
+          // no broadcast hints on the state joins: per-shard offsets
+          // are corpus/1000 rows and the (shard, seq_id) history grows
+          // without bound over the stream's lifetime — AQE decides
+          toks
+            .withColumn("cum_in", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+            .join(base, Seq("shard"), "left")
+            .withColumn("cum_before", col("cum_in") + coalesce(col("base"), lit(0L)))
+            .withColumn("seq_id",
+              (col("cum_before") / lit(graft.analytics.DataMix.PackBudget))
+                .cast("long"))
+            .join(nPrev, Seq("shard", "seq_id"), "left")
+            .withColumn("pos_in_seq",
+              (coalesce(col("n_prev"), lit(0L)) +
+               row_number().over(wPos)).cast("int"))
+            .select(col("doc_id"), col("n_tokens"), col("shard"),
+                    col("seq_id"), col("pos_in_seq"),
+                    lit(batchId).as("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+        }
         ()
       }
       .start()

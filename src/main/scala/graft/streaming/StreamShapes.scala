@@ -666,12 +666,20 @@ object StreamShapes {
       "st16_streaming_reputation",
       (s, d) => {
         import graft.analytics.DataQuality
-        val docs = table(s, d, "documents")
+        // ONE flag pass over the corpus: the regex flag suite is the
+        // dominant map cost, and the naive form ran it once per batch
+        // slice AND once per running census (2.5 corpus passes; st16
+        // booked 3.8x at the r08 sf1 pair because of it). The dq05
+        // pattern: eagerly materialize the narrow (doc_id, source,
+        // keep, par) frame once and derive every view from its blocks.
+        val allFlags = DataQuality
+          .qualityFlags(table(s, d, "documents"))
+          .select(col("doc_id"), col("source"), col("keep"),
+                  (col("doc_id") % 2).cast("int").as("par"))
+          .localCheckpoint(true)
         def out(batchNo: Int, batch: org.apache.spark.sql.DataFrame,
                 runningOver: org.apache.spark.sql.DataFrame) = {
-          val flags = DataQuality.qualityFlags(batch)
-            .select("doc_id", "source", "keep")
-          val srcs = DataQuality.qualityFlags(runningOver)
+          val srcs = runningOver
             .groupBy("source")
             .agg(count(lit(1)).as("n_seen"), sum("keep").as("n_keep"))
             .select(col("source"), col("n_seen"),
@@ -680,16 +688,19 @@ object StreamShapes {
                     (col("n_keep") * lit(1.0) / col("n_seen") >=
                       DataQuality.SourceKeepRateMin).cast("int")
                       .as("source_ok"))
-          flags.join(broadcast(srcs), Seq("source"))
+          // no broadcast hint: per-source reputation grows with the
+          // corpus (source = crawl domain); AQE decides (dq05's recipe,
+          // pinned no-hint in PlanAuditSpec)
+          batch.join(srcs, Seq("source"))
             .select(lit(batchNo).as("batch"), col("doc_id"), col("source"),
                     col("keep").as("keep_doc"), col("n_seen"),
                     col("keep_rate"), col("source_ok"),
                     (col("keep") * col("source_ok")).cast("int")
                       .as("keep_final"))
         }
-        val b1 = docs.filter(col("doc_id") % 2 === 0)
-        val b2 = docs.filter(col("doc_id") % 2 === 1)
-        out(1, b1, b1).unionByName(out(2, b2, docs))
+        val b1 = allFlags.filter(col("par") === 0)
+        val b2 = allFlags.filter(col("par") === 1)
+        out(1, b1, b1).unionByName(out(2, b2, allFlags))
           .orderBy("batch", "doc_id")
       },
       Some(s"""WITH base AS (
@@ -770,8 +781,12 @@ object StreamShapes {
           coalesce(sum("n_tokens").over(wIn), lit(0L)))
         val base = toks.filter(col("par") === 0)
           .groupBy("shard").agg(sum("n_tokens").as("base"))
+        // no broadcast hint: shard = doc_id/1000, so the per-shard
+        // offset frame is corpus/1000 rows — it grows with the data.
+        // AQE broadcasts while that is genuinely small and shuffles
+        // past it (no-hint plan pinned in PlanAuditSpec).
         val cum = withinBatch
-          .join(broadcast(base), Seq("shard"), "left")
+          .join(base, Seq("shard"), "left")
           .withColumn("cum_before",
             col("cum_in") + when(col("par") === 1,
               coalesce(col("base"), lit(0L))).otherwise(lit(0L)))

@@ -244,6 +244,42 @@ class DataQualitySpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dq05/st16: 1e5-distinct-source corpus flows the shuffled reputation path end-to-end") {
+    // high-cardinality probe of the retired reputation broadcast: 1e5
+    // distinct sources is far past any broadcast threshold, so with the
+    // hint gone and the threshold forced off the join must run shuffled
+    // — and the gate stays closed-form checkable: even-index sources
+    // carry two good docs (kept), odd-index sources two brace-failing
+    // docs (keep_rate 0 < SourceKeepRateMin → dropped wholesale).
+    val nSrc = 100000
+    val good = "the quick brown fox jumps over a lazy dog while many " +
+      "small birds sing cheerful morning songs near this quiet river bank today"
+    val docs = spark.range(2L * nSrc).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), floor(col("id") / 2).cast("long")).as("source"),
+      when(floor(col("id") / 2) % 2 === 0, lit(good))
+        .otherwise(lit(good + " {")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dq05-stress").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = SparkEntry.queries("dq05_source_reputation")(spark, dir)
+        .agg(count(lit(1)), sum("keep_final"),
+             countDistinct("source"), sum("source_ok")).head()
+      assert(out.getLong(0) == 2L * nSrc, s"row count: $out")
+      assert(out.getLong(1) == nSrc, s"kept docs: $out")
+      assert(out.getLong(2) == nSrc, s"distinct sources: $out")
+      assert(out.getLong(3) == nSrc, s"source_ok docs: $out")
+      // st16 shares the reputation-join shape; its two-batch gate lands
+      // on the same closed form (source j's parity pair splits across
+      // the batches, reputation through each batch = good(j))
+      val st = SparkEntry.queries("st16_streaming_reputation")(spark, dir)
+        .agg(count(lit(1)), sum("keep_final")).head()
+      assert(st.getLong(0) == 2L * nSrc && st.getLong(1) == nSrc,
+             s"st16 stressed gate: $st")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bp01: every reported gram really spans >= 3 distinct docs (brute recount)") {
     val reported = run("bp01_boilerplate_ngrams").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -375,6 +375,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dq05/ql01/st16/st17: growing-cardinality state joins are AQE-decided") {
+    // per-source reputation (source = crawl domain: 10^7-10^8 rows at
+    // 100 TB) and per-shard pack offsets (cardinality = corpus/1000)
+    // grow with the data — a mandatory broadcast hint on them is a
+    // multi-GB driver broadcast. Same proof shape as the census pin
+    // above: with the threshold off and AQE disabled, a lingering hint
+    // would still force a broadcast; a clean plan falls back to a
+    // shuffled join on the state key.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffledOn(p: String, key: String): Boolean =
+        s"(?:SortMergeJoin|ShuffledHashJoin)(?: \\S+)? \\[$key#".r
+          .findFirstIn(p).isDefined
+      def broadcastOn(p: String, key: String): Boolean =
+        s"BroadcastHashJoin(?: \\S+)? \\[$key#".r.findFirstIn(p).isDefined
+      Seq("dq05_source_reputation", "st16_streaming_reputation").foreach { n =>
+        val p = plan(n)
+        assert(!broadcastOn(p, "source"), s"$n still forces a broadcast:\n$p")
+        assert(shuffledOn(p, "source"),
+               s"$n reputation join missing a shuffled fallback:\n$p")
+      }
+      // ql01 keeps its bounded 4096-row weights broadcast (hinted, by
+      // design); only the per-source reputation join must plan shuffled
+      val pQl = plan("ql01_model_quality_score")
+      assert(!broadcastOn(pQl, "source"),
+             s"ql01 still forces the reputation broadcast:\n$pQl")
+      assert(shuffledOn(pQl, "source"), pQl)
+      // st17: per-shard base offsets join shuffles on shard
+      val pSt = plan("st17_streaming_pack")
+      assert(!pSt.contains("BroadcastHashJoin") &&
+             !pSt.contains("BroadcastNestedLoopJoin"),
+             s"st17 still forces a broadcast:\n$pSt")
+      assert(shuffledOn(pSt, "shard"), pSt)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("ql01: weight vector broadcasts onto the bigram scan; no sort-merge join") {
     val p = plan("ql01_model_quality_score")
     // the 4096-row weight vector joins the exploded bigrams by

@@ -945,6 +945,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st17: 1e5-distinct-shard corpus flows the shuffled offsets path end-to-end") {
+    // high-cardinality probe of the retired per-shard broadcast: one
+    // doc per shard at doc_id = i*1000 + (i%2) puts 1e5 distinct
+    // shards through the offsets join; with the threshold forced off
+    // it must run shuffled, and the closed form is trivial — every doc
+    // is alone in its shard, so seq_id = 0, pos_in_seq = 1.
+    val nShard = 100000
+    val docs = spark.range(nShard).select(
+      (col("id") * 1000 + col("id") % 2).as("doc_id"),
+      lit("alpha beta gamma delta").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("st17-stress").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = SparkEntry.queries("st17_streaming_pack")(spark, dir)
+        .agg(count(lit(1)), countDistinct("shard"), max("seq_id"),
+             max("pos_in_seq"), sum("n_tokens")).head()
+      assert(out.getLong(0) == nShard, s"row count: $out")
+      assert(out.getLong(1) == nShard, s"distinct shards: $out")
+      assert(out.getLong(2) == 0L && out.getInt(3) == 1,
+             s"packing drifted: $out")
+      assert(out.getLong(4) == 4L * nShard, s"token totals: $out")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("streaming pack + reputation router: empty micro-batches are no-ops, query survives") {
+    // ADVICE regression: a zero-row file landing in the source dir
+    // produced a zero-row dynamic-partition write (only _SUCCESS) and
+    // the immediate state read-back died on schema inference. The
+    // empty batch must be skipped and LATER batches must still pack /
+    // gate correctly even though batch 0 left no delta behind.
+    import java.nio.file.Files
+    import spark.implicits._
+    val text = ("tok " * 300).trim
+    // --- packStream ---
+    val landP = Files.createTempDirectory("st17e-landing").toString
+    val tmpP = Files.createTempDirectory("st17e-state").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(landP)
+    val schemaP = spark.read.parquet(landP).schema
+    def startP() = EventStreams.packStream(
+      spark.readStream.schema(schemaP).option("maxFilesPerTrigger", "1")
+        .parquet(landP),
+      s"$tmpP/counts", s"$tmpP/out", s"$tmpP/ckpt")
+    val qp1 = startP()
+    try qp1.processAllAvailable() finally qp1.stop()
+    Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(landP)
+    val qp2 = startP()
+    try qp2.processAllAvailable() finally qp2.stop()
+    val packed = spark.read.parquet(s"$tmpP/out")
+      .select("doc_id", "seq_id", "pos_in_seq").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(packed == Map(1L -> ((0L, 1)), 2L -> ((0L, 2)),
+                         3L -> ((1L, 1))), s"$packed")
+    // --- reputationRouter ---
+    val landR = Files.createTempDirectory("st16e-landing").toString
+    val tmpR = Files.createTempDirectory("st16e-state").toString
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      ("keeps running onward through the field of tall grass " * 3)
+    Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(landR)
+    val schemaR = spark.read.parquet(landR).schema
+    def startR() = EventStreams.reputationRouter(
+      spark.readStream.schema(schemaR).option("maxFilesPerTrigger", "1")
+        .parquet(landR),
+      s"$tmpR/counts", s"$tmpR/out", s"$tmpR/ckpt")
+    val qr1 = startR()
+    try qr1.processAllAvailable() finally qr1.stop()
+    Seq((1L, "srcA", good), (2L, "srcB", s"{ $good }"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(landR)
+    val qr2 = startR()
+    try qr2.processAllAvailable() finally qr2.stop()
+    val gated = spark.read.parquet(s"$tmpR/out")
+      .select("doc_id", "keep_final").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gated == Map(1L -> 1, 2L -> 0), s"$gated")
+  }
+
   test("streaming pack: kill + restart from checkpoint — one assignment per doc, offsets intact") {
     import java.nio.file.Files
     import spark.implicits._
