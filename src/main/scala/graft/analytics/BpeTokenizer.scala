@@ -29,14 +29,18 @@ import graft.queries.QueryDef
   *     non-overlapping, identical semantics in Spark and DuckDB, so
   *     both engines derive bit-identical merge tables.
   *
-  * Scale shape: learning aggregates the corpus ONCE into the vocab
-  * frame (word-cardinality-sized, cached); each merge round is an
-  * aggregate over that tiny frame plus a 1-row argmax collect —
-  * [[IvfIndex]]'s Lloyd-round discipline. Application is a pure
-  * per-row expression chain (map-only, codegen'd string ops, no
-  * shuffle, no UDF): token counts ride the same scan that reads the
-  * text. The merges table is persisted content-stamped (same contract
-  * as the ANN indexes) so a round's queries learn at most once.
+  * Scale shape: learning aggregates the corpus ONCE into the
+  * [[VocabCap]]-capped vocabulary census and collects it (bounded
+  * driver state, [[IvfIndex]]'s sample discipline); ALL merge rounds
+  * then run driver-local — one Spark job and one round-trip total,
+  * merge-count-independent, where the round-8 form paid a scheduler
+  * round-trip per merge. Application is ONE native codegen'd operator
+  * ([[graft.functions.BpeTokenCount]]) over the merge table passed as
+  * foldable literals (map-only, no shuffle, no UDF, no per-merge
+  * expression nodes): token counts ride the same scan that reads the
+  * text, at any merge count. The merges table is persisted
+  * content-stamped (same contract as the ANN indexes) so a round's
+  * queries learn at most once.
   */
 object BpeTokenizer {
   import QueryDef.table
@@ -62,7 +66,8 @@ object BpeTokenizer {
 
   // -- learning ----------------------------------------------------------
 
-  /** ` a b c `-style padded character segmentation of a word column. */
+  /** ` a b c `-style padded character segmentation of a word column
+    * (kept for the replace-chain reference path pinned in the spec). */
   private def seg0(w: Column): Column =
     concat(lit(" "),
            concat_ws(" ", transform(sequence(lit(1), length(w)),
@@ -72,43 +77,107 @@ object BpeTokenizer {
   private def applyMerge(seg: Column, l: String, r: String): Column =
     call_function("replace", seg, lit(s" $l $r "), lit(s" $l$r "))
 
-  /** Learn [[Merges]] merges from the corpus word-frequency table.
-    * One corpus aggregate; then per round one argmax over the cached
-    * vocab frame (driver receives exactly one row per round). */
-  def learnMerges(spark: SparkSession, sfDir: String): Seq[Merge] = {
+  /** UTF-8 byte order — what Spark's string `asc` and DuckDB's default
+    * VARCHAR collation both compare by (Java `String.compareTo` is
+    * UTF-16 order, which diverges past the BMP). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Learn `nMerges` merges from the corpus word-frequency table.
+    *
+    * ONE Spark aggregate + ONE driver round-trip total: the vocabulary
+    * census is capped at [[VocabCap]] rows (sample-bounded driver
+    * state, the [[IvfIndex]] Lloyd discipline), so the merge loop runs
+    * driver-local over ≤ 4096 (freq, symbols) pairs — the round-7/8
+    * form re-aggregated the cached vocab frame once PER MERGE, which
+    * is 1024 scheduler round-trips at real merge counts. Semantics are
+    * bit-identical (pair counts weighted by freq; argmax by count desc
+    * then UTF-8-ascending (l, r); application via
+    * [[graft.functions.BpeApply.mergePass]], the exact string-replace
+    * semantics the DuckDB oracle replays — tok01 stays hash-green). */
+  def learnMerges(spark: SparkSession, sfDir: String,
+                  nMerges: Int = Merges): Seq[Merge] = {
+    graft.functions.BpeFns.register(spark)
     val vocab = table(spark, sfDir, "documents")
       .select(explode(expr(wordsExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word")).limit(VocabCap)
-      .select(col("freq"), seg0(col("word")).as("seg"))
-      .persist()
-    try {
-      val merges = Seq.newBuilder[Merge]
-      var seg: Column = col("seg")
-      for (rank <- 0 until Merges) {
-        // NB Spark's sequence(1, 0) DESCENDS rather than being empty, so
-        // fully-merged single-symbol words need the explicit guard
-        val best = vocab.select(col("freq"),
-            filter(split(seg, " "), x => x =!= "").as("syms"))
-          .select(col("freq"), explode(when(size(col("syms")) >= 2,
-            transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("l"),
-                          element_at(col("syms"), i + 1).as("r"))))
-            .otherwise(expr(
-              "cast(array() as array<struct<l:string,r:string>>)"))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(desc("cnt"), asc("l"), asc("r"))
-          .limit(1).collect()
-        require(best.nonEmpty,
-          s"vocabulary exhausted after $rank merges — corpus too small " +
-          s"for Merges=$Merges")
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
-        merges += Merge(rank, l, r, best(0).getLong(2))
-        seg = applyMerge(seg, l, r)
+      .collect()
+    val freqs = vocab.map(_.getLong(1))
+    val syms = vocab.map(r =>
+      graft.functions.BpeApply.toSymbols(r.getString(0)))
+    val lens = syms.map(_.length)
+    val bufs = syms.map(s => new Array[String](s.length))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      // pair census (symbols never contain spaces → "l r" keys split
+      // unambiguously on the first space)
+      val counts = new java.util.HashMap[String, Long]()
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w)
+        val f = freqs(w)
+        var i = 0
+        while (i + 1 < lens(w)) {
+          counts.merge(s(i) + " " + s(i + 1), f, (a, b) => a + b)
+          i += 1
+        }
+        w += 1
       }
-      merges.result()
-    } finally { vocab.unpersist(); () }
+      if (counts.isEmpty) {
+        // at the default (oracle-replayed) merge count this is the same
+        // hard error as before; experimental larger counts stop cleanly
+        require(nMerges > Merges,
+          s"vocabulary exhausted after $rank merges — corpus too small " +
+          s"for Merges=$nMerges")
+        exhausted = true
+      } else {
+        // argmax: count desc, then (l, r) componentwise UTF-8 asc — NOT
+        // a compare of the joined key (a symbol byte < 0x20 would sort
+        // before the delimiter space and flip prefix pairs)
+        def split(k: String): (String, String) = {
+          val sp = k.indexOf(' ')
+          (k.substring(0, sp), k.substring(sp + 1))
+        }
+        def pairLt(a: String, b: String): Boolean = {
+          val (al, ar) = split(a)
+          val (bl, br) = split(b)
+          if (al != bl) utf8Lt(al, bl) else utf8Lt(ar, br)
+        }
+        var bestK: String = null
+        var bestC = Long.MinValue
+        counts.forEach { (k, c) =>
+          if (c > bestC || (c == bestC && pairLt(k, bestK))) {
+            bestK = k; bestC = c
+          }
+        }
+        val (l, r) = split(bestK)
+        merges += Merge(rank, l, r, bestC)
+        w = 0
+        while (w < syms.length) {
+          if (lens(w) > 1) {
+            lens(w) = graft.functions.BpeApply.mergePass(
+              syms(w), lens(w), l, r, bufs(w))
+            System.arraycopy(bufs(w), 0, syms(w), 0, lens(w))
+          }
+          w += 1
+        }
+        rank += 1
+      }
+    }
+    merges.result()
   }
 
   // -- persistence (content-stamped, IvfIndex contract) ------------------
@@ -137,6 +206,7 @@ object BpeTokenizer {
     * content-stamped parquet, then a fresh learn+persist. A regenerated
     * dataset at the same path changes the stamp and forces a relearn. */
   def loadOrLearn(spark: SparkSession, sfDir: String): Seq[Merge] = {
+    graft.functions.BpeFns.register(spark)
     val dir = mergesDir(sfDir)
     built.computeIfAbsent(dir, { _ =>
       val f = new java.io.File(dir)
@@ -156,19 +226,36 @@ object BpeTokenizer {
 
   // -- application -------------------------------------------------------
 
-  /** Subword token count of one word column under a learned merge list:
-    * character segmentation → the merge replace chain in rank order →
-    * surviving symbol count. Pure codegen'd string expressions. */
-  def bpeWordTokens(w: Column, merges: Seq[Merge]): Column = {
+  /** Subword token count of one word column under a learned merge list
+    * — the native single-operator chain ([[graft.functions.BpeApply]]):
+    * one codegen'd expression regardless of merge count, where the
+    * replace chain built one nested `replace` node PER MERGE and broke
+    * expression-tree/codegen limits past ~100 ranks. Bit-equal to the
+    * chain (spec-pinned at [[Merges]]; oracle-pinned via tok02). */
+  def bpeWordTokens(w: Column, merges: Seq[Merge]): Column =
+    call_function(graft.functions.BpeFns.wordFnName, w,
+      typedLit(merges.map(_.l)), typedLit(merges.map(_.r)))
+
+  /** Per-document subword token count over `text` (native fused
+    * split+chain operator; bit-equal to the HOF aggregate form). */
+  def bpeTokenCount(text: Column, merges: Seq[Merge]): Column =
+    call_function(graft.functions.BpeFns.docFnName, text,
+      typedLit(merges.map(_.l)), typedLit(merges.map(_.r)))
+
+  /** The round-8 replace-chain application, kept as the bit-equality
+    * reference the spec pins the native operator against (the oracle
+    * SQL replays exactly this string form). */
+  def bpeWordTokensChain(w: Column, merges: Seq[Merge]): Column = {
     val segd = merges.foldLeft(seg0(w))((s, m) => applyMerge(s, m.l, m.r))
     size(filter(split(segd, " "), x => x =!= ""))
   }
 
-  /** Per-document subword token count over `text`. */
-  def bpeTokenCount(text: Column, merges: Seq[Merge]): Column =
+  /** HOF-aggregate document form of [[bpeWordTokensChain]] (reference
+    * path for the equality pin). */
+  def bpeTokenCountChain(text: Column, merges: Seq[Merge]): Column =
     aggregate(
       filter(split(text, "\\s+"), w => length(w) > 0),
-      lit(0L), (acc, w) => acc + bpeWordTokens(w, merges).cast("long"))
+      lit(0L), (acc, w) => acc + bpeWordTokensChain(w, merges).cast("long"))
 
   // -- oracle SQL generation --------------------------------------------
 

@@ -26,4 +26,5 @@ object SparkTestBase {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   lazy val sf0001 = "/root/testdata/sf0.001"
+  lazy val sf001 = "/root/testdata/sf0.01"
 }
