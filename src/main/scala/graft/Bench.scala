@@ -69,6 +69,13 @@ object Bench {
     // re-run both the LSH and exact pipelines purely to cross-check
     // them) — they stay in Verify's gate but are not operator latencies,
     // so the no-args bench skips them.
+    // NB the ss*x exactness anchors (ss03x/ss05x/ss06x/ss07x/ss12x/
+    // ss14x/ss16x) are INTENTIONALLY benched: each is a single-pipeline
+    // brute-force serve whose latency is the exact-scan baseline its
+    // approximate twin is measured against. The set below is different
+    // in kind — cross-check anchors that run TWO pipelines to anti-join
+    // them into an (expected-empty) diff frame, which is a correctness
+    // artifact, not an operator latency.
     val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
                       "dd03p_simhash_precision", "dd03r_simhash_recall",
                       "x14x_ndv_anchor", "id02x_bloom_anchor",

@@ -825,9 +825,16 @@ object DataQuality {
     // cosine is ≥ 0.9 shares a band bucket with that benchmark vector
     // unless all DeconLshBands bands miss — probability (1 − p^Rows)^
     // Bands ≈ 9.5e-5 at p = 1 − acos(0.9)/π (derived below from the
-    // config, dd02r discipline, so the bound can't drift). The strongly
-    // contaminated stratum must therefore be fully recalled. Empty
-    // anti-join, hash-checkable oracle.
+    // config, dd02r discipline, so the bound can't drift). The anchor
+    // asserts the bound, NOT strict emptiness: the expected number of
+    // escapes grows linearly with the strong stratum, so an exact-empty
+    // pin would be fixture-fragile — on a larger or regenerated corpus
+    // it could go red with no real regression. Output is one row of
+    // (n_strong, within_bound): DuckDB re-derives n_strong from exact
+    // cosine (cross-engine stratum check) and pins within_bound = 1,
+    // where the Spark side computes within_bound as
+    // n_missed ≤ ceil(2e-4 · n_strong) — roughly 2× the per-pair miss
+    // probability, scaled to the stratum.
     QueryDef(
       "dc03r_decon_recall",
       (s, d) => {
@@ -845,11 +852,32 @@ object DataQuality {
                  s, col("embedding"), col("qvec"))).as("mc"))
           .filter(col("mc") >= 0.9)
           .select("vec_id")
-        strongDrops
+        val missed = strongDrops
           .except(semanticDeconLshDrops(s, emb).select("vec_id"))
-          .orderBy("vec_id")
+        strongDrops.agg(count(lit(1)).as("n_strong"))
+          .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+          .select(col("n_strong"),
+                  (col("n_missed") <=
+                    ceil(col("n_strong") * lit(2e-4))).cast("int")
+                    .as("within_bound"))
       },
-      Some("SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false")
+      Some("""WITH b AS (
+             |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+             |c AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+             |m AS (
+             |  SELECT c.vec_id, max(
+             |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+             |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(c.embedding,
+             |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(b.qvec,
+             |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |    ) AS mc
+             |  FROM c, b GROUP BY c.vec_id)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong,
+             |  1 AS within_bound
+             |FROM m WHERE mc >= 0.9""".stripMargin)
     ),
 
     // ---- boilerplate n-gram detection ---------------------------------

@@ -61,11 +61,12 @@ object IvfIndex {
   def indexDir(sfDir: String, nLists: Int): String = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
-    // v4: assignments carry PQ residual codes + pq_codebooks dir (v2),
+    // v5: assignments carry PQ residual codes + pq_codebooks dir (v2),
     // codebooks from the joint single-pass fit (v3), per-iteration
-    // centroid rounding (v4) — a format marker in the name retires
-    // older dirs instead of half-reading them
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists-v4"
+    // centroid rounding (v4), build-time drift baseline + append log
+    // (v5) — a format marker in the name retires older dirs instead of
+    // half-reading them
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-${contentStamp(sfDir)}-$nLists-v5"
   }
 
   /** Squared L2 distance between an `array<float>` column and a literal
@@ -204,7 +205,87 @@ object IvfIndex {
         PqIndex.encodeExpr(spark, col("__res"), residCbs))
       .drop("__res")
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/assignments")
+    // build-time drift baseline: mean squared distance-to-centroid over
+    // the build corpus — the yardstick [[driftStatus]] compares appended
+    // data against (one partial-aggregated scalar, collected once)
+    assigned
+      .agg(avg(sqDistCol(col("embedding"),
+                         element_at(centLit, col("list") + 1)))
+             .as("base_mean_sqdist"),
+           count(lit(1)).as("n_build"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/drift_base")
     assigned.unpersist(false)
+  }
+
+  /** Assignment-only APPEND of a batch of new vectors to an existing
+    * index: centroids stay FROZEN (assignment is map-side argmin against
+    * the persisted centroid table), residual codes are computed against
+    * the persisted PQ codebooks, and the rows land as new files inside
+    * the existing list partitions. Cost ∝ batch — the base corpus is
+    * never read or rewritten (pinned in DedupSpec by appending after
+    * the source corpus is deleted). This is the daily-ingest path at
+    * 100 TB, where full rebuilds are the cost ceiling; the quality
+    * counterpart is [[driftStatus]], which flags when frozen centroids
+    * have drifted far enough from the data to warrant a rebuild.
+    *
+    * Appended provenance lands in `dir/append_log` — one row per batch
+    * carrying a deterministic content stamp of the appended ids plus
+    * row/bound stats — extending the build's content-stamp discipline to
+    * the appended segments.
+    *
+    * Requires `batch` columns (vec_id, embedding); returns the number of
+    * appended rows. */
+  def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Long = {
+    val centroids = readCentroids(spark, dir).map(_._2)
+    val residCbs = readResidualCodebooks(spark, dir)
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val resid = transform(
+      zip_with(col("embedding"), element_at(centLit, col("list") + 1),
+               (x, y) => x.cast("double") - y),
+      v => v.cast("float"))
+    val assigned = assign(batch, centroids)
+      .withColumn("res_codes",
+        PqIndex.encodeExpr(spark, resid, residCbs))
+      .persist()
+    try {
+      assigned.write.mode("append").partitionBy("list")
+        .parquet(s"$dir/assignments")
+      val prov = assigned.agg(
+        count(lit(1)).as("n_rows"),
+        min("vec_id").as("min_vec_id"),
+        max("vec_id").as("max_vec_id"),
+        // order-independent deterministic content stamp of the batch
+        bit_xor(xxhash64(col("vec_id"), to_json(col("embedding"))))
+          .as("batch_stamp"))
+      prov.coalesce(1).write.mode("append").parquet(s"$dir/append_log")
+      prov.head().getLong(0)
+    } finally { assigned.unpersist(false); () }
+  }
+
+  /** Staleness statistic for the frozen-centroid append path: the mean
+    * squared distance-to-centroid of the CURRENT assignments (base +
+    * appended) relative to the build-time baseline. In-distribution
+    * appends keep the ratio ≈ 1; drifted data sits farther from every
+    * frozen centroid and pushes it up. `needsRebuild` trips at
+    * [[DriftRebuildRatio]] — the rebuild trigger a daily-ingest
+    * deployment polls after each append. */
+  val DriftRebuildRatio = 1.25
+
+  final case class DriftStatus(baseMean: Double, currentMean: Double,
+                               ratio: Double, needsRebuild: Boolean)
+
+  def driftStatus(spark: SparkSession, dir: String): DriftStatus = {
+    val base = spark.read.parquet(s"$dir/drift_base")
+      .head().getDouble(0)
+    val centroids = readCentroids(spark, dir).map(_._2)
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val cur = readAssignments(spark, dir)
+      .agg(avg(sqDistCol(col("embedding"),
+                         element_at(centLit, col("list") + 1))))
+      .head().getDouble(0)
+    val ratio = cur / base
+    DriftStatus(base, cur, ratio, ratio > DriftRebuildRatio)
   }
 
   def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =

@@ -461,6 +461,48 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Batch FILTERED multi-query ANN — ss04's one-plan batch serve
+    * composed with ss14's pushed metadata predicate: the label filter
+    * sits on the index scan itself (PushedFilters), the probe set joins
+    * on `list` against the already-label-pruned rows, and the per-query
+    * window ranks only survivors. This is the shape a training pipeline
+    * actually serves — millions of queries, each scoped to a metadata
+    * slice, one plan. Queries come from the UNFILTERED corpus (a
+    * query's own label is irrelevant to its candidate scope). With
+    * nProbe = nLists the result is exact regardless of learned
+    * centroids — the ss16x anchor. */
+  def batchFilteredAnnTopK(spark: SparkSession, sfDir: String,
+                           queryMaxId: Long, k: Int, nLists: Int,
+                           nProbe: Int, labels: Seq[Int]): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    import spark.implicits._
+    val cdf = IvfIndex.readCentroids(spark, dir)
+      .map { case (l, c) => (l, c.toSeq) }
+      .toDF("list", "centroid")
+    val queries = assignments.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("list").asc)
+    val probes = queries.crossJoin(broadcast(cdf))
+      .withColumn("dist", IvfIndex.sqDistCol(col("qvec"), col("centroid")))
+      .withColumn("prk", row_number().over(probeRank))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list"))
+    val topk = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    assignments
+      .filter(col("label").isin(labels.map(Int.box): _*))
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Per-dataset PQ codebooks, fit once per JVM and keyed on the same
     * content stamp as the IVF index (a regenerated dataset re-fits; in
     * production the codebooks persist next to the IVF index — they are
@@ -1133,6 +1175,41 @@ object Similarity {
              |  FROM scored)
              |SELECT query_id, vec_id, score, rk FROM ranked
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
+    ),
+    QueryDef(
+      "ss16_batch_filtered_ivf",
+      // metadata-filtered BATCH ANN over the persisted IVF index: ss04's
+      // one-plan multi-query serve composed with ss14's pushed label
+      // predicate — the filtered-serving shape at batch scale.
+      // Approximate for nProbe < nLists (rows-only); ss16x is the
+      // exactness anchor and DedupSpec pins a recall floor against it.
+      (s, d) => batchFilteredAnnTopK(s, d, queryMaxId = 32L, k = 10,
+                                     nLists = IvfIndex.DefaultLists,
+                                     nProbe = 4, labels = Seq(2, 5)),
+      None
+    ),
+    QueryDef(
+      "ss16x_batch_filtered_ivf_exact",
+      // nProbe = nLists: every list probed ⇒ exact filtered per-query
+      // top-k regardless of learned centroids — the whole batch
+      // read→label-prune→probe→window machinery against a brute-force
+      // SQL oracle (ss04's oracle scoped to the label slice).
+      (s, d) => batchFilteredAnnTopK(s, d, queryMaxId = 32L, k = 10,
+                                     nLists = IvfIndex.DefaultLists,
+                                     nProbe = IvfIndex.DefaultLists,
+                                     labels = Seq(2, 5)),
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+              |          FROM embeddings WHERE vec_id < 32),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id, round($cosSql, 6) AS cos_sim
+              |  FROM embeddings e, q
+              |  WHERE e.vec_id <> q.query_id AND e.label IN (2, 5)),
+              |ranked AS (
+              |  SELECT query_id, vec_id, cos_sim, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+              |  FROM scored)
+              |SELECT query_id, vec_id, cos_sim, rk FROM ranked
+              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
     )
   )
 }

@@ -204,6 +204,90 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"filtered IVF recall@10 regressed: $recall")
   }
 
+  test("IVF append: frozen-centroid append matches a same-centroid rebuild; drift trigger fires on shifted data") {
+    // the daily-ingest path: build over HALF the corpus, append the
+    // other half with centroids frozen. Pins: (a) append needs neither
+    // the source corpus nor the base assignments (source deleted first
+    // — cost ∝ batch); (b) appended assignments == what assignment
+    // over the full corpus with the SAME frozen centroids produces;
+    // (c) a full probe over the appended index is exact vs brute force
+    // on the full corpus; (d) the drift statistic stays quiet for the
+    // in-distribution append and fires for an out-of-distribution one.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    val dir = IvfIndex.ensure(spark, srcDir)
+    val centroids = IvfIndex.readCentroids(spark, dir)
+    // (a) delete the source corpus — the append path must not read it
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$srcDir/embeddings.parquet"))
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val n = IvfIndex.appendBatch(spark, dir, batch)
+    assert(n == batch.count(), s"appended $n rows")
+    // (b) assignment equivalence under frozen centroids
+    val got = IvfIndex.readAssignments(spark, dir)
+      .select("vec_id", "list").as[(Long, Int)].collect().toSet
+    val want = IvfIndex.assign(emb, centroids.map(_._2))
+      .select("vec_id", "list").as[(Long, Int)].collect().toSet
+    assert(got == want, "appended assignments diverge from a rebuild's")
+    // (c) full-probe ANN over the appended index is exact
+    val probed = Similarity.ivfProbe(IvfIndex.readAssignments(spark, dir),
+        centroids, queryId = 0L, k = 10, nProbe = centroids.size)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed == brute, s"append broke the probe: $probed vs $brute")
+    // (d) drift: in-distribution append ≈ build-time baseline ...
+    val quiet = IvfIndex.driftStatus(spark, dir)
+    assert(!quiet.needsRebuild,
+           s"in-distribution append flagged a rebuild: $quiet")
+    // ... an out-of-distribution batch (every component shifted) trips
+    // the rebuild trigger
+    val shifted = batch.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(10.0f)).as("embedding"),
+      col("label"))
+    IvfIndex.appendBatch(spark, dir, shifted)
+    val noisy = IvfIndex.driftStatus(spark, dir)
+    assert(noisy.needsRebuild && noisy.ratio > quiet.ratio,
+           s"drifted append not flagged: $noisy")
+    // provenance: one append-log row per batch, stamps distinct
+    val log = spark.read.parquet(s"$dir/append_log").collect()
+    assert(log.length == 2 &&
+           log.map(_.getAs[Long]("batch_stamp")).distinct.length == 2)
+  }
+
+  test("batch filtered IVF: per-query recall floor against the filtered exact batch") {
+    // ss16's quality contract: with a quarter of the lists probed, MEAN
+    // recall@10 across the 32-query batch against the ss16x anchor
+    // (nProbe = nLists, exact by construction) must not silently
+    // regress. Deterministic: same persisted index, same probe order.
+    import graft.analytics.IvfIndex
+    def sets(nProbe: Int): Map[Long, Set[Long]] =
+      Similarity.batchFilteredAnnTopK(spark, sf0001, queryMaxId = 32L,
+          k = 10, nLists = IvfIndex.DefaultLists, nProbe = nProbe,
+          labels = Seq(2, 5))
+        .select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(IvfIndex.DefaultLists)
+    val probed = sets(4)
+    assert(exact.keySet == probed.keySet,
+           s"query coverage drifted: ${exact.keySet} vs ${probed.keySet}")
+    val recalls = exact.map { case (q, ex) =>
+      (exact(q) & probed.getOrElse(q, Set.empty)).size.toDouble /
+        math.max(ex.size, 1)
+    }
+    // deterministic build ⇒ deterministic recall: measures 0.44 on the
+    // fixture (the label slice thins every probed list, so the batch
+    // mean sits below the single-query filtered recall); the floor
+    // exists to catch silent regression, not to claim quality
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"batch filtered IVF mean recall@10 regressed: $mean")
+  }
+
   test("int8-quantized top-k tracks the exact float cosine ranking") {
     // ss09's approximation lives in the REPRESENTATION (64-dim unit
     // vectors rounded to int8), so its top-10 must nearly coincide with

@@ -140,6 +140,24 @@ class PlanAuditSpec extends SparkSpec {
            f.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(label[^\\]]*\\].*"), f)
   }
 
+  test("ss16: batch filtered probe pushes the label predicate into the index scan") {
+    graft.analytics.IvfIndex.ensure(spark, sf0001)
+    val df = graft.analytics.Similarity.batchFilteredAnnTopK(
+      spark, sf0001, queryMaxId = 32L, k = 10,
+      nLists = graft.analytics.IvfIndex.DefaultLists, nProbe = 4,
+      labels = Seq(2, 5))
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the label predicate must reach the corpus-side index scan (the
+    // list pruning arrives at runtime through the broadcast probe join)
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*") ||
+           f.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(label[^\\]]*\\].*"), f)
+    // the corpus meets the probe set by broadcast — a shuffled corpus
+    // join here would defeat the one-plan batch serve
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin(?: \\S+)? \\[list#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("st01: windowed aggregation keeps partial aggregation map-side") {
     val p = plan("st01_tumbling_window")
     assert(p.contains("HashAggregate") &&
