@@ -504,8 +504,238 @@ object CurationPipeline {
               |    AS keep_joint
               |FROM k LEFT JOIN v USING (doc_id)
               |ORDER BY k.doc_id""".stripMargin)
+    ),
+
+    // ---- end-to-end curation with conservation ledger -----------------
+    // The round-8 registry proves each curation operator alone; this
+    // entry proves they COMPOSE: quality gate (dq02) → exact dedup
+    // (dd01, keep-first among survivors) → semantic decontamination
+    // (cp05's vector conventions) → token-budget mixture (dm06, over
+    // survivors) → output layout (cp04, over kept docs) — as ONE lazy
+    // plan emitting the per-document LEDGER: every input doc appears
+    // exactly once with the FIRST stage that dropped it, or 'kept' plus
+    // its planned output file. Conservation (docs in = kept + dropped-
+    // with-reason) is structural — the oracle replays the whole
+    // composition and hash-checks the ledger row for row. The REAL
+    // partitioned write of the kept docs is [[executePipeline]]
+    // (cp04's executeLayout discipline); CurationPropertySpec asserts
+    // the landed files match this ledger cell for cell. Scale shape:
+    // every stage keeps its unit-operator plan — the only corpus-wide
+    // exchanges are the dedup key shuffle and the (lang, shard) budget
+    // windows the semantics require; decon and layout join only
+    // scalar (id, flag/file) frames back.
+    QueryDef(
+      "cp06_end_to_end",
+      (s, d) => cp06Ledger(s, d),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source, text, $wordsSql AS words,
+              |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              |      AS n_word_chars
+              |  FROM documents),
+              |stq AS (
+              |  SELECT doc_id, source, text, n_word_chars,
+              |    len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+              |  FROM base),
+              |k AS (
+              |  SELECT doc_id,
+              |    CAST(CAST(n_words BETWEEN 20 AND 10000 AS INT)
+              |       * CAST(n_word_chars * 1.0 / greatest(n_words, 1)
+              |              BETWEEN 3.0 AND 10.0 AS INT)
+              |       * CAST(len(regexp_extract_all(text,
+              |              '\\b(the|a|and|of|to|in)\\b')) > 0 AS INT)
+              |       * CAST(NOT contains(text, '{') AS INT)
+              |       * CAST(NOT contains(lower(text), 'lorem ipsum') AS INT)
+              |       * CAST((n_words - n_distinct) * 1.0 /
+              |              greatest(n_words, 1) <= 0.5 AS INT)
+              |       AS INT) AS keep_q
+              |  FROM stq),
+              |dup AS (
+              |  SELECT d.doc_id,
+              |    CASE WHEN k.keep_q = 1 AND d.doc_id <>
+              |      MIN(CASE WHEN k.keep_q = 1 THEN d.doc_id END)
+              |        OVER (PARTITION BY md5(d.text))
+              |    THEN 1 ELSE 0 END AS is_dup
+              |  FROM documents d JOIN k USING (doc_id)),
+              |b AS (SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |m AS (
+              |  SELECT c.vec_id AS doc_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(b.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM (SELECT vec_id, embedding FROM embeddings
+              |        WHERE label <> 0) c, b
+              |  GROUP BY c.vec_id),
+              |v AS (
+              |  SELECT doc_id,
+              |    CAST(mc < ${DataQuality.SemanticDeconTau} AS INT) AS keep_vec
+              |  FROM m
+              |  UNION ALL
+              |  SELECT vec_id AS doc_id, 0 AS keep_vec
+              |  FROM embeddings WHERE label = 0),
+              |surv AS (
+              |  SELECT d.doc_id, d.lang,
+              |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT)
+              |      AS n_tokens,
+              |    md5(CAST(d.doc_id AS VARCHAR) || ':tb') AS h
+              |  FROM documents d
+              |  JOIN k USING (doc_id) JOIN dup USING (doc_id)
+              |  LEFT JOIN v USING (doc_id)
+              |  WHERE k.keep_q = 1 AND dup.is_dup = 0
+              |    AND COALESCE(v.keep_vec, 1) = 1),
+              |sharded AS (
+              |  SELECT *, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) * 16
+              |     + strpos('0123456789abcdef', substring(h, 2, 1)) - 17)
+              |     AS INT) % 16 AS shard
+              |  FROM surv),
+              |totals AS (
+              |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_lang
+              |  FROM surv GROUP BY lang),
+              |budget AS (
+              |  SELECT CAST(min(tok_lang) // 16 AS BIGINT) AS shard_budget
+              |  FROM totals),
+              |cum AS (
+              |  SELECT doc_id,
+              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+              |      ORDER BY h, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_before
+              |  FROM sharded),
+              |keptb AS (
+              |  SELECT doc_id FROM cum, budget
+              |  WHERE cum_before < shard_budget),
+              |kept AS (
+              |  SELECT d.doc_id, d.source, d.n_chars
+              |  FROM documents d JOIN keptb USING (doc_id)),
+              |stats AS (
+              |  SELECT source,
+              |    greatest(CAST(ceil(SUM(n_chars) / $LayoutTargetChars.0)
+              |                  AS BIGINT), 1) AS n_files
+              |  FROM kept GROUP BY source),
+              |fileno AS (
+              |  SELECT d.doc_id,
+              |    CAST(floor(${graft.analytics.DataMix.hashFractionSql("d.doc_id")}
+              |               * s.n_files) AS INT) AS file_no
+              |  FROM kept d JOIN stats s USING (source))
+              |SELECT d.doc_id, d.source,
+              |  CASE WHEN k.keep_q = 0 THEN 'quality'
+              |       WHEN dup.is_dup = 1 THEN 'duplicate'
+              |       WHEN COALESCE(v.keep_vec, 1) = 0 THEN 'decontaminated'
+              |       WHEN kb.doc_id IS NULL THEN 'over_budget'
+              |       ELSE 'kept' END AS verdict,
+              |  COALESCE(f.file_no, -1) AS file_no
+              |FROM documents d
+              |JOIN k USING (doc_id) JOIN dup USING (doc_id)
+              |LEFT JOIN v USING (doc_id)
+              |LEFT JOIN keptb kb ON d.doc_id = kb.doc_id
+              |LEFT JOIN fileno f ON d.doc_id = f.doc_id
+              |ORDER BY d.doc_id""".stripMargin)
     )
   )
+
+  /** cp06's per-document conservation ledger (see the entry comment):
+    * one row per input document, verdict ∈ {quality, duplicate,
+    * decontaminated, over_budget, kept}, file_no = the cp04-planned
+    * output file for kept docs (−1 otherwise). */
+  def cp06Ledger(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = table(s, d, "documents")
+    // stage 1: C4/Gopher rules
+    val flags = DataQuality.qualityFlags(docs)
+      .select(col("doc_id"), col("keep").as("keep_q"))
+    val staged = docs
+      .select("doc_id", "source", "lang", "text", "n_chars")
+      .join(flags, Seq("doc_id"))
+      // stage 2: exact dedup among quality survivors — dd01's hash key,
+      // keep-first by doc_id (droppees of stage 1 can't claim a slot)
+      .withColumn("first_id",
+        min(when(col("keep_q") === 1, col("doc_id")))
+          .over(Window.partitionBy(md5(col("text").cast("binary")))))
+      .withColumn("is_dup",
+        (col("keep_q") === 1 && col("doc_id") =!= col("first_id"))
+          .cast("int"))
+    // stage 3: semantic decon, cp05's vector conventions (label-0 docs
+    // drop; docs without an embedding row keep keep_vec = 1)
+    val emb = table(s, d, "embeddings")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("embedding").as("qvec"))
+    val vecKeep = emb.filter(col("label") =!= 0)
+      .crossJoin(broadcast(bench))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.VectorOps.cosineNative(
+             s, col("embedding"), col("qvec"))).as("mc"))
+      .select(col("vec_id").as("doc_id"),
+              (col("mc") < DataQuality.SemanticDeconTau).cast("int")
+                .as("keep_vec"))
+      .unionByName(emb.filter(col("label") === 0)
+        .select(col("vec_id").as("doc_id"), lit(0).as("keep_vec")))
+    val s3 = staged.join(vecKeep, Seq("doc_id"), "left")
+      .withColumn("keep_vec", coalesce(col("keep_vec"), lit(1)))
+    // stage 4: dm06 token-budget mixture over the survivors
+    val toks = s3
+      .filter(col("keep_q") === 1 && col("is_dup") === 0 &&
+              col("keep_vec") === 1)
+      .select(col("doc_id"), col("lang"),
+              TextAnalysis.tokenCount(col("text")).cast("long")
+                .as("n_tokens"))
+    val totals = toks.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
+    val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
+    val h = md5(concat(col("doc_id").cast("string"), lit(":tb"))
+      .cast("binary"))
+    val wB = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptB = toks.withColumn("h", h)
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int") % 16)
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(wB), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_before") < col("shard_budget"))
+      .select(col("doc_id"), lit(1).as("keep_b"))
+    val s4 = s3.join(keptB, Seq("doc_id"), "left")
+      .withColumn("keep_b", coalesce(col("keep_b"), lit(0)))
+    // layout (cp04) over the kept docs only
+    val kept = s4
+      .filter(col("keep_q") === 1 && col("is_dup") === 0 &&
+              col("keep_vec") === 1 && col("keep_b") === 1)
+      .select("doc_id", "source", "n_chars")
+    val stats = kept.groupBy("source").agg(sum("n_chars").as("sum_chars"))
+      .withColumn("n_files",
+        greatest(ceil(col("sum_chars") / lit(LayoutTargetChars.toDouble))
+          .cast("long"), lit(1L)))
+    val fileNo = kept
+      .join(broadcast(stats.select("source", "n_files")), Seq("source"))
+      .select(col("doc_id"),
+              floor(DataMix.hashFraction(col("doc_id")) * col("n_files"))
+                .cast("int").as("file_no"))
+    s4.join(fileNo, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+              when(col("keep_q") === 0, lit("quality"))
+                .when(col("is_dup") === 1, lit("duplicate"))
+                .when(col("keep_vec") === 0, lit("decontaminated"))
+                .when(col("keep_b") === 0, lit("over_budget"))
+                .otherwise(lit("kept")).as("verdict"),
+              coalesce(col("file_no"), lit(-1)).as("file_no"))
+      .orderBy("doc_id")
+  }
+
+  /** Execute cp06 for real: the kept docs land as the cp04-planned
+    * partitioned layout — `repartition(source, file_no)` puts each
+    * planned file in one task, `partitionBy` lands it as one parquet
+    * data file per cell. CurationPropertySpec asserts the landed
+    * files match [[cp06Ledger]] cell for cell. */
+  def executePipeline(s: org.apache.spark.sql.SparkSession, sfDir: String,
+                      outDir: String): Unit =
+    table(s, sfDir, "documents")
+      .join(cp06Ledger(s, sfDir).filter(col("verdict") === "kept")
+              .select("doc_id", "file_no"),
+            Seq("doc_id"))
+      .repartition(col("source"), col("file_no"))
+      .write.mode("overwrite").partitionBy("source", "file_no")
+      .parquet(outDir)
 
   /** Target characters per planned output file (the test-scale stand-in
     * for a 256 MB parquet target; a parameter in production). */

@@ -73,6 +73,19 @@ object DataQuality {
     * max-aggregate is partial map-side. */
   def semanticDeconLshDrops(s: org.apache.spark.sql.SparkSession,
                             emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    semanticDeconLshDropsOf(s,
+      emb.filter(col("label") =!= 0).select("vec_id", "embedding"),
+      emb.filter(col("label") === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding")))
+
+  /** [[semanticDeconLshDrops]] with the two sides passed explicitly —
+    * the form the STREAMING gate needs (arriving corpus batch vs a
+    * static benchmark frame, st18 / EventStreams.deconGate). `corpus`
+    * carries (vec_id, embedding), `bench` (bench_id, embedding). */
+  def semanticDeconLshDropsOf(s: org.apache.spark.sql.SparkSession,
+                              corpus: org.apache.spark.sql.DataFrame,
+                              benchIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val nBits = DeconLshBands * DeconLshRows
     require(nBits <= 63, s"signature does not fit one long: $nBits bits")
@@ -87,12 +100,10 @@ object DataQuality {
       }: _*)).as("bk"))
       .select(col("*"), col("bk.band").as("band"), col("bk.key").as("key"))
       .drop("bk", "__sig")
-    val bench = banded(emb.filter(col("label") === 0)
-        .select(col("vec_id").as("bench_id"), col("embedding")))
+    val bench = banded(benchIn.select(col("bench_id"), col("embedding")))
       .withColumnRenamed("embedding", "qvec")
-    val corpus = banded(emb.filter(col("label") =!= 0)
-        .select("vec_id", "embedding"))
-    corpus.join(bench, Seq("band", "key"))
+    val corpusB = banded(corpus.select("vec_id", "embedding"))
+    corpusB.join(bench, Seq("band", "key"))
       .groupBy("vec_id")
       .agg(max(graft.functions.VectorOps.cosineNative(
              s, col("embedding"), col("qvec"))).as("mc"),

@@ -498,6 +498,46 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING semantic decontamination (st18's continuous form):
+    * arriving vectors are gated per micro-batch against a STATIC
+    * benchmark frame with dc03's banded-LSH prefilter + exact-cosine
+    * refine ([[graft.analytics.DataQuality.semanticDeconLshDropsOf]]).
+    * Completely STATELESS — no running store, no delta reads: the
+    * benchmark side is eval-suite-sized and persisted once here, so
+    * every micro-batch pays one AQE-broadcast band join + the refine
+    * over its own rows (the st10/st11 stream-static discipline; at
+    * 100 TB the bench band table broadcasts once per executor and the
+    * corpus only ever flows map-side). Decisions land batch-id-
+    * partitioned with dynamic overwrite — replay-idempotent. `bench`
+    * carries (bench_id, embedding); the stream (vec_id, embedding). */
+  def deconGate(stream: DataFrame, bench: DataFrame, outDir: String,
+                checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val benchP = bench.persist()
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty micro-batch = no-op (zero-row dynamic writes break the
+        // read side's schema inference; nothing to gate anyway)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val drops = graft.analytics.DataQuality.semanticDeconLshDropsOf(
+            spark, batch.select("vec_id", "embedding"), benchP)
+          batch.select("vec_id").join(drops, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+                    coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+                    col("max_cand_sim").isNull.cast("int").as("keep"),
+                    lit(batchId).as("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

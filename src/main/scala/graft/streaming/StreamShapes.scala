@@ -830,6 +830,87 @@ object StreamShapes {
               |           AS BIGINT)
               |    ORDER BY par, doc_id) AS INT) AS pos_in_seq
               |FROM cum ORDER BY batch, doc_id""".stripMargin)
+    ),
+
+    // STREAMING decontamination: dc03's continuous form — arriving
+    // corpus vectors are gated per micro-batch against the STATIC
+    // benchmark band table (eval-suite-sized, computed once) with the
+    // banded-LSH prefilter + exact-cosine refine at the same tau.
+    // Completely stateless (st10/st11 stream-static discipline): the
+    // batch slicing cannot change any decision, which the batch form
+    // here exploits — two parity micro-batches whose union must equal
+    // dc03's whole-corpus gate vec for vec (pinned in StreamingSpec).
+    // Engine-specific band hashing → rows-only; st18x is the exact
+    // anchor. The streaming twin is EventStreams.deconGate, pinned
+    // row-equal with a kill+restart test.
+    QueryDef(
+      "st18_streaming_decon",
+      (s, d) => {
+        import graft.analytics.DataQuality
+        val emb = table(s, d, "embeddings")
+        val bench = emb.filter(col("label") === 0)
+          .select(col("vec_id").as("bench_id"), col("embedding"))
+        val corpus = emb.filter(col("label") =!= 0)
+          .select("vec_id", "embedding")
+        def out(batchNo: Int, slice: org.apache.spark.sql.DataFrame) = {
+          val drops = DataQuality.semanticDeconLshDropsOf(s, slice, bench)
+          slice.select("vec_id").join(drops, Seq("vec_id"), "left")
+            .select(lit(batchNo).as("batch"), col("vec_id"),
+                    coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+                    col("max_cand_sim").isNull.cast("int").as("keep"))
+        }
+        out(1, corpus.filter(col("vec_id") % 2 === 0))
+          .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1)))
+          .orderBy("batch", "vec_id")
+      },
+      None
+    ),
+
+    // st18's exactness anchor: the same two-batch stateless gate with
+    // the EXACT dc02 scoring (benchmark frame broadcast, max cosine per
+    // arriving vector, same tau) — no bands, so DuckDB replays the
+    // whole thing and the batch-invariance claim is hash-checked.
+    QueryDef(
+      "st18x_streaming_decon_exact",
+      (s, d) => {
+        import graft.analytics.DataQuality
+        val emb = table(s, d, "embeddings")
+        val bench = emb.filter(col("label") === 0)
+          .select(col("embedding").as("qvec"))
+        def out(batchNo: Int, slice: org.apache.spark.sql.DataFrame) =
+          slice.crossJoin(broadcast(bench))
+            .groupBy("vec_id")
+            .agg(max(graft.functions.VectorOps.cosineNative(
+                   s, col("embedding"), col("qvec"))).as("mc"))
+            .select(lit(batchNo).as("batch"), col("vec_id"),
+                    round(col("mc"), 6).as("max_benchmark_sim"),
+                    (col("mc") < DataQuality.SemanticDeconTau).cast("int")
+                      .as("keep"))
+        val corpus = emb.filter(col("label") =!= 0)
+          .select("vec_id", "embedding")
+        out(1, corpus.filter(col("vec_id") % 2 === 0))
+          .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1)))
+          .orderBy("batch", "vec_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |c AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+              |m AS (
+              |  SELECT c.vec_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(b.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM c, b GROUP BY c.vec_id)
+              |SELECT CAST(vec_id % 2 + 1 AS INT) AS batch, vec_id,
+              |  round(mc, 6) AS max_benchmark_sim,
+              |  CAST(mc < ${graft.analytics.DataQuality.SemanticDeconTau}
+              |       AS INT) AS keep
+              |FROM m ORDER BY batch, vec_id""".stripMargin)
     )
   )
 }

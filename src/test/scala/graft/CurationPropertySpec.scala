@@ -393,6 +393,62 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("cp06: ledger conserves every doc; executed pipeline lands the kept cells exactly") {
+    import org.apache.spark.sql.functions._
+    val ledger = SparkEntry.queries("cp06_end_to_end")(spark, sf0001).collect()
+    // conservation: docs in = kept + dropped-with-reason, exactly once
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(ledger.length.toLong == nDocs, "ledger lost or duplicated docs")
+    assert(ledger.map(_.getAs[Long]("doc_id")).distinct.length.toLong == nDocs)
+    val byVerdict = ledger.groupBy(_.getAs[String]("verdict"))
+      .view.mapValues(_.length).toMap
+    assert(byVerdict.keySet.subsetOf(Set(
+      "quality", "duplicate", "decontaminated", "over_budget", "kept")),
+      s"unknown verdicts: $byVerdict")
+    assert(byVerdict.getOrElse("kept", 0) > 0 && byVerdict.size >= 2,
+           s"degenerate pipeline: $byVerdict")
+    // kept docs carry a planned file; dropped docs carry -1
+    ledger.foreach { r =>
+      assert((r.getAs[Int]("file_no") >= 0) ==
+             (r.getAs[String]("verdict") == "kept"), s"$r")
+    }
+    // composition consistency: the quality stage is exactly dq02
+    val dq02Dropped = SparkEntry.queries("dq02_quality_filters")(spark, sf0001)
+      .filter(col("keep") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val qualityDropped = ledger
+      .filter(_.getAs[String]("verdict") == "quality")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(qualityDropped == dq02Dropped,
+           "cp06's quality stage diverges from dq02")
+    // executed write: one parquet data file per kept (source, file_no)
+    // cell, counts matching the ledger cell for cell
+    val outDir = java.nio.file.Files.createTempDirectory("cp06-out").toString
+    graft.analytics.CurationPipeline.executePipeline(spark, sf0001, outDir)
+    val planned = ledger.filter(_.getAs[String]("verdict") == "kept")
+      .groupBy(r => (r.getAs[String]("source"), r.getAs[Int]("file_no")))
+      .view.mapValues(_.length.toLong).toMap
+    val root = new java.io.File(outDir)
+    val cells = for {
+      s <- root.listFiles().filter(_.isDirectory).toSeq
+      f <- s.listFiles().toSeq if f.isDirectory
+    } yield {
+      val parts = f.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+             s"${f.getPath}: ${parts.length} data files in one planned cell")
+      (s.getName.stripPrefix("source="),
+       f.getName.stripPrefix("file_no=").toInt)
+    }
+    assert(cells.toSet == planned.keySet,
+           "landed cells differ from the ledger's kept cells")
+    val landed = spark.read.parquet(outDir)
+      .groupBy("source", "file_no").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("file_no")) ->
+             r.getAs[Long]("n")).toMap
+    assert(landed == planned, "landed doc counts differ from the ledger")
+  }
+
   test("cp04: executed layout lands exactly the planned files, cell for cell") {
     import org.apache.spark.sql.functions._
     val outDir = java.nio.file.Files.createTempDirectory("cp04-layout").toString

@@ -945,6 +945,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decon gate: stateless stream-static; matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st18_").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val corpus = emb.filter(col("label") =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = EventStreams.deconGate(stream, bench, s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id").cast("int") + 1).as("batch"),
+                col("vec_id"), col("n_cand"), col("keep"))
+      val batchForm = SparkEntry.queries("st18_streaming_decon")(spark, sf0001)
+      assert(streamed.count() == batchForm.count())
+      assert(streamed.exceptAll(batchForm).count() == 0 &&
+             batchForm.exceptAll(streamed).count() == 0,
+             "streamed decon decisions diverge from the batch form")
+      // stateless: nothing in a state store
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("streaming decon gate: kill + restart from checkpoint — one decision per vector") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val landing = Files.createTempDirectory("st18r-landing").toString
+    val tmp = Files.createTempDirectory("st18r-state").toString
+    // benchmark: one direction; contaminated vectors are near-parallel
+    // to it (cos ≈ 1 ≥ tau), clean ones orthogonal (cos 0 — the refine
+    // drops any accidental band collision)
+    val bench = Seq((100L, Seq(1f, 0f, 0f, 0f)))
+      .toDF("bench_id", "embedding")
+    def land(rows: Seq[(Long, Seq[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(landing)
+    land(Seq((1L, Seq(0.99f, 0.05f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f))))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.deconGate(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      bench, s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down: another contaminated and another clean
+    land(Seq((3L, Seq(0.98f, -0.1f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 0f))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("vec_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(out.length == 4 && out.toMap.size == 4,
+           s"duplicate or missing decisions: ${out.toSeq}")
+    assert(out.toMap == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1),
+           s"${out.toSeq}")
+  }
+
   test("st17: 1e5-distinct-shard corpus flows the shuffled offsets path end-to-end") {
     // high-cardinality probe of the retired per-shard broadcast: one
     // doc per shard at doc_id = i*1000 + (i%2) puts 1e5 distinct
