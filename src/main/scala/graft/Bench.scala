@@ -80,7 +80,9 @@ object Bench {
                       "dd03p_simhash_precision", "dd03r_simhash_recall",
                       "x14x_ndv_anchor", "id02x_bloom_anchor",
                       "id03x_sharded_anchor", "st14x_bloom_stream_anchor",
-                      "dc03p_decon_precision", "dc03r_decon_recall")
+                      "dc03p_decon_precision", "dc03r_decon_recall",
+                      "dd09p_neardup_gate_precision",
+                      "dd09r_neardup_gate_recall")
     val names = args.toSet
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))

@@ -649,6 +649,150 @@ object Dedup {
              |        greatest(len(d.w), 1), 6) AS dup_span_frac
              |FROM words d LEFT JOIN stats s USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)
+    ),
+
+    // ---- near-dup INGEST gate over the persisted MinHash band index --
+    // id02's "don't re-ingest what the corpus already has" in FUZZY
+    // form: arrivals (doc_id % 10 = 0 — this epoch's crawl) are gated
+    // against a persisted band index of the standing corpus; reject iff
+    // a corpus doc with 2-gram Jaccard ≥ 0.3 exists among LSH band
+    // candidates. LSH banding is engine-specific (DuckDB cannot replay
+    // MinHash signatures), so the entry is rows-only; dd09x replays the
+    // EXHAUSTIVE gate end to end in SQL, dd09p pins precision 1
+    // (banded rejects ⊆ exhaustive rejects, same-witness jaccard), and
+    // dd09r pins the LSH miss bound on the ≥ 0.9 stratum.
+    QueryDef(
+      "dd09_neardup_ingest_gate",
+      (s, d) => {
+        val dir = MinHashBandIndex.ensure(s, d)
+        MinHashBandIndex.gate(
+          s, dir, MinHashBandIndex.arrivalsOf(table(s, d, "documents")))
+      },
+      None
+    ),
+
+    // exhaustive reference gate: shared-gram equi-join candidates (no
+    // banding) + the same exact-Jaccard refine — fully SQL-replayable.
+    QueryDef(
+      "dd09x_neardup_gate_exact",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        MinHashBandIndex.exhaustiveGate(
+          s, MinHashBandIndex.corpusOf(docs), MinHashBandIndex.arrivalsOf(docs))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+             |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+             |         ELSE [array_to_string(w, ' ')] END AS ngrams
+             |  FROM w),
+             |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t WHERE doc_id % 10 = 0),
+             |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
+             |       FROM t WHERE doc_id % 10 <> 0),
+             |inter AS (
+             |  SELECT a.doc_id, c.corpus_id, count(*) AS i
+             |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT i.doc_id, i.corpus_id,
+             |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+             |  FROM inter i
+             |  JOIN t sa ON sa.doc_id = i.doc_id
+             |  JOIN t sb ON sb.doc_id = i.corpus_id),
+             |hits AS (SELECT * FROM sc WHERE j >= 0.3),
+             |best AS (SELECT doc_id, max(j) AS mj FROM hits GROUP BY 1),
+             |bid AS (
+             |  SELECT h.doc_id, b.mj AS match_jaccard,
+             |         min(h.corpus_id) AS match_id
+             |  FROM hits h JOIN best b ON h.doc_id = b.doc_id AND h.j = b.mj
+             |  GROUP BY 1, 2)
+             |SELECT a.doc_id,
+             |  CAST(CASE WHEN bid.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+             |  bid.match_id, bid.match_jaccard
+             |FROM (SELECT DISTINCT doc_id FROM ag) a
+             |LEFT JOIN bid USING (doc_id)
+             |ORDER BY a.doc_id""".stripMargin)
+    ),
+
+    // precision anchor: every arrival the BANDED gate rejects must be
+    // rejected by the exhaustive gate too (refine is exact, candidates
+    // are a subset ⇒ anti-join empty by construction). Hash-checkable
+    // empty-result oracle.
+    QueryDef(
+      "dd09p_neardup_gate_precision",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val dir = MinHashBandIndex.ensure(s, d)
+        val banded = MinHashBandIndex
+          .gate(s, dir, MinHashBandIndex.arrivalsOf(docs))
+          .filter(col("keep") === 0).select("doc_id")
+        val exact = MinHashBandIndex
+          .exhaustiveGate(s, MinHashBandIndex.corpusOf(docs),
+                          MinHashBandIndex.arrivalsOf(docs))
+          .filter(col("keep") === 0).select("doc_id")
+        banded.except(exact).orderBy("doc_id")
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false")
+    ),
+
+    // recall anchor (dc03r discipline): arrivals whose exhaustive best
+    // match is ≥ 0.9 collide in one 4-row band with prob 0.9⁴, so all
+    // 12 bands miss with prob (1 − 0.9⁴)¹² ≈ 2.7e-6 per doc; the
+    // banded gate may miss at most ceil(2e-4 × n_strong) of them (a
+    // count bound scaled to the stratum — strict emptiness would be
+    // fixture-fragile). The oracle recomputes n_strong exactly and pins
+    // within_bound = 1.
+    QueryDef(
+      "dd09r_neardup_gate_recall",
+      (s, d) => {
+        val p = math.pow(0.9, graft.functions.MinHash.Rows)
+        val missBound = math.pow(1.0 - p, graft.functions.MinHash.Bands)
+        require(missBound < 1e-4,
+          s"band config too weak for a recall anchor: miss=$missBound")
+        val docs = table(s, d, "documents")
+        val dir = MinHashBandIndex.ensure(s, d)
+        val strong = MinHashBandIndex
+          .exhaustiveGate(s, MinHashBandIndex.corpusOf(docs),
+                          MinHashBandIndex.arrivalsOf(docs))
+          .filter(col("match_jaccard") >= 0.9).select("doc_id")
+        val missed = strong.except(
+          MinHashBandIndex.gate(s, dir, MinHashBandIndex.arrivalsOf(docs))
+            .filter(col("keep") === 0).select("doc_id"))
+        strong.agg(count(lit(1)).as("n_strong"))
+          .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+          .select(col("n_strong"),
+                  (col("n_missed") <= ceil(col("n_strong") * lit(2e-4)))
+                    .cast("int").as("within_bound"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+             |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+             |         ELSE [array_to_string(w, ' ')] END AS ngrams
+             |  FROM w),
+             |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t WHERE doc_id % 10 = 0),
+             |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
+             |       FROM t WHERE doc_id % 10 <> 0),
+             |inter AS (
+             |  SELECT a.doc_id, c.corpus_id, count(*) AS i
+             |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT i.doc_id,
+             |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+             |  FROM inter i
+             |  JOIN t sa ON sa.doc_id = i.doc_id
+             |  JOIN t sb ON sb.doc_id = i.corpus_id),
+             |strong AS (
+             |  SELECT doc_id FROM sc GROUP BY doc_id HAVING max(j) >= 0.9)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong, 1 AS within_bound
+             |FROM strong""".stripMargin)
     )
   )
 }

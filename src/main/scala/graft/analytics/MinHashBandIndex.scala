@@ -1,0 +1,253 @@
+package graft.analytics
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashSig
+import graft.queries.QueryDef
+
+/** Persisted MinHash band index over the existing corpus, and the
+  * near-dup INGEST gate probed against it — the fuzzy twin of the exact
+  * bloom ingest gate (id02/[[BloomGramIndex]]): "reject an arriving doc
+  * if the corpus already contains a near-duplicate of it", where
+  * near-duplicate means word-2-gram Jaccard ≥ [[MinJaccard]] (dd02's
+  * metric, same shingling, same signatures).
+  *
+  * Index layout (content-stamped dir, built once offline):
+  *  - `bands/`  — one row per (corpus doc × LSH band): (corpus_id,
+  *    band, key), written PARTITIONED BY `kp = key mod [[KeyParts]]`.
+  *    A small arriving batch probes few distinct keys, so its kp set
+  *    (collected driver-side, ≤ [[KeyParts]] ints — metadata) prunes
+  *    the bands scan to the touched partitions: per-batch probe cost
+  *    follows the batch, not the corpus.
+  *  - `shingles/` — (corpus_id, sh): the shingle-hash sets used by the
+  *    exact-Jaccard refine; only rows for surviving CANDIDATES are ever
+  *    joined (an equi-join on corpus_id after LSH has pruned the
+  *    corpus to a bounded candidate set).
+  *  - `append_log/` — one provenance row per appended batch (count,
+  *    id bounds, order-independent content stamp), extending the
+  *    build-time content-stamp discipline to appended segments.
+  *
+  * Gate semantics (deterministic end to end): candidates = arrivals
+  * sharing ANY of the 12 LSH band keys with a corpus doc, hot buckets
+  * (> [[MaxBucket]] corpus rows for one (band, key)) dropped BEFORE
+  * the candidate join exactly like dd02's skew guard; refine = exact
+  * Jaccard on the shingle sets, reject iff best ≥ [[MinJaccard]]; the
+  * reported match is (max jaccard, then min corpus_id) — precision 1
+  * vs the exhaustive gate by construction, recall bounded by the LSH
+  * band miss probability (dd09r pins it on the ≥ 0.9 stratum, where
+  * one band of 4 rows collides with prob 0.9⁴ and all 12 miss with
+  * prob (1 − 0.9⁴)¹² ≈ 2.7e-6).
+  *
+  * Scale shape: the batch side is the arriving micro-batch (small by
+  * definition); the corpus side is touched only through (a) the
+  * kp-pruned bands scan and (b) the candidate-id equi-join into
+  * `shingles/` — never a full-corpus scan per batch. Appends are
+  * map-only writes of the accepted docs' bands + shingles (cost ∝
+  * batch), so the index chains across ingest epochs the same way the
+  * bloom gate's filter does (id03's discipline; chain property pinned
+  * in DedupSpec).
+  */
+object MinHashBandIndex {
+  import QueryDef.table
+
+  /** Refine threshold — dd02's near-dup bar. */
+  val MinJaccard = 0.3
+
+  /** Skew guard: (band, key) buckets with more corpus rows than this
+    * are dropped before the candidate join (dd02's maxBucket). */
+  val MaxBucket = 500
+
+  /** Number of `kp = key mod KeyParts` partitions of `bands/`. */
+  val KeyParts = 64
+
+  /** Fixture convention for the ingest split: arrivals are the docs a
+    * crawl delivers this epoch, the rest is the standing corpus. */
+  def arrivalsOf(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+  def corpusOf(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+
+  private val built = new ConcurrentHashMap[String, String]()
+
+  /** Content fingerprint of the documents table (per-part name, length,
+    * mtime) — a regenerated dataset at the same path can never silently
+    * reuse a stale index. */
+  private def contentStamp(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(s"$sfDir/documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig, 0x9747b28c))
+  }
+
+  def indexDir(sfDir: String): String = {
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
+    s"${sys.props("java.io.tmpdir")}/graft-mhband-$key-${contentStamp(sfDir)}-v1"
+  }
+
+  /** (doc_id, sh, band, key) — shingle set + the 12 LSH band keys of
+    * each doc; one row per (doc, band). */
+  private def bandRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    MinHashSig.register(spark)
+    docs
+      .select(col("doc_id"),
+              Dedup.shingleHashes(spark, col("text"), 2).as("sh"))
+      .withColumn("sig", call_function(MinHashSig.fnName, col("sh")))
+      .select(col("doc_id"), col("sh"),
+              posexplode(Dedup.bandKeys(col("sig"))).as(Seq("band", "key")))
+  }
+
+  /** Build + persist the index over `sfDir`'s standing corpus if
+    * absent; returns the index dir. */
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val dir = indexDir(sfDir)
+    built.computeIfAbsent(dir, { _ =>
+      if (!new java.io.File(s"$dir/bands/_SUCCESS").exists())
+        buildFrom(spark, dir, corpusOf(table(spark, sfDir, "documents")))
+      dir
+    })
+  }
+
+  /** Build the index into `dir` from an explicit corpus frame (the
+    * spec's chain probes rebuild over corpus+accepted this way). */
+  def buildFrom(spark: SparkSession, dir: String, corpus: DataFrame): Unit = {
+    val rows = bandRows(spark, corpus).persist()
+    try {
+      rows.select(col("doc_id").as("corpus_id"), col("band"), col("key"),
+                  pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
+        .write.mode("overwrite").partitionBy("kp").parquet(s"$dir/bands")
+      rows.select(col("doc_id").as("corpus_id"), col("sh"))
+        .dropDuplicates("corpus_id")
+        .write.mode("overwrite").parquet(s"$dir/shingles")
+    } finally { rows.unpersist(false); () }
+  }
+
+  /** Assignment-only APPEND of accepted docs: their bands + shingles
+    * land as new files (cost ∝ batch; the standing index is never read
+    * or rewritten), plus one provenance row in `append_log/`. Returns
+    * the number of appended docs.
+    *
+    * Caller contract: `docs` must be MATERIALIZED (collected, written,
+    * or checkpointed) if it was derived from a [[gate]] result — gate
+    * outputs are lazy plans over this same index dir, so re-evaluating
+    * one after the append would see the mutated index (an appended doc
+    * then rejects against itself). The streaming driver satisfies this
+    * naturally (each micro-batch is materialized before its append). */
+  def appendAccepted(spark: SparkSession, dir: String,
+                     docs: DataFrame): Long = {
+    val rows = bandRows(spark, docs).persist()
+    try {
+      rows.select(col("doc_id").as("corpus_id"), col("band"), col("key"),
+                  pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
+        .write.mode("append").partitionBy("kp").parquet(s"$dir/bands")
+      val sh = rows.select(col("doc_id").as("corpus_id"), col("sh"))
+        .dropDuplicates("corpus_id")
+      sh.write.mode("append").parquet(s"$dir/shingles")
+      val prov = sh.agg(
+        count(lit(1)).as("n_docs"),
+        min("corpus_id").as("min_doc_id"),
+        max("corpus_id").as("max_doc_id"),
+        bit_xor(xxhash64(col("corpus_id"), to_json(col("sh"))))
+          .as("batch_stamp"))
+      prov.coalesce(1).write.mode("append").parquet(s"$dir/append_log")
+      prov.head().getLong(0)
+    } finally { rows.unpersist(false); () }
+  }
+
+  /** Gate an arriving batch against the persisted index.
+    * Output: (doc_id, keep, match_id, match_jaccard) — keep = 0 iff a
+    * corpus near-dup with Jaccard ≥ `minJaccard` was found, match = the
+    * (max jaccard, min corpus_id) witness; accepted rows carry NULLs. */
+  def gate(spark: SparkSession, dir: String, batch: DataFrame,
+           minJaccard: Double = MinJaccard,
+           maxBucket: Int = MaxBucket): DataFrame = {
+    val rows = bandRows(spark, batch)
+      .persist() // two consumers (kp set + candidate join); tiny frame
+    try {
+      // kp partitions this batch actually probes — driver-side metadata
+      // (≤ KeyParts ints); isin on the partition column prunes the
+      // bands scan to those directories.
+      val kps = rows
+        .select(pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val ib = spark.read.parquet(s"$dir/bands")
+        .filter(col("kp").isin(kps: _*))
+      // corpus rows in probed buckets; hot buckets capped BEFORE the
+      // candidate join (map-side-combinable census over matched rows).
+      val probed = ib.join(
+        rows.select("band", "key").distinct(), Seq("band", "key"))
+      val small = probed.groupBy("band", "key")
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .select("band", "key")
+      val cand = rows.select(col("doc_id"), col("band"), col("key"))
+        .join(probed.join(small, Seq("band", "key")), Seq("band", "key"))
+        .select(col("doc_id"), col("corpus_id")).distinct()
+      // exact-Jaccard refine on candidates only; shingles of the few
+      // candidate corpus docs come from the persisted set via equi-join.
+      val shC = spark.read.parquet(s"$dir/shingles")
+        .withColumnRenamed("sh", "sh_c")
+      val scored = cand
+        .join(rows.select(col("doc_id"), col("sh")).dropDuplicates("doc_id"),
+              Seq("doc_id"))
+        .join(shC, Seq("corpus_id"))
+        .select(col("doc_id"), col("corpus_id"),
+                round(Dedup.jaccard(col("sh"), col("sh_c")), 6).as("j"))
+        .filter(col("j") >= minJaccard)
+      verdicts(batch, scored)
+    } finally { rows.unpersist(false); () }
+  }
+
+  /** Exhaustive reference gate (no banding): candidates are every
+    * (arrival, corpus) pair sharing at least one shingle — generated by
+    * the shared-gram equi-join (never a cross join), then the same
+    * exact-Jaccard refine. This is dd09x's fully-SQL-replayable form
+    * and the ground truth dd09p/dd09r compare the banded gate against. */
+  def exhaustiveGate(spark: SparkSession, corpus: DataFrame,
+                     batch: DataFrame,
+                     minJaccard: Double = MinJaccard): DataFrame = {
+    val bsh = batch
+      .select(col("doc_id"), Dedup.shingleHashes(spark, col("text"), 2).as("sh"))
+    val csh = corpus
+      .select(col("doc_id").as("corpus_id"),
+              Dedup.shingleHashes(spark, col("text"), 2).as("sh_c"))
+    val inter = bsh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(csh.select(col("corpus_id"), explode(col("sh_c")).as("g")),
+            Seq("g"))
+      .groupBy("doc_id", "corpus_id").agg(count(lit(1)).as("__i"))
+    val scored = inter
+      .join(bsh.select(col("doc_id"), size(col("sh")).as("__na")), Seq("doc_id"))
+      .join(csh.select(col("corpus_id"), size(col("sh_c")).as("__nb")),
+            Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+              round(col("__i") * lit(1.0) /
+                    (col("__na") + col("__nb") - col("__i")), 6).as("j"))
+      .filter(col("j") >= minJaccard)
+    verdicts(batch, scored)
+  }
+
+  /** Fold scored (doc_id, corpus_id, j) matches into per-arrival
+    * verdicts: one row per batch doc, reject iff any match, witness =
+    * (max j, then min corpus_id) via a partial-aggregable struct max. */
+  private def verdicts(batch: DataFrame, scored: DataFrame): DataFrame = {
+    val best = scored
+      .groupBy("doc_id")
+      .agg(max(struct(col("j"), (-col("corpus_id")).as("__nid"))).as("__b"))
+      .select(col("doc_id"), (-col("__b.__nid")).as("match_id"),
+              col("__b.j").as("match_jaccard"))
+    batch.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              col("match_id").isNull.cast("int").as("keep"),
+              col("match_id"), col("match_jaccard"))
+      .orderBy("doc_id")
+  }
+}

@@ -660,4 +660,76 @@ class DedupSpec extends SparkSpec {
     }
     assert(ann.nonEmpty)
   }
+
+  // --- MinHash band-index ingest gate (dd09) -----------------------------
+
+  private def gateRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+
+  test("mhband gate: chain across ingest epochs — append ≡ rebuild, accepted docs gate later arrivals") {
+    import graft.analytics.MinHashBandIndex
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different words about spark catalyst tungsten codegen shuffles and joins"),
+      (3L, "yet another unrelated document mentioning parquet columnar storage formats and pushdown")
+    ).toDF("doc_id", "text")
+    val novel = (11 to 35).map(i => s"novel$i topic on distributed systems theory").mkString(" ")
+    val b1 = Seq(
+      (10L, base + " again"), // near-dup of corpus doc 1 → reject
+      (20L, novel)            // nothing like it → accept
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhband-chain").toString
+    MinHashBandIndex.buildFrom(spark, dir, corpus)
+
+    val g1 = MinHashBandIndex.gate(spark, dir, b1)
+    assert(gateRows(g1) == Seq((10L, 0, 1L), (20L, 1, -1L)))
+
+    // epoch 2 arrives AFTER doc 20 was accepted and appended: a near-dup
+    // of 20 must now be rejected (the index chains), and append must be
+    // indistinguishable from a full rebuild over corpus + accepted.
+    // materialize BEFORE appending: the gate result is lazy over the
+    // index dir, and appendAccepted mutates that dir (see its scaladoc)
+    val accepted1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+      .localCheckpoint(true)
+    MinHashBandIndex.appendAccepted(spark, dir, accepted1)
+    val b2 = Seq(
+      (30L, novel + " addendum"), // near-dup of appended doc 20 → reject
+      (40L, "entirely fresh content about olap engines vectorized execution and columnar scans")
+    ).toDF("doc_id", "text")
+    val g2 = MinHashBandIndex.gate(spark, dir, b2)
+    assert(gateRows(g2) == Seq((30L, 0, 20L), (40L, 1, -1L)))
+
+    val dir2 = java.nio.file.Files.createTempDirectory("mhband-rebuild").toString
+    MinHashBandIndex.buildFrom(spark, dir2, corpus.unionByName(accepted1))
+    assert(g2.collect().toSeq ==
+      MinHashBandIndex.gate(spark, dir2, b2).collect().toSeq)
+
+    // re-gating an already-appended doc rejects it against itself at
+    // jaccard 1 — replay safety of the ingest loop.
+    val replay = MinHashBandIndex.gate(spark, dir, accepted1).collect()
+    assert(replay.forall(r =>
+      r.getInt(1) == 0 && r.getLong(2) == r.getLong(0) && r.getDouble(3) == 1.0))
+  }
+
+  test("mhband gate: banded ≡ exhaustive on the planted fixture; hot-bucket cap only widens accepts") {
+    import graft.analytics.MinHashBandIndex
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different words about spark catalyst tungsten codegen shuffles and joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " again"),
+      (20L, (11 to 35).map(i => s"novel$i topic on distributed systems theory").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhband-eq").toString
+    MinHashBandIndex.buildFrom(spark, dir, corpus)
+    val banded = MinHashBandIndex.gate(spark, dir, batch).collect().toSeq
+    val exact = MinHashBandIndex.exhaustiveGate(spark, corpus, batch).collect().toSeq
+    assert(banded == exact)
+    // with every bucket treated as hot the gate must fail open (accept
+    // everything) — never reject on suppressed evidence
+    val capped = MinHashBandIndex.gate(spark, dir, batch, maxBucket = 0)
+    assert(capped.collect().forall(_.getInt(1) == 1))
+  }
 }

@@ -466,4 +466,20 @@ class PlanAuditSpec extends SparkSpec {
     // layout step adds no per-source sort at 100 TB
     assert(!p.contains("Window"), p)
   }
+
+  test("dd09: the band probe prunes unprobed kp partitions at the bands scan") {
+    val dir = graft.analytics.MinHashBandIndex.ensure(spark, sf0001)
+    val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
+    val df = graft.analytics.MinHashBandIndex.gate(
+      spark, dir, graft.analytics.MinHashBandIndex.arrivalsOf(docs))
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the arriving batch's kp set reaches the persisted bands scan as a
+    // partition filter — per-batch probe cost follows the batch, not
+    // the corpus
+    assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*kp[^\\]]*\\].*"), f)
+    // no forced broadcast anywhere in the gate: every join is
+    // AQE-decided (the index side grows with the corpus)
+    assert(!f.contains("ResolvedHint"), f)
+  }
 }
