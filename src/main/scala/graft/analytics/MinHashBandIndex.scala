@@ -105,6 +105,19 @@ object MinHashBandIndex {
               posexplode(Dedup.bandKeys(col("sig"))).as(Seq("band", "key")))
   }
 
+  /** Index-side band rows of `docs` — (corpus_id, band, key, kp), the
+    * payload a build/append/streaming-delta write lands. */
+  def segmentBands(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandRows(spark, docs)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("key"),
+              pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
+
+  /** Index-side shingle rows of `docs` — (corpus_id, sh). */
+  def segmentShingles(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandRows(spark, docs)
+      .select(col("doc_id").as("corpus_id"), col("sh"))
+      .dropDuplicates("corpus_id")
+
   /** Build + persist the index over `sfDir`'s standing corpus if
     * absent; returns the index dir. */
   def ensure(spark: SparkSession, sfDir: String): String = {
@@ -168,7 +181,22 @@ object MinHashBandIndex {
     * (max jaccard, min corpus_id) witness; accepted rows carry NULLs. */
   def gate(spark: SparkSession, dir: String, batch: DataFrame,
            minJaccard: Double = MinJaccard,
-           maxBucket: Int = MaxBucket): DataFrame = {
+           maxBucket: Int = MaxBucket): DataFrame =
+    gateFrames(spark,
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      batch, minJaccard, maxBucket)
+
+  /** [[gate]] with the index passed as FRAMES — the seam the streaming
+    * gate (st19 / EventStreams.neardupIngestGate) needs: its index side
+    * is the seed scan UNIONED with the accepted-segment delta table, and
+    * the kp filter applied here still prunes partitions of every member
+    * scan of the union. `bands` carries (corpus_id, band, key, kp),
+    * `shingles` (corpus_id, sh). */
+  def gateFrames(spark: SparkSession, bands: DataFrame, shingles: DataFrame,
+                 batch: DataFrame,
+                 minJaccard: Double = MinJaccard,
+                 maxBucket: Int = MaxBucket): DataFrame = {
     val rows = bandRows(spark, batch)
       .persist() // two consumers (kp set + candidate join); tiny frame
     try {
@@ -178,8 +206,7 @@ object MinHashBandIndex {
       val kps = rows
         .select(pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val ib = spark.read.parquet(s"$dir/bands")
-        .filter(col("kp").isin(kps: _*))
+      val ib = bands.filter(col("kp").isin(kps: _*))
       // corpus rows in probed buckets; hot buckets capped BEFORE the
       // candidate join (map-side-combinable census over matched rows).
       val probed = ib.join(
@@ -193,8 +220,7 @@ object MinHashBandIndex {
         .select(col("doc_id"), col("corpus_id")).distinct()
       // exact-Jaccard refine on candidates only; shingles of the few
       // candidate corpus docs come from the persisted set via equi-join.
-      val shC = spark.read.parquet(s"$dir/shingles")
-        .withColumnRenamed("sh", "sh_c")
+      val shC = shingles.withColumnRenamed("sh", "sh_c")
       val scored = cand
         .join(rows.select(col("doc_id"), col("sh")).dropDuplicates("doc_id"),
               Seq("doc_id"))

@@ -538,6 +538,79 @@ object EventStreams {
       .start()
   }
 
+  /** STREAMING near-dup ingest gate (st19's continuous form): each
+    * micro-batch of arriving docs is gated against the persisted SEED
+    * MinHash band index unioned with the accepted-doc segments of all
+    * EARLIER batches, then its own accepted docs land as a new segment.
+    * State is two delta tables (band rows and shingle sets of accepted
+    * docs), both batch-id-partitioned with dynamic overwrite — and the
+    * gate for batch N reads only segments with batch_id < N, so a
+    * crash-replayed batch can never see its own half-written segment
+    * (it would otherwise reject every accepted doc against itself).
+    * Per-batch cost: the batch's own band/shingle computation + a
+    * kp-pruned probe of seed ∪ segments — the standing corpus is never
+    * re-scanned, segments only ever grow by accepted-batch size. */
+  def neardupIngestGate(stream: DataFrame, seedDir: String,
+                        bandsDeltaDir: String, shinglesDeltaDir: String,
+                        outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.types._
+          val mh = graft.analytics.MinHashBandIndex
+          val bandSchema = StructType(Seq(
+            StructField("corpus_id", LongType),
+            StructField("band", IntegerType),
+            StructField("key", LongType),
+            StructField("kp", IntegerType),
+            StructField("batch_id", LongType)))
+          val shSchema = StructType(Seq(
+            StructField("corpus_id", LongType),
+            StructField("sh", ArrayType(LongType, containsNull = false)),
+            StructField("batch_id", LongType)))
+          val segBands = readDelta(spark, bandsDeltaDir, bandSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          val segSh = readDelta(spark, shinglesDeltaDir, shSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          val bands = spark.read.parquet(s"$seedDir/bands")
+            .select("corpus_id", "band", "key", "kp").unionByName(segBands)
+          val shingles = spark.read.parquet(s"$seedDir/shingles")
+            .unionByName(segSh)
+          // materialize the verdicts BEFORE the segment writes mutate
+          // the delta dirs the gate plan reads (MinHashBandIndex
+          // .appendAccepted's caller contract)
+          val verdicts = mh.gateFrames(
+            spark, bands, shingles, batch.select("doc_id", "text"))
+            .localCheckpoint(true)
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+          val accepted = batch
+            .join(verdicts.filter(col("keep") === 1).select("doc_id"),
+                  Seq("doc_id"))
+            .localCheckpoint(true)
+          if (!accepted.isEmpty) {
+            mh.segmentBands(spark, accepted)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(bandsDeltaDir)
+            mh.segmentShingles(spark, accepted)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(shinglesDeltaDir)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

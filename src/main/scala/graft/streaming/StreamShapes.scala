@@ -911,6 +911,137 @@ object StreamShapes {
               |  CAST(mc < ${graft.analytics.DataQuality.SemanticDeconTau}
               |       AS INT) AS keep
               |FROM m ORDER BY batch, vec_id""".stripMargin)
+    ),
+
+    // STREAMING near-dup ingest gate (dd09's continuous form): batch 1
+    // gates against the seed MinHash band index of the standing corpus;
+    // its ACCEPTED docs become an index segment, and batch 2 gates
+    // against seed ∪ segment — the exact per-batch step
+    // EventStreams.neardupIngestGate runs continuously (accepted-doc
+    // segments land batch-id-partitioned, each batch reads only
+    // EARLIER batches' segments, so replay is idempotent). Band hashing
+    // is engine-specific → rows-only; st19x replays the same two-batch
+    // chain with EXHAUSTIVE candidates end to end in SQL, and the
+    // streaming twin is pinned row-equal with a kill+restart test.
+    QueryDef(
+      "st19_neardup_stream_gate",
+      (s, d) => {
+        import graft.analytics.MinHashBandIndex
+        val docs = table(s, d, "documents")
+        val seed = MinHashBandIndex.ensure(s, d)
+        val arr = MinHashBandIndex.arrivalsOf(docs)
+        val b1 = arr.filter(col("doc_id") % 20 === 0)
+        val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+        val seedBands = s.read.parquet(s"$seed/bands")
+          .select("corpus_id", "band", "key", "kp")
+        val seedSh = s.read.parquet(s"$seed/shingles")
+        val g1 = MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1)
+        val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
+                           Seq("doc_id"))
+        val g2 = MinHashBandIndex.gateFrames(
+          s,
+          seedBands.unionByName(MinHashBandIndex.segmentBands(s, acc1)),
+          seedSh.unionByName(MinHashBandIndex.segmentShingles(s, acc1)),
+          b2)
+        g1.withColumn("batch", lit(1))
+          .unionByName(g2.withColumn("batch", lit(2)))
+          .orderBy("doc_id")
+      },
+      None
+    ),
+
+    // st19's exactness anchor: the identical two-batch chain with the
+    // EXHAUSTIVE candidate generation (shared-gram equi-join, no
+    // banding) — batch 2's corpus side includes batch 1's accepted
+    // docs, so the cross-batch chaining itself is hash-checked in SQL.
+    QueryDef(
+      "st19x_neardup_stream_exact",
+      (s, d) => {
+        import graft.analytics.MinHashBandIndex
+        val docs = table(s, d, "documents")
+        val corpus = MinHashBandIndex.corpusOf(docs).select("doc_id", "text")
+        val arr = MinHashBandIndex.arrivalsOf(docs)
+        val b1 = arr.filter(col("doc_id") % 20 === 0)
+        val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+        val g1 = MinHashBandIndex.exhaustiveGate(s, corpus, b1)
+        val acc1 = b1.select("doc_id", "text")
+          .join(g1.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+        val g2 = MinHashBandIndex.exhaustiveGate(
+          s, corpus.unionByName(acc1), b2)
+        g1.withColumn("batch", lit(1))
+          .unionByName(g2.withColumn("batch", lit(2)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS MATERIALIZED (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |t AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+             |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+             |         ELSE [array_to_string(w, ' ')] END AS ngrams
+             |  FROM w),
+             |corp1 AS (SELECT doc_id AS corpus_id, ngrams FROM t
+             |          WHERE doc_id % 10 <> 0),
+             |b1 AS (SELECT doc_id, ngrams FROM t WHERE doc_id % 20 = 0),
+             |b2 AS (SELECT doc_id, ngrams FROM t
+             |       WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0),
+             |sc1 AS (
+             |  SELECT i.doc_id, i.corpus_id,
+             |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+             |  FROM (
+             |    SELECT a.doc_id, c.corpus_id, count(*) AS i
+             |    FROM (SELECT doc_id, unnest(ngrams) AS g FROM b1) a
+             |    JOIN (SELECT corpus_id, unnest(ngrams) AS g FROM corp1) c
+             |      USING (g)
+             |    GROUP BY 1, 2) i
+             |  JOIN b1 sa ON sa.doc_id = i.doc_id
+             |  JOIN corp1 sb ON sb.corpus_id = i.corpus_id),
+             |h1 AS (SELECT * FROM sc1 WHERE j >= 0.3),
+             |best1 AS (SELECT doc_id, max(j) AS mj FROM h1 GROUP BY 1),
+             |bid1 AS (
+             |  SELECT h.doc_id, b.mj AS match_jaccard,
+             |         min(h.corpus_id) AS match_id
+             |  FROM h1 h JOIN best1 b ON h.doc_id = b.doc_id AND h.j = b.mj
+             |  GROUP BY 1, 2),
+             |g1 AS MATERIALIZED (
+             |  SELECT a.doc_id,
+             |    CAST(CASE WHEN bid1.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+             |    bid1.match_id, bid1.match_jaccard
+             |  FROM b1 a LEFT JOIN bid1 USING (doc_id)),
+             |corp2 AS (
+             |  SELECT * FROM corp1
+             |  UNION ALL
+             |  SELECT b.doc_id AS corpus_id, b.ngrams
+             |  FROM b1 b JOIN g1 ON b.doc_id = g1.doc_id AND g1.keep = 1),
+             |sc2 AS (
+             |  SELECT i.doc_id, i.corpus_id,
+             |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+             |  FROM (
+             |    SELECT a.doc_id, c.corpus_id, count(*) AS i
+             |    FROM (SELECT doc_id, unnest(ngrams) AS g FROM b2) a
+             |    JOIN (SELECT corpus_id, unnest(ngrams) AS g FROM corp2) c
+             |      USING (g)
+             |    GROUP BY 1, 2) i
+             |  JOIN b2 sa ON sa.doc_id = i.doc_id
+             |  JOIN corp2 sb ON sb.corpus_id = i.corpus_id),
+             |h2 AS (SELECT * FROM sc2 WHERE j >= 0.3),
+             |best2 AS (SELECT doc_id, max(j) AS mj FROM h2 GROUP BY 1),
+             |bid2 AS (
+             |  SELECT h.doc_id, b.mj AS match_jaccard,
+             |         min(h.corpus_id) AS match_id
+             |  FROM h2 h JOIN best2 b ON h.doc_id = b.doc_id AND h.j = b.mj
+             |  GROUP BY 1, 2),
+             |g2 AS (
+             |  SELECT a.doc_id,
+             |    CAST(CASE WHEN bid2.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+             |    bid2.match_id, bid2.match_jaccard
+             |  FROM b2 a LEFT JOIN bid2 USING (doc_id))
+             |SELECT 1 AS batch, * FROM g1
+             |UNION ALL
+             |SELECT 2 AS batch, * FROM g2
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

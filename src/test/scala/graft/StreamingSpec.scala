@@ -1159,4 +1159,81 @@ class StreamingSpec extends SparkSpec {
              q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("streaming neardup ingest gate: matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st19_").toString
+    val seed = graft.analytics.MinHashBandIndex.ensure(spark, sf0001)
+    val arr = graft.analytics.MinHashBandIndex.arrivalsOf(
+        spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = arr.partition(_._1 % 20 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.neardupIngestGate(
+      mem.toDF().toDF("doc_id", "text"), seed,
+      s"$tmp/bands", s"$tmp/shingles", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("keep"), col("match_id"),
+                col("match_jaccard"),
+                (col("batch_id").cast("int") + 1).as("batch"))
+      val batchForm =
+        SparkEntry.queries("st19_neardup_stream_gate")(spark, sf0001)
+      assert(streamed.count() == batchForm.count())
+      assert(streamed.exceptAll(batchForm).count() == 0 &&
+             batchForm.exceptAll(streamed).count() == 0,
+             "streamed neardup gate diverges from the batch form")
+      // stateless operators: all state is the two delta tables
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("streaming neardup ingest gate: kill + restart — accepted segments persist, no self-rejects") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val landing = Files.createTempDirectory("st19r-landing").toString
+    val tmp = Files.createTempDirectory("st19r-state").toString
+    val base = (1 to 25).map(i =>
+      s"corpus$i sentence about the quick brown fox").mkString(" ")
+    val novel = (1 to 25).map(i =>
+      s"novel$i topic on distributed systems theory").mkString(" ")
+    val seedDir = s"$tmp/seed"
+    graft.analytics.MinHashBandIndex.buildFrom(
+      spark, seedDir, Seq((1L, base)).toDF("doc_id", "text"))
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    // batch 1: a near-dup of the seed corpus (reject) + a novel doc
+    // (accept → becomes a segment)
+    land(Seq((10L, base + " again"), (20L, novel)))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.neardupIngestGate(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      seedDir, s"$tmp/bands", s"$tmp/shingles", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down: a near-dup of the doc ACCEPTED before
+    // the restart (must reject — the segment survived) + fresh content
+    land(Seq((30L, novel + " addendum"),
+             (40L, "entirely fresh content about olap engines and columnar scans")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "keep", "match_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out.size == 4, s"one decision per doc: $out")
+    assert(out(10L) == ((0, 1L)), s"seed near-dup must reject: $out")
+    assert(out(20L) == ((1, -1L)), s"novel doc must accept: $out")
+    assert(out(30L) == ((0, 20L)),
+      s"near-dup of pre-restart accepted doc must reject against it: $out")
+    assert(out(40L) == ((1, -1L)), s"fresh doc must accept: $out")
+  }
 }
