@@ -235,6 +235,121 @@ object Multimodal {
       }.toDF("media_id", "py", "px", "pooled")
   }
 
+  /** Perceptual-hash near-dup corpus: images come in FAMILIES of
+    * [[PhashFamily]] members — member 0 is the base image, members > 0
+    * perturb exactly one pixel by +128 (mod 256). Base pixels are a
+    * xorshift-multiply mix of (family, position) chosen to be
+    * replayable in DuckDB with exact integer arithmetic (all products
+    * < 2⁶³, xor/shift built-ins) while giving hash-uniform bits —
+    * family pairs land ≤ 6 aHash bits apart, cross-family pairs ≥ 14
+    * (verified over 100 families), so the Hamming-7 near-dup bar
+    * separates them with margin on BOTH sides. */
+  val PhashFamily = 4
+
+  private def phashPixel(mediaId: Long, i: Int): Int = {
+    val x = (mediaId / PhashFamily) * 64 + i
+    var v = (x * 2246822519L) % 2147483648L
+    v ^= (v >> 15)
+    v = (v * 2654435761L) % 2147483648L
+    v ^= (v >> 13)
+    val base = (v % 256).toInt
+    if (mediaId % PhashFamily > 0 && i == (mediaId % 64).toInt)
+      (base + 128) % 256
+    else base
+  }
+
+  /** REAL image payloads with PLANTED near-duplicate families: one 8×8
+    * grayscale PNG per doc, pixels from [[phashPixel]], encoded with
+    * `javax.imageio` like [[pngMedia]]. */
+  def pngNearDupMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val writer = pngWriter()
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < PngSide * PngSide) {
+          raster.setSample(i % PngSide, i / PngSide, 0, phashPixel(id, i))
+          i += 1
+        }
+        (id, encodePng(writer, img))
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** Average hash (aHash) through a REAL decode: `javax.imageio` parses
+    * the PNG back to pixels, bit i of the 64-bit hash is set iff pixel
+    * i exceeds the image mean. The standard perceptual fingerprint —
+    * byte-level differences (re-encodes, metadata) vanish, pixel-level
+    * near-dups land within a few bits. Batch-shaped like every codec
+    * op; only (id, hash) leaves the operator. */
+  def ahash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val reader = pngReader()
+        batch.map { case (id, bytes) =>
+          val img = decodePng(reader, bytes)
+          val raster = img.getRaster
+          val n = img.getWidth * img.getHeight
+          val px = new Array[Int](n)
+          var i = 0
+          var sum = 0L
+          while (i < n) {
+            px(i) = raster.getSample(i % img.getWidth, i / img.getWidth, 0)
+            sum += px(i)
+            i += 1
+          }
+          val mean = sum.toDouble / n
+          var fp = 0L
+          i = 0
+          while (i < n) {
+            if (px(i) > mean) fp |= (1L << i)
+            i += 1
+          }
+          (id, fp)
+        }
+      }.toDF("media_id", "ahash")
+  }
+
+  /** Near-dup image pairs by aHash Hamming distance ≤ `maxHamming`:
+    * block on the 8 one-byte hash chunks (pigeonhole — any pair within
+    * Hamming 7 shares an unchanged chunk, so recall is EXACT for the
+    * default bar), verify with `bit_count(xor)`. Same candidate
+    * equi-join scale shape as the SimHash text path (Dedup.simhashPairs)
+    * — never all-pairs; `maxBucket` is the hot-chunk skew guard
+    * (dropping a hot chunk forfeits the recall guarantee for pairs whose
+    * only shared chunk was hot, the standard trade — run exact byte
+    * dedup first). */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 7,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    val fp = hashes
+      .selectExpr("media_id", "ahash",
+        "posexplode(transform(sequence(0, 7), c -> (ahash >> (c * 8)) & 255))")
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    val smallBuckets = fp.groupBy("chunk", "key")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select("chunk", "key")
+    val bounded = fp.join(smallBuckets, Seq("chunk", "key"))
+    bounded
+      .select(col("media_id").as("id_a"), col("ahash").as("fp_a"),
+              col("chunk"), col("key"))
+      .join(bounded.select(col("media_id").as("id_b"),
+                           col("ahash").as("fp_b"),
+                           col("chunk"), col("key")),
+            Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Frames per synthetic video clip and frame side length. Six 8×8
     * frames keep the closed-form oracle cheap while exercising a real
     * multi-page container. */
@@ -779,6 +894,57 @@ object Multimodal {
               |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
               |  CAST(min(s) AS INT) AS min_s, CAST(max(s) AS INT) AS max_s
               |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin)
+    ),
+
+    // Perceptual-hash IMAGE near-dup — the dedup modality text/embedding
+    // passes can't see: byte-level differences (re-encode, metadata)
+    // vanish under aHash, pixel-level near-dups land within a few bits.
+    // The Spark path runs the REAL codec round trip (encode planted
+    // families as genuine PNGs, decode, hash the decoded raster) with
+    // pigeonhole chunk blocking — exact recall at the Hamming-7 bar, so
+    // the whole entry is hash-checked against a codec-free closed-form
+    // replay (the mm04 discipline; corpus capped at 500 images to keep
+    // the oracle's quadratic verify cheap — the Spark side's equi-join
+    // blocking is the uncapped scale path).
+    QueryDef(
+      "mm09_phash_neardup",
+      (s, d) =>
+        phashPairs(ahash64(pngNearDupMedia(
+          table(s, d, "documents").filter(col("doc_id") < 500))))
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH ids AS (
+              |  SELECT doc_id AS media_id FROM documents WHERE doc_id < 500),
+              |g AS (
+              |  SELECT media_id, CAST(unnest(range(64)) AS BIGINT) AS i
+              |  FROM ids),
+              |h1 AS (
+              |  SELECT media_id, i,
+              |    ((media_id // $PhashFamily) * 64 + i) * 2246822519
+              |      % 2147483648 AS v
+              |  FROM g),
+              |h2 AS (SELECT media_id, i, xor(v, v >> 15) AS v FROM h1),
+              |h3 AS (SELECT media_id, i,
+              |         v * 2654435761 % 2147483648 AS v FROM h2),
+              |px AS (
+              |  SELECT media_id, i,
+              |    CASE WHEN media_id % $PhashFamily > 0 AND i = media_id % 64
+              |         THEN (xor(v, v >> 13) % 256 + 128) % 256
+              |         ELSE xor(v, v >> 13) % 256 END AS p
+              |  FROM h3),
+              |mn AS (SELECT media_id, sum(p) / 64.0 AS mean
+              |       FROM px GROUP BY 1),
+              |bits AS (
+              |  SELECT px.media_id, px.i,
+              |    CASE WHEN px.p > mn.mean THEN 1 ELSE 0 END AS b
+              |  FROM px JOIN mn ON px.media_id = mn.media_id),
+              |hm AS (
+              |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+              |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+              |  FROM bits a JOIN bits b
+              |    ON a.i = b.i AND a.media_id < b.media_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+              |FROM hm WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin)
     )
   )
 }

@@ -123,4 +123,31 @@ class TextAnalysisSpec extends SparkSpec {
       Multimodal.sampleTiffFrames(corrupt).collect()
     }
   }
+
+  test("mm09 perceptual hash: family separation; chunk blocking equals brute force") {
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val docs = (0L until 80L).map(i => (i, "x")).toDF("doc_id", "text")
+    val hashes = Multimodal.ahash64(
+      Multimodal.pngNearDupMedia(docs))
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    val fam = Multimodal.PhashFamily
+    // planted family members stay within the bar; cross-family pairs
+    // clear it with margin (the fixture's mixer guarantees ≥ 14)
+    for (a <- 0L until 80L; b <- a + 1 until 80L) {
+      if (a / fam == b / fam) assert(ham(a, b) <= 7, s"($a,$b) ${ham(a, b)}")
+      else assert(ham(a, b) > 7, s"($a,$b) ${ham(a, b)}")
+    }
+    // pigeonhole blocking = exact recall at Hamming 7: the blocked
+    // candidate join must reproduce brute force pair for pair
+    val blocked = Multimodal.phashPairs(hashes)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = hashes.as("a").join(hashes.as("b"),
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"),
+              bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))))
+      .as[(Long, Long, Int)].collect().filter(_._3 <= 7).toSet
+    assert(blocked == brute && blocked.nonEmpty)
+  }
 }
