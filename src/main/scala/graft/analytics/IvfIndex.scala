@@ -263,6 +263,53 @@ object IvfIndex {
     } finally { assigned.unpersist(false); () }
   }
 
+  /** Compact the small files [[appendBatch]] accumulates inside hot
+    * list partitions: every list with more than `maxFilesPerList`
+    * parquet files is rewritten IN PLACE (partition-local read →
+    * coalesced rewrite into a dot-prefixed staging dir Spark ignores →
+    * file swap); cold lists are untouched, so cost ∝ the hot lists'
+    * data, never the index. Content-neutral by construction — a pure
+    * file-layout operation, pinned in DedupSpec by row-set equality
+    * and an unchanged exact probe across the compaction. This is the
+    * maintenance half of the daily-ingest story: appends keep the
+    * index fresh at batch cost, the compactor keeps per-probe file
+    * counts bounded without ever re-running assignment or training.
+    * (An object-store deployment writes new segments under a fresh
+    * prefix and flips a manifest pointer instead of renaming — same
+    * per-list independence.) Returns the number of lists compacted. */
+  def compactLists(spark: SparkSession, dir: String,
+                   maxFilesPerList: Int = 8): Int = {
+    val base = new java.io.File(s"$dir/assignments")
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+                     !f.getName.startsWith("_"))
+    val hot = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+      .filter(d => dataFiles(d).length > maxFilesPerList)
+    hot.foreach { leaf =>
+      val tmp = new java.io.File(base, s".compact-${leaf.getName}")
+      // the write below is an action, so the leaf is fully read and
+      // materialized into the staging dir BEFORE any old file is
+      // touched — a crash before the swap leaves the leaf intact
+      spark.read.parquet(leaf.getPath).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      // swap: drop old data files (and their checksum sidecars), move
+      // the compacted files in
+      Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.contains("_SUCCESS"))
+        .foreach { f =>
+          java.nio.file.Files.move(
+            f.toPath, new java.io.File(leaf, f.getName).toPath)
+        }
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      tmp.delete()
+      ()
+    }
+    hot.length
+  }
+
   /** Staleness statistic for the frozen-centroid append path: the mean
     * squared distance-to-centroid of the CURRENT assignments (base +
     * appended) relative to the build-time baseline. In-distribution

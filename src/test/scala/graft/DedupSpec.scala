@@ -260,6 +260,59 @@ class DedupSpec extends SparkSpec {
            log.map(_.getAs[Long]("batch_stamp")).distinct.length == 2)
   }
 
+  test("IVF compaction: bounds per-list file counts, content and probe unchanged") {
+    // maintenance half of the ingest story: many small appends → small
+    // files accumulate inside hot list partitions → compactLists
+    // rewrites just those leaves. Content-neutrality is the contract.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    val dir = IvfIndex.ensure(spark, srcDir)
+    val rest = emb.filter(col("vec_id") % 2 === 1).collect()
+    // 6 single-vector-ish appends: each lands ≥ 1 new file per touched list
+    rest.grouped(math.max(1, rest.length / 6)).foreach { chunk =>
+      val b = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toSeq, 1), emb.schema)
+      IvfIndex.appendBatch(spark, dir, b)
+    }
+    def fileCounts(): Map[String, Int] = {
+      val base = new java.io.File(s"$dir/assignments")
+      base.listFiles().filter(_.getName.startsWith("list=")).map { d =>
+        d.getName -> d.listFiles().count(f =>
+          f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+      }.toMap
+    }
+    val before = fileCounts()
+    assert(before.values.max > 3, s"fixture never fragmented: $before")
+    val rows = IvfIndex.readAssignments(spark, dir)
+      .select("vec_id", "list").as[(Long, Int)].collect().toSet
+    val probeBefore = Similarity.ivfProbe(
+        IvfIndex.readAssignments(spark, dir),
+        IvfIndex.readCentroids(spark, dir), queryId = 0L, k = 10,
+        nProbe = IvfIndex.DefaultLists)
+      .select("vec_id").as[Long].collect().toSeq
+    val nCompacted = IvfIndex.compactLists(spark, dir, maxFilesPerList = 3)
+    assert(nCompacted == before.count(_._2 > 3), s"compacted $nCompacted")
+    val after = fileCounts()
+    assert(after.values.max <= 3, s"still fragmented: $after")
+    // cold lists untouched, hot lists down to one file
+    before.foreach { case (l, n) =>
+      if (n <= 3) assert(after(l) == n, s"cold list $l rewritten")
+      else assert(after(l) == 1, s"hot list $l not coalesced: ${after(l)}")
+    }
+    val rowsAfter = IvfIndex.readAssignments(spark, dir)
+      .select("vec_id", "list").as[(Long, Int)].collect().toSet
+    assert(rowsAfter == rows, "compaction changed index content")
+    val probeAfter = Similarity.ivfProbe(
+        IvfIndex.readAssignments(spark, dir),
+        IvfIndex.readCentroids(spark, dir), queryId = 0L, k = 10,
+        nProbe = IvfIndex.DefaultLists)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probeAfter == probeBefore, "compaction changed probe results")
+  }
+
   test("batch filtered IVF: per-query recall floor against the filtered exact batch") {
     // ss16's quality contract: with a quarter of the lists probed, MEAN
     // recall@10 across the 32-query batch against the ss16x anchor
