@@ -38,6 +38,31 @@ object DataQuality {
   private val wordsSql =
     """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
 
+  /** DuckDB CTE chain replaying [[qualityFlags]]'s keep bit over the
+    * documents matching `pred` — ends in `qk(doc_id, keep_quality)`.
+    * Shared by oracles that compose the quality gate with other stages
+    * (st20x); the standalone dq02/cp05 oracles keep their own inline
+    * copies of the same text. */
+  def qualityKeepCtesSql(pred: String): String =
+    s"""qbase AS (
+       |  SELECT doc_id, text, $wordsSql AS words,
+       |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_word_chars
+       |  FROM documents WHERE $pred),
+       |qst AS (
+       |  SELECT doc_id, text, n_word_chars,
+       |    len(words) AS n_words, len(list_distinct(words)) AS n_distinct
+       |  FROM qbase),
+       |qk AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(n_words BETWEEN 20 AND 10000 AS INT)
+       |       * CAST(n_word_chars * 1.0 / greatest(n_words, 1) BETWEEN 3.0 AND 10.0 AS INT)
+       |       * CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to|in)\\b')) > 0 AS INT)
+       |       * CAST(NOT contains(text, '{') AS INT)
+       |       * CAST(NOT contains(lower(text), 'lorem ipsum') AS INT)
+       |       * CAST((n_words - n_distinct) * 1.0 / greatest(n_words, 1) <= 0.5 AS INT)
+       |       AS INT) AS keep_quality
+       |  FROM qst)""".stripMargin
+
   /** dq05: minimum per-source dq02 keep-rate for the source to survive
     * the reputation gate (the fixture's rates span 0.08–0.48, so 0.3
     * exercises both branches). */

@@ -513,6 +513,9 @@ object EventStreams {
   def deconGate(stream: DataFrame, bench: DataFrame, outDir: String,
                 checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // same session-registration guard as curationStream: bench-derived
+    // frames resolve the native cosine against the driving session
+    graft.functions.CosineSim.register(stream.sparkSession)
     val benchP = bench.persist()
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -610,6 +613,85 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** STREAMING joint curation (st20's continuous form): each arriving
+    * micro-batch of docs gets the full three-stage ledger — quality
+    * rules (stateless), near-dup ingest gate against the seed band
+    * index ∪ the accepted-doc segments of earlier batches (the st19
+    * state discipline, same delta tables, same batch_id < N replay
+    * guard), semantic decon of the doc's vector against the static
+    * benchmark (stateless stream-static) — and only docs passing ALL
+    * stages land a new index segment. The ledger rows (first-drop
+    * stage attribution, cp06's conservation discipline) land
+    * batch-id-partitioned with dynamic overwrite. `emb` is the static
+    * vector side (vec_id aligned with doc_id; label 0 = benchmark). */
+  def curationStream(stream: DataFrame, seedDir: String, emb: DataFrame,
+                     bandsDeltaDir: String, shinglesDeltaDir: String,
+                     outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // register the decon refine's native fn on the DRIVING session:
+    // frames built from the static `emb` side resolve against it (not
+    // the micro-batch clone), and clones inherit what is registered
+    // here before the query starts
+    graft.functions.CosineSim.register(stream.sparkSession)
+    val embP = emb.persist()
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.types._
+          val mh = graft.analytics.MinHashBandIndex
+          val bandSchema = StructType(Seq(
+            StructField("corpus_id", LongType),
+            StructField("band", IntegerType),
+            StructField("key", LongType),
+            StructField("kp", IntegerType),
+            StructField("batch_id", LongType)))
+          val shSchema = StructType(Seq(
+            StructField("corpus_id", LongType),
+            StructField("sh", ArrayType(LongType, containsNull = false)),
+            StructField("batch_id", LongType)))
+          val segBands = readDelta(spark, bandsDeltaDir, bandSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          val segSh = readDelta(spark, shinglesDeltaDir, shSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          val nd = mh.gateFrames(
+            spark,
+            spark.read.parquet(s"$seedDir/bands")
+              .select("corpus_id", "band", "key", "kp").unionByName(segBands),
+            spark.read.parquet(s"$seedDir/shingles").unionByName(segSh),
+            batch.select("doc_id", "text"))
+          // materialize the ledger BEFORE segment writes mutate the
+          // delta dirs its near-dup stage reads
+          val ledger = StreamShapes.curationLedgerOf(
+            spark, batch, nd, embP, banded = true).localCheckpoint(true)
+          ledger.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+          val accepted = batch
+            .join(ledger.filter(col("keep") === 1).select("doc_id"),
+                  Seq("doc_id"))
+            .localCheckpoint(true)
+          if (!accepted.isEmpty) {
+            mh.segmentBands(spark, accepted)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(bandsDeltaDir)
+            mh.segmentShingles(spark, accepted)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(shinglesDeltaDir)
+          }
+        }
+        ()
+      }
+      .start()
+  }
 
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */

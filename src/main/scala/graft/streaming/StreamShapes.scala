@@ -1042,6 +1042,237 @@ object StreamShapes {
              |UNION ALL
              |SELECT 2 AS batch, * FROM g2
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // STREAMING joint curation (cp06's continuous form, st19/st18/st16
+    // composed into ONE per-batch pipeline): every arriving doc gets a
+    // ledger row — quality gate (stateless regex/count rules), near-dup
+    // ingest gate (stateful: seed MinHash band index ∪ accepted-doc
+    // segments of earlier batches), semantic decon of its vector
+    // against the static benchmark — with `stage` naming the FIRST
+    // stage that dropped it (cp06's conservation discipline). Only docs
+    // passing ALL stages enter the index segment for later batches (a
+    // quality- or decon-dropped doc is never ingested, so it must not
+    // block future near-dups of itself). Banded candidate generation on
+    // both fuzzy stages → rows-only; st20x replays the identical chain
+    // with exhaustive/exact stages end to end in SQL, and
+    // EventStreams.curationStream is pinned row-equal with a
+    // kill+restart test.
+    QueryDef(
+      "st20_streaming_curation",
+      (s, d) => curationLedgerChain(s, d, banded = true),
+      None
+    ),
+
+    // st20's exactness anchor: exhaustive near-dup candidates + exact
+    // cosine decon, same two-batch chain, same ledger — the whole
+    // composed pipeline (including cross-batch segment chaining gated
+    // on ALL-stage acceptance) is hash-checked in SQL.
+    QueryDef(
+      "st20x_streaming_curation_exact",
+      (s, d) => curationLedgerChain(s, d, banded = false),
+      Some(s"""WITH w AS MATERIALIZED (
+              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+              |                             x -> x <> '') AS w
+              |  FROM documents),
+              |t AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+              |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+              |         ELSE [array_to_string(w, ' ')] END AS ngrams
+              |  FROM w),
+              |${graft.analytics.DataQuality.qualityKeepCtesSql("doc_id % 10 = 0")},
+              |bq AS (SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |mv AS (
+              |  SELECT c.vec_id AS doc_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, bq.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(bq.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM (SELECT vec_id, embedding FROM embeddings
+              |        WHERE label <> 0 AND vec_id % 10 = 0) c, bq
+              |  GROUP BY c.vec_id),
+              |vk AS (
+              |  SELECT d.doc_id,
+              |    CASE WHEN l0.vec_id IS NOT NULL THEN 0
+              |         WHEN mv.mc >= ${graft.analytics.DataQuality.SemanticDeconTau}
+              |         THEN 0 ELSE 1 END AS keep_vec
+              |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |  LEFT JOIN (SELECT vec_id FROM embeddings WHERE label = 0) l0
+              |    ON l0.vec_id = d.doc_id
+              |  LEFT JOIN mv ON mv.doc_id = d.doc_id),
+              |corp1 AS (SELECT doc_id AS corpus_id, ngrams FROM t
+              |          WHERE doc_id % 10 <> 0),
+              |b1 AS (SELECT doc_id, ngrams FROM t WHERE doc_id % 20 = 0),
+              |b2 AS (SELECT doc_id, ngrams FROM t
+              |       WHERE doc_id % 10 = 0 AND doc_id % 20 <> 0),
+              |h1 AS (
+              |  SELECT DISTINCT i.doc_id
+              |  FROM (
+              |    SELECT a.doc_id, c.corpus_id, count(*) AS i
+              |    FROM (SELECT doc_id, unnest(ngrams) AS g FROM b1) a
+              |    JOIN (SELECT corpus_id, unnest(ngrams) AS g FROM corp1) c
+              |      USING (g)
+              |    GROUP BY 1, 2) i
+              |  JOIN b1 sa ON sa.doc_id = i.doc_id
+              |  JOIN corp1 sb ON sb.corpus_id = i.corpus_id
+              |  WHERE round(i.i * 1.0 /
+              |        (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) >= 0.3),
+              |led1 AS MATERIALIZED (
+              |  SELECT b.doc_id, qk.keep_quality,
+              |    CAST(CASE WHEN h1.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+              |      AS keep_neardup,
+              |    CAST(vk.keep_vec AS INT) AS keep_vec
+              |  FROM b1 b
+              |  JOIN qk ON qk.doc_id = b.doc_id
+              |  JOIN vk ON vk.doc_id = b.doc_id
+              |  LEFT JOIN h1 ON h1.doc_id = b.doc_id),
+              |corp2 AS (
+              |  SELECT * FROM corp1
+              |  UNION ALL
+              |  SELECT b.doc_id AS corpus_id, b.ngrams
+              |  FROM b1 b JOIN led1 ON b.doc_id = led1.doc_id
+              |  WHERE led1.keep_quality * led1.keep_neardup * led1.keep_vec = 1),
+              |h2 AS (
+              |  SELECT DISTINCT i.doc_id
+              |  FROM (
+              |    SELECT a.doc_id, c.corpus_id, count(*) AS i
+              |    FROM (SELECT doc_id, unnest(ngrams) AS g FROM b2) a
+              |    JOIN (SELECT corpus_id, unnest(ngrams) AS g FROM corp2) c
+              |      USING (g)
+              |    GROUP BY 1, 2) i
+              |  JOIN b2 sa ON sa.doc_id = i.doc_id
+              |  JOIN corp2 sb ON sb.corpus_id = i.corpus_id
+              |  WHERE round(i.i * 1.0 /
+              |        (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) >= 0.3),
+              |led2 AS (
+              |  SELECT b.doc_id, qk.keep_quality,
+              |    CAST(CASE WHEN h2.doc_id IS NULL THEN 1 ELSE 0 END AS INT)
+              |      AS keep_neardup,
+              |    CAST(vk.keep_vec AS INT) AS keep_vec
+              |  FROM b2 b
+              |  JOIN qk ON qk.doc_id = b.doc_id
+              |  JOIN vk ON vk.doc_id = b.doc_id
+              |  LEFT JOIN h2 ON h2.doc_id = b.doc_id),
+              |led AS (
+              |  SELECT 1 AS batch, * FROM led1
+              |  UNION ALL
+              |  SELECT 2 AS batch, * FROM led2)
+              |SELECT doc_id, keep_quality, keep_neardup, keep_vec,
+              |  CAST(keep_quality * keep_neardup * keep_vec AS INT) AS keep,
+              |  CASE WHEN keep_quality = 0 THEN 'quality'
+              |       WHEN keep_neardup = 0 THEN 'neardup'
+              |       WHEN keep_vec = 0 THEN 'decon'
+              |       ELSE 'kept' END AS stage,
+              |  batch
+              |FROM led ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** One slice's curation ledger — quality gate × supplied near-dup
+    * verdicts × semantic decon of the slice's vectors against `emb`'s
+    * label-0 benchmark (banded LSH prefilter in production, exact
+    * cosine for anchors); `stage` names the first stage that dropped
+    * the doc. Shared by the st20 batch chain and the streaming twin
+    * (EventStreams.curationStream) so the three-stage composition can
+    * never diverge between them. */
+  def curationLedgerOf(s: org.apache.spark.sql.SparkSession,
+                       slice: org.apache.spark.sql.DataFrame,
+                       nd: org.apache.spark.sql.DataFrame,
+                       emb: org.apache.spark.sql.DataFrame,
+                       banded: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.analytics.DataQuality
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val ids = slice.select(col("doc_id").as("vec_id"))
+    val cvecs = emb.filter(col("label") =!= 0).join(ids, Seq("vec_id"))
+      .select("vec_id", "embedding")
+    val drops =
+      if (banded)
+        DataQuality.semanticDeconLshDropsOf(s, cvecs, bench).select("vec_id")
+      else cvecs
+        .crossJoin(broadcast(bench.select(col("embedding").as("qvec"))))
+        .groupBy("vec_id")
+        .agg(max(graft.functions.VectorOps.cosineNative(
+               s, col("embedding"), col("qvec"))).as("mc"))
+        .filter(col("mc") >= DataQuality.SemanticDeconTau)
+        .select("vec_id")
+    val dropIds = drops
+      .unionByName(emb.filter(col("label") === 0).select("vec_id")
+        .join(ids, Seq("vec_id")))
+      .distinct()
+      .select(col("vec_id").as("doc_id"), lit(0).as("keep_vec"))
+    val vecKeep = slice.select("doc_id").join(dropIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("keep_vec"), lit(1)).cast("int").as("keep_vec"))
+    // qualityFlags threads `source` through for downstream gates; the
+    // keep bit itself never reads it, so a source-less stream slice
+    // gets a placeholder
+    val sliceQ =
+      if (slice.columns.contains("source")) slice
+      else slice.withColumn("source", lit(""))
+    DataQuality.qualityFlags(sliceQ)
+      .select(col("doc_id"), col("keep").cast("int").as("keep_quality"))
+      .join(nd.select(col("doc_id"),
+                      col("keep").cast("int").as("keep_neardup")),
+            Seq("doc_id"))
+      .join(vecKeep, Seq("doc_id"))
+      .select(col("doc_id"), col("keep_quality"), col("keep_neardup"),
+              col("keep_vec"),
+              (col("keep_quality") * col("keep_neardup") * col("keep_vec"))
+                .cast("int").as("keep"),
+              when(col("keep_quality") === 0, "quality")
+                .when(col("keep_neardup") === 0, "neardup")
+                .when(col("keep_vec") === 0, "decon")
+                .otherwise("kept").as("stage"))
+  }
+
+  /** st20's two-batch curation chain: quality × near-dup × decon per
+    * arrival with first-drop stage attribution; batch 2's near-dup
+    * index side includes batch 1's ALL-STAGE keepers. `banded` picks
+    * the production candidate generation (LSH bands + band-bucket
+    * prune) vs the exhaustive/exact anchor forms. */
+  private def curationLedgerChain(s: org.apache.spark.sql.SparkSession,
+                                  d: String, banded: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.analytics.{DataQuality, MinHashBandIndex}
+    val docs = table(s, d, "documents")
+    val emb = table(s, d, "embeddings")
+    val arr = MinHashBandIndex.arrivalsOf(docs)
+    val b1 = arr.filter(col("doc_id") % 20 === 0)
+    val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+    def ledgerOf(batchNo: Int, slice: org.apache.spark.sql.DataFrame,
+                 nd: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      curationLedgerOf(s, slice, nd, emb, banded)
+        .withColumn("batch", lit(batchNo))
+    if (banded) {
+      val seed = MinHashBandIndex.ensure(s, d)
+      val seedBands = s.read.parquet(s"$seed/bands")
+        .select("corpus_id", "band", "key", "kp")
+      val seedSh = s.read.parquet(s"$seed/shingles")
+      val led1 = ledgerOf(1, b1,
+        MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1))
+      val acc1 = b1.join(led1.filter(col("keep") === 1).select("doc_id"),
+                         Seq("doc_id"))
+      val led2 = ledgerOf(2, b2, MinHashBandIndex.gateFrames(
+        s,
+        seedBands.unionByName(MinHashBandIndex.segmentBands(s, acc1)),
+        seedSh.unionByName(MinHashBandIndex.segmentShingles(s, acc1)),
+        b2))
+      led1.unionByName(led2).orderBy("doc_id")
+    } else {
+      val corpus = MinHashBandIndex.corpusOf(docs).select("doc_id", "text")
+      val led1 = ledgerOf(1, b1,
+        MinHashBandIndex.exhaustiveGate(s, corpus, b1))
+      val acc1 = b1.select("doc_id", "text")
+        .join(led1.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+      val led2 = ledgerOf(2, b2, MinHashBandIndex.exhaustiveGate(
+        s, corpus.unionByName(acc1), b2))
+      led1.unionByName(led2).orderBy("doc_id")
+    }
+  }
 }

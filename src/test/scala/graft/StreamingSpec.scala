@@ -1236,4 +1236,94 @@ class StreamingSpec extends SparkSpec {
       s"near-dup of pre-restart accepted doc must reject against it: $out")
     assert(out(40L) == ((1, -1L)), s"fresh doc must accept: $out")
   }
+
+  test("streaming curation: matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st20_").toString
+    val seed = graft.analytics.MinHashBandIndex.ensure(spark, sf0001)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val arr = graft.analytics.MinHashBandIndex.arrivalsOf(
+        spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = arr.partition(_._1 % 20 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.curationStream(
+      mem.toDF().toDF("doc_id", "text"), seed, emb,
+      s"$tmp/bands", s"$tmp/shingles", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("keep_quality"), col("keep_neardup"),
+                col("keep_vec"), col("keep"), col("stage"),
+                (col("batch_id").cast("int") + 1).as("batch"))
+      val batchForm =
+        SparkEntry.queries("st20_streaming_curation")(spark, sf0001)
+      assert(streamed.count() == batchForm.count())
+      assert(streamed.exceptAll(batchForm).count() == 0 &&
+             batchForm.exceptAll(streamed).count() == 0,
+             "streamed curation ledger diverges from the batch form")
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("streaming curation: kill + restart — only all-stage keepers become index segments") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val landing = Files.createTempDirectory("st20r-landing").toString
+    val tmp = Files.createTempDirectory("st20r-state").toString
+    // quality-passing template: 150 words, low repetition, has stopword
+    def good(tag: String) = (1 to 25)
+      .map(i => s"the alpha$tag$i beta$tag$i gamma$tag$i delta$tag$i epsilon$tag$i")
+      .mkString(" ")
+    val base = good("c")
+    val novel = good("n")
+    val loremy = good("l") + " lorem ipsum" // near-dup-able but quality-dropped
+    val seedDir = s"$tmp/seed"
+    graft.analytics.MinHashBandIndex.buildFrom(
+      spark, seedDir, Seq((1L, base)).toDF("doc_id", "text"))
+    // vectors: 100 = benchmark direction (label 0); 60 = contaminated
+    // (near-parallel, label 1); every other doc has NO vector (keep 1)
+    val emb = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f), 0),
+      (60L, Seq(0.99f, 0.05f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(landing)
+    land(Seq((10L, base + " again"),   // neardup of seed corpus → drop
+             (20L, novel),             // keeper → becomes a segment
+             (50L, loremy)))           // quality drop → must NOT ingest
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.curationStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      seedDir, emb, s"$tmp/bands", s"$tmp/shingles", s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    land(Seq((30L, novel + " addendum"), // neardup of pre-restart keeper 20
+             (70L, good("l")),           // neardup of 50's text — but 50
+                                         // was never ingested → keep
+             (60L, good("d")),           // contaminated vector → decon
+             (40L, good("f"))))          // fresh keeper
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "keep", "stage").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out.size == 7, s"one ledger row per doc: $out")
+    assert(out(10L) == ((0, "neardup")), s"$out")
+    assert(out(20L) == ((1, "kept")), s"$out")
+    assert(out(50L) == ((0, "quality")), s"$out")
+    assert(out(30L) == ((0, "neardup")),
+      s"segment from before the restart must gate batch 2: $out")
+    assert(out(70L) == ((1, "kept")),
+      s"a quality-dropped doc must never have been ingested as state: $out")
+    assert(out(60L) == ((0, "decon")), s"$out")
+    assert(out(40L) == ((1, "kept")), s"$out")
+  }
 }
