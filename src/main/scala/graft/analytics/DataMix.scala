@@ -51,6 +51,15 @@ object DataMix {
   /** Tokens per packed training sequence for dm02. */
   val PackBudget = 512
 
+  /** dm09 split thresholds on the md5 hash fraction: [0, ValFrac) →
+    * val, [ValFrac, TestCut) → test, rest train. */
+  val SplitValFrac = 0.1
+  val SplitTestCut = 0.3
+
+  /** dm10: minimum word-2-gram Jaccard for a cross-split pair to count
+    * as training/eval leakage. */
+  val SplitLeakJaccard = 0.8
+
   /** dm02's per-doc packing assignment — (doc_id, n_tokens, shard,
     * seq_id, pos_in_seq) — shared by the dm02 plan entry and dm08's
     * sequence materialization so the written sequences can never drift
@@ -488,6 +497,110 @@ object DataMix {
               |  COUNT(*) AS n_copies, round(w.w, 6) AS w
               |FROM exploded e JOIN weights w ON e.lang = w.lang
               |GROUP BY e.lang, w.w ORDER BY e.lang""".stripMargin)
+    ),
+
+    // ---- train/val/test split + leakage audit -------------------------
+    // dm09: deterministic hash-threshold split — MAP-ONLY on purpose.
+    // The exact-proportion alternative (row_number per language) costs
+    // a full shuffle+sort of the corpus; at 100 TB the split is a
+    // per-row pure function of the id (reproducible across reruns and
+    // engines, no coordination), and proportions converge to the
+    // thresholds by the law of large numbers. Same md5-fraction
+    // primitive as every sampling gate here (x21/dm01/dm07).
+    QueryDef(
+      "dm09_train_split",
+      (s, d) => {
+        val hf = hashFraction(col("doc_id"))
+        table(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+                  when(hf < SplitValFrac, "val")
+                    .when(hf < SplitTestCut, "test")
+                    .otherwise("train").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+              |  CASE WHEN ${hashFractionSql("doc_id")} < $SplitValFrac THEN 'val'
+              |       WHEN ${hashFractionSql("doc_id")} <
+              |            $SplitTestCut THEN 'test'
+              |       ELSE 'train' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // dm10: near-dup LEAKAGE across the split boundary — the audit a
+    // training pipeline runs before trusting its eval numbers: every
+    // (eval doc, train doc) pair with word-2-gram Jaccard ≥ 0.8 is a
+    // leak (exact duplicates are the j = 1 special case). Candidates
+    // by shared-gram equi-join (never a cross join), so the whole
+    // audit is SQL-replayable and hash-checked; the banded MinHash
+    // path (dd09's index) is the 100 TB candidate generator when the
+    // gram join's shuffle dominates.
+    QueryDef(
+      "dm10_split_leakage",
+      (s, d) => {
+        val hf = hashFraction(col("doc_id"))
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+                  when(hf < SplitValFrac, "val")
+                    .when(hf < SplitTestCut, "test")
+                    .otherwise("train").as("split"))
+        val ev = docs.filter(col("split") =!= "train")
+          .select(col("doc_id"), col("split"),
+                  Dedup.shingleHashes(s, col("text"), 2).as("sh"))
+        val tr = docs.filter(col("split") === "train")
+          .select(col("doc_id").as("train_id"),
+                  Dedup.shingleHashes(s, col("text"), 2).as("sh_t"))
+        val inter = ev.select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(tr.select(col("train_id"), explode(col("sh_t")).as("g")),
+                Seq("g"))
+          .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__i"))
+        inter
+          .join(ev.select(col("doc_id"), col("split"),
+                          size(col("sh")).as("__na")), Seq("doc_id"))
+          .join(tr.select(col("train_id"), size(col("sh_t")).as("__nb")),
+                Seq("train_id"))
+          .select(col("doc_id"), col("split"), col("train_id"),
+                  round(col("__i") * lit(1.0) /
+                        (col("__na") + col("__nb") - col("__i")), 6)
+                    .as("jaccard"))
+          .filter(col("jaccard") >= SplitLeakJaccard)
+          .orderBy("doc_id", "train_id")
+      },
+      Some(s"""WITH sp AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ${hashFractionSql("doc_id")} < $SplitValFrac THEN 'val'
+              |         WHEN ${hashFractionSql("doc_id")} <
+              |              $SplitTestCut THEN 'test'
+              |         ELSE 'train' END AS split
+              |  FROM documents),
+              |w AS (
+              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+              |                             x -> x <> '') AS w
+              |  FROM documents),
+              |t AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+              |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+              |         ELSE [array_to_string(w, ' ')] END AS ngrams
+              |  FROM w),
+              |ev AS (SELECT t.doc_id, sp.split, t.ngrams
+              |       FROM t JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
+              |tr AS (SELECT t.doc_id AS train_id, t.ngrams
+              |       FROM t JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+              |inter AS (
+              |  SELECT a.doc_id, c.train_id, count(*) AS i
+              |  FROM (SELECT doc_id, unnest(ngrams) AS g FROM ev) a
+              |  JOIN (SELECT train_id, unnest(ngrams) AS g FROM tr) c
+              |    USING (g)
+              |  GROUP BY 1, 2)
+              |SELECT i.doc_id, e.split, i.train_id,
+              |  round(i.i * 1.0 /
+              |        (len(e.ngrams) + len(r.ngrams) - i.i), 6) AS jaccard
+              |FROM inter i
+              |JOIN ev e ON e.doc_id = i.doc_id
+              |JOIN tr r ON r.train_id = i.train_id
+              |WHERE round(i.i * 1.0 /
+              |      (len(e.ngrams) + len(r.ngrams) - i.i), 6) >= $SplitLeakJaccard
+              |ORDER BY i.doc_id, i.train_id""".stripMargin)
     )
   )
 }

@@ -467,6 +467,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("dm09: the split is map-only — no exchange, no window, no join") {
+    val p = plan("dm09_train_split")
+    // a per-row hash threshold must never cost a data shuffle: the
+    // exact-proportion row_number alternative would hash-partition and
+    // sort the corpus per language. (The only exchange allowed is the
+    // presentation orderBy's range partitioning.)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("dd09: the band probe prunes unprobed kp partitions at the bands scan") {
     val dir = graft.analytics.MinHashBandIndex.ensure(spark, sf0001)
     val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
