@@ -175,6 +175,40 @@ object MinHashBandIndex {
     } finally { rows.unpersist(false); () }
   }
 
+  /** Fold streaming delta SEGMENTS (st19/st20's accepted-doc state,
+    * batch-id-partitioned under the two delta roots) into the seed
+    * index: segment rows append into `seedDir/bands` (same kp
+    * partitioning — the merged index keeps its pruning layout) and
+    * `seedDir/shingles`, then the delta roots are dropped. Cost ∝ the
+    * segments, never the seed. This is the checkpoint step of a
+    * long-running ingest stream — without it the per-batch gate reads
+    * an ever-growing list of segment files; after it the stream
+    * restarts from an empty delta with identical gate semantics
+    * (spec-pinned: gate-against-merged ≡ gate-against-seed+deltas).
+    * Returns the number of docs folded in. Run it only while the
+    * stream is DOWN (it mutates state the running query reads). */
+  def mergeSegments(spark: SparkSession, seedDir: String,
+                    bandsDeltaDir: String, shinglesDeltaDir: String): Long = {
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    val bandsDelta = new java.io.File(bandsDeltaDir)
+    val shDelta = new java.io.File(shinglesDeltaDir)
+    if (!bandsDelta.exists()) return 0L
+    val segBands = spark.read.parquet(bandsDeltaDir)
+      .select("corpus_id", "band", "key", "kp")
+      .localCheckpoint(true) // sever from the dirs we are about to drop
+    val segSh = spark.read.parquet(shinglesDeltaDir)
+      .select("corpus_id", "sh")
+      .localCheckpoint(true)
+    segBands.write.mode("append").partitionBy("kp")
+      .parquet(s"$seedDir/bands")
+    segSh.write.mode("append").parquet(s"$seedDir/shingles")
+    val n = segSh.count()
+    rmrf(bandsDelta); rmrf(shDelta)
+    n
+  }
+
   /** Gate an arriving batch against the persisted index.
     * Output: (doc_id, keep, match_id, match_jaccard) — keep = 0 iff a
     * corpus near-dup with Jaccard ≥ `minJaccard` was found, match = the
