@@ -484,12 +484,17 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(
             count(when(col("l_quantity") > 25, 1)).as("big_cnt"),
-            round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
-              .otherwise(0.0)), 2).as("disc_rev"))
+            // decimal accumulate for the money sum (see x17's note)
+            sum(when(col("l_discount") > 0.05,
+                     col("l_extendedprice").cast("decimal(18,2)"))
+              .otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("double").as("disc_rev"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS big_cnt,
-             |  round(SUM(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS disc_rev
+             |  CAST(SUM(CASE WHEN l_discount > 0.05
+             |           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS disc_rev
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
@@ -582,11 +587,18 @@ object Relational {
       (s, d) =>
         table(s, d, "lineitem")
           .cube("l_returnflag", "l_linestatus")
+          // money sums accumulate in DECIMAL, not double: a double sum
+          // over millions of rows is partial-aggregation-order-dependent
+          // in its last ulp, and rounding to cents can flip on a
+          // boundary between engines (seen once at a staged sf1);
+          // decimal addition is exact and order-free, and the final
+          // cast back to double keeps the oracle's result type
           .agg(count(lit(1)).as("cnt"),
-               round(sum("l_extendedprice"), 2).as("revenue"))
+               sum(col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").as("revenue"))
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-             |  round(SUM(l_extendedprice), 2) AS revenue
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     ),

@@ -122,10 +122,12 @@ object ScaleExtensions {
                    .otherwise(hashGate(col("o_orderkey"), "03")))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_sampled"),
-               round(sum("o_totalprice"), 2).as("sum_price"))
+               // decimal accumulate for the money sum (see x17's note)
+               sum(col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").as("sum_price"))
           .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, COUNT(*) AS n_sampled,
-             |  round(SUM(o_totalprice), 2) AS sum_price
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders
              |WHERE CASE WHEN o_orderpriority = '1-URGENT'
              |           THEN md5(CAST(o_orderkey AS VARCHAR)) < '1a'
@@ -259,11 +261,15 @@ object ScaleExtensions {
           .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
           .groupBy("c_custkey")
           .agg(count(col("o_orderkey")).as("n_big_orders"),
-               round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("big_total"))
+               // decimal accumulate for the money sum (see x17's note)
+               coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+                        lit(0).cast("decimal(18,2)"))
+                 .cast("double").as("big_total"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
-             |  round(COALESCE(SUM(o_totalprice), 0), 2) AS big_total
+             |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+             |                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS big_total
              |FROM customer LEFT JOIN orders
              |  ON c_custkey = o_custkey AND o_totalprice > 400000
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
