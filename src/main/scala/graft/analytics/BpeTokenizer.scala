@@ -317,6 +317,19 @@ object BpeTokenizer {
        |             x -> x <> '')))), 0) AS BIGINT)""".stripMargin
   }
 
+  /** DuckDB token-string LIST of one word column under the derived
+    * merges (requires `m` in the enclosing FROM) — the list whose
+    * length [[bpeTokenCountSql]] sums; tok03 explodes it. */
+  def segListSql(wCol: String): String = {
+    val chain = (0 until Merges).foldLeft(
+      s"' ' || array_to_string(list_transform(range(length($wCol)), " +
+        s"i -> substring($wCol, i + 1, 1)), ' ') || ' '") { (acc, i) =>
+      s"replace($acc, ' ' || m.l$i || ' ' || m.r$i || ' ', " +
+        s"' ' || m.l$i || m.r$i || ' ')"
+    }
+    s"list_filter(string_split($chain, ' '), x -> x <> '')"
+  }
+
   // -- query surface -----------------------------------------------------
 
   def all: Seq[QueryDef] = Seq(
@@ -533,6 +546,89 @@ object BpeTokenizer {
               |  CAST(SUM(k.n_tokens) AS BIGINT) AS tok_kept
               |FROM kept k JOIN totals t ON k.lang = t.lang
               |GROUP BY k.lang, t.tok_lang ORDER BY k.lang""".stripMargin)
+    ),
+
+    // the FINAL tokenizer artifact: documents encoded to vocabulary
+    // IDS. Vocab = corpus-wide base alphabet (utf8-sorted, ids 0..B-1
+    // — driver-side metadata, alphabet-bounded) + one token per merge
+    // (id B + rank; duplicate surface forms keep their smallest id).
+    // Per doc, every word segments through the native merge-chain
+    // operator ([[graft.functions.BpeWordSegment]] — the token STRINGS
+    // the count operators count) and each token looks its id up in a
+    // broadcast map literal — map-only until the presentation sort.
+    // The oracle DERIVES merges, segmentation, alphabet, and vocab
+    // itself, so the id assignment is checked end to end. Encoded docs
+    // capped at doc_id < 100 to bound the oracle's replay; the Spark
+    // plan is the uncapped shape.
+    QueryDef(
+      "tok03_bpe_ids",
+      (s, d) => {
+        val merges = loadOrLearn(s, d)
+        graft.functions.BpeFns.register(s)
+        val mL = typedLit(merges.map(_.l))
+        val mR = typedLit(merges.map(_.r))
+        val docs = table(s, d, "documents")
+        val baseChars = docs
+          .select(explode(expr(wordsExpr)).as("w"))
+          .select(explode(expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+            .as("c"))
+          .distinct().collect().map(_.getString(0)).toSeq
+          .sortWith(utf8Lt)
+        val vocab = scala.collection.mutable.LinkedHashMap[String, Int]()
+        baseChars.zipWithIndex.foreach { case (c, i) => vocab.put(c, i) }
+        merges.foreach { m =>
+          val t = m.l + m.r
+          if (!vocab.contains(t)) { vocab.put(t, baseChars.size + m.rank); () }
+        }
+        val vmap = typedLit(vocab.toMap)
+        docs.filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+                  posexplode(expr(wordsExpr)).as(Seq("wpos", "w")))
+          .select(col("doc_id"), col("wpos"),
+                  posexplode(call_function(
+                    graft.functions.BpeFns.segFnName, col("w"), mL, mR))
+                    .as(Seq("spos", "token")))
+          .select(col("doc_id"), col("wpos"), col("spos"), col("token"),
+                  element_at(vmap, col("token")).as("token_id"))
+          .orderBy("doc_id", "wpos", "spos")
+      },
+      Some(s"""WITH $learnCtesSql,
+              |$mergeRowCteSql,
+              |docs AS (SELECT doc_id, $wordsSql AS words
+              |         FROM documents WHERE doc_id < 100),
+              |wp0 AS (SELECT doc_id, words, unnest(range(len(words))) AS i
+              |        FROM docs),
+              |wp AS (SELECT doc_id, CAST(i AS INT) AS wpos, words[i + 1] AS w
+              |       FROM wp0),
+              |seg AS (SELECT doc_id, wpos, ${segListSql("w")} AS toks
+              |        FROM wp, m),
+              |tp0 AS (SELECT doc_id, wpos, toks, unnest(range(len(toks))) AS j
+              |        FROM seg),
+              |tp AS (SELECT doc_id, wpos, CAST(j AS INT) AS spos,
+              |              toks[j + 1] AS token
+              |       FROM tp0),
+              |aw AS (SELECT unnest($wordsSql) AS w FROM documents),
+              |chars AS (
+              |  SELECT DISTINCT substring(w, i + 1, 1) AS c
+              |  FROM (SELECT w, unnest(range(length(w))) AS i FROM aw)),
+              |base AS (
+              |  SELECT c AS token,
+              |         CAST(row_number() OVER (ORDER BY c) - 1 AS INT) AS id
+              |  FROM chars),
+              |mg AS (
+              |  SELECT l || r AS token,
+              |         CAST((SELECT COUNT(*) FROM base) + rank AS INT) AS id
+              |  FROM (${(0 until Merges).map(i => s"SELECT * FROM b$i")
+                          .mkString(" UNION ALL ")})),
+              |vocab AS (
+              |  SELECT token, MIN(id) AS id
+              |  FROM (SELECT * FROM base UNION ALL SELECT * FROM mg)
+              |  GROUP BY token)
+              |SELECT tp.doc_id, tp.wpos, tp.spos, tp.token,
+              |       CAST(v.id AS INT) AS token_id
+              |FROM tp JOIN vocab v ON v.token = tp.token
+              |ORDER BY tp.doc_id, tp.wpos, tp.spos""".stripMargin)
     )
   )
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -87,8 +87,22 @@ object BpeApply {
     * symbols are currently present (twice, if l == r), so absent ranks
     * cost two hash probes — O(R) probes + O(applicable · len) scans per
     * word instead of the chain's O(R · len) string rescans. */
-  def wordTokens(word: String, mL: Array[String], mR: Array[String]): Int = {
-    var syms = toSymbols(word)
+  def wordTokens(word: String, mL: Array[String], mR: Array[String]): Int =
+    runChain(toSymbols(word), mL, mR)
+
+  /** Final surviving symbols of one word — the token STRINGS in order
+    * (tok03's id-encoding needs them; same chain as [[wordTokens]]). */
+  def wordSymbols(word: String, mL: Array[String],
+                  mR: Array[String]): Array[String] = {
+    val syms = toSymbols(word)
+    val n = runChain(syms, mL, mR)
+    java.util.Arrays.copyOf(syms, n)
+  }
+
+  /** Run the merge chain over `syms` in place; returns the surviving
+    * count (prefix of `syms`). */
+  private def runChain(syms: Array[String], mL: Array[String],
+                       mR: Array[String]): Int = {
     var n = syms.length
     if (n <= 1 || mL.length == 0) return n
     val counts = new java.util.HashMap[String, Integer](n * 2)
@@ -199,6 +213,47 @@ case class BpeWordTokens(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `bpe_word_segment(word, mergeL, mergeR)` — the surviving token
+  * STRINGS of one word in order (the array [[BpeWordTokens]] counts);
+  * tok03's id encoding explodes this. */
+case class BpeWordSegment(first: Expression, second: Expression,
+                          third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    BpeApply.checkArgs(prettyName, first, second, third)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_word_segment"
+
+  @transient private lazy val mL = BpeApply.extractStrings(second)
+  @transient private lazy val mR = BpeApply.extractStrings(third)
+
+  def segment(w: UTF8String): GenericArrayData = {
+    val syms = BpeApply.wordSymbols(w.toString, mL, mR)
+    val out = new Array[AnyRef](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      out(i) = UTF8String.fromString(syms(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(w: Any, l: Any, r: Any): Any =
+    segment(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeWordSegment", this,
+      classOf[BpeWordSegment].getName)
+    nullSafeCodeGen(ctx, ev, (w, _, _) => s"${ev.value} = $ref.segment($w);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** `bpe_token_count(text, mergeL, mergeR)` — per-document subword token
   * count: the word split and the per-word chains fused into one
   * codegen'd operator (see [[BpeApply]]). */
@@ -234,6 +289,7 @@ case class BpeTokenCount(first: Expression, second: Expression,
 object BpeFns {
   val wordFnName = "bpe_word_tokens"
   val docFnName = "bpe_token_count"
+  val segFnName = "bpe_word_segment"
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -241,6 +297,9 @@ object BpeFns {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       docFnName, exprs => BpeTokenCount(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      segFnName, exprs => BpeWordSegment(exprs(0), exprs(1), exprs(2)),
       "built-in")
   }
 }

@@ -135,4 +135,32 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(counts.getLong(2) < counts.getLong(1),
            s"1024 merges did not shrink the corpus: $counts")
   }
+
+  test("bpe: segment operator — counts agree, tokens concatenate losslessly, multi-char tokens are merge outputs") {
+    // tok03's segment operator must be the SAME chain the count
+    // operators run: (a) its length equals the pinned native count for
+    // every distinct fixture word, (b) tokens concatenate back to the
+    // word (lossless segmentation), (c) every multi-character token is
+    // a merge's surface form (single chars are the base alphabet).
+    val merges = BpeTokenizer.loadOrLearn(spark, sf0001)
+    graft.functions.BpeFns.register(spark)
+    val mL = typedLit(merges.map(_.l))
+    val mR = typedLit(merges.map(_.r))
+    val words = QueryDef.table(spark, sf0001, "documents")
+      .select(explode(expr(
+        "filter(split(text, '\\\\s+'), w -> length(w) > 0)")).as("w"))
+      .distinct()
+      .withColumn("seg", call_function(
+        graft.functions.BpeFns.segFnName, col("w"), mL, mR))
+    val bad = words.filter(
+      size(col("seg")) =!= BpeTokenizer.bpeWordTokens(col("w"), merges) ||
+      concat_ws("", col("seg")) =!= col("w"))
+    assert(bad.isEmpty, s"segment diverges: ${bad.head(5).mkString(", ")}")
+    val mergedForms = merges.map(m => m.l + m.r).toSet
+    val multi = words
+      .select(explode(col("seg")).as("t")).filter(length(col("t")) > 1)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(multi.subsetOf(mergedForms),
+           s"non-merge multi-char tokens: ${multi -- mergedForms}")
+  }
 }
