@@ -60,6 +60,15 @@ object DataMix {
     * as training/eval leakage. */
   val SplitLeakJaccard = 0.8
 
+  /** dm10 skew guard: shingles present in more than this many docs are
+    * dropped from CANDIDATE GENERATION (the refine still scores full
+    * shingle sets exactly). Without it a stopword-ish 2-gram shared by
+    * k eval × m train docs contributes k·m join rows — a 30× probe put
+    * the uncapped join at 190 s while the capped form stays linear. A
+    * j ≥ 0.8 pair shares most of its grams, so it is linked unless
+    * EVERY shared gram is corpus-hot (the dd02-style trade). */
+  val LeakGramCap = 500L
+
   /** dm02's per-doc packing assignment — (doc_id, n_tokens, shard,
     * seq_id, pos_in_seq) — shared by the dm02 plan entry and dm08's
     * sequence materialization so the written sequences can never drift
@@ -549,11 +558,44 @@ object DataMix {
         val tr = docs.filter(col("split") === "train")
           .select(col("doc_id").as("train_id"),
                   Dedup.shingleHashes(s, col("text"), 2).as("sh_t"))
-        val inter = ev.select(col("doc_id"), explode(col("sh")).as("g"))
-          .join(tr.select(col("train_id"), explode(col("sh_t")).as("g")),
-                Seq("g"))
-          .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__i"))
-        inter
+        // candidate generation over RARE grams only (map-side-
+        // combinable census, [[LeakGramCap]]): a pair is a candidate
+        // iff it shares >= 1 below-cap gram, so the hot-gram join
+        // product Σ ev(g)·tr(g) is bounded by cap·|gram rows| instead
+        // of growing with the square of the stopword-gram frequency.
+        // The intersection is then counted EXACTLY as rare + hot
+        // shared-gram COUNTS — two aggregations that never ship a
+        // shingle array per pair (an array_intersect refine measured
+        // 4× slower than the uncapped join at a 30× probe: each doc's
+        // full gram set is re-shipped for every candidate pair).
+        val evG = ev.select(col("doc_id"), explode(col("sh")).as("g"))
+        val trG = tr.select(col("train_id"), explode(col("sh_t")).as("g"))
+        // the HOT set (grams above the cap) is tiny — near-empty on a
+        // healthy corpus — so the membership joins below are AQE
+        // broadcasts. Filtering only the eval side of the candidate
+        // join already yields the identical candidate set (a hot gram
+        // with no eval row left cannot join).
+        val hot = evG.select("g").unionByName(trG.select("g"))
+          .groupBy("g").agg(count(lit(1)).as("__gn"))
+          .filter(col("__gn") > LeakGramCap)
+          .select("g")
+        // shared RARE grams per pair — the uncapped original minus
+        // hot-gram rows; partial-aggregated map-side like any count
+        val iRare = evG.join(hot, Seq("g"), "left_anti")
+          .join(trG, Seq("g"))
+          .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__ir"))
+        // shared HOT grams per pair, restricted to the candidates the
+        // rare join produced: per-pair cost <= hot grams per doc (a
+        // handful of stopword-ish shingles), never ev(g)·tr(g)
+        val evH = evG.join(hot, Seq("g"), "left_semi")
+        val trH = trG.join(hot, Seq("g"), "left_semi")
+        val iHot = iRare.select("doc_id", "train_id")
+          .join(evH, Seq("doc_id"))
+          .join(trH, Seq("train_id", "g"))
+          .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__ih"))
+        iRare
+          .join(iHot, Seq("doc_id", "train_id"), "left")
+          .withColumn("__i", col("__ir") + coalesce(col("__ih"), lit(0L)))
           .join(ev.select(col("doc_id"), col("split"),
                           size(col("sh")).as("__na")), Seq("doc_id"))
           .join(tr.select(col("train_id"), size(col("sh_t")).as("__nb")),
@@ -586,21 +628,28 @@ object DataMix {
               |       FROM t JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
               |tr AS (SELECT t.doc_id AS train_id, t.ngrams
               |       FROM t JOIN sp USING (doc_id) WHERE sp.split = 'train'),
-              |inter AS (
-              |  SELECT a.doc_id, c.train_id, count(*) AS i
+              |hot AS (
+              |  SELECT g FROM (SELECT doc_id, unnest(ngrams) AS g FROM t)
+              |  GROUP BY g HAVING count(*) > $LeakGramCap),
+              |evg AS (
+              |  SELECT a.doc_id, a.g
               |  FROM (SELECT doc_id, unnest(ngrams) AS g FROM ev) a
-              |  JOIN (SELECT train_id, unnest(ngrams) AS g FROM tr) c
-              |    USING (g)
-              |  GROUP BY 1, 2)
-              |SELECT i.doc_id, e.split, i.train_id,
-              |  round(i.i * 1.0 /
-              |        (len(e.ngrams) + len(r.ngrams) - i.i), 6) AS jaccard
-              |FROM inter i
-              |JOIN ev e ON e.doc_id = i.doc_id
-              |JOIN tr r ON r.train_id = i.train_id
-              |WHERE round(i.i * 1.0 /
-              |      (len(e.ngrams) + len(r.ngrams) - i.i), 6) >= $SplitLeakJaccard
-              |ORDER BY i.doc_id, i.train_id""".stripMargin)
+              |  WHERE a.g NOT IN (SELECT g FROM hot)),
+              |trg AS (SELECT train_id, unnest(ngrams) AS g FROM tr),
+              |cand AS (
+              |  SELECT DISTINCT doc_id, train_id FROM evg JOIN trg USING (g))
+              |SELECT c.doc_id, e.split, c.train_id,
+              |  round(len(list_intersect(e.ngrams, r.ngrams)) * 1.0 /
+              |        (len(e.ngrams) + len(r.ngrams)
+              |         - len(list_intersect(e.ngrams, r.ngrams))), 6) AS jaccard
+              |FROM cand c
+              |JOIN ev e ON e.doc_id = c.doc_id
+              |JOIN tr r ON r.train_id = c.train_id
+              |WHERE round(len(list_intersect(e.ngrams, r.ngrams)) * 1.0 /
+              |      (len(e.ngrams) + len(r.ngrams)
+              |       - len(list_intersect(e.ngrams, r.ngrams))), 6)
+              |      >= $SplitLeakJaccard
+              |ORDER BY c.doc_id, c.train_id""".stripMargin)
     )
   )
 }

@@ -216,4 +216,36 @@ class ScaleOpsSpec extends SparkSpec {
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("dm10: hot grams never generate candidates but still count in the jaccard") {
+    import graft.analytics.DataMix
+    // ids whose split the audit itself will assign: one 'val' doc and
+    // one 'train' doc, plus fillers (any split — they must vanish)
+    val ids = spark.range(10000)
+      .select(col("id"), DataMix.hashFraction(col("id")).as("hf")).collect()
+    val evalId = ids.find(_.getDouble(1) < DataMix.SplitValFrac).get.getLong(0)
+    val trainId = ids.find(_.getDouble(1) >= DataMix.SplitTestCut).get.getLong(0)
+    val nFiller = DataMix.LeakGramCap.toInt + 100
+    // fillers are IDENTICAL docs made of one gram that the census must
+    // flag hot; the near-dup pair shares that hot gram plus 20 rare ones
+    val hotText = "hp1 hp2"
+    val pairText = hotText + " " + (1 to 20).map(i => s"r$i").mkString(" ")
+    val fillers = spark.range(10000, 10000L + nFiller)
+      .select(col("id").as("doc_id"), lit(hotText).as("text"))
+    val pair = Seq((evalId, pairText), (trainId, pairText))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dm10-guard").toString
+    fillers.unionByName(pair).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dm10_split_leakage")(spark, dir).collect()
+    // exactly ONE leak row: the planted pair at jaccard 1.0 — the hot
+    // gram is counted in the intersection (21/21), while the hundreds
+    // of identical all-hot filler pairs (true jaccard 1.0, every shared
+    // gram above the cap) are the audit's documented recall trade and
+    // must NOT appear
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.getLong(0) == evalId && out.head.getString(1) == "val" &&
+           out.head.getLong(2) == trainId, out.head.toString)
+    assert(out.head.getDouble(3) == 1.0, out.head.toString)
+  }
 }
