@@ -310,6 +310,96 @@ object IvfIndex {
     hot.length
   }
 
+  /** Tombstone DELETE — the third leg of index maintenance next to
+    * [[appendBatch]] and [[compactLists]]: a GDPR takedown or a
+    * curation retraction must leave the serving index at batch cost,
+    * not rebuild cost. Deleted ids land as an append-only
+    * `dir/tombstones` segment (cost ∝ the delete batch; no index data
+    * is read or rewritten); serving goes through [[liveAssignments]],
+    * which anti-joins them out, and [[purgeTombstones]] later applies
+    * them physically, list-locally. Replaying the same delete batch is
+    * a no-op: each batch's order-independent content stamp is recorded
+    * in `dir/tombstone_log` and already-logged batches are skipped —
+    * the same replay-idempotence discipline as the append log. Returns
+    * the number of newly tombstoned ids (0 on replay). */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+    import spark.implicits._
+    val t = ids.select(col("vec_id").cast("long").as("vec_id"))
+    val st = t.agg(count(lit(1)).as("n_rows"),
+                   coalesce(bit_xor(xxhash64(col("vec_id"))), lit(0L))
+                     .as("batch_stamp")).head()
+    val (n, stamp) = (st.getLong(0), st.getLong(1))
+    if (n == 0L) return 0L
+    val logDir = new java.io.File(s"$dir/tombstone_log")
+    val replay = logDir.exists() &&
+      spark.read.parquet(logDir.getPath)
+        .filter(col("n_rows") === n && col("batch_stamp") === stamp)
+        .limit(1).count() > 0
+    if (replay) return 0L
+    t.write.mode("append").parquet(s"$dir/tombstones")
+    Seq((n, stamp)).toDF("n_rows", "batch_stamp").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstone_log")
+    n
+  }
+
+  def readTombstones(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/tombstones").exists())
+      spark.read.parquet(s"$dir/tombstones")
+    else spark.range(0).select(col("id").as("vec_id"))
+
+  /** The serving view: assignments minus tombstoned ids. The anti-join
+    * is AQE-decided (a fresh tombstone set broadcasts; an old index
+    * with heavy churn shuffles) — never a forced hint, because the
+    * tombstone set grows with deletion history until a purge. */
+  def liveAssignments(spark: SparkSession, dir: String): DataFrame =
+    readAssignments(spark, dir)
+      .join(readTombstones(spark, dir), Seq("vec_id"), "left_anti")
+
+  /** Physically apply the tombstones: rewrite ONLY the list partitions
+    * that still hold tombstoned rows (discovered by one column-pruned
+    * semi-join — the touched-list set is ≤ nLists ints of driver
+    * metadata), then clear the tombstone segment. Same partition-local
+    * staging-then-swap discipline as [[compactLists]]: a crash at any
+    * point leaves either the old leaf or the rewritten one plus intact
+    * tombstones, and replaying the purge converges (anti-joining
+    * already-purged ids is a no-op). Cost ∝ the touched lists' data,
+    * never the index. Returns the number of lists rewritten. */
+  def purgeTombstones(spark: SparkSession, dir: String): Int = {
+    val tombs = readTombstones(spark, dir).persist()
+    val touched =
+      try readAssignments(spark, dir)
+        .join(tombs, Seq("vec_id"), "left_semi")
+        .select("list").distinct().collect().map(_.getInt(0))
+      finally ()
+    touched.foreach { l =>
+      val leaf = new java.io.File(s"$dir/assignments/list=$l")
+      val tmp = new java.io.File(s"$dir/assignments/.purge-list=$l")
+      spark.read.parquet(leaf.getPath)
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.contains("_SUCCESS"))
+        .foreach { f =>
+          java.nio.file.Files.move(
+            f.toPath, new java.io.File(leaf, f.getName).toPath)
+        }
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      tmp.delete()
+      ()
+    }
+    tombs.unpersist(false)
+    // clear LAST: tombstones outlive every rewrite, so a crash above
+    // can only leave rows that are still masked by [[liveAssignments]]
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/tombstones"))
+    rmrf(new java.io.File(s"$dir/tombstone_log"))
+    touched.length
+  }
+
   /** Staleness statistic for the frozen-centroid append path: the mean
     * squared distance-to-centroid of the CURRENT assignments (base +
     * appended) relative to the build-time baseline. In-distribution

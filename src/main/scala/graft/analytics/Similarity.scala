@@ -307,6 +307,26 @@ object Similarity {
              queryId, k, nProbe)
   }
 
+  /** IVF ANN over the persisted index AFTER a tombstone delete — the
+    * takedown-serving shape: a deterministic id slice (vec_id ≡ delRes
+    * mod delMod) is tombstoned via [[IvfIndex.deleteIds]] (append-only
+    * side segment, replay-idempotent, no index rewrite) and the probe
+    * runs over [[IvfIndex.liveAssignments]], whose anti-join masks the
+    * deleted rows inside the same partition-pruned scan. nProbe =
+    * nLists degenerates to exact brute force over the LIVE rows — the
+    * ss17x anchor. */
+  def tombstoneIvfTopK(spark: SparkSession, sfDir: String, queryId: Long,
+                       k: Int, nLists: Int, nProbe: Int,
+                       delMod: Int, delRes: Int): DataFrame = {
+    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    val doomed = IvfIndex.readAssignments(spark, dir)
+      .filter(pmod(col("vec_id"), lit(delMod.toLong)) === delRes.toLong)
+      .select("vec_id")
+    IvfIndex.deleteIds(spark, dir, doomed)
+    ivfProbe(IvfIndex.liveAssignments(spark, dir),
+             IvfIndex.readCentroids(spark, dir), queryId, k, nProbe)
+  }
+
   /** IVF ANN over an in-memory DataFrame (tests / ad-hoc corpora):
     * fits + assigns ephemerally, then runs the same probe. */
   def ivfTopKOf(emb: DataFrame, queryId: Long, k: Int,
@@ -788,6 +808,35 @@ object Similarity {
               |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
               |FROM embeddings e, q
               |WHERE e.vec_id <> 0 AND e.label IN (2, 5)
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "ss17_tombstone_ivf",
+      // takedown serving: tombstone-delete an id slice from the
+      // persisted index (append-only side segment — no rebuild, no
+      // rewrite), probe over the live view. Approximate for nProbe <
+      // nLists (rows-only); ss17x is the exactness anchor. DedupSpec
+      // pins the delete/purge machinery (masking, replay no-op,
+      // physical purge ≡ tombstone view, list-local rewrite).
+      (s, d) => tombstoneIvfTopK(s, d, queryId = 0L, k = 10,
+                                 nLists = IvfIndex.DefaultLists, nProbe = 4,
+                                 delMod = 17, delRes = 3),
+      None
+    ),
+    QueryDef(
+      "ss17x_tombstone_exact",
+      // nProbe = nLists: every list probed ⇒ exact top-k over the LIVE
+      // rows regardless of the learned centroids — the whole
+      // delete→mask→probe machinery against a brute-force SQL oracle
+      // that excludes the tombstoned slice.
+      (s, d) => tombstoneIvfTopK(s, d, queryId = 0L, k = 10,
+                                 nLists = IvfIndex.DefaultLists,
+                                 nProbe = IvfIndex.DefaultLists,
+                                 delMod = 17, delRes = 3),
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+              |SELECT e.vec_id, round($cosSql, 6) AS cos_sim
+              |FROM embeddings e, q
+              |WHERE e.vec_id <> 0 AND e.vec_id % 17 <> 3
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
     ),
     QueryDef(

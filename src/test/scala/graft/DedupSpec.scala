@@ -785,4 +785,64 @@ class DedupSpec extends SparkSpec {
     val capped = MinHashBandIndex.gate(spark, dir, batch, maxBucket = 0)
     assert(capped.collect().forall(_.getInt(1) == 1))
   }
+
+  test("IVF tombstones: delete masks the serve, replay is a no-op, purge applies list-locally") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("ivf-tomb").toString
+    emb.write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    val dir = IvfIndex.ensure(spark, srcDir)
+    // doom two ids straight out of the exact top-10: masking them must
+    // visibly change the serve, so a broken anti-join cannot pass
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val doomedIds = Seq(brute(1), brute(3))
+    val n = IvfIndex.deleteIds(spark, dir,
+      emb.filter(col("vec_id").isin(doomedIds: _*)).select("vec_id"))
+    assert(n == 2, s"tombstoned $n")
+    // full probe over the live view == brute force over the live corpus
+    val served = Similarity.ivfProbe(IvfIndex.liveAssignments(spark, dir),
+        IvfIndex.readCentroids(spark, dir), queryId = 0L, k = 10,
+        nProbe = IvfIndex.DefaultLists)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = Similarity.bruteForceTopK(
+        emb.filter(!col("vec_id").isin(doomedIds: _*)), 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served == want, s"live serve diverged: $served vs $want")
+    assert(doomedIds.forall(id => !served.contains(id)))
+    // replaying the identical delete batch is a stamped no-op
+    val again = IvfIndex.deleteIds(spark, dir,
+      emb.filter(col("vec_id").isin(doomedIds: _*)).select("vec_id"))
+    assert(again == 0L, "replayed delete batch was not skipped")
+    // physical purge: only the lists holding doomed rows are rewritten
+    def leafFiles(): Map[String, Set[String]] = {
+      val base = new java.io.File(s"$dir/assignments")
+      base.listFiles().filter(_.getName.startsWith("list=")).map { d =>
+        d.getName -> d.listFiles().filter(f =>
+          f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")).map(_.getName).toSet
+      }.toMap
+    }
+    val doomedLists = IvfIndex.readAssignments(spark, dir)
+      .filter(col("vec_id").isin(doomedIds: _*))
+      .select("list").distinct().as[Int].collect().map(l => s"list=$l").toSet
+    val before = leafFiles()
+    val nPurged = IvfIndex.purgeTombstones(spark, dir)
+    assert(nPurged == doomedLists.size, s"purged $nPurged lists")
+    val after = leafFiles()
+    before.foreach { case (l, fs) =>
+      if (doomedLists(l)) assert(after(l) != fs, s"hot list $l not rewritten")
+      else assert(after(l) == fs, s"cold list $l rewritten")
+    }
+    // after the purge the RAW index equals the former live view and the
+    // tombstone segment is gone; a second purge touches nothing
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val servedAfter = Similarity.ivfProbe(IvfIndex.readAssignments(spark, dir),
+        IvfIndex.readCentroids(spark, dir), queryId = 0L, k = 10,
+        nProbe = IvfIndex.DefaultLists)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(servedAfter == want, "purge changed the served result")
+    assert(IvfIndex.readAssignments(spark, dir)
+      .filter(col("vec_id").isin(doomedIds: _*)).count() == 0)
+    assert(IvfIndex.purgeTombstones(spark, dir) == 0)
+  }
 }

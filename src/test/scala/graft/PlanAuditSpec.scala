@@ -140,6 +140,22 @@ class PlanAuditSpec extends SparkSpec {
            f.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(label[^\\]]*\\].*"), f)
   }
 
+  test("ss17: tombstone-masked probe still prunes list partitions; anti-join unhinted") {
+    graft.analytics.IvfIndex.ensure(spark, sf0001)
+    val df = graft.analytics.Similarity.tombstoneIvfTopK(
+      spark, sf0001, queryId = 0L, k = 10,
+      nLists = graft.analytics.IvfIndex.DefaultLists, nProbe = 4,
+      delMod = 17, delRes = 3)
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the probed-list filter must push THROUGH the tombstone anti-join
+    // to the index scan — masking deletes cannot cost the pruning
+    assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*list[^\\]]*\\].*"), f)
+    // and the anti-join side is AQE-decided, never a forced hint (the
+    // tombstone set grows with deletion history until a purge)
+    assert(!f.contains("ResolvedHint"), f)
+  }
+
   test("ss16: batch filtered probe pushes the label predicate into the index scan") {
     graft.analytics.IvfIndex.ensure(spark, sf0001)
     val df = graft.analytics.Similarity.batchFilteredAnnTopK(
