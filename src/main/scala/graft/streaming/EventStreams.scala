@@ -693,6 +693,43 @@ object EventStreams {
       .start()
   }
 
+  /** STREAMING takedown (st21's continuous form): each micro-batch of
+    * delete requests (vec_id rows) is tombstoned into the serving
+    * index via [[graft.analytics.IvfIndex.deleteIds]] — append-only
+    * side segment, cost ∝ the batch, and replay-idempotent by batch
+    * stamp, so a crash-replayed batch re-applies as a no-op — and the
+    * post-batch top-k serve over [[graft.analytics.IvfIndex
+    * .liveAssignments]] lands batch-id-partitioned with dynamic
+    * overwrite (a replayed batch rewrites its own partition with the
+    * identical rows: batches are sequential, so the tombstone state at
+    * replay equals the state at first execution). The index itself is
+    * never rewritten on the hot path; [[graft.analytics.IvfIndex
+    * .purgeTombstones]] is the offline maintenance step. */
+  def takedownStream(stream: DataFrame, indexDir: String,
+                     centroids: Seq[(Int, Array[Double])], queryId: Long,
+                     k: Int, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.analytics.IvfIndex.deleteIds(
+            spark, indexDir, batch.select("vec_id"))
+          val serve = graft.analytics.Similarity.ivfProbe(
+              graft.analytics.IvfIndex.liveAssignments(spark, indexDir),
+              centroids, queryId, k, nProbe = centroids.size)
+            .localCheckpoint(true)
+          serve.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** [[dedupedByFingerprint]] keyed on the native 64-bit simhash — the
     * fuzzy sibling of [[dedupedByContent]]. */
   def dedupedBySimhash(stream: DataFrame, textCol: String,

@@ -1169,6 +1169,78 @@ object StreamShapes {
               |       ELSE 'kept' END AS stage,
               |  batch
               |FROM led ORDER BY doc_id""".stripMargin)
+    ),
+
+    // STREAMING takedown (ss17's continuous form): delete requests
+    // arrive in epochs; each epoch is tombstoned into the serving
+    // index (append-only side segment, replay-idempotent batch stamp,
+    // no index rewrite) and the post-epoch top-k over the live view is
+    // audited — the per-epoch step EventStreams.takedownStream runs
+    // continuously (pinned row-equal + kill+restart in StreamingSpec).
+    // Tombstone masking is EXACT, so unlike the fuzzy st18–st20 chains
+    // the whole epoch sequence is hash-checked directly: each epoch's
+    // oracle is brute-force top-k excluding every slice deleted so far.
+    QueryDef(
+      "st21_streaming_takedown",
+      (s, d) => {
+        import graft.analytics.{IvfIndex, Similarity}
+        import s.implicits._
+        val emb = table(s, d, "embeddings")
+        // lifecycle audit over a FRESH index: the shared serving index
+        // must keep exactly ss17's tombstone set (ss17x's oracle
+        // excludes that slice alone), so this entry stages its own —
+        // and the build pass is in scope: the subject is the
+        // delete→serve lifecycle, not probe latency
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-takedown").toString
+        val centroids = IvfIndex.fit(emb, IvfIndex.DefaultLists)
+        IvfIndex.assign(emb, centroids)
+          .write.mode("overwrite").partitionBy("list")
+          .parquet(s"$dir/assignments")
+        val cs = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        Seq(1 -> 1L, 2 -> 7L).map { case (ep, res) =>
+          IvfIndex.deleteIds(s, dir,
+            emb.filter(pmod(col("vec_id"), lit(23L)) === res)
+              .select("vec_id"))
+          // materialize THIS epoch's serve (k rows — driver metadata)
+          // before the next epoch's tombstones land: the on-disk
+          // tombstone state is exactly the slices of epochs <= ep here
+          Similarity.ivfProbe(IvfIndex.liveAssignments(s, dir), cs,
+              queryId = 0L, k = 10, nProbe = IvfIndex.DefaultLists)
+            .select(col("vec_id"), col("cos_sim")).collect().toSeq
+            .map(r => (ep, r.getLong(0), r.getDouble(1)))
+        }.reduce(_ ++ _)
+          .toDF("epoch", "vec_id", "cos_sim")
+          .orderBy(col("epoch"), desc("cos_sim"), col("vec_id"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |e1 AS (
+              |  SELECT CAST(1 AS INT) AS epoch, e.vec_id,
+              |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(e.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(q.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |      , 6) AS cos_sim
+              |  FROM embeddings e, q
+              |  WHERE e.vec_id <> 0 AND e.vec_id % 23 <> 1
+              |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10),
+              |e2 AS (
+              |  SELECT CAST(2 AS INT) AS epoch, e.vec_id,
+              |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(e.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(q.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |      , 6) AS cos_sim
+              |  FROM embeddings e, q
+              |  WHERE e.vec_id <> 0 AND e.vec_id % 23 <> 1
+              |    AND e.vec_id % 23 <> 7
+              |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10)
+              |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+              |ORDER BY epoch, cos_sim DESC, vec_id""".stripMargin)
     )
   )
 

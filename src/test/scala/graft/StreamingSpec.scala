@@ -1370,4 +1370,89 @@ class StreamingSpec extends SparkSpec {
     assert(out(60L) == ((0, "decon")), s"$out")
     assert(out(40L) == ((1, "kept")), s"$out")
   }
+
+  test("streaming takedown: per-epoch serves equal the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.analytics.IvfIndex
+    val tmp = java.nio.file.Files.createTempDirectory("st21_").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = IvfIndex.fit(emb, IvfIndex.DefaultLists)
+    IvfIndex.assign(emb, centroids)
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$tmp/idx/assignments")
+    val cs = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    def slice(res: Long): Seq[Long] =
+      emb.filter(col("vec_id") % 23 === res)
+        .select("vec_id").as[Long].collect().toSeq
+    val mem = MemoryStream[Long]
+    val q = EventStreams.takedownStream(
+      mem.toDF().toDF("vec_id"), s"$tmp/idx", cs, queryId = 0L, k = 10,
+      s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(slice(1L): _*)
+      q.processAllAvailable()
+      mem.addData(slice(7L): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id").cast("int") + 1).as("epoch"),
+                col("vec_id"), col("cos_sim"))
+      val batchForm =
+        SparkEntry.queries("st21_streaming_takedown")(spark, sf0001)
+      assert(streamed.count() == batchForm.count())
+      assert(streamed.exceptAll(batchForm).count() == 0 &&
+             batchForm.exceptAll(streamed).count() == 0,
+             "streamed takedown serves diverge from the batch form")
+      // stateless: every bit of state is the tombstone side segment
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("streaming takedown: kill + restart — tombstones persist, replay applies as a no-op") {
+    import spark.implicits._
+    import graft.analytics.IvfIndex
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("st21r-landing").toString
+    val tmp = Files.createTempDirectory("st21r-state").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = IvfIndex.fit(emb, IvfIndex.DefaultLists)
+    IvfIndex.assign(emb, centroids)
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$tmp/idx/assignments")
+    val cs = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    def slice(res: Long): Seq[Long] =
+      emb.filter(col("vec_id") % 23 === res)
+        .select("vec_id").as[Long].collect().toSeq
+    def land(ids: Seq[Long]): Unit =
+      ids.toDF("vec_id").coalesce(1).write.mode("append").parquet(landing)
+    land(slice(1L))
+    val schema = spark.read.parquet(landing).schema
+    def start() = EventStreams.takedownStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(landing),
+      s"$tmp/idx", cs, queryId = 0L, k = 10, s"$tmp/out", s"$tmp/ckpt")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is down, more delete requests arrive
+    land(slice(7L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the final serve excludes BOTH slices: pre-restart tombstones
+    // survived the restart
+    val served = graft.analytics.Similarity.ivfProbe(
+        IvfIndex.liveAssignments(spark, s"$tmp/idx"), cs,
+        queryId = 0L, k = 10, nProbe = IvfIndex.DefaultLists)
+      .select("vec_id").as[Long].collect().toSet
+    val deleted = (slice(1L) ++ slice(7L)).toSet
+    assert(served.intersect(deleted).isEmpty,
+           s"deleted ids served: ${served.intersect(deleted)}")
+    // no double-application: one tombstone row per deleted id, one log
+    // row per distinct batch — a replayed batch must have been skipped
+    val tombs = IvfIndex.readTombstones(spark, s"$tmp/idx")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(tombs.length == deleted.size && tombs.toSet == deleted,
+           s"tombstone rows ${tombs.length} vs deleted ${deleted.size}")
+    assert(spark.read.parquet(s"$tmp/idx/tombstone_log").count() == 2)
+  }
 }
