@@ -786,6 +786,24 @@ class DedupSpec extends SparkSpec {
     assert(capped.collect().forall(_.getInt(1) == 1))
   }
 
+  test("ss17 tombstone probe: recall floor against the tombstone-exact anchor") {
+    // ss17's quality contract: the approximate (nProbe = 4) serve over
+    // the tombstoned live view must not silently regress against ss17x
+    // (nProbe = nLists, exact over the live rows by construction).
+    // Deterministic: same persisted index, same tombstone slice.
+    def ids(nProbe: Int): Set[Long] =
+      Similarity.tombstoneIvfTopK(spark, sf0001, queryId = 0L, k = 10,
+          nLists = IvfIndex.DefaultLists, nProbe = nProbe,
+          delMod = 17, delRes = 3)
+        .select("vec_id").as[Long].collect().toSet
+    val exact = ids(IvfIndex.DefaultLists)
+    val probed = ids(4)
+    val recall = (exact & probed).size / 10.0
+    assert(recall >= 0.5, s"tombstone IVF recall@10 regressed: $recall")
+    // neither serve may surface a tombstoned id
+    assert((exact ++ probed).forall(_ % 17 != 3))
+  }
+
   test("IVF tombstones: delete masks the serve, replay is a no-op, purge applies list-locally") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val srcDir = java.nio.file.Files.createTempDirectory("ivf-tomb").toString

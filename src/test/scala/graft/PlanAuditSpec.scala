@@ -493,6 +493,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("dm10: the leakage audit is equi-joins + aggregates only — no nested loop anywhere") {
+    val p = plan("dm10_split_leakage")
+    // candidate generation and both intersection counts must stay
+    // shuffled equi-joins with partial aggregation: a Cartesian or
+    // broadcast-nested-loop anywhere means the audit re-grew an
+    // all-pairs term that dies at corpus scale
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // and no forced hint: the hot-gram set's size is corpus-dependent
+    assert(!p.contains("ResolvedHint"), p)
+  }
+
   test("dd09: the band probe prunes unprobed kp partitions at the bands scan") {
     val dir = graft.analytics.MinHashBandIndex.ensure(spark, sf0001)
     val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
