@@ -70,7 +70,7 @@ object Bench {
     // them) — they stay in Verify's gate but are not operator latencies,
     // so the no-args bench skips them.
     // NB the ss*x exactness anchors (ss03x/ss05x/ss06x/ss07x/ss12x/
-    // ss14x/ss16x) are INTENTIONALLY benched: each is a single-pipeline
+    // ss14x/ss16x/ss17x) are INTENTIONALLY benched: each is a single-pipeline
     // brute-force serve whose latency is the exact-scan baseline its
     // approximate twin is measured against. The set below is different
     // in kind — cross-check anchors that run TWO pipelines to anti-join

@@ -65,4 +65,47 @@ object Int8Index {
       .select(col("vec_id"), col("__scale").as("scale"),
               expr("transform(__q, x -> cast(x as tinyint))").as("q"))
       .write.mode("append").parquet(s"$dir/codes")
+
+  /** Tombstone DELETE — [[Tombstones]] parity with [[IvfIndex
+    * .deleteIds]]: the takedown path of a continuously-fed int8
+    * serving tier. Deleted ids land as an append-only side segment
+    * (replay-idempotent batch stamps); serve through [[liveCodes]]. */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Long =
+    Tombstones.delete(spark, dir, ids)
+
+  /** The serving view: persisted codes minus tombstoned ids (unhinted
+    * anti-join — AQE decides, the tombstone set grows with deletion
+    * history until a purge). */
+  def liveCodes(spark: SparkSession, dir: String): DataFrame =
+    readCodes(spark, dir)
+      .join(Tombstones.read(spark, dir), Seq("vec_id"), "left_anti")
+
+  /** Physically apply the tombstones: codes are per-vector (no
+    * partition structure to preserve), so the purge is one filtered
+    * staging rewrite of the codes dir, swapped in before the tombstone
+    * segment is cleared — a crash at any point leaves either the old
+    * codes (rows still masked) or the rewritten ones plus tombstones
+    * whose re-purge is a no-op. Returns the number of rows dropped. */
+  def purgeTombstones(spark: SparkSession, dir: String): Long = {
+    val tombs = Tombstones.read(spark, dir).persist()
+    val masked =
+      try spark.read.parquet(s"$dir/codes")
+        .join(tombs, Seq("vec_id"), "left_semi").count()
+      finally ()
+    if (masked > 0L) {
+      val codes = new java.io.File(s"$dir/codes")
+      val tmp = new java.io.File(s"$dir/.purge-codes")
+      spark.read.parquet(codes.getPath)
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.getPath)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(codes)
+      java.nio.file.Files.move(tmp.toPath, codes.toPath)
+    }
+    tombs.unpersist(false)
+    Tombstones.clear(dir)
+    masked
+  }
 }

@@ -322,30 +322,11 @@ object IvfIndex {
     * in `dir/tombstone_log` and already-logged batches are skipped —
     * the same replay-idempotence discipline as the append log. Returns
     * the number of newly tombstoned ids (0 on replay). */
-  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Long = {
-    import spark.implicits._
-    val t = ids.select(col("vec_id").cast("long").as("vec_id"))
-    val st = t.agg(count(lit(1)).as("n_rows"),
-                   coalesce(bit_xor(xxhash64(col("vec_id"))), lit(0L))
-                     .as("batch_stamp")).head()
-    val (n, stamp) = (st.getLong(0), st.getLong(1))
-    if (n == 0L) return 0L
-    val logDir = new java.io.File(s"$dir/tombstone_log")
-    val replay = logDir.exists() &&
-      spark.read.parquet(logDir.getPath)
-        .filter(col("n_rows") === n && col("batch_stamp") === stamp)
-        .limit(1).count() > 0
-    if (replay) return 0L
-    t.write.mode("append").parquet(s"$dir/tombstones")
-    Seq((n, stamp)).toDF("n_rows", "batch_stamp").coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstone_log")
-    n
-  }
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Long =
+    Tombstones.delete(spark, dir, ids)
 
   def readTombstones(spark: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(s"$dir/tombstones").exists())
-      spark.read.parquet(s"$dir/tombstones")
-    else spark.range(0).select(col("id").as("vec_id"))
+    Tombstones.read(spark, dir)
 
   /** The serving view: assignments minus tombstoned ids. The anti-join
     * is AQE-decided (a fresh tombstone set broadcasts; an old index
@@ -392,11 +373,7 @@ object IvfIndex {
     tombs.unpersist(false)
     // clear LAST: tombstones outlive every rewrite, so a crash above
     // can only leave rows that are still masked by [[liveAssignments]]
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    rmrf(new java.io.File(s"$dir/tombstones"))
-    rmrf(new java.io.File(s"$dir/tombstone_log"))
+    Tombstones.clear(dir)
     touched.length
   }
 

@@ -398,6 +398,44 @@ class DedupSpec extends SparkSpec {
     assert(grown.count() == emb.count())
   }
 
+  test("int8 index: tombstone delete masks the serve; purge rewrites codes and converges") {
+    // Tombstones parity with the IVF tier: same side segment, same
+    // stamped replay no-op, serve through the live view; codes are
+    // per-vector so the physical purge is one filtered rewrite
+    import graft.analytics.{Int8Index, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("int8tomb_").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Similarity.int8Quantized(emb)
+      .select(col("vec_id"), col("__scale").as("scale"),
+              expr("transform(__q, x -> cast(x as tinyint))").as("q"))
+      .write.parquet(s"$tmp/codes")
+    // doom two ids out of the int8 top-10 so masking visibly changes it
+    val top = Similarity.int8TopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val doomed = Seq(top(0), top(2))
+    assert(Int8Index.deleteIds(spark, tmp,
+      doomed.toDF("vec_id")) == 2L)
+    assert(Int8Index.deleteIds(spark, tmp,
+      doomed.toDF("vec_id")) == 0L, "replayed delete not skipped")
+    val live = Int8Index.liveCodes(spark, tmp)
+    val served = Similarity.int8ScoreTopK(live, live, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = Similarity.int8TopK(
+        emb.filter(!col("vec_id").isin(doomed: _*)), 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served == want, s"live int8 serve diverged: $served vs $want")
+    // physical purge: masked rows gone from the RAW codes, serve
+    // unchanged, tombstones cleared, second purge a no-op
+    assert(Int8Index.purgeTombstones(spark, tmp) == 2L)
+    val raw = Int8Index.readCodes(spark, tmp)
+    assert(raw.filter(col("vec_id").isin(doomed: _*)).count() == 0)
+    val servedAfter = Similarity.int8ScoreTopK(raw, raw, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(servedAfter == want, "purge changed the served result")
+    assert(!new java.io.File(s"$tmp/tombstones").exists())
+    assert(Int8Index.purgeTombstones(spark, tmp) == 0L)
+  }
+
   test("emb02: learned-cluster labels match a brute recount") {
     // the oracle can't see the learned lists, so pin the whole labeling
     // computation (cluster tf, cluster df, rational TF-IDF, top-3)
