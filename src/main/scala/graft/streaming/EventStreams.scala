@@ -279,11 +279,15 @@ object EventStreams {
         // with a persisted Int8Index the per-batch plan scans 1-byte
         // codes and quantizes only the (tiny) query batch; without one
         // it derives the corpus codes in-plan — same answers either
-        // way (deterministic quantization, pinned in DedupSpec)
+        // way (deterministic quantization, pinned in DedupSpec).
+        // The indexed path serves the LIVE view, so a takedown
+        // ([[graft.analytics.Int8Index.deleteIds]]) takes effect at
+        // the next micro-batch; with no tombstones the anti-join is
+        // against an empty frame (free).
         val result = codesDir match {
           case Some(dir) =>
             graft.analytics.Similarity.int8BatchServe(
-              graft.analytics.Int8Index.readCodes(spark, dir), batch, k)
+              graft.analytics.Int8Index.liveCodes(spark, dir), batch, k)
           case None =>
             graft.analytics.Similarity.int8BatchTopK(
               spark.read.parquet(corpusDir), batch, k)

@@ -392,6 +392,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts == qvecs.map(_._1 -> 5L).toMap,
            s"duplicate or missing answers after restart: $counts")
+    // a takedown between batches takes effect at the next micro-batch:
+    // doom a corpus id the first query was answered with, re-land that
+    // query, and the re-served answers must exclude the doomed id
+    import spark.implicits._
+    val doomed = out.filter(col("query_id") === qvecs(0)._1)
+      .select("vec_id").as[Long].collect().head
+    graft.analytics.Int8Index.deleteIds(spark, s"$tmp/int8",
+      Seq(doomed).toDF("vec_id"))
+    land(Seq((qvecs(0)._1 + 5000000L, qvecs(0)._2)))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val reserved = spark.read.parquet(s"$tmp/out")
+      .filter(col("query_id") === qvecs(0)._1 + 5000000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(reserved.size == 5 && !reserved.contains(doomed),
+           s"takedown not honored by the serving stream: $reserved")
   }
 
   test("kafka-shaped source: encode → decode round-trips typed events (batch)") {
