@@ -209,15 +209,80 @@ object MinHashBandIndex {
     n
   }
 
+  /** Tombstone DELETE ([[Tombstones]] parity with the serving
+    * indexes): a RETRACTED corpus doc must stop gating arrivals — its
+    * near-dups are no longer duplicates of anything the corpus keeps.
+    * Deleted corpus_ids land as the append-only side segment
+    * (replay-idempotent batch stamps); [[gate]] anti-joins them out of
+    * the bands side, so no candidate can arise against a retracted doc.
+    * [[purgeTombstones]] applies them physically. */
+  def deleteDocs(spark: SparkSession, dir: String, ids: DataFrame): Long =
+    Tombstones.delete(spark, dir, ids, idCol = "corpus_id")
+
+  /** Physically apply the tombstones: the BANDS (the gating state) are
+    * rewritten kp-partition-locally — only partitions holding a
+    * tombstoned row, same staging-then-swap discipline as
+    * [[graft.analytics.IvfIndex.purgeTombstones]] — and the SHINGLES
+    * (the retracted docs' derived content, which a takedown must not
+    * outlive) in one filtered staging rewrite; tombstones cleared
+    * last, so a crash at any point leaves rows still masked by the
+    * gate. Batch takedowns amortize: many tombstones, one rewrite.
+    * Returns the number of band partitions rewritten. */
+  def purgeTombstones(spark: SparkSession, dir: String): Int = {
+    val tombs = Tombstones.read(spark, dir, "corpus_id").persist()
+    val touched =
+      try spark.read.parquet(s"$dir/bands")
+        .join(tombs, Seq("corpus_id"), "left_semi")
+        .select("kp").distinct().collect().map(_.getInt(0))
+      finally ()
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    touched.foreach { kp =>
+      val leaf = new java.io.File(s"$dir/bands/kp=$kp")
+      val tmp = new java.io.File(s"$dir/bands/.purge-kp=$kp")
+      spark.read.parquet(leaf.getPath)
+        .join(tombs, Seq("corpus_id"), "left_anti")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.contains("_SUCCESS"))
+        .foreach { f =>
+          java.nio.file.Files.move(
+            f.toPath, new java.io.File(leaf, f.getName).toPath)
+        }
+      rmrf(tmp)
+    }
+    if (touched.nonEmpty) {
+      val sh = new java.io.File(s"$dir/shingles")
+      val tmp = new java.io.File(s"$dir/.purge-shingles")
+      spark.read.parquet(sh.getPath)
+        .join(tombs, Seq("corpus_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp.getPath)
+      rmrf(sh)
+      java.nio.file.Files.move(tmp.toPath, sh.toPath)
+      ()
+    }
+    tombs.unpersist(false)
+    Tombstones.clear(dir)
+    touched.length
+  }
+
   /** Gate an arriving batch against the persisted index.
     * Output: (doc_id, keep, match_id, match_jaccard) — keep = 0 iff a
     * corpus near-dup with Jaccard ≥ `minJaccard` was found, match = the
-    * (max jaccard, min corpus_id) witness; accepted rows carry NULLs. */
+    * (max jaccard, min corpus_id) witness; accepted rows carry NULLs.
+    * The bands side is the LIVE view: tombstoned (retracted) corpus
+    * docs are anti-joined out before candidate generation — with no
+    * tombstones the anti-join is against an empty frame (free). */
   def gate(spark: SparkSession, dir: String, batch: DataFrame,
            minJaccard: Double = MinJaccard,
            maxBucket: Int = MaxBucket): DataFrame =
     gateFrames(spark,
-      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/bands")
+        .join(Tombstones.read(spark, dir, "corpus_id"),
+              Seq("corpus_id"), "left_anti"),
       spark.read.parquet(s"$dir/shingles"),
       batch, minJaccard, maxBucket)
 

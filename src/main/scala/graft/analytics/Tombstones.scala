@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * batch safe ([[graft.streaming.EventStreams.takedownStream]]). */
 object Tombstones {
 
-  /** Tombstone the ids (one `vec_id` column); returns the number of
-    * newly tombstoned ids (0 on a replayed batch). */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = {
+  /** Tombstone the ids (one `idCol` column — stored canonically as
+    * `vec_id` regardless); returns the number of newly tombstoned ids
+    * (0 on a replayed batch). */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String = "vec_id"): Long = {
     import spark.implicits._
-    val t = ids.select(col("vec_id").cast("long").as("vec_id"))
+    val t = ids.select(col(idCol).cast("long").as("vec_id"))
     val st = t.agg(count(lit(1)).as("n_rows"),
                    coalesce(bit_xor(xxhash64(col("vec_id"))), lit(0L))
                      .as("batch_stamp")).head()
@@ -37,11 +39,14 @@ object Tombstones {
     n
   }
 
-  /** The tombstoned id set (empty frame when none exist yet). */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  /** The tombstoned id set (empty frame when none exist yet), surfaced
+    * under the caller's id column name. */
+  def read(spark: SparkSession, dir: String,
+           idCol: String = "vec_id"): DataFrame =
     if (new java.io.File(s"$dir/tombstones").exists())
       spark.read.parquet(s"$dir/tombstones")
-    else spark.range(0).select(col("id").as("vec_id"))
+        .select(col("vec_id").as(idCol))
+    else spark.range(0).select(col("id").as(idCol))
 
   /** Drop the tombstone segment + log — called by an index's physical
     * purge AFTER every masked row is rewritten away, so a crash at any

@@ -824,6 +824,45 @@ class DedupSpec extends SparkSpec {
     assert(capped.collect().forall(_.getInt(1) == 1))
   }
 
+  test("band-index takedown: a retracted corpus doc stops gating; purge removes its state") {
+    import graft.analytics.MinHashBandIndex
+    val base = (1 to 30).map(i =>
+      s"corpus$i sentence about the quick brown fox").mkString(" ")
+    val other = (1 to 30).map(i =>
+      s"other$i topic on columnar storage and vectorized scans").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("mhband-tomb").toString
+    MinHashBandIndex.buildFrom(spark, dir,
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"))
+    val batch = Seq((10L, base + " again")).toDF("doc_id", "text")
+    def verdict(): (Int, Long) = {
+      val r = MinHashBandIndex.gate(spark, dir, batch).collect().head
+      (r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    }
+    // the arrival is a near-dup of corpus doc 1 → rejected against it
+    assert(verdict() == ((0, 1L)), s"fixture gate broken: ${verdict()}")
+    // retract doc 1: the same arrival must now be ACCEPTED — a near-dup
+    // of a doc the corpus no longer keeps is not a duplicate
+    assert(MinHashBandIndex.deleteDocs(spark, dir,
+      Seq(1L).toDF("corpus_id")) == 1L)
+    assert(verdict() == ((1, -1L)), s"retracted doc still gates: ${verdict()}")
+    assert(MinHashBandIndex.deleteDocs(spark, dir,
+      Seq(1L).toDF("corpus_id")) == 0L, "replayed retraction not skipped")
+    // physical purge: doc 1's bands AND shingles gone, tombstones
+    // cleared, gate verdict unchanged, second purge a no-op
+    assert(MinHashBandIndex.purgeTombstones(spark, dir) >= 1)
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("corpus_id") === 1L).count() == 0)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .filter(col("corpus_id") === 1L).count() == 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(verdict() == ((1, -1L)), s"purge changed the gate: ${verdict()}")
+    assert(MinHashBandIndex.purgeTombstones(spark, dir) == 0)
+    // doc 2 still gates: an unrelated retraction must not widen the gate
+    val nd2 = Seq((11L, other + " addendum")).toDF("doc_id", "text")
+    val r2 = MinHashBandIndex.gate(spark, dir, nd2).collect().head
+    assert(r2.getInt(1) == 0 && r2.getLong(2) == 2L, s"doc 2 lost: $r2")
+  }
+
   test("ss17 tombstone probe: recall floor against the tombstone-exact anchor") {
     // ss17's quality contract: the approximate (nProbe = 4) serve over
     // the tombstoned live view must not silently regress against ss17x
