@@ -117,6 +117,42 @@ object IvfIndex {
     })
   }
 
+  /** A PRIVATE copy of the shared content-stamped index, for entries
+    * that MUTATE index state (tombstone deletes): the shared
+    * [[ensure]] dir is reused by every IVF entry across runs, so a
+    * tombstone written there would silently leak into any future entry
+    * serving through [[liveAssignments]] — shared mutable state across
+    * supposedly independent oracle entries. The copy is file-level
+    * (assignments/centroids/pq_codebooks/drift_base — tombstone and log
+    * segments are NOT copied: the copy starts life with a clean delete
+    * history), keyed by `tag`, built at most once per (content stamp,
+    * tag) like the index itself. */
+  def ensurePrivate(spark: SparkSession, sfDir: String, nLists: Int,
+                    tag: String): String = {
+    val src = ensure(spark, sfDir, nLists)
+    val dst = s"$src-$tag"
+    built.computeIfAbsent(dst, { _ =>
+      if (!new java.io.File(s"$dst/assignments/_SUCCESS").exists()) {
+        def copy(from: java.io.File, to: java.io.File): Unit = {
+          if (from.isDirectory) {
+            to.mkdirs()
+            Option(from.listFiles()).getOrElse(Array.empty)
+              .foreach(f => copy(f, new java.io.File(to, f.getName)))
+          } else {
+            java.nio.file.Files.copy(from.toPath, to.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
+        }
+        StagedSwap.rmrf(new java.io.File(dst))
+        Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+          .filter(f => !f.getName.startsWith("tombstone"))
+          .foreach(f => copy(f, new java.io.File(dst, f.getName)))
+      }
+      dst
+    })
+  }
+
   /** Learn the coarse quantizer: deterministic hashed-id seed sample
     * refined by `lloydIters` Lloyd iterations. Per iteration the only
     * aggregate is (nLists × dim) means — partial-aggregated map-side,
@@ -280,32 +316,27 @@ object IvfIndex {
   def compactLists(spark: SparkSession, dir: String,
                    maxFilesPerList: Int = 8): Int = {
     val base = new java.io.File(s"$dir/assignments")
-    def dataFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") &&
-                     !f.getName.startsWith("_"))
+    // complete any interrupted swap first; a recovered leaf may hold
+    // old ∪ staged DUPLICATES, so it is force-recompacted below and the
+    // rewrite's vec_id dedup converges its row set
+    val recovered = StagedSwap.recover(base, "compact").toSet
     val hot = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("list="))
-      .filter(d => dataFiles(d).length > maxFilesPerList)
+      .filter(d => recovered(d.getName) ||
+                   StagedSwap.dataFiles(d).length > maxFilesPerList)
     hot.foreach { leaf =>
-      val tmp = new java.io.File(base, s".compact-${leaf.getName}")
+      val tmp = StagedSwap.stagingFor(base, "compact", leaf.getName)
       // the write below is an action, so the leaf is fully read and
       // materialized into the staging dir BEFORE any old file is
-      // touched — a crash before the swap leaves the leaf intact
-      spark.read.parquet(leaf.getPath).coalesce(1)
+      // touched — a crash before the staged _SUCCESS leaves the leaf
+      // intact; [[StagedSwap.swapIn]] then moves the staged files IN
+      // before deleting the superseded ones, so no crash point leaves
+      // the data only in a reader-invisible staging dir
+      spark.read.parquet(leaf.getPath)
+        .dropDuplicates("vec_id") // converges a crash-recovered duplicate leaf
+        .coalesce(1)
         .write.mode("overwrite").parquet(tmp.getPath)
-      // swap: drop old data files (and their checksum sidecars), move
-      // the compacted files in
-      Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => !f.getName.contains("_SUCCESS"))
-        .foreach { f =>
-          java.nio.file.Files.move(
-            f.toPath, new java.io.File(leaf, f.getName).toPath)
-        }
-      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      tmp.delete()
-      ()
+      StagedSwap.swapIn(leaf, tmp)
     }
     hot.length
   }
@@ -340,35 +371,39 @@ object IvfIndex {
     * that still hold tombstoned rows (discovered by one column-pruned
     * semi-join — the touched-list set is ≤ nLists ints of driver
     * metadata), then clear the tombstone segment. Same partition-local
-    * staging-then-swap discipline as [[compactLists]]: a crash at any
-    * point leaves either the old leaf or the rewritten one plus intact
-    * tombstones, and replaying the purge converges (anti-joining
-    * already-purged ids is a no-op). Cost ∝ the touched lists' data,
-    * never the index. Returns the number of lists rewritten. */
+    * [[StagedSwap]] move-first discipline as [[compactLists]]: a crash
+    * at any point leaves the old leaf, the rewritten one, or a
+    * transient old ∪ staged duplicate state — never a leaf whose data
+    * exists only in the reader-invisible staging dir — with tombstones
+    * intact (cleared last) so deleted rows stay masked throughout, and
+    * replaying the purge converges (staging recovery + a deduplicating
+    * rewrite). Cost ∝ the touched lists' data, never the index.
+    * Returns the number of lists rewritten. */
   def purgeTombstones(spark: SparkSession, dir: String): Int = {
+    val base = new java.io.File(s"$dir/assignments")
+    // complete any interrupted swap first ([[StagedSwap]]'s move-first
+    // protocol: no crash point ever leaves a leaf's data only in the
+    // reader-invisible staging dir); recovered leaves may hold
+    // old ∪ staged duplicates, so they are force-rewritten below and
+    // the rewrite's vec_id dedup converges their row set
+    val recovered = StagedSwap.recover(base, "purge")
+      .filter(_.startsWith("list="))
+      .map(_.stripPrefix("list=").toInt)
     val tombs = readTombstones(spark, dir).persist()
     val touched =
-      try readAssignments(spark, dir)
+      (readAssignments(spark, dir)
         .join(tombs, Seq("vec_id"), "left_semi")
-        .select("list").distinct().collect().map(_.getInt(0))
-      finally ()
+        .select("list").distinct().collect().map(_.getInt(0)) ++
+        recovered).distinct
     touched.foreach { l =>
-      val leaf = new java.io.File(s"$dir/assignments/list=$l")
-      val tmp = new java.io.File(s"$dir/assignments/.purge-list=$l")
+      val leaf = new java.io.File(base, s"list=$l")
+      val tmp = StagedSwap.stagingFor(base, "purge", s"list=$l")
       spark.read.parquet(leaf.getPath)
         .join(tombs, Seq("vec_id"), "left_anti")
+        .dropDuplicates("vec_id") // converges a crash-recovered duplicate leaf
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.getPath)
-      Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => !f.getName.contains("_SUCCESS"))
-        .foreach { f =>
-          java.nio.file.Files.move(
-            f.toPath, new java.io.File(leaf, f.getName).toPath)
-        }
-      Option(tmp.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      tmp.delete()
-      ()
+      StagedSwap.swapIn(leaf, tmp)
     }
     tombs.unpersist(false)
     // clear LAST: tombstones outlive every rewrite, so a crash above

@@ -221,48 +221,59 @@ object MinHashBandIndex {
 
   /** Physically apply the tombstones: the BANDS (the gating state) are
     * rewritten kp-partition-locally — only partitions holding a
-    * tombstoned row, same staging-then-swap discipline as
-    * [[graft.analytics.IvfIndex.purgeTombstones]] — and the SHINGLES
-    * (the retracted docs' derived content, which a takedown must not
-    * outlive) in one filtered staging rewrite; tombstones cleared
-    * last, so a crash at any point leaves rows still masked by the
-    * gate. Batch takedowns amortize: many tombstones, one rewrite.
-    * Returns the number of band partitions rewritten. */
+    * tombstoned row — and the SHINGLES (the retracted docs' derived
+    * content, which a takedown must not outlive) in one filtered
+    * staging rewrite, each swapped in via [[StagedSwap]]'s move-first
+    * protocol; tombstones cleared last, so a crash at any point leaves
+    * rows still masked by the gate and never a state where data exists
+    * only in a reader-invisible staging dir. The shingles rewrite is
+    * decided INDEPENDENTLY of the bands (its own tombstone semi-join +
+    * staging-leftover check) — a purge replayed after all band
+    * partitions were already rewritten still rewrites the shingles, so
+    * purge convergence holds for both segments. Batch takedowns
+    * amortize: many tombstones, one rewrite. Returns the number of
+    * band partitions rewritten. */
   def purgeTombstones(spark: SparkSession, dir: String): Int = {
+    val bandsBase = new java.io.File(s"$dir/bands")
+    // complete interrupted swaps first; recovered targets may hold
+    // old ∪ staged duplicates, so they are force-rewritten below and
+    // the rewrites' natural-key dedup converges their row sets
+    val recoveredKps = StagedSwap.recover(bandsBase, "purge")
+      .filter(_.startsWith("kp=")).map(_.stripPrefix("kp=").toInt)
+    val recoveredSh =
+      StagedSwap.recover(new java.io.File(dir), "purge").contains("shingles")
     val tombs = Tombstones.read(spark, dir, "corpus_id").persist()
     val touched =
-      try spark.read.parquet(s"$dir/bands")
+      (spark.read.parquet(s"$dir/bands")
         .join(tombs, Seq("corpus_id"), "left_semi")
-        .select("kp").distinct().collect().map(_.getInt(0))
-      finally ()
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
+        .select("kp").distinct().collect().map(_.getInt(0)) ++
+        recoveredKps).distinct
     touched.foreach { kp =>
-      val leaf = new java.io.File(s"$dir/bands/kp=$kp")
-      val tmp = new java.io.File(s"$dir/bands/.purge-kp=$kp")
+      val leaf = new java.io.File(bandsBase, s"kp=$kp")
+      val tmp = StagedSwap.stagingFor(bandsBase, "purge", s"kp=$kp")
       spark.read.parquet(leaf.getPath)
         .join(tombs, Seq("corpus_id"), "left_anti")
+        .distinct() // converges a crash-recovered duplicate partition
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.getPath)
-      Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => !f.getName.contains("_SUCCESS"))
-        .foreach { f =>
-          java.nio.file.Files.move(
-            f.toPath, new java.io.File(leaf, f.getName).toPath)
-        }
-      rmrf(tmp)
+      StagedSwap.swapIn(leaf, tmp)
     }
-    if (touched.nonEmpty) {
-      val sh = new java.io.File(s"$dir/shingles")
-      val tmp = new java.io.File(s"$dir/.purge-shingles")
-      spark.read.parquet(sh.getPath)
+    // shingles decided on their OWN evidence, never the bands-derived
+    // touched set: after a crash between the band and shingle rewrites
+    // the replayed purge finds no touched band partition but the
+    // retracted docs' shingles still need to go
+    val shDir = new java.io.File(s"$dir/shingles")
+    val needShingles = recoveredSh ||
+      spark.read.parquet(shDir.getPath)
+        .join(tombs, Seq("corpus_id"), "left_semi")
+        .limit(1).count() > 0
+    if (needShingles) {
+      val tmp = StagedSwap.stagingFor(new java.io.File(dir), "purge", "shingles")
+      spark.read.parquet(shDir.getPath)
         .join(tombs, Seq("corpus_id"), "left_anti")
+        .dropDuplicates("corpus_id") // converges a crash-recovered duplicate dir
         .write.mode("overwrite").parquet(tmp.getPath)
-      rmrf(sh)
-      java.nio.file.Files.move(tmp.toPath, sh.toPath)
-      ()
+      StagedSwap.swapIn(shDir, tmp)
     }
     tombs.unpersist(false)
     Tombstones.clear(dir)

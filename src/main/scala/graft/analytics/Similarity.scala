@@ -318,7 +318,11 @@ object Similarity {
   def tombstoneIvfTopK(spark: SparkSession, sfDir: String, queryId: Long,
                        k: Int, nLists: Int, nProbe: Int,
                        delMod: Int, delRes: Int): DataFrame = {
-    val dir = IvfIndex.ensure(spark, sfDir, nLists)
+    // PRIVATE index copy: this entry mutates index state (tombstones),
+    // and the shared ensure dir is reused by every other IVF entry —
+    // writing the delete there would leak it into any future entry
+    // serving through liveAssignments (st21 stages its own the same way)
+    val dir = IvfIndex.ensurePrivate(spark, sfDir, nLists, "ss17")
     val doomed = IvfIndex.readAssignments(spark, dir)
       .filter(pmod(col("vec_id"), lit(delMod.toLong)) === delRes.toLong)
       .select("vec_id")

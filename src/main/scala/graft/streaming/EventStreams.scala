@@ -583,8 +583,15 @@ object EventStreams {
             .filter(col("batch_id") < batchId).drop("batch_id")
           val segSh = readDelta(spark, shinglesDeltaDir, shSchema)
             .filter(col("batch_id") < batchId).drop("batch_id")
+          // LIVE seed view: retracted corpus docs (band-index takedown,
+          // MinHashBandIndex.deleteDocs) must stop gating arrivals on
+          // the streaming path exactly as they do on the batch gate —
+          // with no tombstones the anti-join is against an empty frame
           val bands = spark.read.parquet(s"$seedDir/bands")
-            .select("corpus_id", "band", "key", "kp").unionByName(segBands)
+            .select("corpus_id", "band", "key", "kp")
+            .join(graft.analytics.Tombstones.read(spark, seedDir, "corpus_id"),
+                  Seq("corpus_id"), "left_anti")
+            .unionByName(segBands)
           val shingles = spark.read.parquet(s"$seedDir/shingles")
             .unionByName(segSh)
           // materialize the verdicts BEFORE the segment writes mutate
@@ -661,10 +668,14 @@ object EventStreams {
             .filter(col("batch_id") < batchId).drop("batch_id")
           val segSh = readDelta(spark, shinglesDeltaDir, shSchema)
             .filter(col("batch_id") < batchId).drop("batch_id")
+          // live seed view (same takedown anti-join as neardupIngestGate)
           val nd = mh.gateFrames(
             spark,
             spark.read.parquet(s"$seedDir/bands")
-              .select("corpus_id", "band", "key", "kp").unionByName(segBands),
+              .select("corpus_id", "band", "key", "kp")
+              .join(graft.analytics.Tombstones.read(spark, seedDir, "corpus_id"),
+                    Seq("corpus_id"), "left_anti")
+              .unionByName(segBands),
             spark.read.parquet(s"$seedDir/shingles").unionByName(segSh),
             batch.select("doc_id", "text"))
           // materialize the ledger BEFORE segment writes mutate the

@@ -932,8 +932,12 @@ object StreamShapes {
         val arr = MinHashBandIndex.arrivalsOf(docs)
         val b1 = arr.filter(col("doc_id") % 20 === 0)
         val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+        // live seed view: takedown tombstones mask the chained batch
+        // form exactly as they do MinHashBandIndex.gate
         val seedBands = s.read.parquet(s"$seed/bands")
           .select("corpus_id", "band", "key", "kp")
+          .join(graft.analytics.Tombstones.read(s, seed, "corpus_id"),
+                Seq("corpus_id"), "left_anti")
         val seedSh = s.read.parquet(s"$seed/shingles")
         val g1 = MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1)
         val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
@@ -1323,8 +1327,13 @@ object StreamShapes {
         .withColumn("batch", lit(batchNo))
     if (banded) {
       val seed = MinHashBandIndex.ensure(s, d)
+      // live seed view: band-index takedowns apply to the chained batch
+      // form exactly as to MinHashBandIndex.gate (empty-frame anti-join
+      // when no tombstones exist)
       val seedBands = s.read.parquet(s"$seed/bands")
         .select("corpus_id", "band", "key", "kp")
+        .join(graft.analytics.Tombstones.read(s, seed, "corpus_id"),
+              Seq("corpus_id"), "left_anti")
       val seedSh = s.read.parquet(s"$seed/shingles")
       val led1 = ledgerOf(1, b1,
         MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1))

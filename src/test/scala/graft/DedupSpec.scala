@@ -436,6 +436,88 @@ class DedupSpec extends SparkSpec {
     assert(Int8Index.purgeTombstones(spark, tmp) == 0L)
   }
 
+  test("int8 purge crash recovery: a committed staging dir is replayed and converges") {
+    // crash window the StagedSwap protocol closes: the staged rewrite
+    // committed (_SUCCESS) but no file moved yet. The replayed purge
+    // must recover the staging (transient old ∪ staged duplicates) and
+    // converge to the exact post-purge row set — never lose the codes.
+    import graft.analytics.{Int8Index, Similarity, Tombstones}
+    val tmp = java.nio.file.Files.createTempDirectory("int8crash_").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count()
+    Similarity.int8Quantized(emb)
+      .select(col("vec_id"), col("__scale").as("scale"),
+              expr("transform(__q, x -> cast(x as tinyint))").as("q"))
+      .write.parquet(s"$tmp/codes")
+    val doomed = Seq(3L, 7L)
+    assert(Int8Index.deleteIds(spark, tmp, doomed.toDF("vec_id")) == 2L)
+    // simulate the crash: stage the filtered rewrite exactly as the
+    // purge would, then "die" before any move — codes + tombstones intact
+    spark.read.parquet(s"$tmp/codes")
+      .join(Tombstones.read(spark, tmp), Seq("vec_id"), "left_anti")
+      .write.parquet(s"$tmp/.purge-codes")
+    assert(Int8Index.purgeTombstones(spark, tmp) == 2L)
+    val after = Int8Index.readCodes(spark, tmp)
+    assert(after.count() == n - 2, "rows lost or duplicated after recovery")
+    assert(after.select("vec_id").distinct().count() == n - 2)
+    assert(after.filter(col("vec_id").isin(doomed: _*)).count() == 0)
+    assert(!new java.io.File(s"$tmp/.purge-codes").exists())
+  }
+
+  test("band purge convergence: shingles rewrite decided independently of the bands") {
+    // crash window between the band and shingle rewrites: every band
+    // partition already purged, shingles untouched, tombstones intact.
+    // The replayed purge finds no touched band partition but must STILL
+    // purge the retracted docs' shingles (a takedown's derived content
+    // must not outlive it).
+    import graft.analytics.{MinHashBandIndex, Tombstones}
+    val dir = java.nio.file.Files.createTempDirectory("mhshcrash_").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 60)
+    val doomedId = 7L
+    // bands as if already purged (built without the doomed doc)…
+    MinHashBandIndex.buildFrom(spark, dir,
+      docs.filter(col("doc_id") =!= doomedId))
+    // …but shingles still carrying it, plus the intact tombstone
+    MinHashBandIndex.segmentShingles(spark, docs)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    assert(Tombstones.delete(spark, dir, Seq(doomedId).toDF("corpus_id"),
+      idCol = "corpus_id") == 1L)
+    val touched = MinHashBandIndex.purgeTombstones(spark, dir)
+    assert(touched == 0, s"no band partition should need rewriting: $touched")
+    assert(spark.read.parquet(s"$dir/shingles")
+      .filter(col("corpus_id") === doomedId).count() == 0,
+      "retracted doc's shingles survived the replayed purge")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+  }
+
+  test("IVF compaction crash recovery: committed staging completes and dedups") {
+    // same crash window, partitioned case: a committed .compact-list=N
+    // staging dir is recovered on the next compactLists, the leaf is
+    // force-recompacted (even below the file-count threshold), and the
+    // vec_id dedup converges the transient duplicate state.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("ivf-crash").toString
+    emb.filter(col("vec_id") < 300)
+      .write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    val dir = IvfIndex.ensure(spark, srcDir)
+    val rows = IvfIndex.readAssignments(spark, dir)
+      .select("vec_id", "list").as[(Long, Int)].collect().toSet
+    val base = new java.io.File(s"$dir/assignments")
+    val leaf = base.listFiles().filter(_.getName.startsWith("list="))
+      .maxBy(d => spark.read.parquet(d.getPath).count())
+    // simulate: staged compacted copy committed, crash before any move
+    spark.read.parquet(leaf.getPath).coalesce(1)
+      .write.parquet(s"${base.getPath}/.compact-${leaf.getName}")
+    val nc = IvfIndex.compactLists(spark, dir, maxFilesPerList = 1000)
+    assert(nc == 1, s"recovered leaf not force-recompacted: $nc")
+    val rowsAfter = IvfIndex.readAssignments(spark, dir)
+      .select("vec_id", "list").as[(Long, Int)].collect().toSet
+    assert(rowsAfter == rows, "recovery changed index content")
+    assert(IvfIndex.readAssignments(spark, dir).count() == rows.size,
+      "duplicates survived the recovery rewrite")
+  }
+
   test("emb02: learned-cluster labels match a brute recount") {
     // the oracle can't see the learned lists, so pin the whole labeling
     // computation (cluster tf, cluster df, rational TF-IDF, top-3)

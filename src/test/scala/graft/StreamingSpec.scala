@@ -1251,6 +1251,19 @@ class StreamingSpec extends SparkSpec {
     assert(out(30L) == ((0, 20L)),
       s"near-dup of pre-restart accepted doc must reject against it: $out")
     assert(out(40L) == ((1, -1L)), s"fresh doc must accept: $out")
+    // takedown parity with the batch gate: retract the seed corpus doc
+    // between batches; its near-dups must now be ACCEPTED on the
+    // streaming path too (the seed bands are read through the
+    // tombstone anti-join, not raw)
+    graft.analytics.MinHashBandIndex.deleteDocs(
+      spark, seedDir, Seq(1L).toDF("corpus_id"))
+    land(Seq((50L, base + " later")))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val out3 = spark.read.parquet(s"$tmp/out")
+      .filter(col("doc_id") === 50L).select("keep", "match_id").head()
+    assert(out3.getInt(0) == 1 && out3.isNullAt(1),
+      s"retracted corpus doc still gates streamed arrivals: $out3")
   }
 
   test("neardup segment merge: folding deltas into the seed preserves gate semantics") {
