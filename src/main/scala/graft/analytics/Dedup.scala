@@ -328,24 +328,104 @@ object Dedup {
              |GROUP BY content_hash ORDER BY keeper_id""".stripMargin)
     ),
 
-    // MinHash+LSH near-dup candidates, Jaccard-verified. Engine-specific
-    // hashing → no SQL oracle (rows-only check).
+    // MinHash+LSH near-dup pairs, SELF-AUDITING ([[SelfAudit]]): the
+    // full-corpus serve runs at its production configuration (3-gram
+    // shingles, band-bucket candidates, exact-Jaccard verify); the SAME
+    // PLAN replays the dd02p/dd02r anchor logic on the embedded exact
+    // slice (doc_id < 500, bigram — matching [[exactNgramPairs]]'s
+    // basis): slice-LSH pairs must all be exact-ground-truth pairs
+    // (precision 1 by construction — the verify step IS exact Jaccard)
+    // and every J ≥ 0.9 ground-truth pair must be recalled (miss prob
+    // (1−0.9⁴)¹² ≈ 2.7e-6). The slice's exact pair counts are the
+    // oracle's recomputable scalars; the anchors stay in the registry.
     QueryDef(
       "dd02_minhash_lsh",
-      (s, d) =>
-        minhashPairs(table(s, d, "documents"), shingleN = 3, minJaccard = 0.3)
-          .orderBy("id_a", "id_b"),
-      None
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val served = SelfAudit.once(
+          minhashPairs(docs, shingleN = 3, minJaccard = 0.3))
+        val sliceLsh = SelfAudit.once(
+          minhashPairs(docs.filter(col("doc_id") < 500),
+                       shingleN = 2, minJaccard = 0.3))
+        val exact = SelfAudit.once(exactNgramPairs(s, d))
+        val strong = exact.filter(col("jaccard") >= 0.9)
+        val precEsc = sliceLsh.select("id_a", "id_b")
+          .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("__p"))
+        val recEsc = strong.select("id_a", "id_b")
+          .join(sliceLsh.select("id_a", "id_b"), Seq("id_a", "id_b"),
+                "left_anti")
+          .agg(count(lit(1)).as("__r"))
+        val sAgg = served.agg(
+          count(lit(1)).as("__n"),
+          coalesce(bool_and(col("jaccard") >= 0.3), lit(true))
+            .as("threshold_ok"))
+        sAgg.crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs_500")))
+          .crossJoin(strong.agg(count(lit(1)).as("n_strong_pairs_500")))
+          .crossJoin(precEsc).crossJoin(recEsc)
+          .select(col("n_exact_pairs_500"), col("n_strong_pairs_500"),
+                  (col("__n") > 0).as("nonempty_ok"), col("threshold_ok"),
+                  (col("__p") === 0).as("precision_ok"),
+                  (col("__r") === 0).as("recall_ok"))
+      },
+      Some(s"""WITH pairs AS (${exactNgramPairsSql()})
+              |SELECT COUNT(*) AS n_exact_pairs_500,
+              |  (SELECT COUNT(*) FROM pairs WHERE jaccard >= 0.9)
+              |    AS n_strong_pairs_500,
+              |  true AS nonempty_ok, true AS threshold_ok,
+              |  true AS precision_ok, true AS recall_ok
+              |FROM pairs""".stripMargin)
     ),
 
-    // SimHash near-dup pairs (Hamming ≤ 7 on 64-bit fingerprints —
-    // within the chunk-blocking recall guarantee).
+    // SimHash near-dup pairs (Hamming ≤ 7 on 64-bit fingerprints),
+    // SELF-AUDITING: the full-corpus chunk-blocked serve runs as-is;
+    // the same plan replays the dd03p/dd03r anchor logic on the
+    // embedded slice — the near-identical stratum (Hamming ≤ 1) must be
+    // genuine ≥ 0.8-Jaccard text, and chunk blocking must find EXACTLY
+    // the brute-force Hamming ≤ 7 set (the pigeonhole guarantee,
+    // checked in both directions). Oracle recomputes the slice's exact
+    // ≥ 0.8 pair count and asserts the booleans.
     QueryDef(
       "dd03_simhash",
-      (s, d) =>
-        simhashPairs(s, table(s, d, "documents"), maxHamming = 7)
-          .orderBy("id_a", "id_b"),
-      None
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val served = SelfAudit.once(
+          simhashPairs(s, docs, maxHamming = 7))
+        val docs500 = docs.filter(col("doc_id") < 500)
+        val nearIdent = SelfAudit.once(
+          simhashPairs(s, docs500, maxHamming = 1))
+        val exact08 = SelfAudit.once(
+          exactNgramPairs(s, d, minJaccard = 0.8))
+        val precEsc = nearIdent.select("id_a", "id_b")
+          .join(exact08.select("id_a", "id_b"), Seq("id_a", "id_b"),
+                "left_anti")
+          .agg(count(lit(1)).as("__p"))
+        val fp = simhashFingerprints(docs500)
+        val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
+        val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"))
+        val brute = a.join(b, col("id_a") < col("id_b"))
+          .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= lit(7))
+          .select("id_a", "id_b")
+        val blocked500 = SelfAudit.once(
+          simhashPairs(s, docs500, maxHamming = 7)).select("id_a", "id_b")
+        val diff = brute.except(blocked500).union(blocked500.except(brute))
+          .agg(count(lit(1)).as("__d"))
+        val sAgg = served.agg(
+          count(lit(1)).as("__n"),
+          coalesce(bool_and(col("hamming") <= 7), lit(true))
+            .as("hamming_bound_ok"))
+        sAgg.crossJoin(exact08.agg(count(lit(1)).as("n_exact08_pairs_500")))
+          .crossJoin(precEsc).crossJoin(diff)
+          .select(col("n_exact08_pairs_500"),
+                  (col("__n") > 0).as("nonempty_ok"), col("hamming_bound_ok"),
+                  (col("__p") === 0).as("precision_ok"),
+                  (col("__d") === 0).as("block_exact_ok"))
+      },
+      Some(s"""WITH pairs AS (${exactNgramPairsSql(minJaccard = 0.8)})
+              |SELECT COUNT(*) AS n_exact08_pairs_500, true AS nonempty_ok,
+              |  true AS hamming_bound_ok, true AS precision_ok,
+              |  true AS block_exact_ok
+              |FROM pairs""".stripMargin)
     ),
 
     // n-gram Jaccard with exact verification. The candidate join blocks
@@ -661,14 +741,82 @@ object Dedup {
     // EXHAUSTIVE gate end to end in SQL, dd09p pins precision 1
     // (banded rejects ⊆ exhaustive rejects, same-witness jaccard), and
     // dd09r pins the LSH miss bound on the ≥ 0.9 stratum.
+    // SELF-AUDITING: the banded gate serves every arrival as-is; the
+    // same plan runs the EXHAUSTIVE gate on a deterministic quarter of
+    // the arrivals (doc_id % 40 = 0 — full exhaustive recall inside the
+    // serve would re-run the dd09x anchor) and audits: banded rejects ⊆
+    // exhaustive rejects with witness Jaccard bounded by the exhaustive
+    // best (precision 1 — the refine is exact Jaccard over a candidate
+    // subset), and the ≥ 0.9 stratum recalled within the dd09r count
+    // bound. The audited slice's exhaustive reject/strong counts are
+    // the oracle's recomputable scalars; dd09x/p/r stay in the registry.
     QueryDef(
       "dd09_neardup_ingest_gate",
       (s, d) => {
+        val docs = table(s, d, "documents")
         val dir = MinHashBandIndex.ensure(s, d)
-        MinHashBandIndex.gate(
-          s, dir, MinHashBandIndex.arrivalsOf(table(s, d, "documents")))
+        val served = SelfAudit.once(
+          MinHashBandIndex.gate(s, dir, MinHashBandIndex.arrivalsOf(docs)))
+        val exact = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
+          s, MinHashBandIndex.corpusOf(docs),
+          MinHashBandIndex.arrivalsOf(docs).filter(col("doc_id") % 40 === 0)))
+        val sAud = served.filter(col("doc_id") % 40 === 0)
+        val sRej = sAud.filter(col("keep") === 0)
+        val exRej = exact.filter(col("keep") === 0)
+        val precEsc = sRej.select("doc_id")
+          .join(exRej.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__p"))
+        val jBound = sRej.select(col("doc_id"), col("match_jaccard").as("bj"))
+          .join(exRej.select(col("doc_id"), col("match_jaccard").as("ej")),
+                Seq("doc_id"))
+          .agg(coalesce(bool_and(col("bj") <= col("ej") + lit(1e-9)),
+                        lit(true)).as("jaccard_bounded_ok"))
+        val strong = exact.filter(col("match_jaccard") >= 0.9)
+        val missed = strong.select("doc_id")
+          .join(sRej.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__m"))
+        served.agg(count(lit(1)).as("n_arrivals"))
+          .crossJoin(exRej.agg(count(lit(1)).as("n_audit_rejects")))
+          .crossJoin(strong.agg(count(lit(1)).as("n_audit_strong")))
+          .crossJoin(precEsc).crossJoin(jBound).crossJoin(missed)
+          .select(col("n_arrivals"), col("n_audit_rejects"),
+                  col("n_audit_strong"),
+                  (col("__p") === 0).as("precision_ok"),
+                  col("jaccard_bounded_ok"),
+                  (col("__m") <= ceil(col("n_audit_strong") * lit(2e-4)))
+                    .as("recall_bound_ok"))
       },
-      None
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+             |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+             |         ELSE [array_to_string(w, ' ')] END AS ngrams
+             |  FROM w),
+             |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t WHERE doc_id % 40 = 0),
+             |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
+             |       FROM t WHERE doc_id % 10 <> 0),
+             |inter AS (
+             |  SELECT a.doc_id, c.corpus_id, count(*) AS i
+             |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT i.doc_id,
+             |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+             |  FROM inter i
+             |  JOIN t sa ON sa.doc_id = i.doc_id
+             |  JOIN t sb ON sb.doc_id = i.corpus_id),
+             |best AS (SELECT doc_id, max(j) AS mj FROM sc GROUP BY doc_id
+             |         HAVING max(j) >= 0.3)
+             |SELECT
+             |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+             |    AS n_arrivals,
+             |  (SELECT COUNT(*) FROM best) AS n_audit_rejects,
+             |  (SELECT COUNT(*) FROM best WHERE mj >= 0.9) AS n_audit_strong,
+             |  true AS precision_ok, true AS jaccard_bounded_ok,
+             |  true AS recall_bound_ok""".stripMargin)
     ),
 
     // exhaustive reference gate: shared-gram equi-join candidates (no

@@ -517,10 +517,20 @@ object Relational {
       // form booked the exact distinct's shuffle (≈29 s at sf1) against
       // the sketch's number.
       (s, d) =>
+        // SELF-AUDITING (the SelfAudit discipline applied to the HLL
+        // sketch): the sketch runs at its serving configuration and the
+        // same plan computes the exact NDV — the entry emits the exact
+        // count (oracle recomputes it) plus the sketch-error assertion,
+        // so the row is hash-green instead of rows-only. x14x remains
+        // the bench-excluded anchor twin.
         table(s, d, "lineitem")
-          .agg(approx_count_distinct(col("l_partkey"), 0.01)
-            .as("ndv_approx")),
-      None
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
+               countDistinct(col("l_partkey")).as("nparts_exact"))
+          .select(col("nparts_exact"),
+                  (abs(col("a") - col("nparts_exact")) <=
+                    col("nparts_exact") * 0.05).as("within_5pct")),
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS nparts_exact,
+             |  true AS within_5pct FROM lineitem""".stripMargin)
     ),
     QueryDef(
       "x14x_ndv_anchor",

@@ -54,6 +54,11 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional extra args: check only these entries (matches graft.Verify's
+    # subset invocation for local iteration)
+    only = set(sys.argv[3:])
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
