@@ -826,12 +826,74 @@ object DataQuality {
     // buckets, exact cosine refine, same tau gate. Engine-specific
     // hashing → rows-only here; bracketed exactly like dd02 by the two
     // anchors below.
+    // SELF-AUDITING ([[SelfAudit]] discipline): the banded-LSH decon
+    // serves the full corpus; the same plan recomputes the EXACT
+    // benchmark max-cosine for a deterministic quarter of the corpus
+    // (vec_id % 4 = 1 — full exact recall would re-run dc02 inside the
+    // serve) and audits: every served drop in the slice is an exact
+    // drop with its candidate-max bounded by the true max (precision by
+    // construction — the refine is exact cosine over a candidate
+    // subset), and the slice's ≥ 0.9 stratum is recalled within the
+    // dc03r count bound. The slice's exact drop/strong counts are the
+    // oracle's recomputable scalars; dc03p/dc03r stay as full anchors.
     QueryDef(
       "dc03_semantic_decon_lsh",
-      (s, d) =>
-        semanticDeconLshDrops(s, table(s, d, "embeddings"))
-          .orderBy("vec_id"),
-      None
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val served = SelfAudit.once(semanticDeconLshDrops(s, emb))
+        val audit = emb.filter(col("label") =!= 0 && col("vec_id") % 4 === 1)
+        val exact = SelfAudit.once(
+          audit.crossJoin(broadcast(emb.filter(col("label") === 0)
+              .select(col("embedding").as("qvec"))))
+            .groupBy("vec_id")
+            .agg(max(graft.functions.VectorOps.cosineNative(
+                   s, col("embedding"), col("qvec"))).as("mc"))
+            .filter(col("mc") >= SemanticDeconTau)
+            .select(col("vec_id"), round(col("mc"), 6).as("emc")))
+        val sAud = served.filter(col("vec_id") % 4 === 1)
+        val precEsc = sAud.select("vec_id")
+          .join(exact.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("__p"))
+        val simBound = sAud.select(col("vec_id"), col("max_cand_sim"))
+          .join(exact, Seq("vec_id"))
+          .agg(coalesce(bool_and(col("max_cand_sim") <= col("emc") + lit(1e-9)),
+                        lit(true)).as("sim_bounded_ok"))
+        val strong = exact.filter(col("emc") >= 0.9)
+        val missed = strong.select("vec_id")
+          .join(sAud.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("__m"))
+        served.agg(count(lit(1)).as("__n"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact_drops_audit")))
+          .crossJoin(strong.agg(count(lit(1)).as("n_strong_audit")))
+          .crossJoin(precEsc).crossJoin(simBound).crossJoin(missed)
+          .select(col("n_exact_drops_audit"), col("n_strong_audit"),
+                  (col("__n") > 0).as("nonempty_ok"),
+                  (col("__p") === 0).as("precision_ok"),
+                  col("sim_bounded_ok"),
+                  (col("__m") <= ceil(col("n_strong_audit") * lit(2e-4)))
+                    .as("recall_bound_ok"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |c AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  WHERE label <> 0 AND vec_id % 4 = 1),
+              |m AS (
+              |  SELECT c.vec_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(b.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM c, b GROUP BY c.vec_id),
+              |dr AS (SELECT vec_id, round(mc, 6) AS emc FROM m
+              |       WHERE mc >= $SemanticDeconTau)
+              |SELECT (SELECT COUNT(*) FROM dr) AS n_exact_drops_audit,
+              |  (SELECT COUNT(*) FROM dr WHERE emc >= 0.9) AS n_strong_audit,
+              |  true AS nonempty_ok, true AS precision_ok,
+              |  true AS sim_bounded_ok, true AS recall_bound_ok""".stripMargin)
     ),
 
     // dc03 precision anchor: the refine stage scores candidates with
@@ -1127,15 +1189,76 @@ object DataQuality {
     // engine-specific (DuckDB cannot replay Spark's filter), so the
     // entry is rows-only; `id02x_bloom_anchor` (bench-excluded)
     // hash-pins the subset direction and the realized fp rate.
+    // SELF-AUDITING ([[SelfAudit]] discipline): the bloom gate serves
+    // the full batch; the same plan re-runs the EXACT gram gate for a
+    // deterministic quarter of the batch (doc_id % 4 = 0) and audits
+    // the sketch's one-sided error — bloom-keeps ⊆ exact-keeps on the
+    // slice (no false negatives in membership ⇒ bloom containment ≥
+    // exact containment) — plus the realized fp rate over the slice's
+    // truly-absent grams against the filter's sizing. The slice's exact
+    // keep count, absent-gram count, and the batch census are the
+    // oracle's recomputable scalars; id02x stays the full anchor.
     QueryDef(
       "id02_bloom_gate",
       (s, d) => {
         val docs = table(s, d, "documents")
-        bloomGate(s, docs.filter(col("source") === "src19"),
-                  BloomGramIndex.ensure(s, d))
-          .orderBy("doc_id")
+        val batch = docs.filter(col("source") === "src19")
+        val bf = BloomGramIndex.ensure(s, d)
+        val served = SelfAudit.once(bloomGate(s, batch, bf))
+        val audBatch = batch.filter(col("doc_id") % 4 === 0)
+        val corpusGrams = gramKeys(docs.filter(col("source") =!= "src19"))
+        val exactKeep = SelfAudit.once(
+          gramGate(audBatch, corpusGrams).filter(col("keep") === 1)
+            .select("doc_id"))
+        val leaked = served
+          .filter(col("keep") === 1 && col("doc_id") % 4 === 0)
+          .select("doc_id")
+          .join(exactKeep, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__l"))
+        val newGset = gramKeys(audBatch).select("g").distinct()
+        val matched = corpusGrams.select("g")
+          .join(broadcast(newGset), Seq("g"), "left_semi").distinct()
+        val absent = newGset.join(broadcast(matched), Seq("g"), "left_anti")
+        val hit = graft.functions.BloomProbeFile.probe(
+          s, lit(bf), xxhash64(col("g")))
+        val fp = absent.agg(
+          count(lit(1)).as("n_absent_audit"),
+          coalesce(avg(when(hit, 1.0).otherwise(0.0)) <= 0.05, lit(true))
+            .as("fp_ok"))
+        served.agg(count(lit(1)).as("n_batch"))
+          .crossJoin(exactKeep.agg(count(lit(1)).as("n_exact_keep_audit")))
+          .crossJoin(leaked).crossJoin(fp)
+          .select(col("n_batch"), col("n_exact_keep_audit"),
+                  col("n_absent_audit"),
+                  (col("__l") === 0).as("no_leak_ok"), col("fp_ok"))
       },
-      None
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |corp AS (SELECT DISTINCT g FROM grams WHERE source <> 'src19'),
+              |newg AS (SELECT DISTINCT doc_id, g FROM grams
+              |         WHERE source = 'src19' AND doc_id % 4 = 0),
+              |per AS (
+              |  SELECT doc_id, count(*) AS n_grams,
+              |    CAST(count(*) FILTER (g IN (SELECT g FROM corp)) AS BIGINT)
+              |      AS n_hit
+              |  FROM newg GROUP BY doc_id),
+              |census AS (SELECT doc_id FROM documents
+              |           WHERE source = 'src19' AND doc_id % 4 = 0)
+              |SELECT
+              |  (SELECT count(*) FROM documents WHERE source = 'src19')
+              |    AS n_batch,
+              |  (SELECT count(*) FROM census c LEFT JOIN per p USING (doc_id)
+              |   WHERE coalesce(p.n_hit, 0) * 1.0 /
+              |         greatest(coalesce(p.n_grams, 0), 1) < 0.5)
+              |    AS n_exact_keep_audit,
+              |  (SELECT count(*) FROM (SELECT DISTINCT g FROM newg) n
+              |   WHERE n.g NOT IN (SELECT g FROM corp)) AS n_absent_audit,
+              |  true AS no_leak_ok, true AS fp_ok""".stripMargin)
     ),
     // Correctness anchor for id02, hash-exact against DuckDB:
     //   leaked   = docs the bloom gate keeps that the exact gate drops
@@ -1209,16 +1332,73 @@ object DataQuality {
     // engine-specific); `id03x_sharded_anchor` hash-pins the subset
     // direction, fp bound, and census — which jointly pin that probe
     // routing equals build routing (a mis-route would leak instantly).
+    // SELF-AUDITING: id02's audit shape against the K-sharded family —
+    // the same one-sided-error and fp-rate claims, which jointly also
+    // pin that probe routing equals build routing (a gram mis-routed at
+    // probe time misses its inserted shard, under-counts containment,
+    // and surfaces as a leak). id03x stays the full anchor.
     QueryDef(
       "id03_sharded_bloom_gate",
       (s, d) => {
         val docs = table(s, d, "documents")
-        bloomGateSharded(s, docs.filter(col("source") === "src19"),
-                         BloomGramIndex.ensureSharded(s, d, ShardedK),
-                         ShardedK)
-          .orderBy("doc_id")
+        val batch = docs.filter(col("source") === "src19")
+        val base = BloomGramIndex.ensureSharded(s, d, ShardedK)
+        val served = SelfAudit.once(
+          bloomGateSharded(s, batch, base, ShardedK))
+        val audBatch = batch.filter(col("doc_id") % 4 === 0)
+        val corpusGrams = gramKeys(docs.filter(col("source") =!= "src19"))
+        val exactKeep = SelfAudit.once(
+          gramGate(audBatch, corpusGrams).filter(col("keep") === 1)
+            .select("doc_id"))
+        val leaked = served
+          .filter(col("keep") === 1 && col("doc_id") % 4 === 0)
+          .select("doc_id")
+          .join(exactKeep, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__l"))
+        val newGset = gramKeys(audBatch).select("g").distinct()
+        val matched = corpusGrams.select("g")
+          .join(broadcast(newGset), Seq("g"), "left_semi").distinct()
+        val absent = newGset.join(broadcast(matched), Seq("g"), "left_anti")
+        val hit = graft.functions.BloomProbeSharded.probe(
+          s, lit(base), lit(ShardedK), xxhash64(col("g")))
+        val fp = absent.agg(
+          count(lit(1)).as("n_absent_audit"),
+          coalesce(avg(when(hit, 1.0).otherwise(0.0)) <= 0.05, lit(true))
+            .as("fp_ok"))
+        served.agg(count(lit(1)).as("n_batch"))
+          .crossJoin(exactKeep.agg(count(lit(1)).as("n_exact_keep_audit")))
+          .crossJoin(leaked).crossJoin(fp)
+          .select(col("n_batch"), col("n_exact_keep_audit"),
+                  col("n_absent_audit"),
+                  (col("__l") === 0).as("no_leak_ok"), col("fp_ok"))
       },
-      None
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |corp AS (SELECT DISTINCT g FROM grams WHERE source <> 'src19'),
+              |newg AS (SELECT DISTINCT doc_id, g FROM grams
+              |         WHERE source = 'src19' AND doc_id % 4 = 0),
+              |per AS (
+              |  SELECT doc_id, count(*) AS n_grams,
+              |    CAST(count(*) FILTER (g IN (SELECT g FROM corp)) AS BIGINT)
+              |      AS n_hit
+              |  FROM newg GROUP BY doc_id),
+              |census AS (SELECT doc_id FROM documents
+              |           WHERE source = 'src19' AND doc_id % 4 = 0)
+              |SELECT
+              |  (SELECT count(*) FROM documents WHERE source = 'src19')
+              |    AS n_batch,
+              |  (SELECT count(*) FROM census c LEFT JOIN per p USING (doc_id)
+              |   WHERE coalesce(p.n_hit, 0) * 1.0 /
+              |         greatest(coalesce(p.n_grams, 0), 1) < 0.5)
+              |    AS n_exact_keep_audit,
+              |  (SELECT count(*) FROM (SELECT DISTINCT g FROM newg) n
+              |   WHERE n.g NOT IN (SELECT g FROM corp)) AS n_absent_audit,
+              |  true AS no_leak_ok, true AS fp_ok""".stripMargin)
     ),
     QueryDef(
       "id03x_sharded_anchor",

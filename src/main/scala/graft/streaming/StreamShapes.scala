@@ -492,28 +492,110 @@ object StreamShapes {
     // EventStreams.bloomIngestGate runs continuously. Bloom hits are
     // engine-specific → rows-only; `st14x` (bench-excluded) hash-pins
     // the chain against st11's exact store.
+    // SELF-AUDITING ([[SelfAudit]] discipline): the two-batch bloom
+    // chain serves as-is; the same plan runs the exact st11 chain's
+    // batch-1 stage in full (its accepted gram set is what batch 2's
+    // merged filter purports to represent) plus the exact batch-2 gate
+    // on a deterministic quarter, and audits: bloom- and
+    // exact-accepted batch-1 sets coincide (the condition under which
+    // the chain's one-sided error claim holds — pinned on this fixture
+    // by st14x), and audited batch-2 bloom-keeps ⊆ exact-keeps. The
+    // exact keep counts and census are the oracle's scalars.
     QueryDef(
       "st14_bloom_stream_gate",
       (s, d) => {
+        import graft.analytics.{BloomGramIndex, DataQuality, SelfAudit}
         val docs = table(s, d, "documents")
-        val seed = graft.analytics.BloomGramIndex.ensure(s, d)
+        val seed = BloomGramIndex.ensure(s, d)
         val b1 = docs.filter((col("source") === "src19") &&
                              (col("doc_id") % 2 === 0))
         val b2 = docs.filter((col("source") === "src19") &&
                              (col("doc_id") % 2 === 1))
-        val g1 = graft.analytics.DataQuality.bloomGate(s, b1, seed)
-        val acc1Grams = graft.analytics.DataQuality.gramKeys(b1)
+        val g1 = SelfAudit.once(DataQuality.bloomGate(s, b1, seed))
+        val acc1Grams = DataQuality.gramKeys(b1)
           .join(g1.filter(col("keep") === 1).select("doc_id"),
                 Seq("doc_id"), "left_semi")
           .select("g")
-        val f1 = graft.analytics.BloomGramIndex.merged(
-          s, seed, acc1Grams, seed + ".b1")
-        val g2 = graft.analytics.DataQuality.bloomGate(s, b2, f1)
-        g1.withColumn("batch", lit(1))
-          .unionByName(g2.withColumn("batch", lit(2)))
-          .orderBy("doc_id")
+        val f1 = BloomGramIndex.merged(s, seed, acc1Grams, seed + ".b1")
+        val g2 = SelfAudit.once(DataQuality.bloomGate(s, b2, f1))
+        // exact-chain audit side
+        val corpus = DataQuality.gramKeys(
+          docs.filter(col("source") =!= "src19")).select("g")
+        val eg1 = SelfAudit.once(
+          DataQuality.gramGate(b1, corpus).select("doc_id", "keep"))
+        val eAcc1Grams = DataQuality.gramKeys(b1)
+          .join(eg1.filter(col("keep") === 1).select("doc_id"),
+                Seq("doc_id"), "left_semi")
+          .select("g")
+        val audB2 = b2.filter(col("doc_id") % 8 === 1)
+        val eg2 = SelfAudit.once(
+          DataQuality.gramGate(audB2, corpus.union(eAcc1Grams))
+            .select("doc_id", "keep"))
+        def keeps(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("keep") === 1).select("doc_id")
+        val acc1Diff = keeps(g1).join(keeps(eg1), Seq("doc_id"), "left_anti")
+          .unionByName(
+            keeps(eg1).join(keeps(g1), Seq("doc_id"), "left_anti"))
+          .agg(count(lit(1)).as("__d"))
+        val leak2 = keeps(g2).filter(col("doc_id") % 8 === 1)
+          .join(keeps(eg2), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__l2"))
+        g1.unionByName(g2).agg(count(lit(1)).as("n_docs"))
+          .crossJoin(keeps(eg1).agg(count(lit(1)).as("n_exact_keep1")))
+          .crossJoin(keeps(eg2).agg(count(lit(1)).as("n_exact_keep2_audit")))
+          .crossJoin(acc1Diff).crossJoin(leak2)
+          .select(col("n_docs"), col("n_exact_keep1"),
+                  col("n_exact_keep2_audit"),
+                  (col("__d") === 0).as("acc1_consistent_ok"),
+                  (col("__l2") === 0).as("leak2_ok"))
       },
-      None
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source,
+              |    list_filter(string_split_regex(text, '\\s+'),
+              |                w -> length(w) > 0) AS w
+              |  FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |corp AS (SELECT DISTINCT g FROM grams WHERE source <> 'src19'),
+              |b1g AS (SELECT DISTINCT doc_id, g FROM grams
+              |        WHERE source = 'src19' AND doc_id % 2 = 0),
+              |p1 AS (
+              |  SELECT doc_id, count(*) AS n_grams,
+              |    CAST(count(*) FILTER (g IN (SELECT g FROM corp)) AS BIGINT)
+              |      AS n_hit
+              |  FROM b1g GROUP BY doc_id),
+              |c1 AS (SELECT doc_id FROM documents
+              |       WHERE source = 'src19' AND doc_id % 2 = 0),
+              |k1 AS (
+              |  SELECT c.doc_id FROM c1 c LEFT JOIN p1 p USING (doc_id)
+              |  WHERE coalesce(p.n_hit, 0) * 1.0 /
+              |        greatest(coalesce(p.n_grams, 0), 1) < 0.5),
+              |corp2 AS (
+              |  SELECT g FROM corp
+              |  UNION
+              |  SELECT g FROM b1g WHERE doc_id IN (SELECT doc_id FROM k1)),
+              |b2g AS (SELECT DISTINCT doc_id, g FROM grams
+              |        WHERE source = 'src19' AND doc_id % 8 = 1),
+              |p2 AS (
+              |  SELECT doc_id, count(*) AS n_grams,
+              |    CAST(count(*) FILTER (g IN (SELECT g FROM corp2)) AS BIGINT)
+              |      AS n_hit
+              |  FROM b2g GROUP BY doc_id),
+              |c2 AS (SELECT doc_id FROM documents
+              |       WHERE source = 'src19' AND doc_id % 8 = 1),
+              |k2 AS (
+              |  SELECT c.doc_id FROM c2 c LEFT JOIN p2 p USING (doc_id)
+              |  WHERE coalesce(p.n_hit, 0) * 1.0 /
+              |        greatest(coalesce(p.n_grams, 0), 1) < 0.5)
+              |SELECT
+              |  (SELECT count(*) FROM documents WHERE source = 'src19')
+              |    AS n_docs,
+              |  (SELECT count(*) FROM k1) AS n_exact_keep1,
+              |  (SELECT count(*) FROM k2) AS n_exact_keep2_audit,
+              |  true AS acc1_consistent_ok, true AS leak2_ok""".stripMargin)
     ),
     // Anchor for st14, hash-exact against DuckDB. The cross-batch
     // subset claim is conditional — batch 2's filters diverge only
