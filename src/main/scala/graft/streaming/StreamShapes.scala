@@ -925,10 +925,18 @@ object StreamShapes {
     // Engine-specific band hashing → rows-only; st18x is the exact
     // anchor. The streaming twin is EventStreams.deconGate, pinned
     // row-equal with a kill+restart test.
+    // SELF-AUDITING ([[SelfAudit]] discipline, dc03's audit shape over
+    // the two-batch chain): the banded per-batch gate serves every
+    // corpus vector; the same plan recomputes the exact benchmark
+    // max-cosine for a deterministic corpus quarter and audits
+    // precision/0.9-stratum recall there, plus the chain's
+    // deterministic structure — stateless batch assignment (batch =
+    // parity + 1) and full census. Exact quarter counts are the
+    // oracle's scalars; st18x stays the full exact anchor.
     QueryDef(
       "st18_streaming_decon",
       (s, d) => {
-        import graft.analytics.DataQuality
+        import graft.analytics.{DataQuality, SelfAudit}
         val emb = table(s, d, "embeddings")
         val bench = emb.filter(col("label") === 0)
           .select(col("vec_id").as("bench_id"), col("embedding"))
@@ -941,11 +949,63 @@ object StreamShapes {
                     coalesce(col("n_cand"), lit(0L)).as("n_cand"),
                     col("max_cand_sim").isNull.cast("int").as("keep"))
         }
-        out(1, corpus.filter(col("vec_id") % 2 === 0))
-          .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1)))
-          .orderBy("batch", "vec_id")
+        val served = SelfAudit.once(
+          out(1, corpus.filter(col("vec_id") % 2 === 0))
+            .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1))))
+        val exact = SelfAudit.once(
+          corpus.filter(col("vec_id") % 4 === 1)
+            .crossJoin(broadcast(emb.filter(col("label") === 0)
+              .select(col("embedding").as("qvec"))))
+            .groupBy("vec_id")
+            .agg(max(graft.functions.VectorOps.cosineNative(
+                   s, col("embedding"), col("qvec"))).as("mc"))
+            .filter(col("mc") >= DataQuality.SemanticDeconTau)
+            .select(col("vec_id"), round(col("mc"), 6).as("emc")))
+        val sAudDrops = served
+          .filter(col("vec_id") % 4 === 1 && col("keep") === 0)
+        val precEsc = sAudDrops.select("vec_id")
+          .join(exact.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("__p"))
+        val strong = exact.filter(col("emc") >= 0.9)
+        val missed = strong.select("vec_id")
+          .join(sAudDrops.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("__m"))
+        served.agg(
+            count(lit(1)).as("n_corpus"),
+            bool_and(col("batch") ===
+              (pmod(col("vec_id"), lit(2L)) + 1).cast("int")).as("batch_ok"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact_drops_audit")))
+          .crossJoin(strong.agg(count(lit(1)).as("n_strong_audit")))
+          .crossJoin(precEsc).crossJoin(missed)
+          .select(col("n_corpus"), col("n_exact_drops_audit"),
+                  col("n_strong_audit"), col("batch_ok"),
+                  (col("__p") === 0).as("precision_ok"),
+                  (col("__m") <= ceil(col("n_strong_audit") * lit(2e-4)))
+                    .as("recall_bound_ok"))
       },
-      None
+      Some(s"""WITH b AS (
+              |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |c AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  WHERE label <> 0 AND vec_id % 4 = 1),
+              |m AS (
+              |  SELECT c.vec_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(b.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM c, b GROUP BY c.vec_id),
+              |dr AS (SELECT vec_id, round(mc, 6) AS emc FROM m
+              |       WHERE mc >= ${graft.analytics.DataQuality.SemanticDeconTau})
+              |SELECT
+              |  (SELECT COUNT(*) FROM embeddings WHERE label <> 0) AS n_corpus,
+              |  (SELECT COUNT(*) FROM dr) AS n_exact_drops_audit,
+              |  (SELECT COUNT(*) FROM dr WHERE emc >= 0.9) AS n_strong_audit,
+              |  true AS batch_ok, true AS precision_ok,
+              |  true AS recall_bound_ok""".stripMargin)
     ),
 
     // st18's exactness anchor: the same two-batch stateless gate with
@@ -1005,10 +1065,21 @@ object StreamShapes {
     // is engine-specific → rows-only; st19x replays the same two-batch
     // chain with EXHAUSTIVE candidates end to end in SQL, and the
     // streaming twin is pinned row-equal with a kill+restart test.
+    // SELF-AUDITING ([[SelfAudit]] discipline, dd09's audit shape over
+    // the two-batch chain): the banded chain serves every arrival; the
+    // same plan runs the EXHAUSTIVE gate on a deterministic quarter of
+    // EACH batch — batch 1 against the corpus (oracle-replayable
+    // scalars), batch 2 against corpus ∪ the chain's own batch-1
+    // accepted docs (its realized reference set; booleans only — the
+    // oracle cannot reproduce banded accepts, and the accept sets'
+    // agreement is separately bounded by the recall claims) — and
+    // audits precision / witness-Jaccard bounds / 0.9-stratum recall
+    // per batch, plus the deterministic batch split and census. st19x
+    // stays the full exact anchor.
     QueryDef(
       "st19_neardup_stream_gate",
       (s, d) => {
-        import graft.analytics.MinHashBandIndex
+        import graft.analytics.{MinHashBandIndex, SelfAudit}
         val docs = table(s, d, "documents")
         val seed = MinHashBandIndex.ensure(s, d)
         val arr = MinHashBandIndex.arrivalsOf(docs)
@@ -1021,19 +1092,103 @@ object StreamShapes {
           .join(graft.analytics.Tombstones.read(s, seed, "corpus_id"),
                 Seq("corpus_id"), "left_anti")
         val seedSh = s.read.parquet(s"$seed/shingles")
-        val g1 = MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1)
+        val g1 = SelfAudit.once(
+          MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1))
         val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
                            Seq("doc_id"))
-        val g2 = MinHashBandIndex.gateFrames(
+        val g2 = SelfAudit.once(MinHashBandIndex.gateFrames(
           s,
           seedBands.unionByName(MinHashBandIndex.segmentBands(s, acc1)),
           seedSh.unionByName(MinHashBandIndex.segmentShingles(s, acc1)),
-          b2)
-        g1.withColumn("batch", lit(1))
+          b2))
+        val served = g1.withColumn("batch", lit(1))
           .unionByName(g2.withColumn("batch", lit(2)))
-          .orderBy("doc_id")
+        val corpus = MinHashBandIndex.corpusOf(docs).select("doc_id", "text")
+        val exact1 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
+          s, corpus, b1.filter(col("doc_id") % 80 === 0)))
+        val exact2 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
+          s, corpus.unionByName(acc1.select("doc_id", "text")),
+          b2.filter(col("doc_id") % 80 === 30)))
+        // per-batch audit against its exact reference: rejections
+        // justified (⊆ exact rejects, witness J bounded by the exact
+        // best) and the ≥ 0.9 stratum recalled within the count bound
+        def auditOf(g: org.apache.spark.sql.DataFrame,
+                    ex: org.apache.spark.sql.DataFrame, tag: String) = {
+          val gRej = g.filter(col("keep") === 0)
+            .join(ex.select("doc_id"), Seq("doc_id"), "left_semi")
+          val exRej = ex.filter(col("keep") === 0)
+          val prec = gRej.select("doc_id")
+            .join(exRej.select("doc_id"), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as(s"__p$tag"))
+          val jb = gRej.select(col("doc_id"), col("match_jaccard").as("bj"))
+            .join(exRej.select(col("doc_id"), col("match_jaccard").as("ej")),
+                  Seq("doc_id"))
+            .agg(coalesce(bool_and(col("bj") <= col("ej") + lit(1e-9)),
+                          lit(true)).as(s"jbound${tag}_ok"))
+          val strong = exRej.filter(col("match_jaccard") >= 0.9)
+          val missed = strong.select("doc_id")
+            .join(gRej.select("doc_id"), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as(s"__m$tag"))
+          (prec, jb, strong, missed)
+        }
+        val (p1, j1, s1, m1) = auditOf(g1, exact1, "1")
+        val (p2, j2, s2, m2) = auditOf(g2, exact2, "2")
+        served.agg(
+            count(lit(1)).as("n_arrivals"),
+            bool_and(col("batch") ===
+              when(pmod(col("doc_id"), lit(20L)) === 0, 1).otherwise(2))
+              .as("batch_ok"))
+          .crossJoin(exact1.filter(col("keep") === 0)
+            .agg(count(lit(1)).as("n_b1_exact_rejects_audit")))
+          .crossJoin(s1.agg(count(lit(1)).as("n_b1_strong_audit")))
+          .crossJoin(p1).crossJoin(j1).crossJoin(m1)
+          .crossJoin(s2.agg(count(lit(1)).as("__ns2")))
+          .crossJoin(p2).crossJoin(j2).crossJoin(m2)
+          .select(col("n_arrivals"), col("n_b1_exact_rejects_audit"),
+                  col("n_b1_strong_audit"), col("batch_ok"),
+                  (col("__p1") === 0).as("precision1_ok"),
+                  col("jbound1_ok"),
+                  (col("__m1") <=
+                    ceil(col("n_b1_strong_audit") * lit(2e-4)))
+                    .as("recall1_ok"),
+                  (col("__p2") === 0).as("precision2_ok"),
+                  col("jbound2_ok"),
+                  (col("__m2") <= ceil(col("__ns2") * lit(2e-4)))
+                    .as("recall2_ok"))
       },
-      None
+      Some("""WITH w AS MATERIALIZED (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |t AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+             |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+             |         ELSE [array_to_string(w, ' ')] END AS ngrams
+             |  FROM w),
+             |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t
+             |       WHERE doc_id % 80 = 0),
+             |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
+             |       FROM t WHERE doc_id % 10 <> 0),
+             |inter AS (
+             |  SELECT a.doc_id, c.corpus_id, count(*) AS i
+             |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT i.doc_id,
+             |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+             |  FROM inter i
+             |  JOIN t sa ON sa.doc_id = i.doc_id
+             |  JOIN t sb ON sb.doc_id = i.corpus_id),
+             |best AS (SELECT doc_id, max(j) AS mj FROM sc GROUP BY doc_id
+             |         HAVING max(j) >= 0.3)
+             |SELECT
+             |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+             |    AS n_arrivals,
+             |  (SELECT COUNT(*) FROM best) AS n_b1_exact_rejects_audit,
+             |  (SELECT COUNT(*) FROM best WHERE mj >= 0.9) AS n_b1_strong_audit,
+             |  true AS batch_ok, true AS precision1_ok, true AS jbound1_ok,
+             |  true AS recall1_ok, true AS precision2_ok, true AS jbound2_ok,
+             |  true AS recall2_ok""".stripMargin)
     ),
 
     // st19's exactness anchor: the identical two-batch chain with the
@@ -1144,10 +1299,176 @@ object StreamShapes {
     // with exhaustive/exact stages end to end in SQL, and
     // EventStreams.curationStream is pinned row-equal with a
     // kill+restart test.
+    // SELF-AUDITING: the banded three-stage chain serves every arrival;
+    // the same plan audits each stage — the quality gate is EXACT and
+    // SQL-expressible, so its reject count is an oracle scalar over the
+    // full batch; the decon stage is audited dc03-style on a
+    // deterministic arrival quarter (bench members must drop,
+    // precision by construction, 0.9-stratum recall bound); the
+    // near-dup stage is audited dd09-style on a quarter of each batch
+    // (batch 2 against corpus ∪ the chain's own batch-1 all-stage
+    // keepers — its realized reference); and the ledger's deterministic
+    // structure (keep = product of stage bits, first-drop stage
+    // attribution, batch split, census) is asserted over every row.
+    // st20x stays the full exact anchor.
     QueryDef(
       "st20_streaming_curation",
-      (s, d) => curationLedgerChain(s, d, banded = true),
-      None
+      (s, d) => {
+        import graft.analytics.{DataQuality, MinHashBandIndex, SelfAudit}
+        val docs = table(s, d, "documents")
+        val emb = table(s, d, "embeddings")
+        val served = SelfAudit.once(curationLedgerChain(s, d, banded = true))
+        val structAgg = served.agg(
+          count(lit(1)).as("n_arrivals"),
+          bool_and(col("keep") === col("keep_quality") *
+            col("keep_neardup") * col("keep_vec")).as("keep_product_ok"),
+          bool_and(
+            when(col("keep_quality") === 0, col("stage") === "quality")
+              .when(col("keep_neardup") === 0, col("stage") === "neardup")
+              .when(col("keep_vec") === 0, col("stage") === "decon")
+              .otherwise(col("stage") === "kept")).as("stage_attr_ok"),
+          bool_and(col("batch") ===
+            when(pmod(col("doc_id"), lit(20L)) === 0, 1).otherwise(2))
+            .as("batch_ok"))
+        val nQual = served.filter(col("keep_quality") === 0)
+          .agg(count(lit(1)).as("n_quality_rejects"))
+        // decon stage audit (arrival quarter, doc_id % 40 = 0)
+        val benchIds = emb.filter(col("label") === 0)
+          .select(col("vec_id").as("doc_id"))
+        val audDec = served.filter(col("doc_id") % 40 === 0)
+        val exactDec = SelfAudit.once(
+          emb.filter(col("label") =!= 0 && col("vec_id") % 40 === 0)
+            .crossJoin(broadcast(emb.filter(col("label") === 0)
+              .select(col("embedding").as("qvec"))))
+            .groupBy("vec_id")
+            .agg(max(graft.functions.VectorOps.cosineNative(
+                   s, col("embedding"), col("qvec"))).as("mc"))
+            .filter(col("mc") >= DataQuality.SemanticDeconTau)
+            .select(col("vec_id").as("doc_id"), round(col("mc"), 6).as("emc")))
+        val decDropsNb = audDec.filter(col("keep_vec") === 0)
+          .join(benchIds, Seq("doc_id"), "left_anti")
+        val decPrec = decDropsNb.select("doc_id")
+          .join(exactDec.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__dp"))
+        val decStrong = exactDec.filter(col("emc") >= 0.9)
+        val decMissed = decStrong.select("doc_id")
+          .join(audDec.filter(col("keep_vec") === 0).select("doc_id"),
+                Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__dm"))
+        val benchDropOk = audDec.join(benchIds, Seq("doc_id"), "left_semi")
+          .agg(coalesce(bool_and(col("keep_vec") === 0), lit(true))
+            .as("bench_dropped_ok"))
+        // near-dup stage audits (quarter of each batch)
+        val arr = MinHashBandIndex.arrivalsOf(docs)
+        val corpus = MinHashBandIndex.corpusOf(docs).select("doc_id", "text")
+        val b1 = arr.filter(col("doc_id") % 20 === 0)
+        val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+        val exactNd1 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
+          s, corpus, b1.filter(col("doc_id") % 80 === 0)))
+        val acc1 = b1.join(
+          served.filter(col("batch") === 1 && col("keep") === 1)
+            .select("doc_id"), Seq("doc_id"))
+        val exactNd2 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
+          s, corpus.unionByName(acc1.select("doc_id", "text")),
+          b2.filter(col("doc_id") % 80 === 30)))
+        def ndAudit(ex: org.apache.spark.sql.DataFrame, tag: String) = {
+          val gRej = served.filter(col("keep_neardup") === 0)
+            .join(ex.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select("doc_id")
+          val exRej = ex.filter(col("keep") === 0)
+          val prec = gRej
+            .join(exRej.select("doc_id"), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as(s"__np$tag"))
+          val strong = exRej.filter(col("match_jaccard") >= 0.9)
+          val missed = strong.select("doc_id")
+            .join(gRej, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as(s"__nm$tag"))
+          (prec, strong, missed)
+        }
+        val (np1, ns1, nm1) = ndAudit(exactNd1, "1")
+        val (np2, ns2, nm2) = ndAudit(exactNd2, "2")
+        structAgg.crossJoin(nQual)
+          .crossJoin(exactDec.agg(count(lit(1))
+            .as("n_decon_exact_drops_audit")))
+          .crossJoin(decPrec).crossJoin(decStrong.agg(count(lit(1))
+            .as("__nds"))).crossJoin(decMissed).crossJoin(benchDropOk)
+          .crossJoin(exactNd1.filter(col("keep") === 0)
+            .agg(count(lit(1)).as("n_nd1_exact_rejects_audit")))
+          .crossJoin(ns1.agg(count(lit(1)).as("n_nd1_strong_audit")))
+          .crossJoin(np1).crossJoin(nm1)
+          .crossJoin(ns2.agg(count(lit(1)).as("__ns2")))
+          .crossJoin(np2).crossJoin(nm2)
+          .select(col("n_arrivals"), col("n_quality_rejects"),
+                  col("n_decon_exact_drops_audit"),
+                  col("n_nd1_exact_rejects_audit"), col("n_nd1_strong_audit"),
+                  col("keep_product_ok"), col("stage_attr_ok"),
+                  col("batch_ok"), col("bench_dropped_ok"),
+                  (col("__dp") === 0).as("dec_precision_ok"),
+                  (col("__dm") <= ceil(col("__nds") * lit(2e-4)))
+                    .as("dec_recall_ok"),
+                  (col("__np1") === 0).as("nd1_precision_ok"),
+                  (col("__nm1") <=
+                    ceil(col("n_nd1_strong_audit") * lit(2e-4)))
+                    .as("nd1_recall_ok"),
+                  (col("__np2") === 0).as("nd2_precision_ok"),
+                  (col("__nm2") <= ceil(col("__ns2") * lit(2e-4)))
+                    .as("nd2_recall_ok"))
+      },
+      Some(s"""WITH w AS MATERIALIZED (
+              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+              |                             x -> x <> '') AS w
+              |  FROM documents),
+              |t AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+              |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+              |         ELSE [array_to_string(w, ' ')] END AS ngrams
+              |  FROM w),
+              |${graft.analytics.DataQuality.qualityKeepCtesSql("doc_id % 10 = 0")},
+              |bq AS (SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |mv AS (
+              |  SELECT c.vec_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, bq.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(bq.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM (SELECT vec_id, embedding FROM embeddings
+              |        WHERE label <> 0 AND vec_id % 40 = 0) c, bq
+              |  GROUP BY c.vec_id),
+              |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t
+              |       WHERE doc_id % 80 = 0),
+              |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
+              |       FROM t WHERE doc_id % 10 <> 0),
+              |inter AS (
+              |  SELECT a.doc_id, c.corpus_id, count(*) AS i
+              |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
+              |sc AS (
+              |  SELECT i.doc_id,
+              |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+              |  FROM inter i
+              |  JOIN t sa ON sa.doc_id = i.doc_id
+              |  JOIN t sb ON sb.doc_id = i.corpus_id),
+              |best AS (SELECT doc_id, max(j) AS mj FROM sc GROUP BY doc_id
+              |         HAVING max(j) >= 0.3)
+              |SELECT
+              |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+              |    AS n_arrivals,
+              |  (SELECT COUNT(*) FROM qk WHERE keep_quality = 0)
+              |    AS n_quality_rejects,
+              |  (SELECT COUNT(*) FROM mv
+              |   WHERE mc >= ${graft.analytics.DataQuality.SemanticDeconTau})
+              |    AS n_decon_exact_drops_audit,
+              |  (SELECT COUNT(*) FROM best) AS n_nd1_exact_rejects_audit,
+              |  (SELECT COUNT(*) FROM best WHERE mj >= 0.9)
+              |    AS n_nd1_strong_audit,
+              |  true AS keep_product_ok, true AS stage_attr_ok,
+              |  true AS batch_ok, true AS bench_dropped_ok,
+              |  true AS dec_precision_ok, true AS dec_recall_ok,
+              |  true AS nd1_precision_ok, true AS nd1_recall_ok,
+              |  true AS nd2_precision_ok, true AS nd2_recall_ok""".stripMargin)
     ),
 
     // st20's exactness anchor: exhaustive near-dup candidates + exact
