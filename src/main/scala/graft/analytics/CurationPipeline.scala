@@ -187,6 +187,15 @@ object CurationPipeline {
         // bp02 (see DataQuality): identical kept-set to the HOF fold,
         // O(n + |ps|) per doc instead of O(n²) element copies.
         graft.functions.SpanStrip.register(s)
+        // The strip lineage (8-gram explode → census semi-join → native
+        // span strip) feeds BOTH the threshold aggregate and the gated
+        // frame — without a barrier it re-executes per consumer. The
+        // dq05 recipe: reduce each doc to a NARROW row (the dedup
+        // fingerprint replaces the cleaned text — md5 computed once
+        // here, so the corpus text never materializes) and eagerly
+        // localCheckpoint it; every later stage derives from the
+        // materialization. At cluster scale the same barrier is a
+        // persist to executor storage.
         val cleaned = words.join(starts, Seq("doc_id"), "left")
           .withColumn("ps",
             coalesce(col("ps"), expr("cast(array() as array<int>)")))
@@ -198,7 +207,8 @@ object CurationPipeline {
                   round((size(col("cleaned")) -
                          size(array_distinct(col("cleaned")))) * lit(1.0) /
                         greatest(size(col("cleaned")), lit(1)), 6).as("dwf"),
-                  concat_ws(" ", col("cleaned")).as("ctext"))
+                  md5(lower(concat_ws(" ", col("cleaned")))).as("fp"))
+          .localCheckpoint(true)
         // stage 2: adaptive gate over the cleaned corpus (dq04)
         val th = cleaned.agg(
           expr("percentile(n_tokens, 0.25)").as("p25w"),
@@ -206,10 +216,16 @@ object CurationPipeline {
         val gated = cleaned.crossJoin(broadcast(th))
           .filter(col("n_tokens") >= col("p25w") && col("dwf") <= col("p75d"))
         // stage 3: exact dedup on the CLEANED fingerprint, keep-first
-        val dw = Window.partitionBy(md5(lower(col("ctext")))).orderBy("doc_id")
+        val dw = Window.partitionBy(col("fp")).orderBy("doc_id")
+        // second barrier: `deduped` feeds the per-language totals, the
+        // budget, and the final selection — materialize the (already
+        // narrow) survivor rows once instead of re-running gate + dedup
+        // per consumer
         val deduped = gated
           .withColumn("rk", row_number().over(dw))
           .filter(col("rk") === 1)
+          .select("doc_id", "lang", "n_tokens")
+          .localCheckpoint(true)
         // stage 4: per-language token-budget selection (dm06)
         val totals = deduped.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
         val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
@@ -672,15 +688,24 @@ object CurationPipeline {
                 .as("keep_vec"))
       .unionByName(emb.filter(col("label") === 0)
         .select(col("vec_id").as("doc_id"), lit(0).as("keep_vec")))
+    // The staged lineage (quality flags + dedup window + decon join) is
+    // consumed by the budget stage, the layout stage, and the final
+    // ledger join — the dq05/cp02 barrier discipline: compute the token
+    // count once, reduce to narrow rows (text dropped), and eagerly
+    // localCheckpoint so downstream stages derive from the
+    // materialization instead of re-running the whole prefix.
     val s3 = staged.join(vecKeep, Seq("doc_id"), "left")
       .withColumn("keep_vec", coalesce(col("keep_vec"), lit(1)))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "source", "lang", "n_chars",
+              "keep_q", "is_dup", "keep_vec", "n_tokens")
+      .localCheckpoint(true)
     // stage 4: dm06 token-budget mixture over the survivors
     val toks = s3
       .filter(col("keep_q") === 1 && col("is_dup") === 0 &&
               col("keep_vec") === 1)
-      .select(col("doc_id"), col("lang"),
-              TextAnalysis.tokenCount(col("text")).cast("long")
-                .as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
     val totals = toks.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
     val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
     val h = md5(concat(col("doc_id").cast("string"), lit(":tb"))
@@ -695,8 +720,12 @@ object CurationPipeline {
       .crossJoin(broadcast(budget))
       .filter(col("cum_before") < col("shard_budget"))
       .select(col("doc_id"), lit(1).as("keep_b"))
+    // third barrier: s4 feeds the kept-set layout planning AND the
+    // final ledger join — keptB's double window would otherwise run
+    // per consumer
     val s4 = s3.join(keptB, Seq("doc_id"), "left")
       .withColumn("keep_b", coalesce(col("keep_b"), lit(0)))
+      .localCheckpoint(true)
     // layout (cp04) over the kept docs only
     val kept = s4
       .filter(col("keep_q") === 1 && col("is_dup") === 0 &&
