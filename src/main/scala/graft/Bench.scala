@@ -62,6 +62,10 @@ object Bench {
     // the same contract — dm02b/dm06b timings measure tokenization
     try graft.analytics.BpeTokenizer.loadOrLearn(spark, sfDir)
     catch { case _: Throwable => () }
+    // the production-depth table (tok01b/tok04) shares that contract
+    try graft.analytics.BpeTokenizer.loadOrLearn(
+      spark, sfDir, graft.analytics.BpeTokenizer.DeepMerges, "bigram")
+    catch { case _: Throwable => () }
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The

@@ -51,6 +51,13 @@ object BpeTokenizer {
     * merge-count-agnostic. */
   val Merges = 12
 
+  /** Production-shaped merge count exercised end-to-end by the
+    * tok01b/tok04 entries: learning stays ONE Spark aggregate + a
+    * driver-local loop (merge-count-independent in cluster round
+    * trips), and application stays one codegen'd operator — this
+    * constant proves the PIPELINE at depth, not just the spec. */
+  val DeepMerges = 1024
+
   /** Vocabulary cap for learning (most-frequent first, ties by word). */
   val VocabCap = 4096
 
@@ -61,6 +68,30 @@ object BpeTokenizer {
   /** DuckDB replay of [[wordsExpr]]. */
   private val wordsSql =
     """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
+
+  /** Learning units for the DEEP table: word BIGRAMS joined by '_'.
+    * The fixtures' ~30-word synthetic vocabulary exhausts word-level
+    * learning after ~90 merges (every word fully merged); bigram units
+    * drawn from the same corpus have ~|V|² distinct forms and ~2×
+    * longer char sequences, so the greedy loop genuinely runs ≥
+    * [[DeepMerges]] ranks — the depth is real, not nominal.
+    *
+    * Takes a WORD-LIST COLUMN name, never the raw text: a lambda
+    * referencing `split(text, …)` re-evaluates the split per element
+    * (O(words²·len) per doc) — project the list once, then build the
+    * bigrams off the attribute. */
+  private def bigramUnitsOf(ws: String): String =
+    s"""CASE WHEN size($ws) >= 2 THEN
+       |  transform(sequence(1, size($ws) - 1),
+       |    i -> concat(element_at($ws, i), '_', element_at($ws, i + 1)))
+       |ELSE cast(array() as array<string>) END""".stripMargin
+
+  /** DuckDB replay of [[bigramUnitsOf]] over a word-list column `w`. */
+  private def bigramUnitsSql(w: String): String =
+    s"""CASE WHEN len($w) >= 2 THEN
+       |  list_transform(range(len($w) - 1),
+       |    i -> $w[i + 1] || '_' || $w[i + 2])
+       |ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
   final case class Merge(rank: Int, l: String, r: String, cnt: Long)
 
@@ -106,10 +137,18 @@ object BpeTokenizer {
     * [[graft.functions.BpeApply.mergePass]], the exact string-replace
     * semantics the DuckDB oracle replays — tok01 stays hash-green). */
   def learnMerges(spark: SparkSession, sfDir: String,
-                  nMerges: Int = Merges): Seq[Merge] = {
+                  nMerges: Int = Merges,
+                  unitKind: String = "word"): Seq[Merge] = {
     graft.functions.BpeFns.register(spark)
-    val vocab = table(spark, sfDir, "documents")
-      .select(explode(expr(wordsExpr)).as("word"))
+    val unitRows =
+      if (unitKind == "bigram")
+        table(spark, sfDir, "documents")
+          .select(expr(wordsExpr).as("ws"))
+          .select(explode(expr(bigramUnitsOf("ws"))).as("word"))
+      else
+        table(spark, sfDir, "documents")
+          .select(explode(expr(wordsExpr)).as("word"))
+    val vocab = unitRows
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word")).limit(VocabCap)
       .collect()
@@ -196,22 +235,28 @@ object BpeTokenizer {
       scala.util.hashing.MurmurHash3.stringHash(sig, 0x9747b28c))
   }
 
-  def mergesDir(sfDir: String): String = {
+  def mergesDir(sfDir: String, nMerges: Int = Merges,
+                unitKind: String = "word"): String = {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir, 0x9747b28c))
-    s"${sys.props("java.io.tmpdir")}/graft-bpe-$key-${stamp(sfDir)}-$Merges-v1"
+    val u = if (unitKind == "word") "" else s"-$unitKind"
+    s"${sys.props("java.io.tmpdir")}/graft-bpe-$key-${stamp(sfDir)}-$nMerges$u-v1"
   }
 
   /** Learned merges for a corpus dir: JVM-cached, then the persisted
     * content-stamped parquet, then a fresh learn+persist. A regenerated
-    * dataset at the same path changes the stamp and forces a relearn. */
-  def loadOrLearn(spark: SparkSession, sfDir: String): Seq[Merge] = {
+    * dataset at the same path changes the stamp and forces a relearn.
+    * `unitKind` "word" learns over whitespace words (the production
+    * table); "bigram" over [[bigramUnitsOf]] (the deep table). */
+  def loadOrLearn(spark: SparkSession, sfDir: String,
+                  nMerges: Int = Merges,
+                  unitKind: String = "word"): Seq[Merge] = {
     graft.functions.BpeFns.register(spark)
-    val dir = mergesDir(sfDir)
+    val dir = mergesDir(sfDir, nMerges, unitKind)
     built.computeIfAbsent(dir, { _ =>
       val f = new java.io.File(dir)
       if (!f.exists()) {
-        val merges = learnMerges(spark, sfDir)
+        val merges = learnMerges(spark, sfDir, nMerges, unitKind)
         import spark.implicits._
         merges.toDF("rank", "l", "r", "cnt")
           .coalesce(1).write.mode("overwrite").parquet(dir)
@@ -262,11 +307,19 @@ object BpeTokenizer {
   /** The learning rounds as unrolled DuckDB CTEs (`w0, v0, p0, b0, v1,
     * …`) — the oracle DERIVES the merge table itself, so tok01 checks
     * learning end-to-end, not a copied answer. */
-  def learnCtesSql: String = {
+  def learnCtesSql: String = learnCtesSqlOver(
+    s"SELECT unnest($wordsSql) AS word FROM documents")
+
+  /** [[learnCtesSql]] over bigram units — the deep table's basis. */
+  def learnCtesSqlBigram: String = learnCtesSqlOver(
+    s"""SELECT unnest(${bigramUnitsSql("w")}) AS word
+       |  FROM (SELECT $wordsSql AS w FROM documents)""".stripMargin)
+
+  private def learnCtesSqlOver(unitsSelect: String): String = {
     val sb = new StringBuilder
     sb ++= s"""w0 AS MATERIALIZED (
               |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-              |  FROM (SELECT unnest($wordsSql) AS word FROM documents)
+              |  FROM ($unitsSelect)
               |  GROUP BY word ORDER BY freq DESC, word LIMIT $VocabCap),
               |v0 AS MATERIALIZED (
               |  SELECT freq, ' ' || array_to_string(list_transform(
@@ -351,6 +404,85 @@ object BpeTokenizer {
               |FROM (${(0 until Merges).map(i => s"SELECT * FROM b$i")
                         .mkString(" UNION ALL ")})
               |ORDER BY rank""".stripMargin)
+    ),
+
+    // PRODUCTION-SHAPED merge count through the driver's gate: learn
+    // [[DeepMerges]] (1024) merges over bigram units (the fixtures'
+    // word vocabulary exhausts after ~90 ranks, so the deep table's
+    // basis is [[bigramUnitsOf]] — ~|V|² distinct forms, genuinely
+    // ≥ 1024 learnable ranks) — same one-aggregate-plus-driver-loop
+    // learn, cost independent of merge count in cluster round trips —
+    // and emit the first [[Merges]] ranks. Greedy learning is
+    // prefix-stable (round i depends only on rounds < i), so the deep
+    // table's prefix must be bit-identical to the oracle's 12-round
+    // replay over the same units: the 1024-rank learn itself runs
+    // inside the gate and any census/argmax/application drift in the
+    // shared loop goes red. tok04 audits the deep ranks' APPLICATION.
+    QueryDef(
+      "tok01b_bpe_deep_prefix",
+      (s, d) => {
+        val deep = loadOrLearn(s, d, DeepMerges, "bigram")
+        import s.implicits._
+        deep.take(Merges)
+          .map(m => (m.rank, m.l, m.r, m.l + m.r, m.cnt))
+          .toDF("rank", "lft", "rgt", "merged", "cnt")
+          .orderBy("rank")
+      },
+      Some(s"""WITH $learnCtesSqlBigram
+              |SELECT rank, l AS lft, r AS rgt, l || r AS merged, cnt
+              |FROM (${(0 until Merges).map(i => s"SELECT * FROM b$i")
+                        .mkString(" UNION ALL ")})
+              |ORDER BY rank""".stripMargin)
+    ),
+
+    // Deep-application audit ([[SelfAudit]] discipline): per-unit token
+    // counts under the FULL 1024-rank table vs its own 12-rank prefix,
+    // through the native codegen'd operator carrying all 1024 ranks.
+    // Three theorems make the audit deterministic: (1) prefix
+    // stability + each merge pass never increasing a unit's token
+    // count ⇒ deep count ≤ prefix count per unit; (2) every non-empty
+    // unit yields ≥ 1 token; (3) BPE closure — every emitted subword
+    // is a single character or the output of some learned merge
+    // (checked over a deterministic doc sample via the native
+    // segmenter at full depth). Census + total unit count are the
+    // oracle's recomputable scalars.
+    QueryDef(
+      "tok04_bpe_deep_apply",
+      (s, d) => {
+        val deep = loadOrLearn(s, d, DeepMerges, "bigram")
+        val prefix = deep.take(Merges)
+        val docs = table(s, d, "documents")
+        val units = docs
+          .select(col("doc_id"), expr(wordsExpr).as("ws"))
+          .select(col("doc_id"), explode(expr(bigramUnitsOf("ws"))).as("u"))
+        val agg = units.select(col("doc_id"),
+            bpeWordTokens(col("u"), deep).cast("long").as("cd"),
+            bpeWordTokens(col("u"), prefix).cast("long").as("cb"))
+          .agg(count(lit(1)).as("total_units"),
+               bool_and(col("cd") <= col("cb")).as("depth_monotone_ok"),
+               bool_and(col("cd") >= 1).as("count_floor_ok"))
+        import s.implicits._
+        val vocabDf = deep.map(m => m.l + m.r).toDF("t")
+        val closureEsc = units.filter(col("doc_id") % 20 === 0)
+          .select(explode(call_function(graft.functions.BpeFns.segFnName,
+            col("u"), typedLit(deep.map(_.l)), typedLit(deep.map(_.r))))
+            .as("t"))
+          .distinct()
+          .filter(length(col("t")) > 1)
+          .join(broadcast(vocabDf), Seq("t"), "left_anti")
+          .agg(count(lit(1)).as("__esc"))
+        val census = docs.agg(count(lit(1)).as("n_docs"))
+        census.crossJoin(agg).crossJoin(closureEsc)
+          .select(col("n_docs"), col("total_units"),
+                  col("depth_monotone_ok"), col("count_floor_ok"),
+                  (col("__esc") === 0).as("vocab_closure_ok"))
+      },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(greatest(len($wordsSql) - 1, 0)) AS BIGINT)
+              |    AS total_units,
+              |  true AS depth_monotone_ok, true AS count_floor_ok,
+              |  true AS vocab_closure_ok
+              |FROM documents""".stripMargin)
     ),
 
     // tx06 re-expressed in learned subword tokens: chunk each document

@@ -82,63 +82,147 @@ object BpeApply {
     out
   }
 
+  /** Rank-skip index for one merge table: for every symbol that appears
+    * as a merge side, the bitset of ranks using it on that side. Per
+    * word the candidate rank set is (∪ left-bits of present symbols) ∩
+    * (∪ right-bits) — an OVER-approximation of the applicable ranks
+    * (presence is necessary, not sufficient; the per-rank count check
+    * and the pass itself are unchanged), so iterating only its set bits
+    * in ascending rank order is bit-identical to scanning every rank
+    * while costing O(symbols · R/64 + candidates · len) per word
+    * instead of O(R) hash probes — the difference between 12 and 50k
+    * ranks riding the same scan. Built once per expression instance
+    * (the merge table is a foldable literal). */
+  final class RankIndex(mL: Array[String], mR: Array[String]) {
+    val nRanks: Int = mL.length
+    val nWords: Int = (nRanks + 63) >>> 6
+    private val ids = new java.util.HashMap[String, Integer]()
+    private var left = new Array[Array[Long]](16)
+    private var right = new Array[Array[Long]](16)
+    private def slot(s: String): Int = {
+      val got = ids.get(s)
+      if (got != null) got.intValue()
+      else {
+        val i = ids.size()
+        ids.put(s, Integer.valueOf(i))
+        if (i >= left.length) {
+          left = java.util.Arrays.copyOf(left, left.length * 2)
+          right = java.util.Arrays.copyOf(right, right.length * 2)
+        }
+        left(i) = new Array[Long](nWords)
+        right(i) = new Array[Long](nWords)
+        i
+      }
+    }
+    locally {
+      var k = 0
+      while (k < nRanks) {
+        // resolve the slot BEFORE indexing: slot() may grow (reassign)
+        // the arrays, and `left(...)` evaluates its receiver first
+        val li = slot(mL(k))
+        left(li)(k >>> 6) |= 1L << k
+        val ri = slot(mR(k))
+        right(ri)(k >>> 6) |= 1L << k
+        k += 1
+      }
+    }
+    /** OR `s`'s rank bits into the aggregates (no-op for symbols no
+      * merge uses). */
+    def or(s: String, lAgg: Array[Long], rAgg: Array[Long]): Unit = {
+      val i = ids.get(s)
+      if (i != null) {
+        val lb = left(i.intValue()); val rb = right(i.intValue())
+        var w = 0
+        while (w < nWords) { lAgg(w) |= lb(w); rAgg(w) |= rb(w); w += 1 }
+      }
+    }
+  }
+
   /** Surviving-symbol count of one word under the full merge chain in
-    * rank order. The per-rank skip: a rank can only apply if both its
-    * symbols are currently present (twice, if l == r), so absent ranks
-    * cost two hash probes — O(R) probes + O(applicable · len) scans per
-    * word instead of the chain's O(R · len) string rescans. */
+    * rank order (convenience form building a throwaway [[RankIndex]] —
+    * the expressions cache theirs per instance). */
   def wordTokens(word: String, mL: Array[String], mR: Array[String]): Int =
-    runChain(toSymbols(word), mL, mR)
+    wordTokens(word, mL, mR, new RankIndex(mL, mR))
+
+  def wordTokens(word: String, mL: Array[String], mR: Array[String],
+                 idx: RankIndex): Int =
+    runChain(toSymbols(word), mL, mR, idx)
 
   /** Final surviving symbols of one word — the token STRINGS in order
     * (tok03's id-encoding needs them; same chain as [[wordTokens]]). */
   def wordSymbols(word: String, mL: Array[String],
-                  mR: Array[String]): Array[String] = {
+                  mR: Array[String]): Array[String] =
+    wordSymbols(word, mL, mR, new RankIndex(mL, mR))
+
+  def wordSymbols(word: String, mL: Array[String], mR: Array[String],
+                  idx: RankIndex): Array[String] = {
     val syms = toSymbols(word)
-    val n = runChain(syms, mL, mR)
+    val n = runChain(syms, mL, mR, idx)
     java.util.Arrays.copyOf(syms, n)
   }
 
   /** Run the merge chain over `syms` in place; returns the surviving
-    * count (prefix of `syms`). */
+    * count (prefix of `syms`). Candidate ranks come from [[RankIndex]];
+    * the count check and the left-to-right pass are the chain's exact
+    * semantics. */
   private def runChain(syms: Array[String], mL: Array[String],
-                       mR: Array[String]): Int = {
+                       mR: Array[String], idx: RankIndex): Int = {
     var n = syms.length
     if (n <= 1 || mL.length == 0) return n
+    val nWords = idx.nWords
+    val lAgg = new Array[Long](nWords)
+    val rAgg = new Array[Long](nWords)
     val counts = new java.util.HashMap[String, Integer](n * 2)
     var i = 0
     while (i < n) {
+      idx.or(syms(i), lAgg, rAgg)
       counts.merge(syms(i), Integer.valueOf(1), (a, b) => a + b)
       i += 1
     }
     val buf = new Array[String](n)
-    var rank = 0
-    while (rank < mL.length && n > 1) {
-      val l = mL(rank)
-      val r = mR(rank)
-      val cl = counts.getOrDefault(l, 0).intValue()
-      val possible =
-        if (l == r) cl >= 2
-        else cl > 0 && counts.getOrDefault(r, 0).intValue() > 0
-      if (possible) {
-        var in = 0
-        var out = 0
-        while (in < n) {
-          if (in + 1 < n && syms(in) == l && syms(in + 1) == r) {
-            val m = l + r
-            buf(out) = m; out += 1; in += 2
-            counts.merge(l, Integer.valueOf(-1), (a, b) => a + b)
-            counts.merge(r, Integer.valueOf(-1), (a, b) => a + b)
-            counts.merge(m, Integer.valueOf(1), (a, b) => a + b)
-            if (in < n) { buf(out) = syms(in); out += 1; in += 1 }
-          } else {
-            buf(out) = syms(in); out += 1; in += 1
+    var w = 0
+    while (w < nWords && n > 1) {
+      var bits = lAgg(w) & rAgg(w)
+      while (bits != 0L && n > 1) {
+        val bitPos = java.lang.Long.numberOfTrailingZeros(bits)
+        bits &= bits - 1
+        val rank = (w << 6) + bitPos
+        val l = mL(rank)
+        val r = mR(rank)
+        val cl = counts.getOrDefault(l, 0).intValue()
+        val possible =
+          if (l == r) cl >= 2
+          else cl > 0 && counts.getOrDefault(r, 0).intValue() > 0
+        if (possible) {
+          var merged = false
+          var in = 0
+          var out = 0
+          while (in < n) {
+            if (in + 1 < n && syms(in) == l && syms(in + 1) == r) {
+              val m = l + r
+              buf(out) = m; out += 1; in += 2
+              merged = true
+              counts.merge(l, Integer.valueOf(-1), (a, b) => a + b)
+              counts.merge(r, Integer.valueOf(-1), (a, b) => a + b)
+              counts.merge(m, Integer.valueOf(1), (a, b) => a + b)
+              if (in < n) { buf(out) = syms(in); out += 1; in += 1 }
+            } else {
+              buf(out) = syms(in); out += 1; in += 1
+            }
+          }
+          if (merged) {
+            System.arraycopy(buf, 0, syms, 0, out)
+            n = out
+            // the new symbol may be a side of LATER ranks: refresh the
+            // aggregates and re-arm this 64-rank word's bits above the
+            // current rank (later words recompute at their loop entry)
+            idx.or(l + r, lAgg, rAgg)
+            if (bitPos < 63)
+              bits |= lAgg(w) & rAgg(w) & (-1L << (bitPos + 1))
           }
         }
-        System.arraycopy(buf, 0, syms, 0, out)
-        n = out
       }
-      rank += 1
+      w += 1
     }
     n
   }
@@ -146,7 +230,11 @@ object BpeApply {
   /** Per-document token count: Σ over `\s+`-separated words of
     * [[wordTokens]] (0 for a wordless document, matching the HOF
     * aggregate's COALESCE anchor). */
-  def docTokens(text: String, mL: Array[String], mR: Array[String]): Long = {
+  def docTokens(text: String, mL: Array[String], mR: Array[String]): Long =
+    docTokens(text, mL, mR, new RankIndex(mL, mR))
+
+  def docTokens(text: String, mL: Array[String], mR: Array[String],
+                idx: RankIndex): Long = {
     var total = 0L
     var i = 0
     val n = text.length
@@ -154,7 +242,8 @@ object BpeApply {
       while (i < n && isSpace(text.charAt(i))) i += 1
       val start = i
       while (i < n && !isSpace(text.charAt(i))) i += 1
-      if (i > start) total += wordTokens(text.substring(start, i), mL, mR)
+      if (i > start)
+        total += wordTokens(text.substring(start, i), mL, mR, idx)
     }
     total
   }
@@ -194,8 +283,10 @@ case class BpeWordTokens(first: Expression, second: Expression,
 
   @transient private lazy val mL = BpeApply.extractStrings(second)
   @transient private lazy val mR = BpeApply.extractStrings(third)
+  @transient private lazy val idx = new BpeApply.RankIndex(mL, mR)
 
-  def tokens(w: UTF8String): Int = BpeApply.wordTokens(w.toString, mL, mR)
+  def tokens(w: UTF8String): Int =
+    BpeApply.wordTokens(w.toString, mL, mR, idx)
 
   override def nullSafeEval(w: Any, l: Any, r: Any): Any =
     tokens(w.asInstanceOf[UTF8String])
@@ -227,9 +318,10 @@ case class BpeWordSegment(first: Expression, second: Expression,
 
   @transient private lazy val mL = BpeApply.extractStrings(second)
   @transient private lazy val mR = BpeApply.extractStrings(third)
+  @transient private lazy val idx = new BpeApply.RankIndex(mL, mR)
 
   def segment(w: UTF8String): GenericArrayData = {
-    val syms = BpeApply.wordSymbols(w.toString, mL, mR)
+    val syms = BpeApply.wordSymbols(w.toString, mL, mR, idx)
     val out = new Array[AnyRef](syms.length)
     var i = 0
     while (i < syms.length) {
@@ -267,8 +359,10 @@ case class BpeTokenCount(first: Expression, second: Expression,
 
   @transient private lazy val mL = BpeApply.extractStrings(second)
   @transient private lazy val mR = BpeApply.extractStrings(third)
+  @transient private lazy val idx = new BpeApply.RankIndex(mL, mR)
 
-  def tokens(t: UTF8String): Long = BpeApply.docTokens(t.toString, mL, mR)
+  def tokens(t: UTF8String): Long =
+    BpeApply.docTokens(t.toString, mL, mR, idx)
 
   override def nullSafeEval(t: Any, l: Any, r: Any): Any =
     tokens(t.asInstanceOf[UTF8String])
