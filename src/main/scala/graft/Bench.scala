@@ -144,8 +144,12 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "BENCH_QUERIES.json")
-    java.nio.file.Files.write(outFile,
-      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the committed full map comes only from whole-registry runs; a
+    // subset (isolation/profiling) invocation must not clobber it
+    if (names.isEmpty) {
+      java.nio.file.Files.write(outFile,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val chunks = entries.grouped(20).toSeq
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"queries_chunk","chunk":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")

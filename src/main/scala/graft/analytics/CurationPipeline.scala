@@ -68,7 +68,8 @@ object CurationPipeline {
           .select(explode(expr(grams5)).as("g")).distinct()
         val contaminated = deduped
           .select(col("doc_id"), explode(expr(grams5)).as("g"))
-          .join(broadcast(bench), Seq("g"), "left_semi")
+          .join(Bounded.broadcastBench(bench, "cp01.bench-grams"),
+                Seq("g"), "left_semi")
           .select("doc_id").distinct()
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
         // stage 5: deterministic epoch shuffle (dm04's shards)
@@ -454,7 +455,7 @@ object CurationPipeline {
         val bench = emb.filter(col("label") === 0)
           .select(col("embedding").as("qvec"))
         val vecKeep = emb.filter(col("label") =!= 0)
-          .crossJoin(broadcast(bench))
+          .crossJoin(Bounded.broadcastBench(bench, "cp05.bench-vecs"))
           .groupBy("vec_id")
           .agg(max(graft.functions.VectorOps.cosineNative(
                  s, col("embedding"), col("qvec"))).as("mc"))
@@ -679,7 +680,7 @@ object CurationPipeline {
     val bench = emb.filter(col("label") === 0)
       .select(col("embedding").as("qvec"))
     val vecKeep = emb.filter(col("label") =!= 0)
-      .crossJoin(broadcast(bench))
+      .crossJoin(Bounded.broadcastBench(bench, "cp06.bench-vecs"))
       .groupBy("vec_id")
       .agg(max(graft.functions.VectorOps.cosineNative(
              s, col("embedding"), col("qvec"))).as("mc"))

@@ -752,7 +752,7 @@ object DataQuality {
         // corpus; the per-doc countDistinct after the join shuffles
         // MATCHES only, which is what decontamination hit rates are)
         grams.filter(col("source") =!= "src0")
-          .join(broadcast(bench), Seq("g"))
+          .join(Bounded.broadcastBench(bench, "dc01.bench-grams"), Seq("g"))
           .groupBy("doc_id")
           .agg(countDistinct("g").as("n_hit"))
           .orderBy("doc_id")
@@ -792,7 +792,7 @@ object DataQuality {
         val bench = emb.filter(col("label") === 0)
           .select(col("embedding").as("qvec"))
         emb.filter(col("label") =!= 0)
-          .crossJoin(broadcast(bench))
+          .crossJoin(Bounded.broadcastBench(bench, "dc02.bench-vecs"))
           .groupBy("vec_id")
           .agg(max(graft.functions.VectorOps.cosineNative(
                  s, col("embedding"), col("qvec"))).as("mc"))
@@ -843,8 +843,9 @@ object DataQuality {
         val served = SelfAudit.once(semanticDeconLshDrops(s, emb))
         val audit = emb.filter(col("label") =!= 0 && col("vec_id") % 4 === 1)
         val exact = SelfAudit.once(
-          audit.crossJoin(broadcast(emb.filter(col("label") === 0)
-              .select(col("embedding").as("qvec"))))
+          audit.crossJoin(Bounded.broadcastBench(
+              emb.filter(col("label") === 0)
+                .select(col("embedding").as("qvec")), "dc03.bench-vecs"))
             .groupBy("vec_id")
             .agg(max(graft.functions.VectorOps.cosineNative(
                    s, col("embedding"), col("qvec"))).as("mc"))
@@ -905,8 +906,9 @@ object DataQuality {
       (s, d) => {
         val emb = table(s, d, "embeddings")
         val exactDrops = emb.filter(col("label") =!= 0)
-          .crossJoin(broadcast(emb.filter(col("label") === 0)
-            .select(col("embedding").as("qvec"))))
+          .crossJoin(Bounded.broadcastBench(
+            emb.filter(col("label") === 0)
+              .select(col("embedding").as("qvec")), "dc03p.bench-vecs"))
           .groupBy("vec_id")
           .agg(max(graft.functions.VectorOps.cosineNative(
                  s, col("embedding"), col("qvec"))).as("mc"))
@@ -943,8 +945,9 @@ object DataQuality {
           s"band config too weak for a recall anchor: miss=$missBound")
         val emb = table(s, d, "embeddings")
         val strongDrops = emb.filter(col("label") =!= 0)
-          .crossJoin(broadcast(emb.filter(col("label") === 0)
-            .select(col("embedding").as("qvec"))))
+          .crossJoin(Bounded.broadcastBench(
+            emb.filter(col("label") === 0)
+              .select(col("embedding").as("qvec")), "dc03r.bench-vecs"))
           .groupBy("vec_id")
           .agg(max(graft.functions.VectorOps.cosineNative(
                  s, col("embedding"), col("qvec"))).as("mc"))

@@ -954,8 +954,9 @@ object StreamShapes {
             .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1))))
         val exact = SelfAudit.once(
           corpus.filter(col("vec_id") % 4 === 1)
-            .crossJoin(broadcast(emb.filter(col("label") === 0)
-              .select(col("embedding").as("qvec"))))
+            .crossJoin(graft.analytics.Bounded.broadcastBench(
+              emb.filter(col("label") === 0)
+                .select(col("embedding").as("qvec")), "st18.bench-vecs"))
             .groupBy("vec_id")
             .agg(max(graft.functions.VectorOps.cosineNative(
                    s, col("embedding"), col("qvec"))).as("mc"))
@@ -1020,7 +1021,8 @@ object StreamShapes {
         val bench = emb.filter(col("label") === 0)
           .select(col("embedding").as("qvec"))
         def out(batchNo: Int, slice: org.apache.spark.sql.DataFrame) =
-          slice.crossJoin(broadcast(bench))
+          slice.crossJoin(
+            graft.analytics.Bounded.broadcastBench(bench, "st18x.bench-vecs"))
             .groupBy("vec_id")
             .agg(max(graft.functions.VectorOps.cosineNative(
                    s, col("embedding"), col("qvec"))).as("mc"))
@@ -1338,8 +1340,9 @@ object StreamShapes {
         val audDec = served.filter(col("doc_id") % 40 === 0)
         val exactDec = SelfAudit.once(
           emb.filter(col("label") =!= 0 && col("vec_id") % 40 === 0)
-            .crossJoin(broadcast(emb.filter(col("label") === 0)
-              .select(col("embedding").as("qvec"))))
+            .crossJoin(graft.analytics.Bounded.broadcastBench(
+              emb.filter(col("label") === 0)
+                .select(col("embedding").as("qvec")), "st20.bench-vecs"))
             .groupBy("vec_id")
             .agg(max(graft.functions.VectorOps.cosineNative(
                    s, col("embedding"), col("qvec"))).as("mc"))
@@ -1673,7 +1676,8 @@ object StreamShapes {
       if (banded)
         DataQuality.semanticDeconLshDropsOf(s, cvecs, bench).select("vec_id")
       else cvecs
-        .crossJoin(broadcast(bench.select(col("embedding").as("qvec"))))
+        .crossJoin(graft.analytics.Bounded.broadcastBench(
+          bench.select(col("embedding").as("qvec")), "cp.ledger.bench-vecs"))
         .groupBy("vec_id")
         .agg(max(graft.functions.VectorOps.cosineNative(
                s, col("embedding"), col("qvec"))).as("mc"))

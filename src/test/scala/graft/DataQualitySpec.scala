@@ -580,4 +580,19 @@ class DataQualitySpec extends SparkSpec {
     val p = run("dc01_decontaminate").queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("Bounded.broadcastBench refuses a corpus-scaled frame, passes a bounded one") {
+    // the bench-frame broadcast convention made a contract: every
+    // decon/audit bench side routes through this seam, so a "bench"
+    // that grows with the corpus fails loudly instead of OOMing the
+    // driver at 100x
+    import graft.analytics.Bounded
+    val big = spark.range(1000).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      graft.analytics.Bounded.broadcastBench(big, "spec.big", maxRows = 100)
+    }
+    assert(e.getMessage.contains("must not be broadcast"), e.getMessage)
+    val ok = Bounded.broadcastBench(big, "spec.ok", maxRows = 10000)
+    assert(ok.count() == 1000)
+  }
 }
