@@ -205,8 +205,16 @@ object IvfIndex {
       nearestList(emb.sparkSession, col("embedding"), centroids))
 
   private def buildIndex(spark: SparkSession, sfDir: String, dir: String,
-                         nLists: Int, lloydIters: Int): Unit = {
-    val emb = table(spark, sfDir, "embeddings")
+                         nLists: Int, lloydIters: Int): Unit =
+    buildIndexFrom(spark, table(spark, sfDir, "embeddings"), dir,
+                   nLists, lloydIters)
+
+  /** [[buildIndex]] over an explicit source frame — the form
+    * [[ensureFresh]] needs (a rebuild's source is the index's own live
+    * content, not the original corpus files). */
+  private def buildIndexFrom(spark: SparkSession, emb: DataFrame,
+                             dir: String, nLists: Int,
+                             lloydIters: Int): Unit = {
     val centroids = fit(emb, nLists, lloydIters)
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
@@ -272,6 +280,23 @@ object IvfIndex {
     *
     * Requires `batch` columns (vec_id, embedding); returns the number of
     * appended rows. */
+  /** Replay-idempotent [[appendBatch]]: the batch's deterministic
+    * content stamp is checked against the append log first — a batch
+    * already ingested (same stamp) is a no-op, so an ingest pipeline
+    * (or a replayed registry entry) can re-submit without duplicating
+    * rows. Returns the number of rows appended (0 on replay). */
+  def appendBatchOnce(spark: SparkSession, dir: String,
+                      batch: DataFrame): Long = {
+    val stamp = batch.agg(
+      bit_xor(xxhash64(col("vec_id"), to_json(col("embedding")))))
+      .head().getLong(0)
+    val logF = new java.io.File(s"$dir/append_log")
+    val seen = logF.exists() &&
+      spark.read.parquet(logF.getPath)
+        .filter(col("batch_stamp") === stamp).limit(1).count() > 0
+    if (seen) 0L else appendBatch(spark, dir, batch)
+  }
+
   def appendBatch(spark: SparkSession, dir: String, batch: DataFrame): Long = {
     val centroids = readCentroids(spark, dir).map(_._2)
     val residCbs = readResidualCodebooks(spark, dir)
@@ -435,6 +460,81 @@ object IvfIndex {
       .head().getDouble(0)
     val ratio = cur / base
     DriftStatus(base, cur, ratio, ratio > DriftRebuildRatio)
+  }
+
+  /** The consumer [[driftStatus]] was missing: drift-triggered
+    * REBUILD-AND-SWAP. When the frozen centroids have drifted past
+    * [[DriftRebuildRatio]] (or `force`), the index is rebuilt from its
+    * OWN live content — base ∪ appended segments with tombstoned rows
+    * excluded, so the rebuild doubles as the terminal purge — into a
+    * sibling staging dir with freshly learned centroids, codebooks,
+    * and drift baseline, then swapped in under a marker protocol whose
+    * every crash state the next call recovers:
+    *
+    *  - staged dir without `_COMPLETE` → discarded (old index intact);
+    *  - `_COMPLETE` present, target present → the swap re-runs;
+    *  - `_COMPLETE` present, target already moved aside → the staged
+    *    index is moved in and the stale copy dropped;
+    *  - leftover stale/trash dirs → dropped.
+    *
+    * The append log is carried forward (its rows are folded into the
+    * rebuilt base; the log keeps [[appendBatchOnce]] replay-idempotent
+    * across the rebuild), and one `rebuild_log` provenance row records
+    * (row count, content stamp, pre-rebuild drift ratio). Single-
+    * maintenance-writer discipline like every index mutation here; an
+    * object store implements the same swap as a manifest-pointer flip.
+    * Returns true iff a rebuild (or the completion of an interrupted
+    * swap) happened. */
+  def ensureFresh(spark: SparkSession, dir: String,
+                  nLists: Int = DefaultLists, lloydIters: Int = 2,
+                  force: Boolean = false): Boolean = {
+    val target = new java.io.File(dir)
+    val fresh = new java.io.File(dir + "-fresh")
+    val trash = new java.io.File(dir + "-stale")
+    def swapIn(): Unit = {
+      if (target.exists()) {
+        StagedSwap.rmrf(trash)
+        java.nio.file.Files.move(target.toPath, trash.toPath)
+        ()
+      }
+      java.nio.file.Files.move(fresh.toPath, target.toPath)
+      new java.io.File(target, "_COMPLETE").delete()
+      StagedSwap.rmrf(trash)
+    }
+    // recover an interrupted swap before anything else
+    if (new java.io.File(fresh, "_COMPLETE").exists()) {
+      swapIn()
+      return true
+    }
+    if (fresh.exists()) StagedSwap.rmrf(fresh) // uncommitted stage
+    if (trash.exists()) StagedSwap.rmrf(trash) // completed swap's leftovers
+    new java.io.File(target, "_COMPLETE").delete() // stray marker
+    val st = driftStatus(spark, dir)
+    if (!force && !st.needsRebuild) return false
+    // materialize the live rows once: the build runs several actions
+    // over them (fit, codebooks, assignment, baseline) and must be
+    // decoupled from the dir about to be swapped
+    val live = liveAssignments(spark, dir).drop("list", "res_codes")
+      .localCheckpoint(true)
+    buildIndexFrom(spark, live, fresh.getPath, nLists, lloydIters)
+    if (new java.io.File(s"$dir/append_log").exists())
+      spark.read.parquet(s"$dir/append_log")
+        .write.mode("overwrite").parquet(s"${fresh.getPath}/append_log")
+    if (new java.io.File(s"$dir/rebuild_log").exists())
+      spark.read.parquet(s"$dir/rebuild_log")
+        .write.mode("overwrite").parquet(s"${fresh.getPath}/rebuild_log")
+    live.agg(count(lit(1)).as("n_rows"),
+             bit_xor(xxhash64(col("vec_id"))).as("content_stamp"))
+      .select(col("n_rows"), col("content_stamp"),
+              lit(st.ratio).as("drift_ratio_before"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"${fresh.getPath}/rebuild_log")
+    live.unpersist(false)
+    // commit point: the staged index is complete — swap it in
+    java.nio.file.Files.createFile(
+      new java.io.File(fresh, "_COMPLETE").toPath)
+    swapIn()
+    true
   }
 
   def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =

@@ -384,6 +384,34 @@ object Similarity {
              IvfIndex.readCentroids(spark, dir), queryId, k, nProbe)
   }
 
+  /** Stage the ss18 lifecycle index: private copy of the shared index →
+    * replay-idempotent append of a deterministically SHIFTED batch
+    * (out-of-distribution: +10 per component, ids offset by 1e6 —
+    * trips [[IvfIndex.driftStatus]]) → [[IvfIndex.ensureFresh]]
+    * rebuild-and-swap. Idempotent across runs: the append log carries
+    * the batch stamp through the rebuild, and post-rebuild drift is
+    * back under threshold, so a replay is two no-ops. Shared by the
+    * ss18 registry entry and Bench's warm-up (the lifecycle is offline
+    * by the index contract; the entry times the serve + audit). */
+  def stageDriftRefresh(spark: SparkSession, sfDir: String): String = {
+    val dir = IvfIndex.ensurePrivate(spark, sfDir, IvfIndex.DefaultLists,
+                                     "ss18")
+    IvfIndex.appendBatchOnce(spark, dir,
+      shiftedBatch(table(spark, sfDir, "embeddings")))
+    IvfIndex.ensureFresh(spark, dir, IvfIndex.DefaultLists)
+    dir
+  }
+
+  /** The deterministic out-of-distribution batch ss18 appends: exact
+    * float arithmetic (+10.0f is exactly representable, and a
+    * double-add-then-round-to-float of two floats equals the float
+    * add), so the oracle replays it bit-identically. */
+  def shiftedBatch(emb: DataFrame): DataFrame =
+    emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(10.0f)).as("embedding"),
+      col("label"))
+
   /** IVF ANN over an in-memory DataFrame (tests / ad-hoc corpora):
     * fits + assigns ephemerally, then runs the same probe. */
   def ivfTopKOf(emb: DataFrame, queryId: Long, k: Int,
@@ -974,6 +1002,49 @@ object Similarity {
               |FROM embeddings e, q
               |WHERE e.vec_id <> 0 AND e.vec_id % 17 <> 3
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "ss18_drift_refresh",
+      // the INDEX LIFECYCLE as one driver-checked entry: private index
+      // copy → replay-idempotent append of a deterministically shifted
+      // out-of-distribution batch ([[shiftedBatch]]: trips driftStatus)
+      // → [[IvfIndex.ensureFresh]] rebuild-and-swap (fresh centroids
+      // over the live content; crash-recovering marker protocol; no-op
+      // on replay) → the production-nProbe serve over the refreshed
+      // index, self-audited against the in-plan exact top-k over
+      // base ∪ shifted (SQL-replayable — the shift is exact float
+      // arithmetic) with the post-refresh drift bound as an extra
+      // audit boolean. Every lifecycle step sits inside the
+      // hash-checked row: a failed rebuild collapses recall (stale
+      // centroids on bimodal data), a double append breaks n_served's
+      // oracle count, a leaked tombstone breaks exactness.
+      (s, d) => {
+        val dir = stageDriftRefresh(s, d)
+        val emb = table(s, d, "embeddings")
+        val union = emb.select("vec_id", "embedding")
+          .unionByName(shiftedBatch(emb).select("vec_id", "embedding"))
+        val driftOk = IvfIndex.driftStatus(s, dir).ratio <=
+          IvfIndex.DriftRebuildRatio
+        SelfAudit.topK(
+          ivfProbe(IvfIndex.liveAssignments(s, dir),
+                   IvfIndex.readCentroids(s, dir),
+                   queryId = 0L, k = 10, nProbe = 4),
+          bruteForceTopK(union, queryId = 0L, k = 10),
+          minHits = 2, simCol = "cos_sim", higherIsBetter = true,
+          extras = Seq("drift_settled_ok" -> bool_and(lit(driftOk))))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000,
+              |    list_transform(embedding, x -> CAST(x + 10.0 AS FLOAT))
+              |  FROM embeddings),
+              |q AS (SELECT embedding AS qvec FROM u WHERE vec_id = 0)
+              |SELECT CAST(10 AS BIGINT) AS n_served,
+              |  max(round($cosSql, 6)) AS exact_best,
+              |  true AS recall_ok, true AS best_bounded,
+              |  true AS drift_settled_ok
+              |FROM u e, q WHERE e.vec_id <> 0""".stripMargin)
     ),
     QueryDef(
       "ss12_ivf2_topk",

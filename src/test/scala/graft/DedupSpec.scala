@@ -491,6 +491,106 @@ class DedupSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/tombstones").exists())
   }
 
+  test("ensureFresh: drift-triggered rebuild serves the live content exactly; replay is a no-op") {
+    // lifecycle: build over half the corpus → tombstone a slice →
+    // append an out-of-distribution batch (trips drift) → ensureFresh
+    // rebuilds from the LIVE view (append folded in, tombstones become
+    // physical deletes) with fresh centroids → full probe is exact over
+    // the live union, drift is settled, and a second call is a no-op.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val srcDir = java.nio.file.Files.createTempDirectory("ivf-fresh").toString
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    val dir = IvfIndex.ensure(spark, srcDir)
+    val doomed = Seq(2L, 4L).filter(i =>
+      emb.filter(col("vec_id") === i).count() > 0)
+    assert(IvfIndex.deleteIds(spark, dir, doomed.toDF("vec_id")) ==
+      doomed.size)
+    val shifted = emb.filter(col("vec_id") % 2 === 1).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(10.0f)).as("embedding"),
+      col("label"))
+    IvfIndex.appendBatch(spark, dir, shifted)
+    assert(IvfIndex.driftStatus(spark, dir).needsRebuild)
+    assert(IvfIndex.ensureFresh(spark, dir), "tripped drift must rebuild")
+    // tombstones folded: physically gone, segment dropped
+    assert(IvfIndex.readAssignments(spark, dir)
+      .filter(col("vec_id").isin(doomed: _*)).count() == 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // serve equivalence over the live union with the REBUILT centroids
+    val liveUnion = emb.filter(col("vec_id") % 2 === 0)
+      .filter(!col("vec_id").isin(doomed: _*))
+      .unionByName(shifted)
+    val cents = IvfIndex.readCentroids(spark, dir)
+    val probed = Similarity.ivfProbe(IvfIndex.readAssignments(spark, dir),
+        cents, queryId = 0L, k = 10, nProbe = cents.size)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(liveUnion, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed == brute, s"rebuilt serve diverged: $probed vs $brute")
+    // fresh baseline: drift settled; replay is a no-op
+    assert(!IvfIndex.driftStatus(spark, dir).needsRebuild)
+    assert(!IvfIndex.ensureFresh(spark, dir), "settled index must not rebuild")
+    // provenance: one rebuild_log row, append log carried forward
+    assert(spark.read.parquet(s"$dir/rebuild_log").count() == 1)
+    assert(new java.io.File(s"$dir/append_log").exists())
+  }
+
+  test("ensureFresh crash recovery: committed staging swaps in; mid-swap states converge") {
+    // crash window 1: staged rebuild complete (_COMPLETE) but no move
+    // happened — the next call must finish the swap, not re-rebuild.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def stage(mod: Int, tag: String): String = {
+      val src = java.nio.file.Files.createTempDirectory(s"ivfc-$tag").toString
+      emb.filter(col("vec_id") % 3 === mod)
+        .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+      IvfIndex.ensure(spark, src)
+    }
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        Option(from.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyDir(f, new java.io.File(to, f.getName)))
+      } else {
+        java.nio.file.Files.copy(from.toPath, to.toPath)
+        ()
+      }
+    }
+    val oldDir = stage(0, "old")
+    val newContent = stage(1, "new")
+    val newIds = spark.read.parquet(s"$newContent/assignments")
+      .select("vec_id").as[Long].collect().toSet
+    copyDir(new java.io.File(newContent), new java.io.File(oldDir + "-fresh"))
+    java.nio.file.Files.createFile(
+      new java.io.File(oldDir + "-fresh", "_COMPLETE").toPath)
+    assert(IvfIndex.ensureFresh(spark, oldDir),
+      "committed staging must complete the swap")
+    assert(spark.read.parquet(s"$oldDir/assignments")
+      .select("vec_id").as[Long].collect().toSet == newIds)
+    assert(!new java.io.File(oldDir + "-fresh").exists())
+    assert(!new java.io.File(oldDir + "-stale").exists())
+    assert(!new java.io.File(oldDir, "_COMPLETE").exists())
+    // crash window 2: target already moved aside, staged dir committed
+    // — the recovery moves the staged index in and drops the stale copy
+    val dir2 = stage(2, "mid")
+    val ids2 = spark.read.parquet(s"$dir2/assignments")
+      .select("vec_id").as[Long].collect().toSet
+    copyDir(new java.io.File(dir2), new java.io.File(dir2 + "-fresh"))
+    java.nio.file.Files.createFile(
+      new java.io.File(dir2 + "-fresh", "_COMPLETE").toPath)
+    java.nio.file.Files.move(new java.io.File(dir2).toPath,
+                             new java.io.File(dir2 + "-stale").toPath)
+    assert(IvfIndex.ensureFresh(spark, dir2))
+    assert(spark.read.parquet(s"$dir2/assignments")
+      .select("vec_id").as[Long].collect().toSet == ids2)
+    assert(!new java.io.File(dir2 + "-stale").exists())
+    // crash window 3: an UNCOMMITTED staging dir is discarded and the
+    // old index keeps serving (no spurious rebuild on a quiet index)
+    new java.io.File(dir2 + "-fresh").mkdirs()
+    assert(!IvfIndex.ensureFresh(spark, dir2))
+    assert(!new java.io.File(dir2 + "-fresh").exists())
+  }
+
   test("IVF compaction crash recovery: committed staging completes and dedups") {
     // same crash window, partitioned case: a committed .compact-list=N
     // staging dir is recovered on the next compactLists, the leaf is
