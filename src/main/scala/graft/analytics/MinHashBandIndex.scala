@@ -209,6 +209,32 @@ object MinHashBandIndex {
     n
   }
 
+  /** Segment-RETENTION policy — the scheduler [[mergeSegments]] was
+    * missing: the streaming gates land one batch-id-partitioned delta
+    * segment per micro-batch, so a long-lived stream accumulates
+    * segments without bound (every micro-batch re-lists and re-reads
+    * them all). Same trigger discipline as [[IvfIndex.compactLists]]:
+    * past `maxSegments` landed batch partitions, fold the deltas into
+    * the seed (gate semantics unchanged — the merge spec pins
+    * gate-against-merged ≡ gate-against-seed+deltas) and restart from
+    * an empty delta. MAINTENANCE-WINDOW contract: call only after a
+    * CLEAN stop (checkpoint committed for every landed batch) — the
+    * batch-id replay guard (`batch_id < current`) is what keeps an
+    * uncommitted batch from gating against its own landed segment, and
+    * the merge erases that distinction. Returns the docs folded in
+    * (0 while under the threshold). */
+  def maintainSegments(spark: SparkSession, seedDir: String,
+                       bandsDeltaDir: String, shinglesDeltaDir: String,
+                       maxSegments: Int = 8): Long =
+    if (segmentCount(bandsDeltaDir) > maxSegments)
+      mergeSegments(spark, seedDir, bandsDeltaDir, shinglesDeltaDir)
+    else 0L
+
+  /** Landed batch partitions in a delta dir (the retention trigger). */
+  def segmentCount(deltaDir: String): Int =
+    Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+
   /** Tombstone DELETE ([[Tombstones]] parity with the serving
     * indexes): a RETRACTED corpus doc must stop gating arrivals — its
     * near-dups are no longer duplicates of anything the corpus keeps.

