@@ -103,10 +103,10 @@ object ScaleProbe {
           "st11", "dm05", "mm04", "tx10", "dd08",
           "tx11", "dm06", "mm05", "dq04", "bp02", "cp02",
           "emb02", "dm07", "lm01", "id03", "cp03", "st15",
-          "mm06", "mm07", "mm08", "cp04").exists(enabled)
+          "mm06", "mm07", "mm08", "cp04", "st20").exists(enabled)
     val wantsEmb = stageOnly ||
       Seq("ivf", "ss04", "ss05", "ss06", "sem01", "ss09", "ss10",
-          "ss11", "st13", "emb02").exists(enabled)
+          "ss11", "st13", "emb02", "st20").exists(enabled)
     val wantsEvents = stageOnly ||
       Seq("aj01", "st03", "st08", "st12", "rj01").exists(enabled)
     val wantsRel = stageOnly ||
@@ -368,6 +368,62 @@ object ScaleProbe {
       time("sem01_semdedup") {
         Similarity.semDedup(IvfIndex.readAssignments(spark,
           IvfIndex.ensure(spark, workDir, lists)), tau = 0.35).count()
+      }
+    }
+    if (enabled("st20")) {
+      // streaming-curation capstone at N×: the full two-batch chain
+      // over the DUP-HEAVY staged corpus (the default near-dup salt —
+      // the worst case for the banded gate's bucket census), timed per
+      // stage AND end-to-end at 1× and N× — the composition-level
+      // check that the online census caps hold when the stages stack,
+      // not just per stage in isolation.
+      import graft.analytics.{DataQuality, MinHashBandIndex}
+      def force(df: DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); df.count()
+      }
+      for (dir <- Seq(baseDir, workDir)) {
+        val tag = if (dir == baseDir) "1x" else s"${factor}x"
+        time(s"st20_seed_build_$tag") {
+          MinHashBandIndex.ensure(spark, dir); 1L
+        }
+        val docs = table(spark, dir, "documents")
+        val emb = table(spark, dir, "embeddings")
+        val arr = MinHashBandIndex.arrivalsOf(docs)
+        val b1 = arr.filter(col("doc_id") % 20 === 0)
+        val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+        val seed = MinHashBandIndex.ensure(spark, dir)
+        val seedBands = spark.read.parquet(s"$seed/bands")
+          .select("corpus_id", "band", "key", "kp")
+        val seedSh = spark.read.parquet(s"$seed/shingles")
+        time(s"st20_quality_$tag") {
+          force(DataQuality.qualityFlags(
+            docs.filter(col("doc_id") % 10 === 0)))
+        }
+        time(s"st20_ndgate_b1_$tag") {
+          force(MinHashBandIndex.gateFrames(spark, seedBands, seedSh, b1))
+        }
+        val g1 = MinHashBandIndex.gateFrames(spark, seedBands, seedSh, b1)
+          .localCheckpoint(true)
+        val acc1 = b1.join(
+          g1.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+          .localCheckpoint(true)
+        time(s"st20_ndgate_b2_$tag") {
+          force(MinHashBandIndex.gateFrames(spark,
+            seedBands.unionByName(MinHashBandIndex.segmentBands(spark, acc1)),
+            seedSh.unionByName(MinHashBandIndex.segmentShingles(spark, acc1)),
+            b2))
+        }
+        time(s"st20_decon_$tag") {
+          force(DataQuality.semanticDeconLshDropsOf(spark,
+            emb.filter(col("label") =!= 0 && col("vec_id") % 10 === 0)
+              .select("vec_id", "embedding"),
+            emb.filter(col("label") === 0)
+              .select(col("vec_id").as("bench_id"), col("embedding"))))
+        }
+        time(s"st20_chain_$tag") {
+          force(graft.streaming.StreamShapes
+            .curationLedgerChain(spark, dir, banded = true))
+        }
       }
     }
     // relational headline shapes at N× (join+filter, wide 1:N join,
