@@ -29,6 +29,54 @@ object CurationPipeline {
   private val wordsSql =
     """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
 
+  /** cp02's strip stage — 8-gram census (unhinted, AQE-decided
+    * semi-join; see bp01's census note: the flagged set must never be
+    * forced through the driver) + the native SpanStrip two-pointer
+    * rebuild — reduced to NARROW per-doc rows: the dedup fingerprint
+    * replaces the cleaned text (md5 computed once here), so the corpus
+    * text never materializes. The entry checkpoints this frame once;
+    * exposed for the plan audit (the checkpoint hides the lineage from
+    * the entry's executed plan). */
+  private[graft] def cp02Cleaned(s: org.apache.spark.sql.SparkSession,
+                                 d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val L = 8
+    val grams8 =
+      s"""CASE WHEN size(words) >= $L THEN
+         |  transform(sequence(0, size(words) - $L),
+         |            i -> concat_ws(' ', slice(words, i + 1, $L)))
+         |ELSE cast(array() as array<string>) END""".stripMargin
+    val words = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), expr(wordsExpr).as("words"))
+    val grams = words
+      .select(col("doc_id"), posexplode(expr(grams8)).as(Seq("p", "gram")))
+      .withColumn("h1", xxhash64(col("gram")))
+      .withColumn("h2", xxhash64(col("gram"), lit(1)))
+      .select("doc_id", "p", "h1", "h2")
+    val flagged = grams.groupBy("h1", "h2")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 3).select("h1", "h2")
+    val starts = grams
+      .join(flagged, Seq("h1", "h2"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+    // native codegen'd two-pointer scan — same SpanStrip swap as bp02:
+    // identical kept-set to the HOF fold, O(n + |ps|) per doc
+    graft.functions.SpanStrip.register(s)
+    words.join(starts, Seq("doc_id"), "left")
+      .withColumn("ps",
+        coalesce(col("ps"), expr("cast(array() as array<int>)")))
+      .withColumn("cleaned",
+        call_function(graft.functions.SpanStrip.fnName,
+                      col("words"), col("ps"), lit(L)))
+      .select(col("doc_id"), col("lang"),
+              size(col("cleaned")).cast("long").as("n_tokens"),
+              round((size(col("cleaned")) -
+                     size(array_distinct(col("cleaned")))) * lit(1.0) /
+                    greatest(size(col("cleaned")), lit(1)), 6).as("dwf"),
+              md5(lower(concat_ws(" ", col("cleaned")))).as("fp"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef(
       "cp01_curation_manifest",
@@ -161,55 +209,14 @@ object CurationPipeline {
     QueryDef(
       "cp02_curation_v2",
       (s, d) => {
-        val L = 8
-        val grams8 =
-          s"""CASE WHEN size(words) >= $L THEN
-             |  transform(sequence(0, size(words) - $L),
-             |            i -> concat_ws(' ', slice(words, i + 1, $L)))
-             |ELSE cast(array() as array<string>) END""".stripMargin
-        val words = table(s, d, "documents")
-          .select(col("doc_id"), col("lang"), expr(wordsExpr).as("words"))
-        // stage 1: boilerplate strip (bp02)
-        val grams = words
-          .select(col("doc_id"), posexplode(expr(grams8)).as(Seq("p", "gram")))
-          .withColumn("h1", xxhash64(col("gram")))
-          .withColumn("h2", xxhash64(col("gram"), lit(1)))
-          .select("doc_id", "p", "h1", "h2")
-        val flagged = grams.groupBy("h1", "h2")
-          .agg(countDistinct("doc_id").as("n_docs"))
-          .filter(col("n_docs") >= 3).select("h1", "h2")
-        // unhinted (AQE-decided) semi-join — see bp01's census note; the
-        // flagged set must never be forced through the driver
-        val starts = grams
-          .join(flagged, Seq("h1", "h2"), "left_semi")
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(col("p"))).as("ps"))
-        // Native codegen'd two-pointer scan — same SpanStrip swap as
-        // bp02 (see DataQuality): identical kept-set to the HOF fold,
-        // O(n + |ps|) per doc instead of O(n²) element copies.
-        graft.functions.SpanStrip.register(s)
-        // The strip lineage (8-gram explode → census semi-join → native
-        // span strip) feeds BOTH the threshold aggregate and the gated
-        // frame — without a barrier it re-executes per consumer. The
-        // dq05 recipe: reduce each doc to a NARROW row (the dedup
-        // fingerprint replaces the cleaned text — md5 computed once
-        // here, so the corpus text never materializes) and eagerly
-        // localCheckpoint it; every later stage derives from the
-        // materialization. At cluster scale the same barrier is a
-        // persist to executor storage.
-        val cleaned = words.join(starts, Seq("doc_id"), "left")
-          .withColumn("ps",
-            coalesce(col("ps"), expr("cast(array() as array<int>)")))
-          .withColumn("cleaned",
-            call_function(graft.functions.SpanStrip.fnName,
-                          col("words"), col("ps"), lit(L)))
-          .select(col("doc_id"), col("lang"),
-                  size(col("cleaned")).cast("long").as("n_tokens"),
-                  round((size(col("cleaned")) -
-                         size(array_distinct(col("cleaned")))) * lit(1.0) /
-                        greatest(size(col("cleaned")), lit(1)), 6).as("dwf"),
-                  md5(lower(concat_ws(" ", col("cleaned")))).as("fp"))
-          .localCheckpoint(true)
+        // The strip lineage ([[cp02Cleaned]]: 8-gram explode → census
+        // semi-join → native span strip) feeds BOTH the threshold
+        // aggregate and the gated frame — without a barrier it
+        // re-executes per consumer. The dq05 recipe: the narrow
+        // per-doc rows are eagerly localCheckpoint'd once; every later
+        // stage derives from the materialization. At cluster scale the
+        // same barrier is a persist to executor storage.
+        val cleaned = cp02Cleaned(s, d).localCheckpoint(true)
         // stage 2: adaptive gate over the cleaned corpus (dq04)
         val th = cleaned.agg(
           expr("percentile(n_tokens, 0.25)").as("p25w"),

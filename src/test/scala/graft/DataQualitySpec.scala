@@ -396,7 +396,12 @@ class DataQualitySpec extends SparkSpec {
   }
 
   test("id02: bloom gate errs one-sided only (keep subset, n_hit dominance)") {
-    val bloom = run("id02_bloom_gate").collect()
+    // the registry entry now emits the self-audit row; compare the raw
+    // gate frame it audits
+    val id02docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bloom = graft.analytics.DataQuality.bloomGate(spark,
+        id02docs.filter(col("source") === "src19"),
+        graft.analytics.BloomGramIndex.ensure(spark, sf0001)).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
          r.getAs[Int]("keep"))).toMap
@@ -444,7 +449,14 @@ class DataQualitySpec extends SparkSpec {
   }
 
   test("id03: sharded gate errs one-sided only; census and gram counts match the exact gate") {
-    val sharded = run("id03_sharded_bloom_gate").collect()
+    // the registry entry now emits the self-audit row; compare the raw
+    // sharded gate frame it audits
+    val id03docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sharded = graft.analytics.DataQuality.bloomGateSharded(spark,
+        id03docs.filter(col("source") === "src19"),
+        graft.analytics.BloomGramIndex.ensureSharded(
+          spark, sf0001, graft.analytics.DataQuality.ShardedK),
+        graft.analytics.DataQuality.ShardedK).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
          r.getAs[Int]("keep"))).toMap

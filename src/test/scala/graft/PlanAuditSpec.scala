@@ -182,7 +182,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("ss05: PQ ADC scan is map-only — no corpus shuffle, top-k via TakeOrdered") {
-    val p = plan("ss05_pq_ann")
+    // the registry entry wraps the serve in its self-audit (tiny 1-row
+    // cross joins); the plan pin targets the raw serving path
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = graft.analytics.PqIndex.pqTopKRefined(
+        emb, graft.analytics.Similarity.pqCodebooksFor(spark, sf0001),
+        queryId = 0L, k = 10)
+      .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 0, s"corpus shuffled $shuffles times:\n$p")
@@ -223,7 +229,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dc03: banded decon candidates are equi-joined — no cartesian, no nested loop") {
-    val p = plan("dc03_semantic_decon_lsh")
+    // raw serving path (the entry's self-audit adds benign 1-row cross
+    // joins of scalar aggregates around it)
+    val p = graft.analytics.DataQuality.semanticDeconLshDrops(
+        spark, spark.read.parquet(s"$sf0001/embeddings.parquet"))
+      .queryExecution.executedPlan.toString
     // the prefilter exists to REPLACE dc02's cross join: candidates
     // come from an equi-join on (band, key), so no cartesian/nested-
     // loop node may appear anywhere in the plan
@@ -398,8 +408,11 @@ class PlanAuditSpec extends SparkSpec {
       }
       // cp02 keeps legitimate broadcasts of provably bounded frames
       // (eval-suite grams, 1-row threshold/budget aggregates); only its
-      // census semi-join on (h1, h2) must plan shuffled
-      val p = plan("cp02_curation_v2")
+      // census semi-join on (h1, h2) must plan shuffled. The entry now
+      // materializes the strip stage (localCheckpoint barrier), so the
+      // pin targets the pre-barrier lineage it checkpoints.
+      val p = graft.analytics.CurationPipeline.cp02Cleaned(spark, sf0001)
+        .queryExecution.executedPlan.toString
       assert("SortMergeJoin(?: \\S+)? \\[h1#[\\s\\S]*?LeftSemi".r
                .findFirstIn(p).isDefined,
              s"cp02 census semi-join is not shuffle-planned:\n$p")
