@@ -1565,6 +1565,98 @@ object StreamShapes {
     // the whole epoch sequence is hash-checked directly: each epoch's
     // oracle is brute-force top-k excluding every slice deleted so far.
     QueryDef(
+      "st22_segment_retention",
+      // the retention POLICY as a driver-checked entry: a three-batch
+      // chained banded gate whose landed delta segments are FOLDED into
+      // the seed by [[graft.analytics.MinHashBandIndex.maintainSegments]]
+      // between batches (trigger deliberately 1, so every cycle folds),
+      // audited in-plan against a never-merged twin chained in memory
+      // from a pristine seed: every decision identical, the landed
+      // segment count bounded by the trigger, the census complete, and
+      // the fold genuinely exercised. The entry stages a fresh private
+      // seed each run (the fold MUTATES seed state — a cached copy
+      // would replay against folded state); the build is in scope: the
+      // subject is the fold lifecycle, not gate latency.
+      (s, d) => {
+        import graft.analytics.{MinHashBandIndex => mh}
+        val docs = table(s, d, "documents")
+        val arr = mh.arrivalsOf(docs).localCheckpoint(true)
+        val batches = Seq(
+          arr.filter(col("doc_id") % 40 === 0),
+          arr.filter(col("doc_id") % 40 === 20),
+          arr.filter(col("doc_id") % 20 === 10))
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-retention").toString
+        mh.buildFrom(s, s"$work/seed", mh.corpusOf(docs))
+        def seedBands = s.read.parquet(s"$work/seed/bands")
+          .select("corpus_id", "band", "key", "kp")
+        def seedSh = s.read.parquet(s"$work/seed/shingles")
+        // never-merged TWIN first, chained in memory off the pristine
+        // seed (the maintained run folds into it afterwards)
+        val emptyAcc = arr.limit(0)
+        var segB = mh.segmentBands(s, emptyAcc)
+        var segS = mh.segmentShingles(s, emptyAcc)
+        val twin = batches.zipWithIndex.map { case (b, i) =>
+          val g = mh.gateFrames(s, seedBands.unionByName(segB),
+                                seedSh.unionByName(segS), b)
+            .localCheckpoint(true)
+          val acc = b.join(g.filter(col("keep") === 1).select("doc_id"),
+                           Seq("doc_id")).localCheckpoint(true)
+          segB = segB.unionByName(mh.segmentBands(s, acc))
+          segS = segS.unionByName(mh.segmentShingles(s, acc))
+          g.withColumn("batch", lit(i + 1))
+        }.reduce(_ unionByName _)
+        // maintained run: segments land batch-id-partitioned, the
+        // policy folds after every batch (trigger 1)
+        var foldedTotal = 0L
+        var maxSegs = 0
+        val served = batches.zipWithIndex.map { case (b, i) =>
+          val haveDelta = new java.io.File(s"$work/bands").exists()
+          val dB = if (haveDelta)
+            s.read.parquet(s"$work/bands")
+              .select("corpus_id", "band", "key", "kp")
+          else mh.segmentBands(s, emptyAcc)
+          val dS = if (haveDelta)
+            s.read.parquet(s"$work/shingles").select("corpus_id", "sh")
+          else mh.segmentShingles(s, emptyAcc)
+          val g = mh.gateFrames(s, seedBands.unionByName(dB),
+                                seedSh.unionByName(dS), b)
+            .localCheckpoint(true)
+          val acc = b.join(g.filter(col("keep") === 1).select("doc_id"),
+                           Seq("doc_id")).localCheckpoint(true)
+          if (acc.count() > 0) {
+            mh.segmentBands(s, acc).withColumn("batch_id", lit(i.toLong))
+              .write.mode("append").partitionBy("batch_id")
+              .parquet(s"$work/bands")
+            mh.segmentShingles(s, acc)
+              .withColumn("batch_id", lit(i.toLong))
+              .write.mode("append").partitionBy("batch_id")
+              .parquet(s"$work/shingles")
+          }
+          maxSegs = math.max(maxSegs, mh.segmentCount(s"$work/bands"))
+          foldedTotal += mh.maintainSegments(s, s"$work/seed",
+            s"$work/bands", s"$work/shingles", maxSegments = 1)
+          g.withColumn("batch", lit(i + 1))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val diff = served.exceptAll(twin).unionByName(twin.exceptAll(served))
+          .agg(count(lit(1)).as("__d"))
+        served.agg(count(lit(1)).as("n_served"))
+          .crossJoin(arr.agg(count(lit(1)).as("n_arrivals")))
+          .crossJoin(diff)
+          .select(col("n_arrivals"), col("n_served"),
+                  (col("__d") === 0).as("match_twin_ok"),
+                  lit(maxSegs <= 2).as("segments_bounded_ok"),
+                  lit(foldedTotal > 0).as("fold_ran_ok"))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+             |    AS n_arrivals,
+             |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+             |    AS n_served,
+             |  true AS match_twin_ok, true AS segments_bounded_ok,
+             |  true AS fold_ran_ok""".stripMargin)
+    ),
+    QueryDef(
       "st21_streaming_takedown",
       (s, d) => {
         import graft.analytics.{IvfIndex, Similarity}
