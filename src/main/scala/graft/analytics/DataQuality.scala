@@ -772,6 +772,85 @@ object DataQuality {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // dc01 TRANSPOSED — the report the EVAL OWNER reads: for each
+    // benchmark document, how much of it leaks into the training
+    // corpus — distinct corpus docs sharing a 5-gram with it, how many
+    // of its own grams are exposed anywhere in the corpus, and the
+    // exposure fraction (1.0 = every gram of the eval item appears in
+    // training data; its score is meaningless). Census-anchored: every
+    // benchmark doc reports, clean ones as zeros. Same scale shape as
+    // dc01 — the benchmark side is the (guarded) broadcast, corpus
+    // grams flow map-only through the join, and the shuffle carries
+    // match pairs only, never corpus grams.
+    QueryDef(
+      "dc04_benchmark_exposure",
+      (s, d) => {
+        val grams5 =
+          """CASE WHEN size(words) >= 5 THEN
+            |  transform(sequence(0, size(words) - 5),
+            |            i -> md5(cast(concat_ws(' ', slice(words, i + 1, 5)) as binary)))
+            |ELSE cast(array() as array<string>) END""".stripMargin
+        val grams = table(s, d, "documents")
+          .select(col("doc_id"), col("source"), expr(wordsExpr).as("words"))
+          .select(col("doc_id"), col("source"),
+                  explode(expr(grams5)).as("g"))
+        val bench = grams.filter(col("source") === "src0")
+          .select(col("doc_id").as("bench_id"), col("g")).distinct()
+        val benchSize = bench.groupBy("bench_id")
+          .agg(count(lit(1)).as("n_grams"))
+        val agg = grams.filter(col("source") =!= "src0")
+          .join(Bounded.broadcastBench(bench, "dc04.bench-grams"), Seq("g"))
+          .groupBy("bench_id")
+          .agg(countDistinct("doc_id").as("n_corpus_docs"),
+               countDistinct("g").as("n_exposed_grams"))
+        table(s, d, "documents").filter(col("source") === "src0")
+          .select(col("doc_id").as("bench_id"))
+          .join(benchSize, Seq("bench_id"), "left")
+          .join(agg, Seq("bench_id"), "left")
+          .select(col("bench_id"),
+                  coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+                  coalesce(col("n_corpus_docs"), lit(0L))
+                    .as("n_corpus_docs"),
+                  coalesce(col("n_exposed_grams"), lit(0L))
+                    .as("n_exposed_grams"),
+                  round(coalesce(col("n_exposed_grams"), lit(0L)) * lit(1.0) /
+                        greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)),
+                        6).as("exposure_frac"))
+          .orderBy("bench_id")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, source, $wordsSql AS w FROM documents),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |    unnest(list_transform(range(greatest(len(w) - 4, 0)),
+              |      i -> md5(array_to_string(w[i + 1:i + 5], ' ')))) AS g
+              |  FROM words),
+              |bench AS (
+              |  SELECT DISTINCT doc_id AS bench_id, g FROM grams
+              |  WHERE source = 'src0'),
+              |bsize AS (
+              |  SELECT bench_id, count(*) AS n_grams FROM bench
+              |  GROUP BY bench_id),
+              |m AS (
+              |  SELECT b.bench_id,
+              |    count(DISTINCT c.doc_id) AS n_corpus_docs,
+              |    count(DISTINCT b.g) AS n_exposed_grams
+              |  FROM (SELECT doc_id, g FROM grams WHERE source <> 'src0') c
+              |  JOIN bench b USING (g)
+              |  GROUP BY b.bench_id)
+              |SELECT d.doc_id AS bench_id,
+              |  coalesce(bs.n_grams, 0) AS n_grams,
+              |  coalesce(m.n_corpus_docs, 0) AS n_corpus_docs,
+              |  coalesce(m.n_exposed_grams, 0) AS n_exposed_grams,
+              |  round(coalesce(m.n_exposed_grams, 0) * 1.0 /
+              |        greatest(coalesce(bs.n_grams, 0), 1), 6)
+              |    AS exposure_frac
+              |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+              |LEFT JOIN bsize bs ON bs.bench_id = d.doc_id
+              |LEFT JOIN m ON m.bench_id = d.doc_id
+              |ORDER BY bench_id""".stripMargin)
+    ),
+
     // ---- SEMANTIC decontamination -------------------------------------
     // dc01 catches verbatim benchmark overlap (shared 5-grams); a
     // paraphrased eval item shares no grams, so the semantic tier scores

