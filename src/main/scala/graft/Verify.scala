@@ -27,6 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // state hygiene (Bench's discipline): self-auditing entries
+      // localCheckpoint their serve/audit frames — drop the blocks once
+      // the entry's dump is written so a staged-scale run never
+      // accumulates them across 200+ entries
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
