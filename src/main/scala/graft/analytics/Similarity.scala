@@ -890,8 +890,9 @@ object Similarity {
       // (measured 0–2/10 across SFs — one hyperplane splits a neighbor
       // pair with probability θ/π), so the floor is stated against the
       // exact top-50 neighborhood (measured 4–7 hits): a broken bucket
-      // join or cosine collapses it to ~0. The guaranteed-recall
-      // variant is the multi-probe form pinned in DedupSpec.
+      // join or cosine collapses it to ~0. The variant with a real
+      // top-10 floor is the multi-probe serve — ss19, plus the
+      // DedupSpec dominance pin.
       (s, d) => {
         val emb = table(s, d, "embeddings")
         SelfAudit.topK(
