@@ -26,15 +26,32 @@ object Bounded {
   private val checked = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** `broadcast(df)` with the bounded-bench contract asserted. The
-    * cache key includes the logical plan's semantic hash, so the same
+    * cache key includes the logical plan's semantic hash AND a content
+    * stamp of the scanned files (path + mtime + length), so the same
     * tag over different data (tests, multiple corpora in one JVM)
-    * re-counts. */
+    * re-counts — and so does data REGENERATED IN PLACE at the same
+    * path, which the plan hash alone cannot see. The count (a Spark
+    * job) runs OUTSIDE the map's compute lambda: get-then-putIfAbsent
+    * instead of computeIfAbsent, so no ConcurrentHashMap bin lock is
+    * held for the job's duration (a concurrent duplicate count is
+    * harmless; a stalled bin is not). */
   def broadcastBench(df: DataFrame, tag: String,
                      maxRows: Long = MaxBenchRows): DataFrame = {
-    val key = tag + ":" + df.queryExecution.logical.semanticHash()
-    val n = checked
-      .computeIfAbsent(key, _ => java.lang.Long.valueOf(df.count()))
-      .longValue()
+    val files = df.inputFiles.sorted.map { p =>
+      val f = new java.io.File(p.stripPrefix("file:"))
+      s"$p@${f.lastModified}:${f.length}"
+    }
+    val key = tag + ":" + df.queryExecution.logical.semanticHash() +
+      ":" + java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])
+    val n = {
+      val cached = checked.get(key)
+      if (cached != null) cached.longValue()
+      else {
+        val counted = java.lang.Long.valueOf(df.count())
+        val prev = checked.putIfAbsent(key, counted)
+        (if (prev != null) prev else counted).longValue()
+      }
+    }
     require(n <= maxRows,
       s"bench/eval frame '$tag' has $n rows (bound $maxRows): a frame " +
         "that scales with the corpus must not be broadcast — route it " +

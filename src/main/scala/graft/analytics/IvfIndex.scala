@@ -343,8 +343,14 @@ object IvfIndex {
     val base = new java.io.File(s"$dir/assignments")
     // complete any interrupted swap first; a recovered leaf may hold
     // old ∪ staged DUPLICATES, so it is force-recompacted below and the
-    // rewrite's vec_id dedup converges its row set
-    val recovered = StagedSwap.recover(base, "compact").toSet
+    // rewrite's vec_id dedup converges its row set. "purge" staging is
+    // recovered too (cross-op discipline, mirrored in
+    // [[purgeTombstones]]): completing a crashed purge's committed
+    // swap here is safe — its tombstones were never cleared, so the
+    // moved-in rows stay masked by [[liveAssignments]], and the forced
+    // recompaction dedups the leaf.
+    val recovered = (StagedSwap.recover(base, "compact") ++
+                     StagedSwap.recover(base, "purge")).toSet
     val hot = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("list="))
       .filter(d => recovered(d.getName) ||
@@ -410,8 +416,16 @@ object IvfIndex {
     // protocol: no crash point ever leaves a leaf's data only in the
     // reader-invisible staging dir); recovered leaves may hold
     // old ∪ staged duplicates, so they are force-rewritten below and
-    // the rewrite's vec_id dedup converges their row set
-    val recovered = StagedSwap.recover(base, "purge")
+    // the rewrite's vec_id dedup converges their row set.
+    // BOTH ops' staging is recovered here, not just "purge": a
+    // committed `.compact-list=N` left by a crashed [[compactLists]]
+    // holds PRE-PURGE rows — if it survived this purge (which clears
+    // the tombstones at the end), the next compact would move
+    // tombstoned vec_ids back into the leaf with nothing left to mask
+    // them. Folding those leaves into `touched` rewrites them under
+    // the tombstone anti-join before the clear.
+    val recovered = (StagedSwap.recover(base, "purge") ++
+                     StagedSwap.recover(base, "compact"))
       .filter(_.startsWith("list="))
       .map(_.stripPrefix("list=").toInt)
     val tombs = readTombstones(spark, dir).persist()

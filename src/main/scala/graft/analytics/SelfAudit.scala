@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   * An approximate serve (IVF probe, LSH bucket scan, PQ shortlist…)
   * cannot be replayed by a SQL oracle: WHICH rows it returns depends on
   * learned index state. What CAN be oracle-checked is the audit the
-  * serve carries with it: the same plan computes the exact answer
-  * (whole-corpus for single-query serves, a deterministic embedded
-  * query subset for batch serves), measures the serve against it, and
-  * emits only deterministic scalars — counts the oracle derives from
-  * the data, exact-side values the oracle recomputes, and booleans
-  * (recall floor met, served scores bounded by the exact optimum) the
-  * oracle asserts as `true`. A serving regression (bad centroids,
-  * broken probe pruning, masked rows leaking) flips a boolean and the
-  * driver's hash compare goes red — the entry is both a real serve of
-  * the approximate path and a hash-checkable correctness row.
+  * serve carries with it: the same plan computes an exact baseline on
+  * a DETERMINISTIC SLICE (a corpus modulus for single-query serves —
+  * [[topKSliced]]; an embedded query subset for batch serves —
+  * [[batchTopK]]), measures the serve against it, and emits only
+  * deterministic scalars — counts the oracle derives from the data,
+  * exact-side values the oracle recomputes, and booleans the oracle
+  * asserts as `true`. The slice discipline is load-bearing at scale:
+  * a whole-corpus exact baseline inside a serving entry costs more
+  * than the serve it audits and defeats the index's purpose at 100 TB;
+  * a bounded slice keeps the audit a fixed fraction of one scan while
+  * a serving regression (bad centroids, broken probe pruning, masked
+  * rows leaking) still flips a boolean and turns the driver's hash
+  * compare red — the entry is both a real serve of the approximate
+  * path and a hash-checkable correctness row. The whole-corpus exact
+  * proofs live in the `*x` anchor entries, where being expensive is
+  * the point.
   *
   * Floors are deliberately LOOSE collapse detectors (a real break
   * yields ~0 hits); the tight measured floors live in the specs
@@ -34,36 +40,53 @@ object SelfAudit {
     * audit aggregate derives from the materialization, not the lineage. */
   def once(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
-  /** Audit a single-query top-k serve against the in-plan exact top-k.
+  /** Audit a single-query top-k serve against the exact scores of a
+    * deterministic CORPUS SLICE — the [[batchTopK]] modulus discipline
+    * applied to the corpus side of a single-query serve. A whole-corpus
+    * exact baseline (this audit's r10 form) is the one plan shape that
+    * defeats the index's purpose at scale (the audit scan costs more
+    * than the serve it audits); the slice audit keeps the exact side a
+    * fixed 1/mod fraction while retaining collapse sensitivity:
     *
-    * Output: `n_served` (deterministic k), `exact_best` (the exact
-    * optimum score — oracle recomputes it), `recall_ok`
-    * (|serve ∩ exact| ≥ minHits), `best_bounded` (the serve's best
-    * score never beats the exact optimum — a serve that "wins" is
-    * fabricating scores), plus any `extras` (name → aggregate over the
-    * served rows; each must be deterministically `true`/a constant for
-    * the oracle).
-    */
-  def topK(served: DataFrame, exact: DataFrame, minHits: Int,
-           simCol: String, higherIsBetter: Boolean,
-           idCol: String = "vec_id",
-           extras: Seq[(String, Column)] = Nil): DataFrame = {
+    *  - `n_served` — deterministic k (oracle asserts the count);
+    *  - `exact_best_slice` — the slice's exact optimum, recomputed by
+    *    the oracle from the data alone;
+    *  - `slice_dominated_ok` — at most `beatCap` slice rows score
+    *    STRICTLY better than the serve's best. A working serve's best
+    *    is near the global optimum, so almost nothing beats it in any
+    *    slice; a collapsed serve (broken bucket join, garbage
+    *    centroids, masked rows leaking) returns mediocre rows and half
+    *    the slice beats it. Formally: if the serve still contains ≥ 1
+    *    of the exact global top-k (the old recall floor), its best is
+    *    ≥ the global rank-k score, so at most k−1 rows beat it in ANY
+    *    slice — `beatCap = k` is never tighter than `minHits = 1` was,
+    *    yet a collapse flips it by orders of magnitude.
+    *
+    * Score fabrication (a serve emitting similarity values it never
+    * computed) is NOT this audit's job — the whole-corpus `*x`
+    * exactness anchors pin the scoring expressions bit-for-bit against
+    * the SQL oracle. `scoredSlice` must carry (`idCol`, `simCol`) with
+    * the SAME scoring + rounding as the serve; it is aggregated in one
+    * pass (never checkpointed — it is corpus/mod rows, not k). */
+  def topKSliced(served: DataFrame, scoredSlice: DataFrame,
+                 simCol: String, higherIsBetter: Boolean,
+                 beatCap: Int = 10,
+                 extras: Seq[(String, Column)] = Nil): DataFrame = {
     val s = once(served)
-    val e = once(exact)
     def best(c: Column): Column = if (higherIsBetter) max(c) else min(c)
     val sAggCols = Seq(best(col(simCol)).as("__served_best")) ++
       extras.map { case (n, c) => c.as(n) }
     val sAgg = s.agg(count(lit(1)).as("n_served"), sAggCols: _*)
-    val eAgg = e.agg(best(col(simCol)).as("exact_best"))
-    val hits = s.select(idCol).join(e.select(idCol), Seq(idCol), "left_semi")
-      .agg(count(lit(1)).as("__hits"))
-    val bounded =
-      if (higherIsBetter) col("__served_best") <= col("exact_best") + lit(1e-9)
-      else col("__served_best") >= col("exact_best") - lit(1e-9)
-    sAgg.crossJoin(eAgg).crossJoin(hits)
-      .select(Seq(col("n_served"), col("exact_best"),
-                  (col("__hits") >= minHits).as("recall_ok"),
-                  bounded.as("best_bounded")) ++
+    val beats =
+      if (higherIsBetter) col(simCol) > col("__served_best") + lit(1e-9)
+      else col(simCol) < col("__served_best") - lit(1e-9)
+    val eAgg = scoredSlice
+      .crossJoin(broadcast(sAgg.select(col("__served_best"))))
+      .agg(best(col(simCol)).as("exact_best_slice"),
+           count(when(beats, 1)).as("__beaten"))
+    sAgg.crossJoin(eAgg)
+      .select(Seq(col("n_served"), col("exact_best_slice"),
+                  (col("__beaten") <= beatCap).as("slice_dominated_ok")) ++
               extras.map { case (n, _) => col(n) }: _*)
   }
 
@@ -90,7 +113,7 @@ object SelfAudit {
     val eAgg = eBest.agg(
       sum(col("__eb").cast("decimal(20,6)")).cast("double")
         .as("exact_best_sum"))
-    val hits = sAud.select("query_id", "vec_id")
+    val hits = sAud.select("query_id", "vec_id").distinct()
       .join(e.select("query_id", "vec_id"),
             Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("__hits"))

@@ -510,23 +510,21 @@ object Relational {
       "x14_approx_count_distinct",
       // HLL++ sketch — the operator users actually run at 100 TB: a
       // fixed-size merge instead of the exact distinct's full shuffle.
-      // The estimate is engine-specific (not DuckDB-replayable), so the
-      // entry is rows-only; `x14x_ndv_anchor` (bench-excluded) runs the
-      // hash-green bound check against the exact NDV. Benching the
-      // sketch alone keeps its latency honest — the earlier combined
-      // form booked the exact distinct's shuffle (≈29 s at sf1) against
-      // the sketch's number.
+      // SELF-AUDITING (the SelfAudit discipline applied to the sketch):
+      // the estimate is engine-specific (not DuckDB-replayable), so the
+      // entry emits the exact NDV (oracle recomputes it) plus the
+      // sketch-error assertion — hash-green without a rows-only escape
+      // hatch. That makes x14 and x14x the SAME plan: x14 is the benched
+      // row (its cost honestly includes the audit's distinct — the
+      // price of the hash-green audit, same trade as the serving tier),
+      // x14x the bench-excluded verify anchor kept so the bound check
+      // survives even if x14's bench form ever changes.
       (s, d) => {
-        // SELF-AUDITING (the SelfAudit discipline applied to the HLL
-        // sketch): the sketch runs at its serving configuration and the
-        // same plan computes the exact NDV — the entry emits the exact
-        // count (oracle recomputes it) plus the sketch-error assertion,
-        // so the row is hash-green instead of rows-only. The exact side
-        // is distinct-then-count, NOT countDistinct in the sketch's agg:
-        // a countDistinct next to another aggregate plans an Expand
-        // (row-doubling shuffle — 58 s at staged sf1), while the
-        // partial-aggregated distinct shuffles only the distinct keys.
-        // x14x remains the bench-excluded anchor twin.
+        // The exact side is distinct-then-count, NOT countDistinct in
+        // the sketch's agg: a countDistinct next to another aggregate
+        // plans an Expand (row-doubling shuffle — 58 s at staged sf1),
+        // while the partial-aggregated distinct shuffles only the
+        // distinct keys.
         val li = table(s, d, "lineitem")
         li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"))
           .crossJoin(li.select("l_partkey").distinct()

@@ -928,10 +928,10 @@ object StreamShapes {
     // SELF-AUDITING ([[SelfAudit]] discipline, dc03's audit shape over
     // the two-batch chain): the banded per-batch gate serves every
     // corpus vector; the same plan recomputes the exact benchmark
-    // max-cosine for a deterministic corpus quarter and audits
+    // max-cosine for a deterministic corpus eighth and audits
     // precision/0.9-stratum recall there, plus the chain's
     // deterministic structure — stateless batch assignment (batch =
-    // parity + 1) and full census. Exact quarter counts are the
+    // parity + 1) and full census. Exact slice counts are the
     // oracle's scalars; st18x stays the full exact anchor.
     QueryDef(
       "st18_streaming_decon",
@@ -940,7 +940,7 @@ object StreamShapes {
         val emb = table(s, d, "embeddings")
         val served = SelfAudit.once(deconGateChain(s, d))
         val exact = SelfAudit.once(
-          emb.filter(col("label") =!= 0 && col("vec_id") % 4 === 1)
+          emb.filter(col("label") =!= 0 && col("vec_id") % 8 === 1)
             .select("vec_id", "embedding")
             .crossJoin(graft.analytics.Bounded.broadcastBench(
               emb.filter(col("label") === 0)
@@ -951,7 +951,7 @@ object StreamShapes {
             .filter(col("mc") >= DataQuality.SemanticDeconTau)
             .select(col("vec_id"), round(col("mc"), 6).as("emc")))
         val sAudDrops = served
-          .filter(col("vec_id") % 4 === 1 && col("keep") === 0)
+          .filter(col("vec_id") % 8 === 1 && col("keep") === 0)
         val precEsc = sAudDrops.select("vec_id")
           .join(exact.select("vec_id"), Seq("vec_id"), "left_anti")
           .agg(count(lit(1)).as("__p"))
@@ -976,7 +976,7 @@ object StreamShapes {
               |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
               |c AS (
               |  SELECT vec_id, embedding FROM embeddings
-              |  WHERE label <> 0 AND vec_id % 4 = 1),
+              |  WHERE label <> 0 AND vec_id % 8 = 1),
               |m AS (
               |  SELECT c.vec_id, max(
               |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
@@ -1058,14 +1058,22 @@ object StreamShapes {
     // SELF-AUDITING ([[SelfAudit]] discipline, dd09's audit shape over
     // the two-batch chain): the banded chain serves every arrival; the
     // same plan runs the EXHAUSTIVE gate on a deterministic quarter of
-    // EACH batch — batch 1 against the corpus (oracle-replayable
-    // scalars), batch 2 against corpus ∪ the chain's own batch-1
-    // accepted docs (its realized reference set; booleans only — the
-    // oracle cannot reproduce banded accepts, and the accept sets'
-    // agreement is separately bounded by the recall claims) — and
-    // audits precision / witness-Jaccard bounds / 0.9-stratum recall
-    // per batch, plus the deterministic batch split and census. st19x
-    // stays the full exact anchor.
+    // EACH batch against a deterministic SLICE of the reference set
+    // (doc_id % 5 = 0 — the topKSliced corpus-modulus discipline: the
+    // exhaustive audit's corpus-side shingle explode is the fixed cost
+    // that would otherwise grow with the corpus inside a serving
+    // entry; the residue keeps EVERY batch-1 accepted doc, ≡ 0 mod 20,
+    // in batch 2's reference, so the cross-batch chaining stays fully
+    // audited). Batch 1 audits against the sliced corpus
+    // (oracle-replayable scalars), batch 2 against sliced corpus ∪ the
+    // chain's own batch-1 accepted docs (its realized reference set;
+    // booleans only — the oracle cannot reproduce banded accepts).
+    // Precision/witness-J bounds become WITNESS-AWARE under the slice:
+    // a banded rejection is checked against the exact reference only
+    // when its witness is in the slice (the banded witness J is the
+    // exact Jaccard of that pair, so the sliced exact best must
+    // dominate it); 0.9-stratum recall checks against ALL banded
+    // rejections as before. st19x stays the full exact anchor.
     QueryDef(
       "st19_neardup_stream_gate",
       (s, d) => {
@@ -1079,31 +1087,35 @@ object StreamShapes {
         val g2 = served.filter(col("batch") === 2)
         val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
                            Seq("doc_id"))
-        val corpus = MinHashBandIndex.corpusOf(docs).select("doc_id", "text")
+        val corpusAud = MinHashBandIndex.corpusOf(docs)
+          .select("doc_id", "text")
+          .filter(col("doc_id") % 5 === 0)
         val exact1 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
-          s, corpus, b1.filter(col("doc_id") % 80 === 0)))
+          s, corpusAud, b1.filter(col("doc_id") % 80 === 0)))
         val exact2 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
-          s, corpus.unionByName(acc1.select("doc_id", "text")),
+          s, corpusAud.unionByName(acc1.select("doc_id", "text")),
           b2.filter(col("doc_id") % 80 === 30)))
-        // per-batch audit against its exact reference: rejections
-        // justified (⊆ exact rejects, witness J bounded by the exact
-        // best) and the ≥ 0.9 stratum recalled within the count bound
+        // per-batch audit against its sliced exact reference:
+        // slice-witnessed rejections justified (⊆ exact rejects,
+        // witness J bounded by the exact best) and the ≥ 0.9 stratum
+        // recalled within the count bound by ANY-witness rejections
         def auditOf(g: org.apache.spark.sql.DataFrame,
                     ex: org.apache.spark.sql.DataFrame, tag: String) = {
-          val gRej = g.filter(col("keep") === 0)
+          val gRejAll = g.filter(col("keep") === 0)
             .join(ex.select("doc_id"), Seq("doc_id"), "left_semi")
+          val gRejW = gRejAll.filter(pmod(col("match_id"), lit(5L)) === 0)
           val exRej = ex.filter(col("keep") === 0)
-          val prec = gRej.select("doc_id")
+          val prec = gRejW.select("doc_id")
             .join(exRej.select("doc_id"), Seq("doc_id"), "left_anti")
             .agg(count(lit(1)).as(s"__p$tag"))
-          val jb = gRej.select(col("doc_id"), col("match_jaccard").as("bj"))
+          val jb = gRejW.select(col("doc_id"), col("match_jaccard").as("bj"))
             .join(exRej.select(col("doc_id"), col("match_jaccard").as("ej")),
                   Seq("doc_id"))
             .agg(coalesce(bool_and(col("bj") <= col("ej") + lit(1e-9)),
                           lit(true)).as(s"jbound${tag}_ok"))
           val strong = exRej.filter(col("match_jaccard") >= 0.9)
           val missed = strong.select("doc_id")
-            .join(gRej.select("doc_id"), Seq("doc_id"), "left_anti")
+            .join(gRejAll.select("doc_id"), Seq("doc_id"), "left_anti")
             .agg(count(lit(1)).as(s"__m$tag"))
           (prec, jb, strong, missed)
         }
@@ -1145,7 +1157,7 @@ object StreamShapes {
              |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t
              |       WHERE doc_id % 80 = 0),
              |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
-             |       FROM t WHERE doc_id % 10 <> 0),
+             |       FROM t WHERE doc_id % 10 <> 0 AND doc_id % 5 = 0),
              |inter AS (
              |  SELECT a.doc_id, c.corpus_id, count(*) AS i
              |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
@@ -1308,12 +1320,14 @@ object StreamShapes {
             .as("batch_ok"))
         val nQual = served.filter(col("keep_quality") === 0)
           .agg(count(lit(1)).as("n_quality_rejects"))
-        // decon stage audit (arrival quarter, doc_id % 40 = 0)
+        // decon stage audit (deterministic arrival slice, doc_id % 80
+        // = 0 — the audit is a bounded fraction of the serve, not a
+        // second whole-corpus pass)
         val benchIds = emb.filter(col("label") === 0)
           .select(col("vec_id").as("doc_id"))
-        val audDec = served.filter(col("doc_id") % 40 === 0)
+        val audDec = served.filter(col("doc_id") % 80 === 0)
         val exactDec = SelfAudit.once(
-          emb.filter(col("label") =!= 0 && col("vec_id") % 40 === 0)
+          emb.filter(col("label") =!= 0 && col("vec_id") % 80 === 0)
             .crossJoin(graft.analytics.Bounded.broadcastBench(
               emb.filter(col("label") === 0)
                 .select(col("embedding").as("qvec")), "st20.bench-vecs"))
@@ -1335,19 +1349,22 @@ object StreamShapes {
         val benchDropOk = audDec.join(benchIds, Seq("doc_id"), "left_semi")
           .agg(coalesce(bool_and(col("keep_vec") === 0), lit(true))
             .as("bench_dropped_ok"))
-        // near-dup stage audits (quarter of each batch)
+        // near-dup stage audits (deterministic eighth of each batch —
+        // the ledger drops witness ids, so the reference corpus stays
+        // whole here and the audit bound comes from the arrival slice;
+        // st19 carries the witness-aware sliced-corpus form)
         val arr = MinHashBandIndex.arrivalsOf(docs)
         val corpus = MinHashBandIndex.corpusOf(docs).select("doc_id", "text")
         val b1 = arr.filter(col("doc_id") % 20 === 0)
         val b2 = arr.filter(col("doc_id") % 20 =!= 0)
         val exactNd1 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
-          s, corpus, b1.filter(col("doc_id") % 80 === 0)))
+          s, corpus, b1.filter(col("doc_id") % 160 === 0)))
         val acc1 = b1.join(
           served.filter(col("batch") === 1 && col("keep") === 1)
             .select("doc_id"), Seq("doc_id"))
         val exactNd2 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
           s, corpus.unionByName(acc1.select("doc_id", "text")),
-          b2.filter(col("doc_id") % 80 === 30)))
+          b2.filter(col("doc_id") % 160 === 30)))
         def ndAudit(ex: org.apache.spark.sql.DataFrame, tag: String) = {
           val gRej = served.filter(col("keep_neardup") === 0)
             .join(ex.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -1413,10 +1430,10 @@ object StreamShapes {
               |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
               |    ) AS mc
               |  FROM (SELECT vec_id, embedding FROM embeddings
-              |        WHERE label <> 0 AND vec_id % 40 = 0) c, bq
+              |        WHERE label <> 0 AND vec_id % 80 = 0) c, bq
               |  GROUP BY c.vec_id),
               |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t
-              |       WHERE doc_id % 80 = 0),
+              |       WHERE doc_id % 160 = 0),
               |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
               |       FROM t WHERE doc_id % 10 <> 0),
               |inter AS (
@@ -1558,12 +1575,15 @@ object StreamShapes {
     // STREAMING takedown (ss17's continuous form): delete requests
     // arrive in epochs; each epoch is tombstoned into the serving
     // index (append-only side segment, replay-idempotent batch stamp,
-    // no index rewrite) and the post-epoch top-k over the live view is
+    // no index rewrite) and the post-epoch serve over the live view is
     // audited — the per-epoch step EventStreams.takedownStream runs
     // continuously (pinned row-equal + kill+restart in StreamingSpec).
-    // Tombstone masking is EXACT, so unlike the fuzzy st18–st20 chains
-    // the whole epoch sequence is hash-checked directly: each epoch's
-    // oracle is brute-force top-k excluding every slice deleted so far.
+    // The serve runs at the PRODUCTION nProbe with the sliced audit
+    // (SelfAudit.topKSliced — the r10 form probed every list per
+    // epoch, a whole-corpus exact scan inside the serving entry; the
+    // exactness of delete→mask→probe is ss17x's job). The takedown
+    // invariant stays absolute: a tombstoned id in ANY epoch's serve
+    // flips no_doomed_served regardless of recall.
     QueryDef(
       "st22_segment_retention",
       // the retention POLICY as a driver-checked entry: a two-batch
@@ -1638,6 +1658,11 @@ object StreamShapes {
           .localCheckpoint(true)
         val g2Fold = mh.gateFrames(s, seedBands, seedSh, b2)
           .localCheckpoint(true)
+        // every frame below derives from eagerly-checkpointed blocks —
+        // nothing lazy reads $work anymore, so the staged seed copy is
+        // dead; delete it (ADVICE r10: unbounded temp-dir accumulation
+        // across repeated sweeps)
+        rmrfDir(new java.io.File(work))
         val diff = g2Fold.exceptAll(g2Twin)
           .unionByName(g2Twin.exceptAll(g2Fold))
           .agg(count(lit(1)).as("__d"))
@@ -1678,51 +1703,79 @@ object StreamShapes {
           .write.mode("overwrite").partitionBy("list")
           .parquet(s"$dir/assignments")
         val cs = centroids.zipWithIndex.map { case (c, i) => (i, c) }
-        Seq(1 -> 1L, 2 -> 7L).map { case (ep, res) =>
+        val epochRows = Seq(1 -> 1L, 2 -> 7L).map { case (ep, res) =>
           IvfIndex.deleteIds(s, dir,
             emb.filter(pmod(col("vec_id"), lit(23L)) === res)
               .select("vec_id"))
-          // materialize THIS epoch's serve (k rows — driver metadata)
-          // before the next epoch's tombstones land: the on-disk
-          // tombstone state is exactly the slices of epochs <= ep here
-          Similarity.ivfProbe(IvfIndex.liveAssignments(s, dir), cs,
-              queryId = 0L, k = 10, nProbe = IvfIndex.DefaultLists)
-            .select(col("vec_id"), col("cos_sim")).collect().toSeq
-            .map(r => (ep, r.getLong(0), r.getDouble(1)))
-        }.reduce(_ ++ _)
-          .toDF("epoch", "vec_id", "cos_sim")
-          .orderBy(col("epoch"), desc("cos_sim"), col("vec_id"))
+          // evaluate THIS epoch's audit (one scalar row) before the
+          // next epoch's tombstones land: the on-disk tombstone state
+          // is exactly the slices of epochs <= ep here
+          val resSoFar = Seq(1L, 7L).take(ep)
+          def live(c: org.apache.spark.sql.Column) =
+            resSoFar.map(r => pmod(c, lit(23L)) =!= r).reduce(_ && _)
+          val a = graft.analytics.SelfAudit.topKSliced(
+            Similarity.ivfProbe(IvfIndex.liveAssignments(s, dir), cs,
+              queryId = 0L, k = 10, nProbe = 4),
+            Similarity.cosScoredSlice(
+              emb.filter(live(col("vec_id")) || col("vec_id") === 0L),
+              queryId = 0L),
+            simCol = "cos_sim", higherIsBetter = true,
+            extras = Seq("no_doomed_served" ->
+              bool_and(live(col("vec_id"))))).head()
+          (ep, a.getAs[Long]("n_served"),
+           a.getAs[Double]("exact_best_slice"),
+           a.getAs[Boolean]("slice_dominated_ok"),
+           a.getAs[Boolean]("no_doomed_served"))
+        }
+        // the audits are driver rows now — the staged index is dead
+        rmrfDir(new java.io.File(dir))
+        epochRows
+          .toDF("epoch", "n_served", "exact_best_slice",
+                "slice_dominated_ok", "no_doomed_served")
+          .orderBy("epoch")
       },
       Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-              |e1 AS (
-              |  SELECT CAST(1 AS INT) AS epoch, e.vec_id,
-              |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+              |s1 AS (
+              |  SELECT max(round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
               |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
               |      / (sqrt(list_sum(list_transform(e.embedding,
               |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
               |       * sqrt(list_sum(list_transform(q.qvec,
               |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-              |      , 6) AS cos_sim
+              |      , 6)) AS exact_best_slice
               |  FROM embeddings e, q
-              |  WHERE e.vec_id <> 0 AND e.vec_id % 23 <> 1
-              |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10),
-              |e2 AS (
-              |  SELECT CAST(2 AS INT) AS epoch, e.vec_id,
-              |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+              |  WHERE e.vec_id <> 0 AND e.vec_id % 8 = 1
+              |    AND e.vec_id % 23 <> 1),
+              |s2 AS (
+              |  SELECT max(round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
               |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
               |      / (sqrt(list_sum(list_transform(e.embedding,
               |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
               |       * sqrt(list_sum(list_transform(q.qvec,
               |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-              |      , 6) AS cos_sim
+              |      , 6)) AS exact_best_slice
               |  FROM embeddings e, q
-              |  WHERE e.vec_id <> 0 AND e.vec_id % 23 <> 1
-              |    AND e.vec_id % 23 <> 7
-              |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10)
-              |SELECT * FROM e1 UNION ALL SELECT * FROM e2
-              |ORDER BY epoch, cos_sim DESC, vec_id""".stripMargin)
+              |  WHERE e.vec_id <> 0 AND e.vec_id % 8 = 1
+              |    AND e.vec_id % 23 <> 1 AND e.vec_id % 23 <> 7)
+              |SELECT CAST(1 AS INT) AS epoch, CAST(10 AS BIGINT) AS n_served,
+              |  exact_best_slice, true AS slice_dominated_ok,
+              |  true AS no_doomed_served
+              |FROM s1
+              |UNION ALL
+              |SELECT CAST(2 AS INT), CAST(10 AS BIGINT),
+              |  exact_best_slice, true, true
+              |FROM s2
+              |ORDER BY epoch""".stripMargin)
     )
   )
+
+  /** Delete a staged per-invocation work dir once every frame the
+    * entry returns has been materialized off it — repeated Verify/
+    * Bench sweeps (208-entry runs, staged-scale gates) must not
+    * accumulate a full index copy per invocation. */
+  private def rmrfDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmrfDir)); f.delete(); ()
+  }
 
   /** One slice's curation ledger — quality gate × supplied near-dup
     * verdicts × semantic decon of the slice's vectors against `emb`'s

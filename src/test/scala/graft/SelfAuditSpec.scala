@@ -12,35 +12,49 @@ import graft.analytics.SelfAudit
 class SelfAuditSpec extends SparkSpec {
   import spark.implicits._
 
-  test("topK: honest serve passes; collapsed recall and fabricated scores flip the booleans") {
-    val exact = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7))
+  test("topKSliced: honest serve dominates the slice; a collapsed serve flips the boolean") {
+    // slice scores: ten rows, best 0.90 descending by 0.05
+    val slice = (1L to 10L).map(i => (i, 0.95 - 0.05 * i))
       .toDF("vec_id", "cos_sim")
-    val good = SelfAudit
-      .topK(exact, exact, minHits = 2, "cos_sim", higherIsBetter = true)
+    // honest serve: its best (0.93) beats every slice row → beaten 0
+    val good = SelfAudit.topKSliced(
+        Seq((100L, 0.93), (101L, 0.80)).toDF("vec_id", "cos_sim"),
+        slice, "cos_sim", higherIsBetter = true, beatCap = 2)
       .head()
-    assert(good.getAs[Long]("n_served") == 3)
-    assert(good.getAs[Boolean]("recall_ok"))
-    assert(good.getAs[Boolean]("best_bounded"))
-    // a serve returning ids outside the exact set (broken bucket join)
-    // fails the floor; one FABRICATING a score above the exact optimum
-    // fails the bound
-    val broken = Seq((9L, 0.99), (8L, 0.5)).toDF("vec_id", "cos_sim")
-    val bad = SelfAudit
-      .topK(broken, exact, minHits = 2, "cos_sim", higherIsBetter = true)
+    assert(good.getAs[Long]("n_served") == 2)
+    assert(math.abs(good.getAs[Double]("exact_best_slice") - 0.90) < 1e-9)
+    assert(good.getAs[Boolean]("slice_dominated_ok"))
+    // near-optimal serve: best 0.82 — beaten by 0.90 and 0.85 only,
+    // within the cap (the ≥1-top-k-hit bound in the scaladoc)
+    val near = SelfAudit.topKSliced(
+        Seq((102L, 0.82)).toDF("vec_id", "cos_sim"),
+        slice, "cos_sim", higherIsBetter = true, beatCap = 2)
       .head()
-    assert(!bad.getAs[Boolean]("recall_ok"))
-    assert(!bad.getAs[Boolean]("best_bounded"))
+    assert(near.getAs[Boolean]("slice_dominated_ok"))
+    // collapsed serve (broken bucket join → mediocre rows): most of
+    // the slice beats its best → the boolean flips
+    val bad = SelfAudit.topKSliced(
+        Seq((103L, 0.47)).toDF("vec_id", "cos_sim"),
+        slice, "cos_sim", higherIsBetter = true, beatCap = 2)
+      .head()
+    assert(!bad.getAs[Boolean]("slice_dominated_ok"))
     // lower-is-better direction (the PQ-metric serves)
-    val exactL2 = Seq((1L, 0.1), (2L, 0.2)).toDF("vec_id", "l2_dist")
-    val cheat = Seq((1L, 0.01)).toDF("vec_id", "l2_dist")
-    val l2 = SelfAudit
-      .topK(cheat, exactL2, minHits = 1, "l2_dist", higherIsBetter = false)
+    val sliceL2 = (1L to 5L).map(i => (i, 0.1 * i)).toDF("vec_id", "l2_dist")
+    val goodL2 = SelfAudit.topKSliced(
+        Seq((100L, 0.05)).toDF("vec_id", "l2_dist"),
+        sliceL2, "l2_dist", higherIsBetter = false, beatCap = 0)
       .head()
-    assert(l2.getAs[Boolean]("recall_ok")) // id 1 is a true neighbor...
-    assert(!l2.getAs[Boolean]("best_bounded")) // ...but the score lies
-    // extras ride the served aggregate
-    val ex = SelfAudit.topK(exact, exact, minHits = 1, "cos_sim",
-        higherIsBetter = true,
+    assert(goodL2.getAs[Boolean]("slice_dominated_ok"))
+    assert(math.abs(goodL2.getAs[Double]("exact_best_slice") - 0.1) < 1e-9)
+    val badL2 = SelfAudit.topKSliced(
+        Seq((100L, 0.45)).toDF("vec_id", "l2_dist"),
+        sliceL2, "l2_dist", higherIsBetter = false, beatCap = 2)
+      .head()
+    assert(!badL2.getAs[Boolean]("slice_dominated_ok"))
+    // extras ride the served aggregate (the takedown invariant seat)
+    val ex = SelfAudit.topKSliced(
+        Seq((100L, 0.93), (101L, 0.80)).toDF("vec_id", "cos_sim"),
+        slice, "cos_sim", higherIsBetter = true,
         extras = Seq("all_pos_ok" -> bool_and(col("vec_id") > 0)))
       .head()
     assert(ex.getAs[Boolean]("all_pos_ok"))
