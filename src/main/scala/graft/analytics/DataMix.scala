@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.queries.QueryDef
@@ -538,11 +538,23 @@ object DataMix {
     // dm10: near-dup LEAKAGE across the split boundary — the audit a
     // training pipeline runs before trusting its eval numbers: every
     // (eval doc, train doc) pair with word-2-gram Jaccard ≥ 0.8 is a
-    // leak (exact duplicates are the j = 1 special case). Candidates
-    // by shared-gram equi-join (never a cross join), so the whole
-    // audit is SQL-replayable and hash-checked; the banded MinHash
-    // path (dd09's index) is the 100 TB candidate generator when the
-    // gram join's shuffle dominates.
+    // leak (exact duplicates are the j = 1 special case). BANDED
+    // serving form (the dd09 discipline, upgraded from r10's
+    // shared-gram equi-join candidates whose output grew with
+    // eval×train gram co-occurrence — 38 s at staged sf1): candidates
+    // come from MinHash band collisions against a train-side band
+    // table built in-plan (map-side native signatures), the refine is
+    // EXACT Jaccard — every reported pair is a true leak regardless of
+    // what banding missed. Band hashing is engine-specific, so the
+    // entry is SELF-AUDITING: the same plan runs the exhaustive
+    // pair-level reference on a deterministic EVAL slice
+    // (doc_id % 16 = 1 — the relation is per-eval-doc independent and
+    // the train side stays whole, so the slice bounds audit cost
+    // without weakening per-pair exactness) and asserts banded ⊆
+    // exhaustive with bit-equal Jaccards plus the ≥ 0.9-stratum recall
+    // bound. The slice's exhaustive leak/strong counts are the
+    // oracle's recomputable scalars; dm10x is the hash-green
+    // pair-level anchor.
     QueryDef(
       "dm10_split_leakage",
       (s, d) => {
@@ -553,103 +565,188 @@ object DataMix {
                     .when(hf < SplitTestCut, "test")
                     .otherwise("train").as("split"))
         val ev = docs.filter(col("split") =!= "train")
-          .select(col("doc_id"), col("split"),
-                  Dedup.shingleHashes(s, col("text"), 2).as("sh"))
         val tr = docs.filter(col("split") === "train")
-          .select(col("doc_id").as("train_id"),
-                  Dedup.shingleHashes(s, col("text"), 2).as("sh_t"))
-        // candidate generation over RARE grams only (map-side-
-        // combinable census, [[LeakGramCap]]): a pair is a candidate
-        // iff it shares >= 1 below-cap gram, so the hot-gram join
-        // product Σ ev(g)·tr(g) is bounded by cap·|gram rows| instead
-        // of growing with the square of the stopword-gram frequency.
-        // The intersection is then counted EXACTLY as rare + hot
-        // shared-gram COUNTS — two aggregations that never ship a
-        // shingle array per pair (an array_intersect refine measured
-        // 4× slower than the uncapped join at a 30× probe: each doc's
-        // full gram set is re-shipped for every candidate pair).
-        val evG = ev.select(col("doc_id"), explode(col("sh")).as("g"))
-        val trG = tr.select(col("train_id"), explode(col("sh_t")).as("g"))
-        // the HOT set (grams above the cap) is tiny — near-empty on a
-        // healthy corpus — so the membership joins below are AQE
-        // broadcasts. Filtering only the eval side of the candidate
-        // join already yields the identical candidate set (a hot gram
-        // with no eval row left cannot join).
-        val hot = evG.select("g").unionByName(trG.select("g"))
-          .groupBy("g").agg(count(lit(1)).as("__gn"))
-          .filter(col("__gn") > LeakGramCap)
-          .select("g")
-        // shared RARE grams per pair — the uncapped original minus
-        // hot-gram rows; partial-aggregated map-side like any count
-        val iRare = evG.join(hot, Seq("g"), "left_anti")
-          .join(trG, Seq("g"))
-          .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__ir"))
-        // shared HOT grams per pair, restricted to the candidates the
-        // rare join produced: per-pair cost <= hot grams per doc (a
-        // handful of stopword-ish shingles), never ev(g)·tr(g)
-        val evH = evG.join(hot, Seq("g"), "left_semi")
-        val trH = trG.join(hot, Seq("g"), "left_semi")
-        val iHot = iRare.select("doc_id", "train_id")
-          .join(evH, Seq("doc_id"))
-          .join(trH, Seq("train_id", "g"))
-          .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__ih"))
-        iRare
-          .join(iHot, Seq("doc_id", "train_id"), "left")
-          .withColumn("__i", col("__ir") + coalesce(col("__ih"), lit(0L)))
-          .join(ev.select(col("doc_id"), col("split"),
-                          size(col("sh")).as("__na")), Seq("doc_id"))
-          .join(tr.select(col("train_id"), size(col("sh_t")).as("__nb")),
-                Seq("train_id"))
-          .select(col("doc_id"), col("split"), col("train_id"),
-                  round(col("__i") * lit(1.0) /
-                        (col("__na") + col("__nb") - col("__i")), 6)
-                    .as("jaccard"))
-          .filter(col("jaccard") >= SplitLeakJaccard)
-          .orderBy("doc_id", "train_id")
+          .select("doc_id", "text")
+        val served = SelfAudit.once(
+          MinHashBandIndex.scoredPairs(s,
+              MinHashBandIndex.segmentBands(s, tr),
+              MinHashBandIndex.segmentShingles(s, tr),
+              ev, minJaccard = SplitLeakJaccard)
+            .select(col("doc_id"), col("corpus_id").as("train_id"),
+                    col("j").as("jaccard")))
+        val exact = SelfAudit.once(
+          leakPairsExact(s, d, col("doc_id") % 16 === 1)
+            .select("doc_id", "train_id", "jaccard"))
+        val sAud = served.filter(col("doc_id") % 16 === 1)
+        val subEsc = sAud.select("doc_id", "train_id")
+          .join(exact.select("doc_id", "train_id"),
+                Seq("doc_id", "train_id"), "left_anti")
+          .agg(count(lit(1)).as("__s"))
+        val jm = sAud.select(col("doc_id"), col("train_id"),
+                             col("jaccard").as("bj"))
+          .join(exact.select(col("doc_id"), col("train_id"),
+                             col("jaccard").as("ej")),
+                Seq("doc_id", "train_id"))
+          .agg(coalesce(bool_and(abs(col("bj") - col("ej")) <= lit(1e-9)),
+                        lit(true)).as("jaccard_exact_ok"))
+        val strong = exact.filter(col("jaccard") >= 0.9)
+        val missed = strong.select("doc_id", "train_id")
+          .join(sAud.select("doc_id", "train_id"),
+                Seq("doc_id", "train_id"), "left_anti")
+          .agg(count(lit(1)).as("__m"))
+        ev.agg(count(lit(1)).as("n_eval"))
+          .crossJoin(tr.agg(count(lit(1)).as("n_train")))
+          .crossJoin(exact.agg(count(lit(1)).as("n_audit_leaks")))
+          .crossJoin(strong.agg(count(lit(1)).as("n_audit_strong")))
+          .crossJoin(subEsc).crossJoin(jm).crossJoin(missed)
+          .select(col("n_eval"), col("n_train"), col("n_audit_leaks"),
+                  col("n_audit_strong"),
+                  (col("__s") === 0).as("banded_subset_ok"),
+                  col("jaccard_exact_ok"),
+                  (col("__m") <= ceil(col("n_audit_strong") * lit(2e-4)))
+                    .as("recall_bound_ok"))
       },
-      Some(s"""WITH sp AS (
-              |  SELECT doc_id,
-              |    CASE WHEN ${hashFractionSql("doc_id")} < $SplitValFrac THEN 'val'
-              |         WHEN ${hashFractionSql("doc_id")} <
-              |              $SplitTestCut THEN 'test'
-              |         ELSE 'train' END AS split
-              |  FROM documents),
-              |w AS (
-              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-              |                             x -> x <> '') AS w
-              |  FROM documents),
-              |t AS (
-              |  SELECT doc_id,
-              |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
-              |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
-              |         ELSE [array_to_string(w, ' ')] END AS ngrams
-              |  FROM w),
-              |ev AS (SELECT t.doc_id, sp.split, t.ngrams
-              |       FROM t JOIN sp USING (doc_id) WHERE sp.split <> 'train'),
-              |tr AS (SELECT t.doc_id AS train_id, t.ngrams
-              |       FROM t JOIN sp USING (doc_id) WHERE sp.split = 'train'),
-              |hot AS (
-              |  SELECT g FROM (SELECT doc_id, unnest(ngrams) AS g FROM t)
-              |  GROUP BY g HAVING count(*) > $LeakGramCap),
-              |evg AS (
-              |  SELECT a.doc_id, a.g
-              |  FROM (SELECT doc_id, unnest(ngrams) AS g FROM ev) a
-              |  WHERE a.g NOT IN (SELECT g FROM hot)),
-              |trg AS (SELECT train_id, unnest(ngrams) AS g FROM tr),
-              |cand AS (
-              |  SELECT DISTINCT doc_id, train_id FROM evg JOIN trg USING (g))
-              |SELECT c.doc_id, e.split, c.train_id,
-              |  round(len(list_intersect(e.ngrams, r.ngrams)) * 1.0 /
-              |        (len(e.ngrams) + len(r.ngrams)
-              |         - len(list_intersect(e.ngrams, r.ngrams))), 6) AS jaccard
-              |FROM cand c
-              |JOIN ev e ON e.doc_id = c.doc_id
-              |JOIN tr r ON r.train_id = c.train_id
-              |WHERE round(len(list_intersect(e.ngrams, r.ngrams)) * 1.0 /
-              |      (len(e.ngrams) + len(r.ngrams)
-              |       - len(list_intersect(e.ngrams, r.ngrams))), 6)
-              |      >= $SplitLeakJaccard
-              |ORDER BY c.doc_id, c.train_id""".stripMargin)
+      Some(s"""${leakPairsCtes("AND t.doc_id % 16 = 1")}
+              |SELECT
+              |  (SELECT COUNT(*) FROM sp WHERE split <> 'train') AS n_eval,
+              |  (SELECT COUNT(*) FROM sp WHERE split = 'train') AS n_train,
+              |  (SELECT COUNT(*) FROM leaks) AS n_audit_leaks,
+              |  (SELECT COUNT(*) FROM leaks WHERE jaccard >= 0.9)
+              |    AS n_audit_strong,
+              |  true AS banded_subset_ok, true AS jaccard_exact_ok,
+              |  true AS recall_bound_ok""".stripMargin)
+    ),
+
+    // dm10x: the exhaustive pair-level anchor — shared below-cap-gram
+    // equi-join candidates + exact rare/hot-count Jaccard, end-to-end
+    // SQL-replayable and hash-checked. The EVAL side is a deterministic
+    // slice (doc_id % 8 = 1; the train side stays whole): the leak
+    // relation is per-eval-doc independent, so the slice preserves
+    // every mechanism the anchor pins (gram census, rare/hot split,
+    // exact intersection counting, threshold) at a bounded fraction of
+    // the full product — the full-eval report is dm10's banded serve.
+    QueryDef(
+      "dm10x_split_leakage_exact",
+      (s, d) => leakPairsExact(s, d, col("doc_id") % 8 === 1),
+      Some(s"""${leakPairsCtes("AND t.doc_id % 8 = 1")}
+              |SELECT doc_id, split, train_id, jaccard FROM leaks
+              |ORDER BY doc_id, train_id""".stripMargin)
     )
   )
+
+  /** Exhaustive (eval, train) leak pairs over the hash split,
+    * `evalSlice` restricting the EVAL side. Candidate generation over
+    * RARE grams only (map-side-combinable census, [[LeakGramCap]]): a
+    * pair is a candidate iff it shares ≥ 1 below-cap gram, so the
+    * hot-gram join product Σ ev(g)·tr(g) is bounded by
+    * cap·|gram rows| instead of growing with the square of the
+    * stopword-gram frequency. The intersection is then counted EXACTLY
+    * as rare + hot shared-gram COUNTS — two aggregations that never
+    * ship a shingle array per pair (an array_intersect refine measured
+    * 4× slower than the uncapped join at a 30× probe: each doc's full
+    * gram set is re-shipped for every candidate pair). */
+  private def leakPairsExact(s: org.apache.spark.sql.SparkSession,
+                             d: String, evalSlice: Column): DataFrame = {
+    val hf = hashFraction(col("doc_id"))
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+              when(hf < SplitValFrac, "val")
+                .when(hf < SplitTestCut, "test")
+                .otherwise("train").as("split"))
+    val ev = docs.filter(col("split") =!= "train").filter(evalSlice)
+      .select(col("doc_id"), col("split"),
+              Dedup.shingleHashes(s, col("text"), 2).as("sh"))
+    val tr = docs.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"),
+              Dedup.shingleHashes(s, col("text"), 2).as("sh_t"))
+    val evG = ev.select(col("doc_id"), explode(col("sh")).as("g"))
+    val trG = tr.select(col("train_id"), explode(col("sh_t")).as("g"))
+    // the HOT set (grams above the cap) is tiny — near-empty on a
+    // healthy corpus — so the membership joins below are AQE
+    // broadcasts. The census runs over the WHOLE corpus's grams (not
+    // the sliced eval side) so the hot set — and with it every pair's
+    // rare/hot arithmetic — is identical for every slice choice.
+    val allG = docs
+      .select(explode(Dedup.shingleHashes(s, col("text"), 2)).as("g"))
+    val hot = allG
+      .groupBy("g").agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") > LeakGramCap)
+      .select("g")
+    // shared RARE grams per pair — the uncapped original minus
+    // hot-gram rows; partial-aggregated map-side like any count
+    val iRare = evG.join(hot, Seq("g"), "left_anti")
+      .join(trG, Seq("g"))
+      .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__ir"))
+    // shared HOT grams per pair, restricted to the candidates the
+    // rare join produced: per-pair cost <= hot grams per doc (a
+    // handful of stopword-ish shingles), never ev(g)·tr(g)
+    val evH = evG.join(hot, Seq("g"), "left_semi")
+    val trH = trG.join(hot, Seq("g"), "left_semi")
+    val iHot = iRare.select("doc_id", "train_id")
+      .join(evH, Seq("doc_id"))
+      .join(trH, Seq("train_id", "g"))
+      .groupBy("doc_id", "train_id").agg(count(lit(1)).as("__ih"))
+    iRare
+      .join(iHot, Seq("doc_id", "train_id"), "left")
+      .withColumn("__i", col("__ir") + coalesce(col("__ih"), lit(0L)))
+      .join(ev.select(col("doc_id"), col("split"),
+                      size(col("sh")).as("__na")), Seq("doc_id"))
+      .join(tr.select(col("train_id"), size(col("sh_t")).as("__nb")),
+            Seq("train_id"))
+      .select(col("doc_id"), col("split"), col("train_id"),
+              round(col("__i") * lit(1.0) /
+                    (col("__na") + col("__nb") - col("__i")), 6)
+                .as("jaccard"))
+      .filter(col("jaccard") >= SplitLeakJaccard)
+      .orderBy("doc_id", "train_id")
+  }
+
+  /** Shared CTE chain of [[leakPairsExact]]'s DuckDB replay, ending in
+    * a `leaks` CTE of (doc_id, split, train_id, jaccard); `evPred`
+    * narrows the eval side exactly as the Spark `evalSlice` does. */
+  private def leakPairsCtes(evPred: String): String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${hashFractionSql("doc_id")} < $SplitValFrac THEN 'val'
+       |         WHEN ${hashFractionSql("doc_id")} <
+       |              $SplitTestCut THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> x <> '') AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+       |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+       |         ELSE [array_to_string(w, ' ')] END AS ngrams
+       |  FROM w),
+       |ev AS (SELECT t.doc_id, sp.split, t.ngrams
+       |       FROM t JOIN sp USING (doc_id)
+       |       WHERE sp.split <> 'train' $evPred),
+       |tr AS (SELECT t.doc_id AS train_id, t.ngrams
+       |       FROM t JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+       |hot AS (
+       |  SELECT g FROM (SELECT doc_id, unnest(ngrams) AS g FROM t)
+       |  GROUP BY g HAVING count(*) > $LeakGramCap),
+       |evg AS (
+       |  SELECT a.doc_id, a.g
+       |  FROM (SELECT doc_id, unnest(ngrams) AS g FROM ev) a
+       |  WHERE a.g NOT IN (SELECT g FROM hot)),
+       |trg AS (SELECT train_id, unnest(ngrams) AS g FROM tr),
+       |cand AS (
+       |  SELECT DISTINCT doc_id, train_id FROM evg JOIN trg USING (g)),
+       |leaks AS (
+       |  SELECT c.doc_id, e.split, c.train_id,
+       |    round(len(list_intersect(e.ngrams, r.ngrams)) * 1.0 /
+       |          (len(e.ngrams) + len(r.ngrams)
+       |           - len(list_intersect(e.ngrams, r.ngrams))), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN ev e ON e.doc_id = c.doc_id
+       |  JOIN tr r ON r.train_id = c.train_id
+       |  WHERE round(len(list_intersect(e.ngrams, r.ngrams)) * 1.0 /
+       |        (len(e.ngrams) + len(r.ngrams)
+       |         - len(list_intersect(e.ngrams, r.ngrams))), 6)
+       |        >= $SplitLeakJaccard)""".stripMargin
 }

@@ -332,7 +332,21 @@ object MinHashBandIndex {
   def gateFrames(spark: SparkSession, bands: DataFrame, shingles: DataFrame,
                  batch: DataFrame,
                  minJaccard: Double = MinJaccard,
-                 maxBucket: Int = MaxBucket): DataFrame = {
+                 maxBucket: Int = MaxBucket): DataFrame =
+    verdicts(batch,
+             scoredPairs(spark, bands, shingles, batch, minJaccard, maxBucket))
+
+  /** Banded candidate pairs with their EXACT Jaccard — the stage
+    * [[gateFrames]] folds into per-arrival verdicts, exposed for
+    * pair-level consumers (the dm10 split-leakage audit reports every
+    * leaking (eval, train) pair, not just each doc's best witness).
+    * Returns (doc_id, corpus_id, j) for every banded candidate whose
+    * exact Jaccard clears `minJaccard`; the refine is exact, so each
+    * returned pair is a TRUE match regardless of what banding missed. */
+  def scoredPairs(spark: SparkSession, bands: DataFrame, shingles: DataFrame,
+                  batch: DataFrame,
+                  minJaccard: Double = MinJaccard,
+                  maxBucket: Int = MaxBucket): DataFrame = {
     val rows = bandRows(spark, batch)
       .persist() // two consumers (kp set + candidate join); tiny frame
     try {
@@ -357,14 +371,13 @@ object MinHashBandIndex {
       // exact-Jaccard refine on candidates only; shingles of the few
       // candidate corpus docs come from the persisted set via equi-join.
       val shC = shingles.withColumnRenamed("sh", "sh_c")
-      val scored = cand
+      cand
         .join(rows.select(col("doc_id"), col("sh")).dropDuplicates("doc_id"),
               Seq("doc_id"))
         .join(shC, Seq("corpus_id"))
         .select(col("doc_id"), col("corpus_id"),
                 round(Dedup.jaccard(col("sh"), col("sh_c")), 6).as("j"))
         .filter(col("j") >= minJaccard)
-      verdicts(batch, scored)
     } finally { rows.unpersist(false); () }
   }
 

@@ -506,8 +506,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
-  test("dm10: the leakage audit is equi-joins + aggregates only — no nested loop anywhere") {
-    val p = plan("dm10_split_leakage")
+  test("dm10x: the leakage audit is equi-joins + aggregates only — no nested loop anywhere") {
+    // the exhaustive anchor carries the pure-equi-join contract (the
+    // banded dm10 crossJoins only 1-row audit aggregates by design)
+    val p = plan("dm10x_split_leakage_exact")
     // candidate generation and both intersection counts must stay
     // shuffled equi-joins with partial aggregation: a Cartesian or
     // broadcast-nested-loop anywhere means the audit re-grew an

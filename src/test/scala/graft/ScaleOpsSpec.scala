@@ -217,13 +217,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("dm10: hot grams never generate candidates but still count in the jaccard") {
+  test("dm10x: hot grams never generate candidates but still count in the jaccard") {
     import graft.analytics.DataMix
-    // ids whose split the audit itself will assign: one 'val' doc and
-    // one 'train' doc, plus fillers (any split — they must vanish)
+    // ids whose split the audit itself will assign: one 'val' doc (in
+    // dm10x's deterministic eval slice, doc_id % 8 = 1) and one 'train'
+    // doc, plus fillers (any split — they must vanish)
     val ids = spark.range(10000)
       .select(col("id"), DataMix.hashFraction(col("id")).as("hf")).collect()
-    val evalId = ids.find(_.getDouble(1) < DataMix.SplitValFrac).get.getLong(0)
+    val evalId = ids.find(r => r.getDouble(1) < DataMix.SplitValFrac &&
+                               r.getLong(0) % 8 == 1).get.getLong(0)
     val trainId = ids.find(_.getDouble(1) >= DataMix.SplitTestCut).get.getLong(0)
     val nFiller = DataMix.LeakGramCap.toInt + 100
     // fillers are IDENTICAL docs made of one gram that the census must
@@ -237,7 +239,8 @@ class ScaleOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("dm10-guard").toString
     fillers.unionByName(pair).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("dm10_split_leakage")(spark, dir).collect()
+    val out = SparkEntry.queries("dm10x_split_leakage_exact")(spark, dir)
+      .collect()
     // exactly ONE leak row: the planted pair at jaccard 1.0 — the hot
     // gram is counted in the intersection (21/21), while the hundreds
     // of identical all-hot filler pairs (true jaccard 1.0, every shared
