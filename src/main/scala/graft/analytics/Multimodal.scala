@@ -10,16 +10,20 @@ import graft.queries.QueryDef
   * the engine as opaque `binary` columns with typed metadata alongside.
   *
   * The Spark-side machinery — schema, partition-friendly projections,
-  * batch-shaped feature extraction — is real and tested. The IMAGE path
-  * runs a real codec: [[Multimodal.pngMedia]]/[[Multimodal.decodePngStats]]
-  * encode and decode genuine PNGs with the JDK's `javax.imageio`
-  * (hash-checked end to end by mm04). The audio/video codec steps
-  * (resample, frame extract) remain STUBBED behind
-  * [[Multimodal.stubDecode]] because no media libraries beyond the JDK
-  * ship in this environment; in production that one expression is
-  * replaced by a `mapInPandas`/`mapInArrow`-style batch UDF (or a JNI
-  * codec) with the exact same column contract, so every surrounding plan
-  * survives unchanged.
+  * batch-shaped feature extraction — is real and tested, and every
+  * media kind runs a REAL JDK codec round trip: PNG images
+  * ([[pngMedia]]/[[decodePngStats]], mm04), RIFF/WAVE audio
+  * ([[wavMedia]]/[[decodeWavStats]], mm06), multi-page TIFF frame
+  * sequences ([[tiffMedia]]/[[sampleTiffFrames]], mm07), and animated
+  * GIF video ([[gifMedia]]/[[sampleGifFrames]], mm10) — all via
+  * `javax.imageio`/`javax.sound.sampled`, hash-checked end to end
+  * against closed-form oracles. [[stubDecode]] is NOT a coverage gap
+  * but the out-of-JDK codec SEAM: compressed formats the JDK cannot
+  * parse (H.264, MP3, JPEG-XL…) swap that one expression for a
+  * `mapInPandas`/`mapInArrow`-style batch UDF or a JNI codec with the
+  * exact same column contract (binary → array<double>), so every
+  * surrounding plan survives unchanged; its md5 derivation keeps the
+  * seam itself oracle-replayable (mm02).
   */
 object Multimodal {
   import QueryDef.table
@@ -36,18 +40,19 @@ object Multimodal {
     StructField("duration_ms", LongType)
   ))
 
-  /** Deterministic fake "decode": derives a fixed-length feature vector
-    * from the payload bytes via hashing. The real implementation swaps
-    * this single expression for a batch codec UDF; signature (binary →
-    * array<double>) and batch shape are identical.
+  /** The out-of-JDK codec SEAM (see object doc): a deterministic
+    * payload → feature-vector derivation standing where a production
+    * pipeline plugs a batch codec UDF for formats the JDK cannot parse.
+    * The signature (binary → array<double>) and batch shape are the
+    * production contract; only this one expression is swapped. Every
+    * JDK-parsable kind has a real codec entry instead (mm04/mm06/mm07/
+    * mm10).
     *
     * md5-derived (not xxhash64) so an oracle engine can replay the exact
     * math: digest k = md5(payload ++ utf8(k)) covers dims 8k..8k+7, four
     * hex chars per dim parsed as an int in [0, 65536) and scaled to
     * [-1, 1). Every value is a multiple of 2^-15 — exact in double, so
-    * downstream stats compare bit-exact across engines.
-    *
-    * STUB — see object doc. */
+    * downstream stats compare bit-exact across engines. */
   def stubDecode(payload: Column, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)), i => {
       val digest = md5(concat(payload,
@@ -460,6 +465,124 @@ object Multimodal {
       .toDF("media_id", "frame_no", "n_frames", "sum_px", "min_px", "max_px")
   }
 
+  /** Frames per synthetic GIF clip, frame side, and sampling stride —
+    * the animated-GIF twin of the TIFF constants above. Distinct pixel
+    * constants (37/101 vs 31/97) keep the two containers' oracles from
+    * accidentally validating each other. */
+  val GifFrames = 6
+  val GifSide = 8
+  val GifStride = 2
+
+  private def gifWriter(): javax.imageio.ImageWriter = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+      .asScala
+      .find(_.getFormatNames.contains("gif"))
+      .getOrElse(throw new IllegalStateException("no GIF writer provider"))
+      .createWriterInstance()
+  }
+
+  private def gifReader(): javax.imageio.ImageReader = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      .asScala
+      .find(_.getFormatNames.contains("gif"))
+      .getOrElse(throw new IllegalStateException("no GIF reader provider"))
+      .createReaderInstance()
+  }
+
+  /** REAL animated-video payloads: each doc_id becomes a 6-frame
+    * ANIMATED GIF (the JDK's GIF plugin writes genuine multi-frame
+    * animations through the same `writeToSequence` protocol the TIFF
+    * path uses) of 8×8 frames where frame f, row-major pixel i carries
+    * `(media_id·37 + f·101 + i) mod 256`. The frames are
+    * TYPE_BYTE_INDEXED over an explicit 256-entry grayscale palette
+    * (index i → color (i,i,i)): GIF is palette-based, and with ≤ 256
+    * distinct colors the container is LOSSLESS — the round trip is
+    * bit-exact by the format's own contract, not by luck of a
+    * quantizer. Closed-form pixels ⇒ the oracle replays every sampled
+    * statistic without a GIF codec. Codec resolved once per partition
+    * (see [[pngWriter]] for the measured reason). */
+  def gifMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val gray = Array.tabulate(256)(_.toByte)
+      val palette = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      val writer = gifWriter()
+      ids.map { id =>
+        val out = new java.io.ByteArrayOutputStream()
+        val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+        writer.setOutput(mos)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < GifFrames) {
+          val img = new java.awt.image.BufferedImage(
+            GifSide, GifSide,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+          val raster = img.getRaster
+          var i = 0
+          while (i < GifSide * GifSide) {
+            raster.setSample(i % GifSide, i / GifSide, 0,
+              ((id * 37 + f * 101 + i) % 256).toInt)
+            i += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        mos.flush()
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** REAL animated-GIF frame sampling: the reader counts the
+    * animation's frames and decodes only every [[GifStride]]-th one.
+    * Pixel values come back through `getRGB & 0xff` (the palette maps
+    * index i → gray (i,i,i)), so the stats are palette-ORDER-proof:
+    * a writer permuting palette indices still yields the same colors,
+    * and the entry pins color fidelity — the contract a video pipeline
+    * actually needs — rather than index layout. Integer stats only;
+    * undecoded frames are skipped, never materialized. */
+  def sampleGifFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val reader = gifReader()
+        batch.flatMap { case (id, bytes) =>
+          reader.setInput(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+          val n = reader.getNumImages(true)
+          val rows = (0 until n by GifStride).map { f =>
+            val img = reader.read(f)
+            var sum = 0L; var mn = 255; var mx = 0
+            var y = 0
+            while (y < GifSide) {
+              var x = 0
+              while (x < GifSide) {
+                val v = img.getRGB(x, y) & 0xff
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            (id, f, n, sum, mn, mx)
+          }
+          reader.reset()
+          rows
+        }
+      }
+      .toDF("media_id", "frame_no", "n_frames", "sum_px", "min_px", "max_px")
+  }
+
   /** Samples per synthetic audio clip and its sample rate (50 ms at
     * 8 kHz) — small enough that an oracle can replay every sample in
     * closed form, real enough to exercise a genuine WAV container. */
@@ -533,8 +656,7 @@ object Multimodal {
   /** REAL audio decode: `AudioSystem` parses the WAV payload (header,
     * format, frame stream) back into PCM and emits per-clip stats —
     * retiring the module's audio-decode stub the way mm04 retired the
-    * image one (mm02's md5 stub remains as the codec-free contract for
-    * video). Batch-shaped; only small stats leave the operator. The
+    * image one. Batch-shaped; only small stats leave the operator. The
     * amplitude stats are INTEGER (sum of |sample|, min, max), so the
     * closed-form oracle compares bit-exact with no float discipline
     * needed; duration falls out of the decoded frame count and rate. */
@@ -754,8 +876,8 @@ object Multimodal {
     // The oracle never touches a PNG — pixel i is (media_id*31+i)%256
     // by construction, so DuckDB replays the stats in closed form; any
     // defect in the encode OR decode path breaks the hash. This retires
-    // the module's image-decode stub (mm02's md5 stub remains as the
-    // codec-free contract the audio/video kinds still use).
+    // the module's image-decode stub (mm02's md5 derivation remains as
+    // the out-of-JDK codec seam — see the object doc).
     QueryDef(
       "mm04_png_decode",
       (s, d) =>
@@ -870,6 +992,40 @@ object Multimodal {
               |  FROM s)
               |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
               |  CAST($TiffFrames AS INT) AS n_frames,
+              |  CAST(sum(v) AS BIGINT) AS sum_px,
+              |  CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px
+              |FROM px GROUP BY media_id, frame_no
+              |ORDER BY media_id, frame_no""".stripMargin)
+    ),
+    // REAL animated-video round trip — the entry that retires the
+    // module's last codec stub: a genuine multi-frame ANIMATED GIF per
+    // clip (encode via the JDK's GIF plugin, strided keyframe decode
+    // back), oracle-replayed in closed form with modular arithmetic.
+    // GIF with ≤ 256 colors is lossless by format contract, so a defect
+    // in the animation sequence, the palette, the stride, or either
+    // codec direction breaks the hash. Together with mm04 (PNG), mm06
+    // (WAV), and mm07 (multi-page TIFF), every media kind this module
+    // ships now has a real JDK codec path; mm02's md5 derivation is the
+    // out-of-JDK codec SEAM, not a coverage gap.
+    QueryDef(
+      "mm10_gif_video",
+      (s, d) =>
+        sampleGifFrames(gifMedia(table(s, d, "documents")))
+          .orderBy("media_id", "frame_no"),
+      Some(s"""WITH f AS (
+              |  SELECT doc_id AS media_id,
+              |    unnest(range($GifFrames)) AS frame_no
+              |  FROM documents),
+              |s AS (
+              |  SELECT media_id, frame_no,
+              |    unnest(range(${GifSide * GifSide})) AS i
+              |  FROM f WHERE frame_no % $GifStride = 0),
+              |px AS (
+              |  SELECT media_id, frame_no,
+              |    (media_id * 37 + frame_no * 101 + i) % 256 AS v
+              |  FROM s)
+              |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+              |  CAST($GifFrames AS INT) AS n_frames,
               |  CAST(sum(v) AS BIGINT) AS sum_px,
               |  CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px
               |FROM px GROUP BY media_id, frame_no

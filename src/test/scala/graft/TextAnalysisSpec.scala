@@ -124,6 +124,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mm10 GIF codec: animated container, palette-order-proof pixels, corrupt rejected") {
+    val docs = Seq((3L, "x"), (11L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.gifMedia(docs)
+    // payloads are genuine GIF containers (GIF87a/GIF89a magic)
+    val bytes = media.select("payload").as[Array[Byte]].collect()
+    assert(bytes.forall(b =>
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
+    val rows = Multimodal.sampleGifFrames(media)
+      .orderBy("media_id", "frame_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // stride 2 over 6 frames → exactly frames 0, 2, 4 per clip
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((3L, 0), (3L, 2), (3L, 4), (11L, 0), (11L, 2), (11L, 4)))
+    assert(rows.forall(_._3 == Multimodal.GifFrames))
+    // decoded pixel sums match the closed-form frame definition —
+    // lossless round trip through the indexed palette
+    for ((id, f, _, sum) <- rows) {
+      val expect = (0 until Multimodal.GifSide * Multimodal.GifSide)
+        .map(i => (id * 37 + f * 101 + i) % 256).sum
+      assert(sum == expect, s"clip $id frame $f")
+    }
+    // a truncated animation must fail the parse, not yield silently
+    // wrong frames. (Note: the JDK's GIF reader does NOT validate the
+    // GIF87a/GIF89a signature — a flipped magic byte decodes fine — so
+    // truncation is the corruption a quarantine gate can actually count
+    // on this codec to reject.)
+    val corrupt = media.withColumn("payload",
+      udf((b: Array[Byte]) => java.util.Arrays.copyOf(b, b.length / 2))
+        .apply($"payload"))
+    intercept[Exception] {
+      Multimodal.sampleGifFrames(corrupt).collect()
+    }
+  }
+
   test("mm09 perceptual hash: family separation; chunk blocking equals brute force") {
     import org.apache.spark.sql.functions.{bit_count, col}
     val docs = (0L until 80L).map(i => (i, "x")).toDF("doc_id", "text")
