@@ -914,6 +914,60 @@ object StreamShapes {
               |FROM cum ORDER BY batch, doc_id""".stripMargin)
     ),
 
+    // WATERMARK-DROP ACCOUNTING — the observability row an operator of
+    // a 100 TB streaming ingest asks for first: per window, how many
+    // events arrived beyond the watermark horizon and were silently
+    // excluded from the aggregates. Batch form over a deterministic
+    // two-micro-batch arrival schedule (batch = event_id parity + 1):
+    // the watermark after batch 1 is max(batch-1 event time) floored to
+    // MILLISECONDS (Spark's EventTimeStats granularity) minus the
+    // 10-minute delay, and a batch-2 event is dropped iff its window
+    // END <= that watermark — the NON-STRICT bound the engine actually
+    // applies (pinned against numRowsDroppedByWatermark and the final
+    // window counts in StreamingSpec's MemoryStream twin). Everything
+    // is closed-form ⇒ fully SQL-replayable; one scan + one broadcast
+    // scalar + one partial-aggregated groupBy at any scale.
+    QueryDef(
+      "st23_watermark_drops",
+      (s, d) => {
+        val ev = table(s, d, "events")
+        val wmRow = ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+          .agg((date_trunc("millisecond", max(col("ts"))) -
+                expr("INTERVAL 10 minutes")).as("wm"))
+        ev.select(col("event_id"),
+                  window(col("ts"), "5 minutes").as("w"))
+          .select(col("event_id"), col("w.start").as("w_start"),
+                  col("w.end").as("w_end"))
+          .crossJoin(broadcast(wmRow))
+          .withColumn("dropped",
+            (pmod(col("event_id"), lit(2L)) === 1 &&
+             col("w_end") <= col("wm")).cast("int"))
+          .groupBy("w_start")
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("dropped")).cast("long").as("n_dropped"),
+               (count(lit(1)) - sum(col("dropped"))).cast("long")
+                 .as("n_counted"))
+          .orderBy("w_start")
+      },
+      Some("""WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |wm AS (
+             |  SELECT date_trunc('milliseconds', max(ts))
+             |           - INTERVAL 10 minutes AS wm
+             |  FROM ev WHERE event_id % 2 = 0),
+             |t AS (
+             |  SELECT event_id,
+             |    time_bucket(INTERVAL '5 minutes', ts) AS w_start
+             |  FROM ev)
+             |SELECT t.w_start, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN event_id % 2 = 1
+             |                 AND t.w_start + INTERVAL 5 minutes <= wm.wm
+             |            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             |  CAST(COUNT(*) - SUM(CASE WHEN event_id % 2 = 1
+             |                 AND t.w_start + INTERVAL 5 minutes <= wm.wm
+             |            THEN 1 ELSE 0 END) AS BIGINT) AS n_counted
+             |FROM t, wm GROUP BY t.w_start ORDER BY t.w_start""".stripMargin)
+    ),
+
     // STREAMING decontamination: dc03's continuous form — arriving
     // corpus vectors are gated per micro-batch against the STATIC
     // benchmark band table (eval-suite-sized, computed once) with the

@@ -1467,6 +1467,50 @@ class StreamingSpec extends SparkSpec {
     assert(out(40L) == ((1, "kept")), s"$out")
   }
 
+  test("st23: batch watermark-drop accounting equals the streaming engine's drops") {
+    implicit val sqlCtx = spark.sqlContext
+    // replay the entry's exact arrival schedule (batch = event_id
+    // parity) through the real engine: tumblingCounts carries the same
+    // 5-minute windows + 10-minute watermark the accounting models
+    val ev = graft.queries.QueryDef.table(spark, sf0001, "events")
+      .select("event_id", "ts", "event_type", "value")
+      .as[(Long, Timestamp, String, Double)].collect()
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    // UPDATE mode, deliberately: complete mode retains all state and
+    // never drops late rows — the watermark only evicts/filters in
+    // update/append. The sink then holds every per-batch update; the
+    // final count per key is the max (counts are cumulative).
+    val q = EventStreams.tumblingCounts(events).writeStream
+      .queryName("st23_twin").outputMode("update").format("memory").start()
+    try {
+      mem.addData(ev.filter(_._1 % 2 == 0).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(ev.filter(_._1 % 2 == 1).toSeq: _*)
+      q.processAllAvailable()
+      val streamedDrops = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      val acct = SparkEntry.queries("st23_watermark_drops")(spark, sf0001)
+        .localCheckpoint(true)
+      val acctDrops = acct.agg(sum("n_dropped")).head().getLong(0)
+      assert(streamedDrops == acctDrops,
+             s"streamed $streamedDrops vs accounted $acctDrops")
+      // per-window surviving counts: the engine's final state, summed
+      // over event types, must equal the accounting's n_counted rows
+      val streamedCounts = spark.table("st23_twin")
+        .groupBy("w_start", "event_type").agg(max("n_events").as("n"))
+        .groupBy("w_start").agg(sum("n").as("n_counted"))
+      val acctCounts = acct
+        .filter(col("n_counted") > 0) // fully-dropped windows never open
+        .select("w_start", "n_counted")
+      assert(streamedCounts.exceptAll(acctCounts).isEmpty &&
+             acctCounts.exceptAll(streamedCounts).isEmpty,
+             "per-window counted rows diverge from the engine")
+      // the fixture must actually exercise drops, or the pin is vacuous
+      assert(acctDrops > 0, "sf0.001 schedule produced no late drops")
+    } finally q.stop()
+  }
+
   test("streaming takedown: per-epoch serves equal the batch form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
