@@ -218,4 +218,42 @@ object BloomGramIndex {
     writeFilter(outPath, merged, est, bits)
     outPath
   }
+
+  /** Keep-last-N retention for a `filter_<v>.bf` version chain: each
+    * [[merged]] epoch writes a NEW versioned file (cache soundness — a
+    * path's bytes never change after creation, so
+    * [[graft.functions.BloomFilterCache]] can key on the path), which
+    * left superseded versions accumulating forever. Deleting versions
+    * `<= max(v) − keepLast` is safe on two grounds, both spec-pinned:
+    *
+    *  - MEMBERSHIP is never lost — every filter in the chain is the
+    *    cumulative union of all grams ever accepted, so the newest
+    *    file alone gates exactly as the whole chain would;
+    *  - CACHE/REPLAY soundness — only versions past a horizon go: a
+    *    crash-replayed micro-batch k re-reads `filter_{k-1}` (within
+    *    any keepLast ≥ 2), and a cache that already loaded an older
+    *    path keeps serving from memory; no live reader ever OPENS a
+    *    version below `latest − keepLast` because gates only probe the
+    *    newest.
+    *
+    * Returns the number of versions deleted. */
+  def pruneChain(filterDir: String, keepLast: Int = 2): Int = {
+    val dir = new java.io.File(filterDir)
+    val pat = "filter_(\\d+)\\.bf".r
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case pat(v) => Some(v.toLong)
+        case _      => None
+      })
+    if (versions.isEmpty) 0
+    else {
+      val horizon = versions.max - keepLast
+      val doomed = versions.filter(_ <= horizon)
+      doomed.foreach { v =>
+        new java.io.File(dir, s"filter_$v.bf").delete()
+        new java.io.File(dir, s"filter_$v.bf.meta").delete()
+      }
+      doomed.length
+    }
+  }
 }

@@ -226,6 +226,11 @@ object EventStreams {
           graft.analytics.DataQuality.gramKeys(batch)
             .join(accepted, Seq("doc_id"), "left_semi").select("g"),
           s"$filterDir/filter_$batchId.bf")
+        // retention AFTER the new version is durable: superseded
+        // snapshots past the replay horizon go (each filter is the
+        // cumulative gram union, so membership is never lost — see
+        // BloomGramIndex.pruneChain for the soundness rule)
+        graft.analytics.BloomGramIndex.pruneChain(filterDir)
         ()
       }
       .start()

@@ -747,6 +747,49 @@ class StreamingSpec extends SparkSpec {
     assert(out(5L)._3 == 3L && out(5L)._5 == 0, s"$out")
   }
 
+  test("bloom ingest gate: 5-epoch chain stays bounded, membership survives pruning") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st14p_").toString
+    val seed = graft.analytics.BloomGramIndex.emptyFilter(
+      s"$tmp/seed.bf", 1024L, 16384L)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.bloomIngestGate(
+      mem.toDF().toDF("doc_id", "text"),
+      seed, s"$tmp/filters", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // epoch 0 plants the reference doc; epochs 1-3 are unrelated
+      // novel docs; epoch 4 replays a near-dup of epoch 0's doc — by
+      // then filter_0 has been PRUNED, so the rejection proves the
+      // newest filter alone carries the full cumulative membership
+      mem.addData((1L, "alpha beta gamma delta epsilon zeta eta"))
+      q.processAllAvailable()
+      for (e <- 1 to 3) {
+        mem.addData((10L + e, s"novel$e words ${e}a ${e}b ${e}c ${e}d ${e}e"))
+        q.processAllAvailable()
+      }
+      mem.addData((5L, "alpha beta gamma delta epsilon zeta theta"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("doc_id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(out(1L) == 1 && out(5L) == 0,
+             s"membership lost across pruned epochs: $out")
+      assert((1 to 3).forall(e => out(10L + e) == 1), s"$out")
+      // chain bounded: exactly the keep-last-2 files remain (the
+      // newest, probed by the next batch, and its replay predecessor)
+      val left = Option(new java.io.File(s"$tmp/filters").listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(_.matches("filter_\\d+\\.bf")).sorted.toSeq
+      assert(left == Seq("filter_3.bf", "filter_4.bf"),
+             s"chain not pruned to the horizon: $left")
+      // and their .meta sidecars went with them
+      val metas = Option(new java.io.File(s"$tmp/filters").listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(_.endsWith(".meta")).sorted.toSeq
+      assert(metas == Seq("filter_3.bf.meta", "filter_4.bf.meta"), s"$metas")
+    } finally q.stop()
+  }
+
   test("bloom ingest gate: kill + restart from checkpoint — one decision per doc, chain intact") {
     import java.nio.file.Files
     val landing = Files.createTempDirectory("st14r-landing").toString
