@@ -111,6 +111,138 @@ object EtlOps {
              |  CASE WHEN isnan(l_quantity) OR isinf(l_quantity) THEN NULL
              |       ELSE l_quantity END AS qty_clean
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // ---- ref01: the reference's FULL lifecycle as one driver-checked
+    // entry (E1 ingest-parse → T1-T8 transform → K2 INSERT-IGNORE load →
+    // E3 query + K6 census; harvard_artifacts_app.py:383-424). The chain
+    // previously lived only in golden tests; here every stage's effect
+    // sits inside the hash. Raw API records are derived closed-form from
+    // `documents` ids, serialized to REAL JSON and re-parsed (from_json —
+    // the S1 ingest parse), pushed through ArtifactEtl (string/int
+    // default-fill, T5 truncation, T7 color slice+explode, T6 vertical
+    // split, K3 double cleanse), deduped keep-first within the batch
+    // (ids % 13 carry a later-arriving 'DUP'-titled copy that must
+    // lose), INSERT-IGNOREd against a pre-existing epoch (ids % 10 = 0,
+    // identical derivation — the final table is one-row-per-id exactly
+    // when the anti-join is correct), then queried with reference
+    // template 19 VERBATIM through spark.sql (3-way join + DISTINCT over
+    // all three artifact tables) with the load census appended (the
+    // reference's row-count metrics sink). All modular arithmetic ⇒
+    // DuckDB replays the lifecycle's output with no JSON and no Spark;
+    // a break in parse/fill/truncate/slice/dedup/anti-join/join shifts
+    // either the row set or the census.
+    QueryDef(
+      "ref01_reference_e2e",
+      (s, d) => {
+        import graft.etl.ArtifactEtl
+        import org.apache.spark.sql.types._
+        val id = col("doc_id")
+        def fields(dup: Boolean) = struct(
+          id.as("id"),
+          (if (dup) lit("DUP") else concat(lit("Artifact "), id)).as("title"),
+          element_at(array(lit("Byzantine"), lit("Roman"), lit("Greek"),
+                           lit("Egyptian")),
+                     (pmod(id, lit(4L)) + 1).cast("int")).as("culture"),
+          when(pmod(id, lit(3L)) === 0, lit("Archaic Period"))
+            .when(pmod(id, lit(3L)) === 1, lit("Classical Period"))
+            .as("period"), // else NULL → T2 fills ''
+          concat((pmod(id, lit(20L)) + 1).cast("string"), lit("th century"))
+            .as("century"),
+          concat(lit("medium-"), pmod(id, lit(5L))).as("medium"),
+          lit(null).cast("string").as("dimensions"), // T2 fill exercised
+          concat(lit("desc "),
+                 repeat(lit("d"), (pmod(id, lit(60L)) * 10).cast("int")))
+            .as("description"),               // lengths 5..595 → T5 cut
+          concat(lit("dept-"), pmod(id, lit(5L))).as("department"),
+          concat(lit("class-"), pmod(id, lit(6L))).as("classification"),
+          when(pmod(id, lit(7L)) =!= 0, lit(1900L) + pmod(id, lit(120L)))
+            .as("accessionyear"),             // T4 nullable passthrough
+          concat(lit("method-"), pmod(id, lit(3L))).as("accessionmethod"),
+          when(pmod(id, lit(11L)) =!= 0, pmod(id, lit(5L))).as("imagecount"),
+          when(pmod(id, lit(13L)) =!= 0, pmod(id, lit(4L))).as("mediacount"),
+          pmod(id, lit(6L)).as("colorcount"),
+          when(pmod(id, lit(17L)) =!= 0, pmod(id, lit(100L))).as("rank"),
+          (lit(1400L) + pmod(id, lit(300L))).as("datebegin"),
+          (lit(1450L) + pmod(id, lit(300L))).as("dateend"),
+          slice(transform(sequence(lit(0), lit(6)), j => struct(
+                  concat(lit("s"), j).as("spectrum"),
+                  element_at(array(lit("Grey"), lit("Red"), lit("Blue"),
+                                   lit("Green"), lit("Brown")),
+                             (pmod(id + j, lit(5L)) + 1).cast("int"))
+                    .as("hue"),
+                  concat(lit("c"), pmod(id + j, lit(8L))).as("color"),
+                  (pmod(id, lit(10L)).cast("double") / 10.0 + j)
+                    .as("percent"),
+                  concat(lit("#"), j).as("css3"))),
+                lit(1), pmod(id, lit(7L)).cast("int")).as("colors"))
+        val colorsT = ArrayType(StructType(Seq(
+          StructField("spectrum", StringType), StructField("hue", StringType),
+          StructField("color", StringType), StructField("percent", DoubleType),
+          StructField("css3", StringType))))
+        val rawSchema = StructType(Seq(
+          StructField("id", LongType), StructField("title", StringType),
+          StructField("culture", StringType), StructField("period", StringType),
+          StructField("century", StringType), StructField("medium", StringType),
+          StructField("dimensions", StringType),
+          StructField("description", StringType),
+          StructField("department", StringType),
+          StructField("classification", StringType),
+          StructField("accessionyear", LongType),
+          StructField("accessionmethod", StringType),
+          StructField("imagecount", LongType),
+          StructField("mediacount", LongType),
+          StructField("colorcount", LongType), StructField("rank", LongType),
+          StructField("datebegin", LongType), StructField("dateend", LongType),
+          StructField("colors", colorsT)))
+        val docs = table(s, d, "documents").select("doc_id")
+        val rawJs = docs
+          .select(to_json(fields(dup = false)).as("js"), lit(0).as("arrival"))
+          .unionByName(docs.filter(pmod(id, lit(13L)) === 0)
+            .select(to_json(fields(dup = true)).as("js"),
+                    lit(1).as("arrival")))
+        val raw = rawJs
+          .select(from_json(col("js"), rawSchema).as("r"), col("arrival"))
+          .select(col("r.*"), col("arrival"))
+        val deduped = ArtifactEtl
+          .dedupKeepFirst(raw, "id", col("arrival")).drop("arrival")
+        val (meta, media, colors) = ArtifactEtl.transform(deduped)
+        // pre-existing epoch (an earlier run of the same crawl):
+        // identical rows for ids % 10 = 0 already sit in the store
+        val metaOld = meta.filter(pmod(col("id"), lit(10L)) === 0)
+        val metaFinal = metaOld
+          .unionByName(ArtifactEtl.upsertIgnore(meta, metaOld, "id"))
+        val mediaOld = media.filter(pmod(col("objectid"), lit(10L)) === 0)
+        val mediaFinal = mediaOld
+          .unionByName(ArtifactEtl.upsertIgnore(media, mediaOld, "objectid"))
+        // colors carry no single-column PK — child rows follow their
+        // parent's insert decision (one parent row per id here)
+        val colorsFinal = ArtifactEtl.cleanseDoubles(colors)
+        ReferenceQueries
+          .run(s, "19", metaFinal, mediaFinal, colorsFinal)
+          .crossJoin(broadcast(
+            metaFinal.agg(count(lit(1)).as("total_artifacts"))))
+          .crossJoin(broadcast(
+            mediaFinal.agg(count(lit(1)).as("total_media"))))
+          .crossJoin(broadcast(
+            colorsFinal.agg(count(lit(1)).as("total_colors"))))
+          .orderBy("title")
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id FROM documents),
+             |med AS (
+             |  SELECT id,
+             |    CASE WHEN id % 17 = 0 THEN 0 ELSE id % 100 END AS rnk
+             |  FROM ids),
+             |cj AS (
+             |  SELECT id, unnest(range(LEAST(id % 7, 5))) AS j FROM ids),
+             |greys AS (SELECT DISTINCT id FROM cj WHERE (id + j) % 5 = 0)
+             |SELECT DISTINCT 'Artifact ' || CAST(g.id AS VARCHAR) AS title,
+             |  (SELECT COUNT(*) FROM ids) AS total_artifacts,
+             |  (SELECT COUNT(*) FROM ids) AS total_media,
+             |  (SELECT COUNT(*) FROM cj) AS total_colors
+             |FROM greys g JOIN med m USING (id)
+             |WHERE m.rnk <= 10
+             |ORDER BY title""".stripMargin)
     )
   )
 }
