@@ -62,11 +62,11 @@ object BpeTokenizer {
   val VocabCap = 4096
 
   /** Spark-side whitespace word list of `text`. */
-  private val wordsExpr =
+  private[analytics] val wordsExpr =
     "filter(split(text, '\\\\s+'), w -> length(w) > 0)"
 
   /** DuckDB replay of [[wordsExpr]]. */
-  private val wordsSql =
+  private[analytics] val wordsSql =
     """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
 
   /** Learning units for the DEEP table: word BIGRAMS joined by '_'.
@@ -80,14 +80,14 @@ object BpeTokenizer {
     * referencing `split(text, …)` re-evaluates the split per element
     * (O(words²·len) per doc) — project the list once, then build the
     * bigrams off the attribute. */
-  private def bigramUnitsOf(ws: String): String =
+  private[analytics] def bigramUnitsOf(ws: String): String =
     s"""CASE WHEN size($ws) >= 2 THEN
        |  transform(sequence(1, size($ws) - 1),
        |    i -> concat(element_at($ws, i), '_', element_at($ws, i + 1)))
        |ELSE cast(array() as array<string>) END""".stripMargin
 
   /** DuckDB replay of [[bigramUnitsOf]] over a word-list column `w`. */
-  private def bigramUnitsSql(w: String): String =
+  private[analytics] def bigramUnitsSql(w: String): String =
     s"""CASE WHEN len($w) >= 2 THEN
        |  list_transform(range(len($w) - 1),
        |    i -> $w[i + 1] || '_' || $w[i + 2])

@@ -77,6 +77,146 @@ object CurationPipeline {
               md5(lower(concat_ws(" ", col("cleaned")))).as("fp"))
   }
 
+  /** cp02's full v2 selection — boilerplate strip → adaptive quality
+    * gate → cleaned-fingerprint dedup → per-language token-budget
+    * selection — returning the unsorted survivor frame
+    * (doc_id, lang, n_tokens, shard). Shared by the cp02 entry and
+    * cp07's training-file capstone so the selection can never drift
+    * between them. */
+  private[graft] def cp02Selection(s: org.apache.spark.sql.SparkSession,
+                                   d: String)
+      : org.apache.spark.sql.DataFrame = {
+    // The strip lineage ([[cp02Cleaned]]: 8-gram explode → census
+    // semi-join → native span strip) feeds BOTH the threshold
+    // aggregate and the gated frame — without a barrier it
+    // re-executes per consumer. The dq05 recipe: the narrow
+    // per-doc rows are eagerly localCheckpoint'd once; every later
+    // stage derives from the materialization. At cluster scale the
+    // same barrier is a persist to executor storage.
+    val cleaned = cp02Cleaned(s, d).localCheckpoint(true)
+    // stage 2: adaptive gate over the cleaned corpus (dq04)
+    val th = cleaned.agg(
+      expr("percentile(n_tokens, 0.25)").as("p25w"),
+      expr("percentile(dwf, 0.75)").as("p75d"))
+    val gated = cleaned.crossJoin(broadcast(th))
+      .filter(col("n_tokens") >= col("p25w") && col("dwf") <= col("p75d"))
+    // stage 3: exact dedup on the CLEANED fingerprint, keep-first
+    val dw = Window.partitionBy(col("fp")).orderBy("doc_id")
+    // second barrier: `deduped` feeds the per-language totals, the
+    // budget, and the final selection — materialize the (already
+    // narrow) survivor rows once instead of re-running gate + dedup
+    // per consumer
+    val deduped = gated
+      .withColumn("rk", row_number().over(dw))
+      .filter(col("rk") === 1)
+      .select("doc_id", "lang", "n_tokens")
+      .localCheckpoint(true)
+    // stage 4: per-language token-budget selection (dm06)
+    val totals = deduped.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
+    val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
+    val h = md5(concat(col("doc_id").cast("string"), lit(":tb2"))
+      .cast("binary"))
+    val w = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deduped.withColumn("h", h)
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int") % 16)
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_before") < col("shard_budget"))
+      .select("doc_id", "lang", "n_tokens", "shard")
+  }
+
+  /** [[cp02Selection]]'s DuckDB replay as a CTE chain ending in `sel`
+    * (doc_id, lang, n_tokens, shard) — shared by the cp02 oracle and
+    * cp07's, which re-derives the selection before auditing the
+    * training file built over it. */
+  private def cp02SelectionCtesSql: String =
+    s"""words AS (
+       |  SELECT doc_id, lang, $wordsSql AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |    CAST(unnest(range(greatest(len(w) - 7, 0))) AS INT) AS p
+       |  FROM words),
+       |g2 AS (
+       |  SELECT doc_id, p, array_to_string(w[p + 1:p + 8], ' ') AS g
+       |  FROM pos),
+       |census AS (
+       |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+       |dup AS (
+       |  SELECT doc_id, p FROM g2 WHERE g IN (SELECT g FROM census)),
+       |marked AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER win IS NULL OR p > lag(p) OVER win + 7
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM dup WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+       |numbered AS (
+       |  SELECT doc_id, p,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM marked),
+       |islands AS (
+       |  SELECT doc_id, min(p) AS mn, max(p) + 7 AS mx
+       |  FROM numbered GROUP BY doc_id, isl),
+       |wp AS (
+       |  SELECT doc_id, w, CAST(unnest(range(len(w))) AS INT) AS j
+       |  FROM words),
+       |keptw AS (
+       |  SELECT wp.doc_id, wp.w[wp.j + 1] AS word, wp.j
+       |  FROM wp
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM islands i
+       |    WHERE i.doc_id = wp.doc_id AND wp.j BETWEEN i.mn AND i.mx)),
+       |cstats AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens,
+       |    round((coalesce(a.n_kept, 0) - coalesce(a.n_distinct, 0)) * 1.0 /
+       |          greatest(coalesce(a.n_kept, 0), 1), 6) AS dwf,
+       |    coalesce(a.ctext, '') AS ctext
+       |  FROM words d LEFT JOIN (
+       |    SELECT doc_id, count(*) AS n_kept,
+       |      count(DISTINCT word) AS n_distinct,
+       |      string_agg(word, ' ' ORDER BY j) AS ctext
+       |    FROM keptw GROUP BY doc_id) a USING (doc_id)),
+       |th AS (
+       |  SELECT quantile_cont(n_tokens, 0.25) AS p25w,
+       |         quantile_cont(dwf, 0.75) AS p75d
+       |  FROM cstats),
+       |gated AS (
+       |  SELECT c.* FROM cstats c, th
+       |  WHERE c.n_tokens >= th.p25w AND c.dwf <= th.p75d),
+       |dedup AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY md5(lower(ctext)) ORDER BY doc_id) AS rk
+       |    FROM gated) WHERE rk = 1),
+       |toks AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':tb2') AS h
+       |  FROM dedup),
+       |sharded AS (
+       |  SELECT *, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+       |     AS INT) % 16 AS shard
+       |  FROM toks),
+       |totals AS (
+       |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_lang
+       |  FROM toks GROUP BY lang),
+       |budget AS (
+       |  SELECT CAST(min(tok_lang) // 16 AS BIGINT) AS shard_budget
+       |  FROM totals),
+       |cum AS (
+       |  SELECT doc_id, lang, n_tokens, shard,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM sharded),
+       |sel AS (
+       |  SELECT doc_id, lang, n_tokens, shard
+       |  FROM cum, budget WHERE cum_before < shard_budget)""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef(
       "cp01_curation_manifest",
@@ -208,131 +348,9 @@ object CurationPipeline {
     // dedup shuffle the semantics require.
     QueryDef(
       "cp02_curation_v2",
-      (s, d) => {
-        // The strip lineage ([[cp02Cleaned]]: 8-gram explode → census
-        // semi-join → native span strip) feeds BOTH the threshold
-        // aggregate and the gated frame — without a barrier it
-        // re-executes per consumer. The dq05 recipe: the narrow
-        // per-doc rows are eagerly localCheckpoint'd once; every later
-        // stage derives from the materialization. At cluster scale the
-        // same barrier is a persist to executor storage.
-        val cleaned = cp02Cleaned(s, d).localCheckpoint(true)
-        // stage 2: adaptive gate over the cleaned corpus (dq04)
-        val th = cleaned.agg(
-          expr("percentile(n_tokens, 0.25)").as("p25w"),
-          expr("percentile(dwf, 0.75)").as("p75d"))
-        val gated = cleaned.crossJoin(broadcast(th))
-          .filter(col("n_tokens") >= col("p25w") && col("dwf") <= col("p75d"))
-        // stage 3: exact dedup on the CLEANED fingerprint, keep-first
-        val dw = Window.partitionBy(col("fp")).orderBy("doc_id")
-        // second barrier: `deduped` feeds the per-language totals, the
-        // budget, and the final selection — materialize the (already
-        // narrow) survivor rows once instead of re-running gate + dedup
-        // per consumer
-        val deduped = gated
-          .withColumn("rk", row_number().over(dw))
-          .filter(col("rk") === 1)
-          .select("doc_id", "lang", "n_tokens")
-          .localCheckpoint(true)
-        // stage 4: per-language token-budget selection (dm06)
-        val totals = deduped.groupBy("lang").agg(sum("n_tokens").as("tok_lang"))
-        val budget = totals.agg(expr("min(tok_lang) div 16").as("shard_budget"))
-        val h = md5(concat(col("doc_id").cast("string"), lit(":tb2"))
-          .cast("binary"))
-        val w = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        deduped.withColumn("h", h)
-          .withColumn("shard",
-            conv(substring(col("h"), 1, 2), 16, 10).cast("int") % 16)
-          .withColumn("cum_before",
-            coalesce(sum("n_tokens").over(w), lit(0L)))
-          .crossJoin(broadcast(budget))
-          .filter(col("cum_before") < col("shard_budget"))
-          .select("doc_id", "lang", "n_tokens", "shard")
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH words AS (
-              |  SELECT doc_id, lang, $wordsSql AS w FROM documents),
-              |pos AS (
-              |  SELECT doc_id, w,
-              |    CAST(unnest(range(greatest(len(w) - 7, 0))) AS INT) AS p
-              |  FROM words),
-              |g2 AS (
-              |  SELECT doc_id, p, array_to_string(w[p + 1:p + 8], ' ') AS g
-              |  FROM pos),
-              |census AS (
-              |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
-              |dup AS (
-              |  SELECT doc_id, p FROM g2 WHERE g IN (SELECT g FROM census)),
-              |marked AS (
-              |  SELECT doc_id, p,
-              |    CASE WHEN lag(p) OVER win IS NULL OR p > lag(p) OVER win + 7
-              |         THEN 1 ELSE 0 END AS brk
-              |  FROM dup WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
-              |numbered AS (
-              |  SELECT doc_id, p,
-              |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-              |  FROM marked),
-              |islands AS (
-              |  SELECT doc_id, min(p) AS mn, max(p) + 7 AS mx
-              |  FROM numbered GROUP BY doc_id, isl),
-              |wp AS (
-              |  SELECT doc_id, w, CAST(unnest(range(len(w))) AS INT) AS j
-              |  FROM words),
-              |keptw AS (
-              |  SELECT wp.doc_id, wp.w[wp.j + 1] AS word, wp.j
-              |  FROM wp
-              |  WHERE NOT EXISTS (
-              |    SELECT 1 FROM islands i
-              |    WHERE i.doc_id = wp.doc_id AND wp.j BETWEEN i.mn AND i.mx)),
-              |cstats AS (
-              |  SELECT d.doc_id, d.lang,
-              |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens,
-              |    round((coalesce(a.n_kept, 0) - coalesce(a.n_distinct, 0)) * 1.0 /
-              |          greatest(coalesce(a.n_kept, 0), 1), 6) AS dwf,
-              |    coalesce(a.ctext, '') AS ctext
-              |  FROM words d LEFT JOIN (
-              |    SELECT doc_id, count(*) AS n_kept,
-              |      count(DISTINCT word) AS n_distinct,
-              |      string_agg(word, ' ' ORDER BY j) AS ctext
-              |    FROM keptw GROUP BY doc_id) a USING (doc_id)),
-              |th AS (
-              |  SELECT quantile_cont(n_tokens, 0.25) AS p25w,
-              |         quantile_cont(dwf, 0.75) AS p75d
-              |  FROM cstats),
-              |gated AS (
-              |  SELECT c.* FROM cstats c, th
-              |  WHERE c.n_tokens >= th.p25w AND c.dwf <= th.p75d),
-              |dedup AS (
-              |  SELECT * FROM (
-              |    SELECT *, row_number() OVER (
-              |      PARTITION BY md5(lower(ctext)) ORDER BY doc_id) AS rk
-              |    FROM gated) WHERE rk = 1),
-              |toks AS (
-              |  SELECT doc_id, lang, n_tokens,
-              |    md5(CAST(doc_id AS VARCHAR) || ':tb2') AS h
-              |  FROM dedup),
-              |sharded AS (
-              |  SELECT *, CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
-              |     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
-              |     AS INT) % 16 AS shard
-              |  FROM toks),
-              |totals AS (
-              |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_lang
-              |  FROM toks GROUP BY lang),
-              |budget AS (
-              |  SELECT CAST(min(tok_lang) // 16 AS BIGINT) AS shard_budget
-              |  FROM totals),
-              |cum AS (
-              |  SELECT doc_id, lang, n_tokens, shard,
-              |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
-              |      ORDER BY h, doc_id
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              |      AS cum_before
-              |  FROM sharded)
-              |SELECT doc_id, lang, n_tokens, shard
-              |FROM cum, budget WHERE cum_before < shard_budget
+      (s, d) => cp02Selection(s, d).orderBy("doc_id"),
+      Some(s"""WITH $cp02SelectionCtesSql
+              |SELECT doc_id, lang, n_tokens, shard FROM sel
               |ORDER BY doc_id""".stripMargin)
     ),
 
@@ -657,8 +675,125 @@ object CurationPipeline {
               |LEFT JOIN keptb kb ON d.doc_id = kb.doc_id
               |LEFT JOIN fileno f ON d.doc_id = f.doc_id
               |ORDER BY d.doc_id""".stripMargin)
+    ),
+
+    // ---- cp07: crawl → training-file CAPSTONE --------------------------
+    // The whole stack in ONE plan: cp02's v2 curation selects the
+    // corpus, the 1024-merge DEEP tokenizer (tok01b's table, learned
+    // in-plan via the one-aggregate-plus-driver-loop) encodes every
+    // selected doc's bigram units through the native segmenter, and
+    // dm08's greedy packer lays the deep-token counts into fixed-budget
+    // training sequences per shard. The emitted frame is the per-shard
+    // CONSERVATION LEDGER of that training file:
+    //  - n_docs / prefix_tokens are fully oracle-recomputable — the
+    //    oracle re-derives the cp02 selection (its own CTE chain) AND
+    //    the deep table's 12-rank prefix (the materialized bigram learn
+    //    CTEs; prefix-stability makes deep.take(12) bit-equal to the
+    //    12-round replay, the tok01b theorem) and re-tokenizes the
+    //    selected docs under it;
+    //  - the full-depth side rides as tok04's theorem audits
+    //    (depth-monotone, token floor) plus packing conservation
+    //    (Σ sequence docs/tokens == selected docs/deep tokens) — a
+    //    broken selection, learn, segmenter, or packer flips a count
+    //    or a boolean.
+    // Scale shape: selection is cp02's (unit-operator shapes + two
+    // narrow barriers), learning is merge-count-independent in cluster
+    // round trips, encoding is map-side codegen at any depth, packing
+    // is shard-local windows — no new corpus-wide barrier anywhere.
+    QueryDef(
+      "cp07_training_file",
+      (s, d) => {
+        import graft.analytics.{BpeTokenizer => bpe}
+        val deep = bpe.loadOrLearn(s, d, bpe.DeepMerges, "bigram")
+        val prefix = deep.take(bpe.Merges)
+        val sel = cp02Selection(s, d).localCheckpoint(true)
+        val units = table(s, d, "documents")
+          .join(sel.select("doc_id", "shard"), Seq("doc_id"))
+          .select(col("doc_id"), col("shard"),
+                  expr(bpe.wordsExpr).as("ws"))
+          .select(col("doc_id"), col("shard"),
+                  explode(expr(bpe.bigramUnitsOf("ws"))).as("u"))
+          .select(col("doc_id"), col("shard"),
+                  bpe.bpeWordTokens(col("u"), deep).cast("long").as("td"),
+                  bpe.bpeWordTokens(col("u"), prefix).cast("long").as("tp"))
+        // per-doc totals (docs with < 2 words have no units → 0 tokens)
+        val perDoc = sel.select("doc_id", "shard")
+          .join(units.groupBy("doc_id")
+                  .agg(sum("td").as("n_deep"), sum("tp").as("n_prefix"),
+                       bool_and(col("td") <= col("tp")).as("mono"),
+                       bool_and(col("td") >= 1).as("flr")),
+                Seq("doc_id"), "left")
+          .select(col("doc_id"), col("shard"),
+                  coalesce(col("n_deep"), lit(0L)).as("n_deep"),
+                  coalesce(col("n_prefix"), lit(0L)).as("n_prefix"),
+                  coalesce(col("mono"), lit(true)).as("mono"),
+                  coalesce(col("flr"), lit(true)).as("flr"))
+          .localCheckpoint(true)
+        // the training-file layout at FULL depth: dm08's greedy pack
+        // over deep-token counts, shard-local windows
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val seqs = perDoc
+          .withColumn("cum_before",
+            coalesce(sum("n_deep").over(w), lit(0L)))
+          .withColumn("seq_id",
+            (col("cum_before") / lit(Cp07SeqBudget)).cast("long"))
+          .groupBy("shard", "seq_id")
+          .agg(count(lit(1)).as("sdocs"), sum("n_deep").as("stoks"))
+        val bySeq = seqs.groupBy("shard")
+          .agg(sum("sdocs").as("docs_in_seqs"),
+               sum("stoks").as("toks_in_seqs"))
+        perDoc.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_prefix").as("prefix_tokens"),
+               sum("n_deep").as("__deep"),
+               bool_and(col("mono")).as("depth_monotone_ok"),
+               bool_and(col("flr")).as("token_floor_ok"))
+          .join(bySeq, Seq("shard"))
+          .select(col("shard"), col("n_docs"), col("prefix_tokens"),
+                  col("depth_monotone_ok"), col("token_floor_ok"),
+                  (col("docs_in_seqs") === col("n_docs"))
+                    .as("docs_conserved_ok"),
+                  (col("toks_in_seqs") === col("__deep"))
+                    .as("tokens_conserved_ok"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH $cp02SelectionCtesSql,
+              |${graft.analytics.BpeTokenizer.learnCtesSqlBigram},
+              |${graft.analytics.BpeTokenizer.mergeRowCteSql},
+              |dw AS (
+              |  SELECT d.doc_id, s7.shard, $wordsSql AS w
+              |  FROM documents d JOIN sel s7 ON s7.doc_id = d.doc_id),
+              |uu AS (
+              |  SELECT shard,
+              |    unnest(${graft.analytics.BpeTokenizer.bigramUnitsSql("w")})
+              |      AS u
+              |  FROM dw),
+              |ut AS (
+              |  SELECT shard,
+              |    len(${graft.analytics.BpeTokenizer.segListSql("u")}) AS tp
+              |  FROM uu, m),
+              |shp AS (
+              |  SELECT shard, CAST(SUM(tp) AS BIGINT) AS prefix_tokens
+              |  FROM ut GROUP BY shard),
+              |shd AS (
+              |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |  FROM sel GROUP BY shard)
+              |SELECT shd.shard, shd.n_docs,
+              |  CAST(COALESCE(shp.prefix_tokens, 0) AS BIGINT)
+              |    AS prefix_tokens,
+              |  true AS depth_monotone_ok, true AS token_floor_ok,
+              |  true AS docs_conserved_ok, true AS tokens_conserved_ok
+              |FROM shd LEFT JOIN shp USING (shard)
+              |ORDER BY shd.shard""".stripMargin)
     )
   )
+
+  /** Deep-token budget per cp07 training sequence. Larger than dm02's
+    * word budget: a selected doc's bigram-unit DEEP tokens run ~2× its
+    * word count, and the packer is doc-granular — a budget well above
+    * the typical doc keeps multi-doc sequences the common case. */
+  val Cp07SeqBudget = 8192L
 
   /** cp06's per-document conservation ledger (see the entry comment):
     * one row per input document, verdict ∈ {quality, duplicate,
