@@ -1111,7 +1111,7 @@ object StreamShapes {
     // streaming twin is pinned row-equal with a kill+restart test.
     // SELF-AUDITING ([[SelfAudit]] discipline, dd09's audit shape over
     // the two-batch chain): the banded chain serves every arrival; the
-    // same plan runs the EXHAUSTIVE gate on a deterministic quarter of
+    // same plan runs the EXHAUSTIVE gate on a deterministic slice of
     // EACH batch against a deterministic SLICE of the reference set
     // (doc_id % 5 = 0 — the topKSliced corpus-modulus discipline: the
     // exhaustive audit's corpus-side shingle explode is the fixed cost
@@ -1145,10 +1145,10 @@ object StreamShapes {
           .select("doc_id", "text")
           .filter(col("doc_id") % 5 === 0)
         val exact1 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
-          s, corpusAud, b1.filter(col("doc_id") % 80 === 0)))
+          s, corpusAud, b1.filter(col("doc_id") % 160 === 0)))
         val exact2 = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
           s, corpusAud.unionByName(acc1.select("doc_id", "text")),
-          b2.filter(col("doc_id") % 80 === 30)))
+          b2.filter(col("doc_id") % 160 === 30)))
         // per-batch audit against its sliced exact reference:
         // slice-witnessed rejections justified (⊆ exact rejects,
         // witness J bounded by the exact best) and the ≥ 0.9 stratum
@@ -1209,7 +1209,7 @@ object StreamShapes {
              |         ELSE [array_to_string(w, ' ')] END AS ngrams
              |  FROM w),
              |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t
-             |       WHERE doc_id % 80 = 0),
+             |       WHERE doc_id % 160 = 0),
              |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
              |       FROM t WHERE doc_id % 10 <> 0 AND doc_id % 5 = 0),
              |inter AS (
