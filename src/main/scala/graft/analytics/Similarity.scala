@@ -1214,15 +1214,19 @@ object Similarity {
     ),
     QueryDef(
       "ss07_batch_ivfpq",
-      // batch IVF-PQ at the serving configuration (nProbe 4 of 16, 8k
-      // shortlist), self-audited on a deterministic QUERY SUBSET
+      // batch IVF-PQ at the serving configuration (nProbe 4 of 16,
+      // 32·k shortlist — ss05's refine size: the 30× noise-staged gate
+      // showed the 8·k ADC shortlist losing the true neighbors among
+      // the probed lists' noise rows exactly as ss05's did at sf1),
+      // self-audited on a deterministic QUERY SUBSET
       // ([[SelfAudit.batchTopK]]: exact recall on all 32 queries would
       // re-run the ss07x brute-force anchor inside the serve; 4 audited
       // queries keep the audit a bounded fraction). ss07x stays the
       // full exactness anchor.
       (s, d) => SelfAudit.batchTopK(
         batchIvfPqTopK(s, d, queryMaxId = 32L, k = 10,
-                       nLists = IvfIndex.DefaultLists, nProbe = 4),
+                       nLists = IvfIndex.DefaultLists, nProbe = 4,
+                       shortlistFactor = 32),
         batchBruteL2TopK(table(s, d, "embeddings"),
                          queryIds = Seq(1L, 9L, 17L, 25L), k = 10),
         auditQueryIds = Seq(1L, 9L, 17L, 25L), minHitsTotal = 8,

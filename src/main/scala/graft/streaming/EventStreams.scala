@@ -1102,4 +1102,82 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
   }
+
+  /** Streaming incremental heavy hitters (st24 run continuously): per
+    * micro-batch of `(doc_id, text)` arrivals, merge the PERSISTED
+    * Misra–Gries summary with the batch's bigram stream (weighted
+    * replay = MG merge, so the ≤N/(k+1) bound survives the hand-off),
+    * publish the exact-recounted heavy bigrams of the stream-so-far,
+    * and persist the new summary. The cross-batch DECISION state is the
+    * ≤k-entry summary plus one running total — bounded forever; the
+    * gram store is the retained corpus the recount scans (a real
+    * deployment schedules that recount per N batches, st22-style, and
+    * retains grams anyway for the id01/st11 gates).
+    *
+    * Replay-idempotent: state is VERSIONED by batch id (batch b reads
+    * `state_{b-1}`, writes `state_b` — a replayed batch rewrites its
+    * own version from the same inputs), and both the gram store and the
+    * publish log are `partitionBy(batch_id)` with dynamic partition
+    * overwrite, so a replayed batch overwrites rather than duplicates.
+    * The streaming plan itself is stateless (no state store). */
+  def incrementalHeavyHitters(stream: DataFrame, stateDir: String,
+                              storeDir: String, outDir: String,
+                              checkpointDir: String, k: Int = 800)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.MisraGriesAgg.register(spark)
+        val grams = graft.analytics.FrequentItems.bigrams(batch)
+          .withColumn("w", lit(1L)).withColumn("is_raw", lit(1L))
+        val (prevSum, prevN) =
+          try {
+            val st = spark.read.parquet(s"$stateDir/state_${batchId - 1}")
+            (st.filter(col("item").isNotNull).select("item", "est"),
+             st.filter(col("item").isNull).agg(sum("est")).head()
+               .getLong(0))
+          } catch { case _: Exception => // cold start
+            (spark.emptyDataFrame
+               .select(lit("").as("item"), lit(0L).as("est")).limit(0),
+             0L)
+          }
+        val merged = prevSum
+          .select(col("item").as("ngram"), col("est").as("w"),
+                  lit(0L).as("is_raw"))
+          .unionByName(grams.select("ngram", "w", "is_raw"))
+          .agg(call_function(graft.functions.MisraGriesAgg.fnName,
+                             col("ngram"), col("w"), lit(k)).as("mg"),
+               coalesce(sum(col("w") * col("is_raw")), lit(0L)).as("nb"))
+        // state_b = summary rows + one NULL-item row carrying the new
+        // running total (single self-describing parquet dir)
+        merged.select(explode_outer(col("mg")).as("c"), col("nb"))
+          .select(col("c.item").as("item"), col("c.est").as("est"))
+          .filter(col("item").isNotNull)
+          .unionByName(merged.select(
+            lit(null).cast("string").as("item"),
+            (col("nb") + lit(prevN)).as("est")))
+          .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
+        grams.select(col("ngram")).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(storeDir)
+        // publish: exact recount of the ≤k candidates over the
+        // retained stream-so-far, thresholded at 1/k
+        val st = spark.read.parquet(s"$stateDir/state_$batchId")
+        val nTotal = st.filter(col("item").isNull).head().getLong(1)
+        val cands = st.filter(col("item").isNotNull)
+          .select(col("item").as("ngram"))
+        spark.read.parquet(storeDir).select("ngram")
+          .join(broadcast(cands), "ngram")
+          .groupBy("ngram").agg(count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") * lit(k) > lit(nTotal))
+          .select(col("ngram"), col("n_occ"), lit(nTotal).as("n_stream"),
+                  lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
 }

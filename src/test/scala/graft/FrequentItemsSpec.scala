@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.analytics.FrequentItems
+import graft.functions.MisraGriesAgg
+
+/** Misra–Gries heavy hitters: the no-false-negative guarantee in its
+  * real regime (vocabulary ≫ summary size, skewed stream), merge-order
+  * robustness, and the two-pass entries' exact determinism. */
+class FrequentItemsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  /** Zipf-ish stream: item i (1..V) appears ⌈C/i⌉ times — head items
+    * are heavy, the tail is a long noise floor. */
+  private def zipfStream(v: Int, c: Int): Seq[String] =
+    (1 to v).flatMap(i => Seq.fill(math.max(c / i, 1))(s"item$i"))
+
+  test("MG candidates cover every true heavy hitter when vocab >> k") {
+    MisraGriesAgg.register(spark)
+    val k = 16
+    val stream = zipfStream(v = 2000, c = 3000)
+    val n = stream.size
+    val truth = stream.groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, cnt) => cnt.toLong * (k + 1) > n }.keySet.toSet
+    assert(truth.nonEmpty && truth.size < k,
+      s"fixture must exercise the sketch: ${truth.size} HHs vs k=$k")
+    // three adversarial presentations of the same multiset: sorted,
+    // reverse-sorted (heavy items first), seeded shuffle — and three
+    // partition counts, so partial/merge paths all differ
+    val orders = Seq(
+      stream.sorted,
+      stream.sorted.reverse,
+      new scala.util.Random(7).shuffle(stream))
+    for (s0 <- orders; parts <- Seq(1, 3, 8)) {
+      val cands = s0.toDF("item").repartition(parts)
+        .agg(call_function(MisraGriesAgg.fnName, $"item", lit(k)).as("mg"))
+        .select(explode($"mg.item").as("item"))
+        .as[String].collect().toSet
+      assert(cands.size <= k)
+      assert(truth.subsetOf(cands),
+        s"lost HHs ${truth -- cands} at parts=$parts")
+    }
+  }
+
+  test("MG summary is exact when the vocabulary fits in k") {
+    MisraGriesAgg.register(spark)
+    val stream = Seq("a", "a", "a", "b", "b", "c")
+    val rows = stream.toDF("item").repartition(2)
+      .agg(call_function(MisraGriesAgg.fnName, $"item", lit(10)).as("mg"))
+      .select(explode($"mg").as("c"))
+      .select($"c.item", $"c.est").as[(String, Long)].collect().toMap
+    assert(rows == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("MG estimates undercount by at most N/(k+1)") {
+    MisraGriesAgg.register(spark)
+    val k = 16
+    val stream = zipfStream(v = 500, c = 2000)
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ests = stream.toDF("item").repartition(5)
+      .agg(call_function(MisraGriesAgg.fnName, $"item", lit(k)).as("mg"))
+      .select(explode($"mg").as("c"))
+      .select($"c.item", $"c.est").as[(String, Long)].collect()
+    ests.foreach { case (item, est) =>
+      val truth = exact(item)
+      assert(est <= truth, s"$item overestimated: $est > $truth")
+      assert(truth - est <= n.toLong / (k + 1),
+        s"$item undercounted past the bound: $truth - $est > $n/(${k + 1})")
+    }
+  }
+
+  test("null items are ignored, not counted") {
+    MisraGriesAgg.register(spark)
+    val rows = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("item")
+      .agg(call_function(MisraGriesAgg.fnName, $"item", lit(4)).as("mg"))
+      .select(explode($"mg").as("c"))
+      .select($"c.item", $"c.est").as[(String, Long)].collect().toMap
+    assert(rows == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("fi01 equals the exact census heavy hitters on the fixture") {
+    val fi = FrequentItems.all.find(_.name == "fi01_heavy_hitters").get
+      .df(spark, sf0001)
+      .select("ngram", "n_occ").as[(String, Long)].collect().toSet
+    // exact reference: full census, same threshold
+    val toks = filter(split(lower(trim($"text")), "\\s+"),
+                      t => length(t) > 0)
+    val census = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(toks.as("ts"))
+      .select(explode(zip_with(
+        slice($"ts", lit(1), greatest(size($"ts") - 1, lit(0))),
+        slice($"ts", lit(2), greatest(size($"ts") - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("ngram"))
+    val n = census.count()
+    val truth = census.groupBy("ngram").count()
+      .filter($"count" * 800 > n)
+      .select($"ngram", $"count").as[(String, Long)].collect().toSet
+    assert(fi == truth && fi.nonEmpty)
+    // and the fixture genuinely sketches: bigram vocabulary exceeds k
+    assert(census.select("ngram").distinct().count() > 800)
+  }
+
+  test("streaming incremental HH: sketch hand-off across batches on a planted stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st24_").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.incrementalHeavyHitters(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/state", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt", k = 4)
+    try {
+      // batch 0: bigrams "a b"×3, "b a"×2 (N=5); both clear 1/4 of 5
+      mem.addData((1L, "a b a b a b"))
+      q.processAllAvailable()
+      // batch 1: five NEW distinct bigrams (N=10 total) — vocabulary 7
+      // now exceeds k=4, so the merged summary must truncate, yet the
+      // guarantee keeps "a b" (3 > 10/(4+1)); only it clears 1/4 of 10
+      mem.addData((2L, "c d e f g h"))
+      q.processAllAvailable()
+      def pub(b: Int) = spark.read.parquet(s"$tmp/out")
+        .filter(col("batch_id") === b)
+        .select("ngram", "n_occ", "n_stream")
+        .as[(String, Long, Long)].collect().toSet
+      assert(pub(0) == Set(("a b", 3L, 5L), ("b a", 2L, 5L)))
+      assert(pub(1) == Set(("a b", 3L, 10L)))
+      // cross-batch decision state is the bounded summary alone:
+      // ≤ k entries + the single running-total row
+      val st = spark.read.parquet(s"$tmp/state/state_1")
+      assert(st.filter(col("item").isNotNull).count() <= 4)
+      assert(st.filter(col("item").isNull).count() == 1)
+      // stateless streaming plan (state lives in files, not a store)
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("st24 batch form is row-equal to the streaming twin at sf0.001") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st24t_").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.incrementalHeavyHitters(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/state", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(docs.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id") + 1).cast("int").as("epoch"),
+                col("ngram"), col("n_occ"), col("n_stream"))
+        .as[(Int, String, Long, Long)].collect().toSet
+      val batch = graft.analytics.FrequentItems.all
+        .find(_.name == "st24_incremental_heavy_hitters").get
+        .df(spark, sf0001)
+        .as[(Int, String, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("fi01 refine join broadcasts the bounded candidate side") {
+    val df = FrequentItems.all.find(_.name == "fi01_heavy_hitters").get
+      .df(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bcasts = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, s"expected broadcast refine join:\n$plan")
+  }
+}
