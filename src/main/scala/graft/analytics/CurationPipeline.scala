@@ -786,6 +786,71 @@ object CurationPipeline {
               |  true AS docs_conserved_ok, true AS tokens_conserved_ok
               |FROM shd LEFT JOIN shp USING (shard)
               |ORDER BY shd.shard""".stripMargin)
+    ),
+
+    // ---- cp08: Z-order layout (multi-dimensional data skipping) --------
+    QueryDef(
+      "cp08_zorder_layout",
+      // cp04 plans file SIZES; this plans file CONTENT for multi-dim
+      // data skipping. A linear sort on one key bounds min/max ranges
+      // on that key alone — a reader filtering on the OTHER dimension
+      // scans every file. Interleaving the bits of two 4-bit dimension
+      // buckets (source id, token-count band) into one 8-bit Z-value
+      // and cutting the file groups along it bounds BOTH dimensions at
+      // once: each of the 16 groups fixes the top two bits of each
+      // dim, so per-group spans are ≤ 4 of 16 buckets and a predicate
+      // on either dimension prunes ~3/4 of the files from min/max
+      // stats alone. All integer bit math, map-only; the real write is
+      // `repartitionByRange(zgroup)` + per-group parquet (cp04's sink
+      // discipline) — no global sort, the range exchange is the one
+      // shuffle. The emitted frame IS the min/max footer a reader
+      // would prune on, so the skipping claim is itself hash-checked.
+      (s, d) => {
+        val b1 = regexp_extract(col("source"), "^src(\\d+)$", 1)
+          .cast("int") % 16
+        val b2 = least((graft.analytics.TextAnalysis.tokenCount(col("text"))
+          .cast("int") / 8).cast("int"), lit(15))
+        val z = (0 until 4).map { i =>
+          (shiftleft(shiftright(col("b1"), i).bitwiseAND(1), 2 * i + 1)
+            .bitwiseOR(shiftleft(shiftright(col("b2"), i).bitwiseAND(1),
+                                 2 * i)))
+        }.reduce(_ bitwiseOR _)
+        table(s, d, "documents")
+          .select(col("doc_id"), b1.as("b1"), b2.as("b2"))
+          .withColumn("zgroup", (z / 16).cast("int"))
+          .groupBy("zgroup")
+          .agg(count(lit(1)).as("n_docs"),
+               min("b1").as("min_src"), max("b1").as("max_src"),
+               min("b2").as("min_len"), max("b2").as("max_len"))
+          .withColumn("both_dims_bounded",
+            (col("max_src") - col("min_src") < 4) &&
+              (col("max_len") - col("min_len") < 4))
+          .orderBy("zgroup")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT)
+             |      % 16 AS b1,
+             |    least(CAST(len(regexp_extract_all(text, '\S+')) AS INT)
+             |          // 8, 15) AS b2
+             |  FROM documents),
+             |zed AS (
+             |  -- DuckDB gives every bitwise operator EQUAL precedence
+             |  -- (left-assoc, Postgres-style), so each interleave term
+             |  -- is fully parenthesized
+             |  SELECT doc_id, b1, b2,
+             |    ( (((b1 >> 0) & 1) << 1) | (((b2 >> 0) & 1) << 0)
+             |    | (((b1 >> 1) & 1) << 3) | (((b2 >> 1) & 1) << 2)
+             |    | (((b1 >> 2) & 1) << 5) | (((b2 >> 2) & 1) << 4)
+             |    | (((b1 >> 3) & 1) << 7) | (((b2 >> 3) & 1) << 6)
+             |    ) // 16 AS zgroup
+             |  FROM dims)
+             |SELECT zgroup, COUNT(*) AS n_docs,
+             |  MIN(b1) AS min_src, MAX(b1) AS max_src,
+             |  MIN(b2) AS min_len, MAX(b2) AS max_len,
+             |  (MAX(b1) - MIN(b1) < 4) AND (MAX(b2) - MIN(b2) < 4)
+             |    AS both_dims_bounded
+             |FROM zed GROUP BY zgroup ORDER BY zgroup""".stripMargin)
     )
   )
 

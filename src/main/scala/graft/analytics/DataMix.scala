@@ -631,6 +631,47 @@ object DataMix {
       Some(s"""${leakPairsCtes("AND t.doc_id % 8 = 1")}
               |SELECT doc_id, split, train_id, jaccard FROM leaks
               |ORDER BY doc_id, train_id""".stripMargin)
+    ),
+
+    // ---- length-proportional Poisson sampling (Horvitz–Thompson) ----
+    QueryDef(
+      "dm11_weighted_sample",
+      // budgeted subsampling with KNOWN inclusion probabilities: doc i
+      // kept iff its 16-bit md5 fraction clears p_i = min(1,
+      // n_tokens·256/65536) — longer docs proportionally likelier, and
+      // every sampled row carries its Horvitz–Thompson weight 1/p_i so
+      // downstream token statistics stay unbiased. The gate is PURE
+      // INTEGER arithmetic (h16 < n_tokens·256), so both engines decide
+      // every boundary identically — no float threshold to disagree
+      // on. Map-only: no shuffle at all, the 100 TB cost is the scan
+      // (x21 is the uniform cousin; the weighting is what a
+      // token-budget subsample needs).
+      (s, d) => {
+        val h16 = (DataMix.hashFraction(col("doc_id")) * lit(65536.0))
+          .cast("long")
+        val nTok = graft.analytics.TextAnalysis.tokenCount(col("text"))
+          .cast("long")
+        table(s, d, "documents")
+          .select(col("doc_id"), nTok.as("n_tokens"), h16.as("h16"))
+          .filter(col("h16") < least(col("n_tokens") * 256L, lit(65536L)))
+          .select(col("doc_id"), col("n_tokens"),
+                  round(lit(65536.0) /
+                        least(col("n_tokens") * 256L, lit(65536L)), 6)
+                    .as("ht_weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+              |      AS n_tokens,
+              |    CAST(${hashFractionSql("doc_id")} * 65536.0 AS BIGINT)
+              |      AS h16
+              |  FROM documents)
+              |SELECT doc_id, n_tokens,
+              |  round(65536.0 / least(n_tokens * 256, 65536), 6)
+              |    AS ht_weight
+              |FROM t WHERE h16 < least(n_tokens * 256, 65536)
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -163,6 +163,75 @@ class FrequentItemsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally q.stop()
   }
 
+  test("MG guarantee holds on random streams (sampled ScalaCheck, adversarial k)") {
+    MisraGriesAgg.register(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random multisets over a small alphabet with geometric-ish counts:
+    // k chosen SMALLER than the alphabet so the summary must truncate
+    val streamGen = for {
+      nItems <- Gen.choose(20, 40)
+      counts <- Gen.listOfN(nItems, Gen.choose(1, 60))
+    } yield counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(s"w$i")
+    }
+    (0 until 5).foreach { s =>
+      val stream = streamGen(Gen.Parameters.default, Seed(99L + s))
+        .getOrElse(fail("gen"))
+      val n = stream.size
+      for (k <- Seq(4, 8, 16)) {
+        val truth = stream.groupBy(identity).view.mapValues(_.size)
+          .filter { case (_, c) => c.toLong * (k + 1) > n }.keySet.toSet
+        val cands = new scala.util.Random(s).shuffle(stream)
+          .toDF("item").repartition(1 + s % 4)
+          .agg(call_function(MisraGriesAgg.fnName, $"item", lit(k)).as("mg"))
+          .select(explode($"mg.item").as("item"))
+          .as[String].collect().toSet
+        assert(cands.size <= k)
+        assert(truth.subsetOf(cands),
+          s"seed=$s k=$k lost ${truth -- cands}")
+      }
+    }
+  }
+
+  test("weighted replay of a summary preserves the guarantee (sketch hand-off)") {
+    MisraGriesAgg.register(spark)
+    val k = 8
+    // stream 1 has a dominant item; stream 2 buries it under new vocab
+    val s1 = Seq.fill(40)("hot") ++ (1 to 30).map(i => s"one$i")
+    val s2 = (1 to 60).map(i => s"two$i")
+    val n = s1.size + s2.size
+    // summary of s1 alone
+    val sum1 = s1.toDF("item").repartition(3)
+      .agg(call_function(MisraGriesAgg.fnName, $"item", lit(k)).as("mg"))
+      .select(explode($"mg").as("c"))
+      .select($"c.item".as("item"), $"c.est".as("w"))
+    // replay it (weighted) against stream 2 — exactly st24's hand-off
+    val cands = sum1
+      .unionByName(s2.toDF("item").withColumn("w", lit(1L)))
+      .agg(call_function(MisraGriesAgg.fnName, $"item", $"w", lit(k)).as("mg"))
+      .select(explode($"mg.item").as("item"))
+      .as[String].collect().toSet
+    // "hot" (40 occurrences) clears N/(k+1) = 130/9 — must survive the
+    // persisted-summary replay AND the 60 new-vocab insert storms
+    assert(cands.contains("hot"), s"replay lost the heavy item: $cands")
+    assert(cands.size <= k)
+  }
+
+  test("cp08 Z-order groups bound BOTH dimensions (the data-skipping contract)") {
+    val rows = graft.analytics.CurationPipeline.all
+      .find(_.name == "cp08_zorder_layout").get
+      .df(spark, sf0001)
+      .select("zgroup", "min_src", "max_src", "min_len", "max_len")
+      .as[(Int, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { case (g, s0, s1, l0, l1) =>
+      assert(s1 - s0 < 4 && l1 - l0 < 4,
+        s"group $g spans src[$s0,$s1] len[$l0,$l1] — a linear sort " +
+          "bounds one dimension only; Z-order must bound both")
+    }
+  }
+
   test("fi01 refine join broadcasts the bounded candidate side") {
     val df = FrequentItems.all.find(_.name == "fi01_heavy_hitters").get
       .df(spark, sf0001)

@@ -535,4 +535,27 @@ class PlanAuditSpec extends SparkSpec {
     // AQE-decided (the index side grows with the corpus)
     assert(!f.contains("ResolvedHint"), f)
   }
+
+  test("fi01: the sketch pass partial-aggregates map-side; the shuffle is one summary per partition") {
+    val p = plan("fi01_heavy_hitters")
+    // misra_gries is a TypedImperativeAggregate → ObjectHashAggregate,
+    // and it must appear in BOTH partial and final mode: the k-entry
+    // summaries combine on the map side, so what crosses the exchange
+    // is partitions×1 serialized sketches — never the gram stream. A
+    // plan where the sketch aggregate lost its partial half re-grows
+    // the vocabulary-sized shuffle this operator exists to remove.
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_misra_gries".r.findAllIn(p).nonEmpty, p)
+    // the refine join broadcasts the ≤k candidate frame (bounded by
+    // construction, unlike bp01's data-dependent census)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("fi02: grouped sketch keeps partial aggregation; refine join stays AQE-decided") {
+    val p = plan("fi02_grouped_heavy_hitters")
+    assert("partial_misra_gries".r.findAllIn(p).nonEmpty, p)
+    // per-group candidates are bounded but the GROUP COUNT is a corpus
+    // property — no forced broadcast on the refine join
+    assert(!p.contains("ResolvedHint"), p)
+  }
 }
