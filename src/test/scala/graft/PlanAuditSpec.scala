@@ -558,4 +558,37 @@ class PlanAuditSpec extends SparkSpec {
     // property — no forced broadcast on the refine join
     assert(!p.contains("ResolvedHint"), p)
   }
+
+  test("qs02: exact quantiles without per-group value materialization") {
+    val p = plan("qs02_global_exact_quantiles")
+    // the whole point of the tier: the exact `percentile` aggregate
+    // (which buffers every value of a group in one aggregation state)
+    // must never appear — exactness comes from bracketed refinement
+    assert(!"(?<!approx_)percentile\\(".r.findAllIn(p).hasNext,
+      s"exact percentile aggregate in plan:\n$p")
+    // rank pass partial-aggregates map-side (8 conditional longs of
+    // state cross the exchange, never values)
+    assert("partial_sum".r.findAllIn(p).nonEmpty, p)
+    // refine is a row_number window whose input passed a bracket
+    // Filter — the sort below the window never sees the full stream
+    assert(p.contains("row_number"), p)
+    // the sketch subtree is checkpointed: exactly two live scans
+    // remain (rank pass + refine pass) — a third would mean the
+    // summary re-executes per consumer
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"$scans value scans (want 2: rank + refine):\n$p")
+  }
+
+  test("st25: histogram state partial-aggregates; picks broadcast onto the stream") {
+    val p = plan("st25_incremental_quantiles")
+    assert(!"(?<!approx_)percentile\\(".r.findAllIn(p).hasNext, p)
+    // bin census combines map-side — the shuffle moves (bin, count)
+    // summaries, bounded by the value domain
+    assert("partial_count".r.findAllIn(p).nonEmpty ||
+           "partial_sum".r.findAllIn(p).nonEmpty, p)
+    // the ≤3-row (bin, base, target) picks broadcast onto the refine
+    // scan; the stream is never hash-shuffled to meet them
+    assert(p.contains("BroadcastHashJoin") ||
+           p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
