@@ -851,6 +851,93 @@ object CurationPipeline {
              |  (MAX(b1) - MIN(b1) < 4) AND (MAX(b2) - MIN(b2) < 4)
              |    AS both_dims_bounded
              |FROM zed GROUP BY zgroup ORDER BY zgroup""".stripMargin)
+    ),
+
+    // ---- cp09: dataset-version diff (manifest v1 vs v2) ---------------
+    QueryDef(
+      "cp09_manifest_diff",
+      // dataset versioning's first question: between curation run v1
+      // and v2, what changed and does the ledger balance? v2 differs
+      // from v1 on BOTH axes a real re-curation moves: the snapshot
+      // grew (v1 predates the doc_id % 16 = 3 ingest batch) and the
+      // gate tightened (min length 20 → 25 tokens). The two manifests
+      // full-outer join on doc_id — the x26 shape; at 100 TB both
+      // sides are doc_id-bucketed manifest tables, so the join is
+      // co-located with no exchange — and every doc classifies as
+      // added (v2 only), removed (v1 only), or kept. The per-source
+      // census carries its own conservation proof
+      // (n_v2 = n_kept + n_added ∧ n_v1 = n_kept + n_removed), so a
+      // diff that drops or double-counts a doc flips a boolean AND
+      // the hash.
+      (s, d) => {
+        val base = table(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        val m1 = base
+          .filter(col("doc_id") % 16 =!= 3 &&
+            col("n_tokens").between(20L, 10000L))
+          .select(col("doc_id"), col("source").as("source1"),
+                  col("n_tokens").as("tok1"))
+        val m2 = base
+          .filter(col("n_tokens").between(25L, 10000L))
+          .select(col("doc_id"), col("source").as("source2"),
+                  col("n_tokens").as("tok2"))
+        m1.join(m2, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("source2"), col("source1")).as("source"),
+                  col("tok1"), col("tok2"))
+          .groupBy("source")
+          .agg(sum(when(col("tok1").isNotNull, 1L).otherwise(0L))
+                 .as("n_v1"),
+               sum(when(col("tok2").isNotNull, 1L).otherwise(0L))
+                 .as("n_v2"),
+               sum(when(col("tok1").isNull, 1L).otherwise(0L))
+                 .as("n_added"),
+               sum(when(col("tok2").isNull, 1L).otherwise(0L))
+                 .as("n_removed"),
+               sum(when(col("tok1").isNotNull && col("tok2").isNotNull,
+                        1L).otherwise(0L)).as("n_kept"),
+               sum(when(col("tok1").isNull, col("tok2"))
+                 .otherwise(0L)).as("tokens_added"),
+               sum(when(col("tok2").isNull, col("tok1"))
+                 .otherwise(0L)).as("tokens_removed"))
+          .withColumn("conserved_ok",
+            col("n_v2") === col("n_kept") + col("n_added") &&
+              col("n_v1") === col("n_kept") + col("n_removed"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents),
+             |m1 AS (
+             |  SELECT doc_id, source, n_tokens FROM base
+             |  WHERE doc_id % 16 <> 3 AND n_tokens BETWEEN 20 AND 10000),
+             |m2 AS (
+             |  SELECT doc_id, source, n_tokens FROM base
+             |  WHERE n_tokens BETWEEN 25 AND 10000),
+             |j AS (
+             |  SELECT COALESCE(m2.source, m1.source) AS source,
+             |    m1.n_tokens AS tok1, m2.n_tokens AS tok2
+             |  FROM m1 FULL OUTER JOIN m2 USING (doc_id))
+             |SELECT source,
+             |  CAST(SUM(CASE WHEN tok1 IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_v1,
+             |  CAST(SUM(CASE WHEN tok2 IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_v2,
+             |  CAST(SUM(CASE WHEN tok1 IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_added,
+             |  CAST(SUM(CASE WHEN tok2 IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_removed,
+             |  CAST(SUM(CASE WHEN tok1 IS NOT NULL AND tok2 IS NOT NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN tok1 IS NULL THEN tok2 ELSE 0 END)
+             |    AS BIGINT) AS tokens_added,
+             |  CAST(SUM(CASE WHEN tok2 IS NULL THEN tok1 ELSE 0 END)
+             |    AS BIGINT) AS tokens_removed,
+             |  true AS conserved_ok
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 

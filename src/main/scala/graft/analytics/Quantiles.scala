@@ -148,9 +148,54 @@ object Quantiles {
       .orderBy((groupCols :+ "plabel").map(col): _*)
   }
 
-  private val PS3: Seq[P] =
+  private[graft] val PS3: Seq[P] =
     Seq(("p50", 1L, 2L, 0.5), ("p90", 9L, 10L, 0.9),
         ("p99", 99L, 100L, 0.99))
+
+  /** Bounded integer histogram (bin = v DIV 8 → count) over a `v`
+    * column — the exact, deterministic, addition-mergeable summary
+    * st25 and its streaming twin persist across batches. */
+  private[graft] def hist(df: DataFrame): DataFrame =
+    df.groupBy(shiftright(col("v"), 3).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact p50/p90/p99 of `stream("v")` given its (exact) histogram:
+    * CDF walk locates the single bin holding each target rank
+    * (base < t ≤ cum — exact, the histogram is a group-count, not a
+    * sketch), then an in-bin row_number selects the (t − base)-th
+    * smallest. Returns (plabel, q_exact, n_stream). The unpartitioned
+    * CDF window runs over SUMMARY rows (≤ domain/8 — a dozen for the
+    * token-count domain), never values; at 100 TB a hot bin recurses
+    * into sub-bins, at this domain the in-bin refine is already tiny. */
+  private[graft] def histQuantiles(h: DataFrame, stream: DataFrame)
+      : DataFrame = {
+    val wc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = h
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("base", col("cum") - col("cnt"))
+      .withColumn("n", sum("cnt").over(
+        Window.orderBy("bin").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val targets = cdf.select("n").limit(1).select(
+      explode(array(PS3.map { case (pl, num, den, _) =>
+        struct(lit(pl).as("plabel"),
+          greatest(lit(1L),
+            expr(s"(n * ${num}L + ${den - 1}L) DIV ${den}L"))
+            .as("target"))
+      }: _*)).as("q"), col("n"))
+      .select(col("q.*"), col("n"))
+    // exactly one bin satisfies base < t ≤ cum
+    val picks = targets.join(broadcast(cdf.select("bin", "base", "cum")),
+      col("base") < col("target") && col("target") <= col("cum"))
+    val w = Window.partitionBy("plabel").orderBy("v")
+    stream.join(broadcast(picks),
+        shiftright(col("v"), 3) === col("bin"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("target") - col("base"))
+      .select(col("plabel"), col("v").as("q_exact"),
+              col("n").as("n_stream"))
+  }
 
   private def qs01OracleBranch(p: String, first: Boolean): String = {
     val cols =
@@ -239,9 +284,6 @@ object Quantiles {
           TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
         val e1 = vals.filter(col("doc_id") % 2 === 0).select("v")
         val e2 = vals.filter(col("doc_id") % 2 === 1).select("v")
-        def hist(df: DataFrame) =
-          df.groupBy(shiftright(col("v"), 3).as("bin"))
-            .agg(count(lit(1)).as("cnt"))
         // h1 is the persisted cross-batch state: materialize the ≤
         // domain/8-row summary once (epoch-1 CDF + the epoch-2 merge
         // both read it; without this the e1 scan re-runs per consumer)
@@ -250,42 +292,12 @@ object Quantiles {
         // batch's histogram — pure addition on ≤ domain/8 rows
         val h12 = h1.unionByName(hist(e2))
           .groupBy("bin").agg(sum("cnt").as("cnt"))
-        def epochQuantiles(epoch: Int, h: DataFrame, stream: DataFrame)
-            : DataFrame = {
-          // CDF over the bounded bin domain (≤ max(v)/8 rows — a
-          // dozen here; the unpartitioned window is over SUMMARY
-          // rows, never values)
-          val wc = Window.orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val cdf = h
-            .withColumn("cum", sum("cnt").over(wc))
-            .withColumn("base", col("cum") - col("cnt"))
-            .withColumn("n", sum("cnt").over(
-              Window.orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing)))
-          val targets = cdf.select("n").limit(1).select(
-            explode(array(PS3.map { case (pl, num, den, _) =>
-              struct(lit(pl).as("plabel"),
-                greatest(lit(1L),
-                  expr(s"(n * ${num}L + ${den - 1}L) DIV ${den}L"))
-                  .as("target"))
-            }: _*)).as("q"), col("n"))
-            .select(col("q.*"), col("n"))
-          // exactly one bin satisfies base < t ≤ cum
-          val picks = targets.join(broadcast(cdf.select(
-              "bin", "base", "cum")),
-            col("base") < col("target") && col("target") <= col("cum"))
-          val w = Window.partitionBy("plabel").orderBy("v")
-          stream.join(broadcast(picks),
-              shiftright(col("v"), 3) === col("bin"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === col("target") - col("base"))
-            .select(lit(epoch).as("epoch"), col("plabel"),
-                    col("v").as("q_exact"), col("n").as("n_stream"))
-        }
-        epochQuantiles(1, h1, e1)
-          .unionByName(epochQuantiles(2, h12,
-            e1.unionByName(e2)))
+        def epoch(e: Int, h: DataFrame, stream: DataFrame) =
+          histQuantiles(h, stream)
+            .select(lit(e).as("epoch"), col("plabel"),
+                    col("q_exact"), col("n_stream"))
+        epoch(1, h1, e1)
+          .unionByName(epoch(2, h12, e1.unionByName(e2)))
           .orderBy("epoch", "plabel")
       },
       Some("""WITH t AS (

@@ -1180,4 +1180,51 @@ object EventStreams {
           .partitionBy("batch_id").parquet(outDir)
       }
       .start()
+
+  /** st25's streaming twin: after each document micro-batch, publish
+    * the EXACT p50/p90/p99 of token counts over the stream so far.
+    *
+    * Cross-batch decision state is the bounded integer histogram alone
+    * (`Quantiles.hist` — bin = v DIV 8 → count, exact and mergeable by
+    * addition): batch b reads `state_{b-1}`, adds its own bin census,
+    * and writes `state_b` — a replayed batch recomputes the identical
+    * merge, so crash recovery is a plain re-run (the st24 protocol).
+    * Values land in a batch-id-partitioned store (dynamic overwrite →
+    * replay-idempotent); the publish step walks the persisted
+    * histogram's CDF and refines inside the one target bin per
+    * percentile against the store (`Quantiles.histQuantiles`) — the
+    * recount-against-retained-corpus discipline, scheduled per batch
+    * here and per-N-batches at real scale. */
+  def incrementalQuantiles(stream: DataFrame, stateDir: String,
+                           storeDir: String, outDir: String,
+                           checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val vals = batch.select(
+          graft.analytics.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("v"))
+        val hb = graft.analytics.Quantiles.hist(vals)
+        val prev =
+          try spark.read.parquet(s"$stateDir/state_${batchId - 1}")
+          catch { case _: Exception => hb.limit(0) } // cold start
+        prev.unionByName(hb)
+          .groupBy("bin").agg(sum("cnt").as("cnt"))
+          .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
+        vals.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(storeDir)
+        val h = spark.read.parquet(s"$stateDir/state_$batchId")
+        val sofar = spark.read.parquet(storeDir).select("v")
+        graft.analytics.Quantiles.histQuantiles(h, sofar)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
 }

@@ -97,6 +97,68 @@ class QuantilesSpec extends SparkSpec {
     assert(bins <= 16, s"token-count domain grew: $bins bins")
   }
 
+  test("streaming incremental quantiles: planted shift moves the published tail") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st25_").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.incrementalQuantiles(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/state", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // batch 0: 9 docs of 2 tokens, 1 of 40 → p50 = 2, p90 = 2
+      // (rank ceil(0.9·10) = 9), p99 = 40 (rank 10)
+      mem.addData((1L to 9L).map(i => (i, "w w")) :+
+        ((10L, Seq.fill(40)("w").mkString(" "))))
+      q.processAllAvailable()
+      // batch 1: twenty 40-token docs — the stream-so-far median jumps
+      mem.addData((11L to 30L).map(i =>
+        (i, Seq.fill(40)("w").mkString(" "))))
+      q.processAllAvailable()
+      def pub(b: Int) = spark.read.parquet(s"$tmp/out")
+        .filter(col("batch_id") === b)
+        .select("plabel", "q_exact", "n_stream")
+        .as[(String, Long, Long)].collect().toSet
+      assert(pub(0) == Set(("p50", 2L, 10L), ("p90", 2L, 10L),
+        ("p99", 40L, 10L)))
+      // so far: 9×2-token + 21×40-token, n=30 → ranks 15/27/30 all 40
+      assert(pub(1) == Set(("p50", 40L, 30L), ("p90", 40L, 30L),
+        ("p99", 40L, 30L)))
+      // cross-batch state is the bounded histogram alone: two bins
+      // (2 DIV 8 = 0, 40 DIV 8 = 5) — and no streaming state store
+      val st = spark.read.parquet(s"$tmp/state/state_1")
+        .as[(Long, Long)].collect().toMap
+      assert(st == Map(0L -> 9L, 5L -> 21L), st.toString)
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("st25 batch form is row-equal to the streaming twin at sf0.001") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st25t_").toString
+    val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.incrementalQuantiles(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/state", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(docs.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id") + 1).cast("int").as("epoch"),
+                col("plabel"), col("q_exact"), col("n_stream"))
+        .as[(Int, String, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("st25_incremental_quantiles")(
+        spark, sf0001).as[(Int, String, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.size == 6)
+    } finally q.stop()
+  }
+
   test("st25 matches a local exact computation at sf0.001") {
     val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
       .select(col("doc_id"),
