@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.QueryDef
@@ -672,6 +673,62 @@ object DataMix {
               |    AS ht_weight
               |FROM t WHERE h16 < least(n_tokens * 256, 65536)
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- exactly-m-per-group deterministic sample -------------------
+    QueryDef(
+      "dm12_group_sample",
+      // "give me m docs per source, uniformly at random, reproducibly"
+      // — the per-stratum inspection sample every curation review
+      // starts from. Definition: the m lexicographically-smallest
+      // md5(doc_id || ':gs') hashes per group — deterministic and
+      // uniform. The naive plan windows the WHOLE corpus per group (a
+      // full shuffle + sort of every row); this plan bounds the window
+      // input first: per-group counts n_g (one partial-agg pass), then
+      // keep only rows whose 16-bit hash prefix clears
+      // u16·n_g < 65536·4m — expected 4m survivors per group, and
+      // since hex order is dominated by its prefix, survivors ≥ m ⟹
+      // true top-m ⊆ survivors (groups at or below ~4m keep every
+      // row: the cutoff exceeds 65535). The oracle computes the naive
+      // full window — row-equality IS the proof the bounded path
+      // loses nothing (an undershoot, Poisson(4m) < m ≈ 3e-8 per
+      // group and deterministic per corpus, would break the hash
+      // loudly). At 100 TB the window sorts ~4m rows per group
+      // instead of n_g.
+      (s, d) => {
+        val m = 8
+        val hx = md5(concat(col("doc_id").cast("string"), lit(":gs"))
+          .cast("binary"))
+        val base = table(s, d, "documents")
+          .select(col("source"), col("doc_id"))
+          .withColumn("hx", hx)
+          .withColumn("u16",
+            conv(substring(col("hx"), 1, 4), 16, 10).cast("long"))
+        val counts = base.groupBy("source").agg(count(lit(1)).as("n_g"))
+        // unhinted count join (fi02's rule: group count is a corpus
+        // property; AQE broadcasts the 20-row fixture side on its own)
+        val cands = base.join(counts, "source")
+          .filter(col("u16") * col("n_g") < lit(65536L * 4 * m))
+        val w = Window.partitionBy("source")
+          .orderBy(col("hx"), col("doc_id"))
+        cands
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= m)
+          .select(col("source"), col("rn"), col("doc_id"))
+          .orderBy("source", "rn")
+      },
+      Some("""WITH h AS (
+             |  SELECT source, doc_id,
+             |    md5(CAST(doc_id AS VARCHAR) || ':gs') AS hx
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, doc_id,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY source ORDER BY hx, doc_id) AS INT)
+             |      AS rn
+             |  FROM h)
+             |SELECT source, rn, doc_id FROM r WHERE rn <= 8
+             |ORDER BY source, rn""".stripMargin)
     )
   )
 

@@ -262,6 +262,76 @@ object Quantiles {
              |SELECT * FROM q ORDER BY plabel""".stripMargin)
     ),
     QueryDef(
+      "qs03_weighted_quantiles",
+      // WEIGHTED discrete quantiles: "the median doc is 40 tokens" and
+      // "the median TOKEN-OF-CHARS sits in a doc of length q" are
+      // different numbers whenever length and weight correlate — the
+      // distinction a packing planner or a token-budget report needs
+      // (qs01 answers by doc count; this answers by char mass, w =
+      // n_chars). Exact and fully deterministic at the VALUE level:
+      // aggregate weight per distinct v first (one bounded shuffle —
+      // the 10..100 token domain has ≤ 91 distinct values; an
+      // unbounded domain bins first, st25's recursion note), then the
+      // weighted CDF crossing cum ≥ T = max(1, ceil(p·W)) picks the
+      // answer, integer arithmetic end to end. The per-value weight
+      // table is itself mergeable cross-batch state (sum by v), the
+      // weighted sibling of st25's histogram.
+      (s, d) => {
+        val vals = table(s, d, "documents").select(
+          TextAnalysis.tokenCount(col("text")).cast("long").as("v"),
+          col("n_chars").cast("long").as("w"))
+        val byV = vals.groupBy("v").agg(sum("w").as("wv"))
+        val wc = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = byV
+          .withColumn("cum", sum("wv").over(wc))
+          .withColumn("wtot", sum("wv").over(
+            Window.orderBy("v").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val targets = cdf.select("wtot").limit(1).select(
+          explode(array(PS3.map { case (pl, num, den, _) =>
+            struct(lit(pl).as("plabel"),
+              greatest(lit(1L),
+                expr(s"(wtot * ${num}L + ${den - 1}L) DIV ${den}L"))
+                .as("target"))
+          }: _*)).as("q"), col("wtot"))
+          .select(col("q.*"), col("wtot"))
+        // weights are positive, so exactly one value row crosses T
+        targets.join(broadcast(cdf.select("v", "wv", "cum")),
+            col("cum") >= col("target") &&
+              col("cum") - col("wv") < col("target"))
+          .select(col("plabel"), col("v").as("q_weighted"),
+                  col("wtot").as("total_w"))
+          .orderBy("plabel")
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             |      AS v,
+             |    CAST(n_chars AS BIGINT) AS w
+             |  FROM documents),
+             |byv AS (
+             |  SELECT v, CAST(SUM(w) AS BIGINT) AS wv FROM t GROUP BY v),
+             |w1 AS (SELECT CAST(SUM(wv) AS BIGINT) AS wtot FROM byv),
+             |cdf AS (
+             |  SELECT v, wv,
+             |    CAST(SUM(wv) OVER (ORDER BY v) AS BIGINT) AS cum
+             |  FROM byv),
+             |tg AS (
+             |  SELECT 'p50' AS plabel,
+             |    GREATEST(1, (1 * wtot + 1) // 2) AS target, wtot FROM w1
+             |  UNION ALL
+             |  SELECT 'p90', GREATEST(1, (9 * wtot + 9) // 10), wtot
+             |    FROM w1
+             |  UNION ALL
+             |  SELECT 'p99', GREATEST(1, (99 * wtot + 99) // 100), wtot
+             |    FROM w1)
+             |SELECT plabel, v AS q_weighted, wtot AS total_w
+             |FROM tg JOIN cdf
+             |  ON cdf.cum >= tg.target AND cdf.cum - cdf.wv < tg.target
+             |ORDER BY plabel""".stripMargin)
+    ),
+    QueryDef(
       "st25_incremental_quantiles",
       // streaming quantile tracking in batch form: documents arrive as
       // two micro-batches (doc_id parity); after each, the gate

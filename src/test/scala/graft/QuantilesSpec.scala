@@ -97,6 +97,36 @@ class QuantilesSpec extends SparkSpec {
     assert(bins <= 16, s"token-count domain grew: $bins bins")
   }
 
+  test("qs03: weighted and unweighted medians genuinely diverge at sf0.001") {
+    // the operator's reason to exist: when weight correlates with
+    // value, the mass-weighted median sits above the count median
+    val rows = SparkEntry.queries("qs03_weighted_quantiles")(spark, sf0001)
+      .select("plabel", "q_weighted")
+      .as[(String, Long)].collect().toMap
+    val docs = graft.queries.QueryDef.table(spark, sf0001, "documents")
+      .select(graft.analytics.TextAnalysis.tokenCount(col("text"))
+                .cast("long").as("v"),
+              col("n_chars").cast("long").as("w"))
+      .as[(Long, Long)].collect()
+    // local weighted reference, straight from the definition
+    val byV = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toVector.sortBy(_._1)
+    val wtot = byV.map(_._2).sum
+    def weighted(num: Long, den: Long): Long = {
+      val t = math.max(1L, (num * wtot + den - 1) / den)
+      byV.scanLeft((0L, 0L)) { case ((_, c), (v, wv)) => (v, c + wv) }
+        .drop(1).find(_._2 >= t).get._1
+    }
+    assert(rows("p50") == weighted(1, 2))
+    assert(rows("p90") == weighted(9, 10))
+    assert(rows("p99") == weighted(99, 100))
+    // and it is NOT the unweighted median (chars grow with tokens)
+    val sortedV = docs.map(_._1).sorted.toVector
+    val countMedian = sortedV((sortedV.size + 1) / 2 - 1)
+    assert(rows("p50") != countMedian,
+      s"weighted median ${rows("p50")} degenerate to count median")
+  }
+
   test("streaming incremental quantiles: planted shift moves the published tail") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("st25_").toString

@@ -251,4 +251,32 @@ class ScaleOpsSpec extends SparkSpec {
            out.head.getLong(2) == trainId, out.head.toString)
     assert(out.head.getDouble(3) == 1.0, out.head.toString)
   }
+
+  test("dm12: bounded-candidate group sample equals the naive full-window top-m") {
+    // one group far above the 4m candidate cutoff (the prefilter must
+    // actually drop rows) and one sub-m group (its cutoff exceeds
+    // 65535: every row survives, and the sample is all n_g rows)
+    val big = spark.range(0, 2000)
+      .select(col("id").as("doc_id"), lit("big").as("source"))
+    val tiny = spark.range(100000, 100005)
+      .select(col("id").as("doc_id"), lit("tiny").as("source"))
+    val dir = java.nio.file.Files.createTempDirectory("dm12").toString
+    big.unionByName(tiny).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dm12_group_sample")(spark, dir)
+      .as[(String, Int, Long)].collect().toVector
+    // naive reference: full per-group sort by (md5 hex, doc_id), take m
+    def hx(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"$id:gs".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def naive(ids: Seq[Long], src: String) =
+      ids.map(i => (hx(i), i)).sorted.take(8).zipWithIndex
+        .map { case ((_, i), k) => (src, k + 1, i) }
+    val want = (naive(0L until 2000L, "big") ++
+                naive(100000L until 100005L, "tiny")).toVector
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // the sub-m group keeps every row (its cutoff clears 65535)
+    assert(got.count(_._1 == "tiny") == 5)
+    assert(got.count(_._1 == "big") == 8)
+  }
 }
