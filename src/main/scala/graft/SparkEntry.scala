@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{BpeTokenizer, CurationPipeline, DataMix, DataQuality, Dedup, FrequentItems, Multimodal, Quantiles, Similarity, TextAnalysis}
+import graft.analytics.{BpeTokenizer, CurationPipeline, DataMix, DataQuality, Dedup, FrequentItems, GraphOps, Multimodal, Quantiles, Similarity, TextAnalysis}
 import graft.queries._
 import graft.streaming.StreamShapes
 
@@ -21,7 +21,7 @@ object SparkEntry {
       EtlOps.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ StreamShapes.all ++ DataMix.all ++ DataQuality.all ++
       CurationPipeline.all ++ BpeTokenizer.all ++ FrequentItems.all ++
-      Quantiles.all
+      Quantiles.all ++ GraphOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Join + group + multi-aggregate (reference Q20 shape). */

@@ -229,6 +229,145 @@ object FrequentItems {
               |  HAVING COUNT(*) * $K1 > (SELECT n FROM tot))
               |SELECT * FROM hh1 UNION ALL SELECT * FROM hh2
               |ORDER BY epoch, n_occ DESC, ngram""".stripMargin)
+    ),
+    QueryDef(
+      "st26_incremental_vocab",
+      // vocabulary-growth tracking across crawl batches — the third
+      // mergeable-summary class after frequency (misra_gries) and
+      // quantiles (histogram/GK): DISTINCT counts via DataSketches HLL
+      // (Spark's `hll_sketch_agg`/`hll_union` built-ins). Per-source
+      // bigram vocabulary after each of two micro-batches (doc_id
+      // parity); the cross-batch state is the 2^12-register sketch
+      // alone — epoch 2's estimate reads hll_union(sk1, sk2), never
+      // epoch 1's grams. HLL registers are max-merged, so the sketch
+      // is order- and partition-independent: deterministic for a fixed
+      // input set. The emitted census is the EXACT distinct count
+      // (oracle-replayable; at 100 TB the exact side is the driver-
+      // gate audit — the x14 discipline — and production publishes
+      // the estimate) plus the estimate-within-bound audit boolean
+      // (5% ∨ ±8 slack vs DataSketches' ~1.6% RSE at lgK 12, and the
+      // whole pipeline is deterministic, so the boolean is stable).
+      (s, d) => {
+        val grams = bigrams(table(s, d, "documents"),
+                            col("doc_id"), col("source"))
+        val e1 = grams.filter(col("doc_id") % 2 === 0)
+        val e2 = grams.filter(col("doc_id") % 2 === 1)
+        val sk1 = e1.groupBy("source").agg(
+          hll_sketch_agg(col("ngram"), 12).as("sk1"),
+          countDistinct(col("ngram")).as("ndv1"))
+        val sk2 = e2.groupBy("source").agg(
+          hll_sketch_agg(col("ngram"), 12).as("sk2"))
+        val nd12 = grams.groupBy("source")
+          .agg(countDistinct(col("ngram")).as("ndv12"))
+        def ok(est: Column, exact: Column): Column =
+          abs(est - exact) <=
+            greatest(exact.cast("double") * lit(0.05), lit(8.0))
+        val ep1 = sk1.select(lit(1).as("epoch"), col("source"),
+          col("ndv1").as("ndv_exact"),
+          ok(hll_sketch_estimate(col("sk1")), col("ndv1")).as("hll_ok"))
+        // the hand-off: union the persisted register state — a source
+        // absent from one batch keeps the other's sketch verbatim
+        val merged = when(col("sk1").isNull, col("sk2"))
+          .when(col("sk2").isNull, col("sk1"))
+          .otherwise(hll_union(col("sk1"), col("sk2")))
+        val ep2 = sk1.join(sk2, Seq("source"), "full_outer")
+          .join(nd12, "source")
+          .select(lit(2).as("epoch"), col("source"),
+            col("ndv12").as("ndv_exact"),
+            ok(hll_sketch_estimate(merged), col("ndv12")).as("hll_ok"))
+        ep1.unionByName(ep2).orderBy("epoch", "source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id % 2 AS par, source,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT par, source,
+             |    unnest(list_transform(range(len(toks) - 1),
+             |      i -> toks[i+1] || ' ' || toks[i+2])) AS ngram
+             |  FROM t),
+             |q AS (
+             |  SELECT 1 AS epoch, source,
+             |    COUNT(DISTINCT ngram) AS ndv_exact, true AS hll_ok
+             |  FROM g WHERE par = 0 GROUP BY source
+             |  UNION ALL
+             |  SELECT 2, source, COUNT(DISTINCT ngram), true
+             |  FROM g GROUP BY source)
+             |SELECT * FROM q ORDER BY epoch, source""".stripMargin)
+    ),
+    QueryDef(
+      "fi03_vocab_overlap",
+      // pairwise cross-source vocabulary overlap — the "are these two
+      // crawls secretly the same feed?" question — via HLL
+      // inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B). The
+      // sketch algebra is what makes this tractable at 100 TB: the
+      // per-source sketches are computed ONCE (one pass over the gram
+      // stream, fixed 2^12-register state per source), and all
+      // n·(n−1)/2 pair estimates come from register max-merges of that
+      // driver-small sketch table — no pairwise gram join at all. The
+      // exact intersection (distinct-(source,gram) self-join) is the
+      // driver-gate audit, the x14 discipline: production publishes
+      // the estimate, the gate recomputes the exact side and checks
+      // the estimate's error against the union size (each of the
+      // three estimates carries ~1.6% RSE on ITS OWN cardinality, so
+      // the intersection's absolute error scales with |A|+|B|, not
+      // |A∩B| — the bound reflects that). Everything is deterministic
+      // for a fixed input set, so the audit boolean is hash-stable.
+      (s, d) => {
+        val grams = bigrams(table(s, d, "documents"), col("source"))
+          .select("source", "ngram").distinct()
+        val per = grams.groupBy("source").agg(
+          hll_sketch_agg(col("ngram"), 12).as("sk"),
+          count(lit(1)).as("ndv"))
+        val a = per.select(col("source").as("s1"), col("sk").as("ska"),
+                           col("ndv").as("n_a"))
+        val b = per.select(col("source").as("s2"), col("sk").as("skb"),
+                           col("ndv").as("n_b"))
+        // ≤ n_sources² sketch rows — driver-small by construction
+        val pairs = a.join(b, col("s1") < col("s2"))
+        val inter = grams.select(col("source").as("s1"), col("ngram"))
+          .join(grams.select(col("source").as("s2"), col("ngram")),
+                "ngram")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_inter"))
+        val est = hll_sketch_estimate(col("ska")) +
+          hll_sketch_estimate(col("skb")) -
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+        pairs.join(inter, Seq("s1", "s2"), "left")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+          .select(col("s1"), col("s2"), col("n_a"), col("n_b"),
+            col("n_inter"),
+            (abs(est - col("n_inter")) <=
+              greatest((col("n_a") + col("n_b")).cast("double") * 0.05,
+                       lit(32.0))).as("hll_ok"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |g0 AS (
+             |  SELECT source,
+             |    unnest(list_transform(range(len(toks) - 1),
+             |      i -> toks[i+1] || ' ' || toks[i+2])) AS ngram
+             |  FROM t),
+             |g AS (SELECT DISTINCT source, ngram FROM g0),
+             |per AS (
+             |  SELECT source, COUNT(*) AS ndv FROM g GROUP BY source),
+             |ix AS (
+             |  SELECT ga.source AS s1, gb.source AS s2,
+             |    COUNT(*) AS n_inter
+             |  FROM g ga JOIN g gb
+             |    ON ga.ngram = gb.ngram AND ga.source < gb.source
+             |  GROUP BY 1, 2)
+             |SELECT pa.source AS s1, pb.source AS s2,
+             |  pa.ndv AS n_a, pb.ndv AS n_b,
+             |  COALESCE(ix.n_inter, 0) AS n_inter, true AS hll_ok
+             |FROM per pa JOIN per pb ON pa.source < pb.source
+             |LEFT JOIN ix ON ix.s1 = pa.source AND ix.s2 = pb.source
+             |ORDER BY s1, s2""".stripMargin)
     )
   )
 }

@@ -1,0 +1,127 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+
+/** Iterative graph computation — the operator class (PageRank /
+  * label-propagation / influence) every corpus-curation stack
+  * eventually needs: "which tokens/domains/sources sit at the center
+  * of the link structure". The reference app has no graph surface
+  * (harvard_artifacts_app.py's 20 templates are all single-pass
+  * relational — SURVEY.md §2.4); this module adds the Spark-first
+  * form: each iteration is ONE shuffle (edges join ranks on src,
+  * partial-agg by dst), state between iterations is a plain
+  * node-keyed DataFrame, and the iteration count is fixed and small —
+  * exactly how join-based Pregel runs on a 1000-executor cluster
+  * (GraphX's Pregel is the same plan with RDD plumbing; the DataFrame
+  * form gets AQE, codegen, and columnar shuffle for free).
+  *
+  * Determinism discipline: ranks are SCALED INTEGERS (1e9 = rank 1.0)
+  * and every per-step operation is integer floor arithmetic —
+  * `contrib(u→v) = (85 · (r(u) DIV outdeg(u))) DIV 100`,
+  * `r'(v) = 0.15·S + Σ contrib` — so summation order cannot perturb
+  * the result (long addition is associative) and Spark and DuckDB
+  * agree bit-for-bit, the same integer-arithmetic discipline the
+  * exact-quantile tier (qs01–qs03) uses. Dangling mass is dropped,
+  * not redistributed (both engines implement the same definition).
+  *
+  * Overflow headroom: total system mass ≤ N·S ≈ 1e6·1e9 = 1e15 on the
+  * 30× staged corpus; the ×85 step peaks at ~1e17 « 2^63.
+  */
+object GraphOps {
+  import QueryDef.table
+
+  /** Scaled-integer unit: rank 1.0 ≡ 1e9. */
+  private val S = 1000000000L
+  private val Iters = 3
+
+  /** Distinct directed token-bigram edges (u→v, u ≠ v), lower-cased
+    * whitespace tokens — the co-occurrence graph over the corpus
+    * vocabulary. One expression-only pass; the distinct is the only
+    * shuffle and is the graph's natural size. */
+  private def tokenEdges(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+                      t => length(t) > 0)
+    docs
+      .select(toks.as("__toks"))
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("u"), b.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "gr01_token_pagerank",
+      // 3-iteration PageRank over the token co-occurrence graph,
+      // top-20 hubs. At 100 TB each iteration shuffles the EDGE list
+      // once (join on u, agg by v) — never materializes anything
+      // bigger than edges + a node-keyed rank table; a real run
+      // checkpoints the rank table every few iterations to cut
+      // lineage, which changes nothing semantically (every step is
+      // deterministic integer math).
+      (s, d) => {
+        val edges = tokenEdges(table(s, d, "documents"))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        val nodes = edges.select(col("u").as("tk"))
+          .union(edges.select(col("v"))).distinct()
+        val ed = edges.join(deg, "u")
+        var r = nodes.withColumn("r", lit(S))
+        for (_ <- 1 to Iters) {
+          val contrib = ed.join(r, col("u") === col("tk"))
+            .select(col("v").as("tk"),
+              expr("(85L * (r DIV d)) DIV 100L").as("c"))
+            .groupBy("tk").agg(sum("c").as("c"))
+          r = nodes.join(contrib, Seq("tk"), "left")
+            .select(col("tk"),
+              (lit(S * 15L / 100L) + coalesce(col("c"), lit(0L))).as("r"))
+        }
+        r.select(col("tk").as("token"), col("r").as("pr"))
+          .orderBy(col("pr").desc, col("token")).limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |e0 AS (
+             |  SELECT DISTINCT toks[i+1] AS u, toks[i+2] AS v
+             |  FROM t, (SELECT unnest(range(len(toks))) AS i)
+             |  WHERE i < len(toks) - 1 AND toks[i+1] <> toks[i+2]),
+             |deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+             |nodes AS (SELECT u AS tk FROM e0 UNION SELECT v FROM e0),
+             |r0 AS (SELECT tk, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+             |c1 AS (
+             |  SELECT e0.v AS tk,
+             |    CAST(SUM((85 * (r0.r // deg.d)) // 100) AS BIGINT) AS c
+             |  FROM e0 JOIN deg ON e0.u = deg.u JOIN r0 ON r0.tk = e0.u
+             |  GROUP BY e0.v),
+             |r1 AS (
+             |  SELECT n.tk, 150000000 + COALESCE(c1.c, 0) AS r
+             |  FROM nodes n LEFT JOIN c1 ON c1.tk = n.tk),
+             |c2 AS (
+             |  SELECT e0.v AS tk,
+             |    CAST(SUM((85 * (r1.r // deg.d)) // 100) AS BIGINT) AS c
+             |  FROM e0 JOIN deg ON e0.u = deg.u JOIN r1 ON r1.tk = e0.u
+             |  GROUP BY e0.v),
+             |r2 AS (
+             |  SELECT n.tk, 150000000 + COALESCE(c2.c, 0) AS r
+             |  FROM nodes n LEFT JOIN c2 ON c2.tk = n.tk),
+             |c3 AS (
+             |  SELECT e0.v AS tk,
+             |    CAST(SUM((85 * (r2.r // deg.d)) // 100) AS BIGINT) AS c
+             |  FROM e0 JOIN deg ON e0.u = deg.u JOIN r2 ON r2.tk = e0.u
+             |  GROUP BY e0.v),
+             |r3 AS (
+             |  SELECT n.tk, 150000000 + COALESCE(c3.c, 0) AS r
+             |  FROM nodes n LEFT JOIN c3 ON c3.tk = n.tk)
+             |SELECT tk AS token, CAST(r AS BIGINT) AS pr FROM r3
+             |ORDER BY pr DESC, token LIMIT 20""".stripMargin)
+    )
+  )
+}

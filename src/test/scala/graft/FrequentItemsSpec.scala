@@ -232,6 +232,63 @@ class FrequentItemsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("st26: sketch-of-union and union-of-sketches agree EXACTLY (register max-merge)") {
+    // the property that makes the cross-batch hand-off sound: HLL
+    // registers are max-merged, so unioning two batch sketches yields
+    // bit-for-bit the same estimator state as sketching the combined
+    // stream — the estimate is identical, not merely close
+    val xs = (1 to 40000).map(i => s"a$i")
+    val ys = (20000 to 60000).map(i => s"a$i") // overlapping
+    val whole = (xs ++ ys).toDF("s")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"s", 12)).as("e"))
+      .as[Long].head()
+    val parts = xs.toDF("s").agg(hll_sketch_agg($"s", 12).as("sk"))
+      .crossJoin(ys.toDF("s").agg(hll_sketch_agg($"s", 12).as("sk2")))
+      .select(hll_sketch_estimate(hll_union($"sk", $"sk2")).as("e"))
+      .as[Long].head()
+    assert(whole == parts, s"union estimate $parts != whole $whole")
+    // and the estimator regime is genuinely dense (60001 distinct vs
+    // 4096 registers), with the entry's 5% audit bound holding
+    assert(math.abs(whole - 60001L) <= 0.05 * 60001, whole.toString)
+  }
+
+  test("st26: epoch rows grow monotonically and match exact distinct counts") {
+    val rows = FrequentItems.all.find(_.name == "st26_incremental_vocab").get
+      .df(spark, sf0001)
+      .select("epoch", "source", "ndv_exact", "hll_ok")
+      .as[(Int, String, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4), "an hll audit flipped")
+    val e1 = rows.filter(_._1 == 1).map(r => r._2 -> r._3).toMap
+    val e2 = rows.filter(_._1 == 2).map(r => r._2 -> r._3).toMap
+    // vocab so-far never shrinks, and epoch 2 covers every source
+    e1.foreach { case (src, n1) =>
+      assert(e2(src) >= n1, s"$src vocab shrank: $n1 -> ${e2(src)}")
+    }
+    assert(e2.keySet.size >= e1.keySet.size)
+  }
+
+  test("fi03: inclusion-exclusion audit holds and exact overlaps match a local reference") {
+    val rows = FrequentItems.all.find(_.name == "fi03_vocab_overlap").get
+      .df(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toVector
+    assert(rows.nonEmpty && rows.forall(_._6), "an hll audit flipped")
+    // n_inter ≤ min(n_a, n_b) — a join that double-counts grams breaks this
+    rows.foreach { case (s1, s2, na, nb, ni, _) =>
+      assert(ni <= math.min(na, nb), s"($s1,$s2): inter $ni > min($na,$nb)")
+    }
+    // local exact reference for three pairs, straight from the data
+    val grams = graft.queries.QueryDef.table(spark, sf0001, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .flatMap { case (src, txt) =>
+        val t = txt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        t.dropRight(1).zip(t.drop(1)).map { case (a, b) => (src, s"$a $b") }
+      }.toSet.groupMap((p: (String, String)) => p._1)(_._2)
+    rows.take(3).foreach { case (s1, s2, na, nb, ni, _) =>
+      assert(na == grams(s1).size && nb == grams(s2).size)
+      assert(ni == (grams(s1) & grams(s2)).size, s"($s1,$s2)")
+    }
+  }
+
   test("fi01 refine join broadcasts the bounded candidate side") {
     val df = FrequentItems.all.find(_.name == "fi01_heavy_hitters").get
       .df(spark, sf0001)
