@@ -122,6 +122,113 @@ object GraphOps {
              |  FROM nodes n LEFT JOIN c3 ON c3.tk = n.tk)
              |SELECT tk AS token, CAST(r AS BIGINT) AS pr FROM r3
              |ORDER BY pr DESC, token LIMIT 20""".stripMargin)
+    ),
+    QueryDef(
+      "gr02_triangle_count",
+      // global triangle census + clustering coefficient over the
+      // UNDIRECTED token co-occurrence graph — the degree-ordered
+      // algorithm, which is what survives scale: orient every edge
+      // from its (degree, token)-smaller endpoint, so each wedge is
+      // enumerated exactly once AT ITS LOWEST-DEGREE VERTEX. The hub
+      // that would explode a naive wedge join (d² pairs at "the")
+      // contributes only wedges where IT is the small endpoint —
+      // total wedge volume is bounded by O(m^1.5) regardless of skew,
+      // the classic result the naive neighbor-pair join lacks. Plan:
+      // one self-join of the oriented edge list on the source (wedge
+      // generation), one semi-ish join probing the closing edge —
+      // both equi-joins AQE can plan; no vertex ever needs its full
+      // neighborhood in memory. All arithmetic is integer (the
+      // coefficient ships as ppm via integer division), so the single
+      // output row is hash-exact against the unrolled DuckDB oracle.
+      (s, d) => {
+        val und = {
+          val e = tokenEdges(table(s, d, "documents"))
+          e.select(least(col("u"), col("v")).as("a"),
+                   greatest(col("u"), col("v")).as("b")).distinct()
+        }
+        val deg = und.select(col("a").as("tk"))
+          .union(und.select(col("b")))
+          .groupBy("tk").agg(count(lit(1)).as("dg"))
+        // orient a—b from the (degree, token)-smaller endpoint; carry
+        // the target's (degree, token) key so wedge pairs can be
+        // ordered by the SAME total order the orientation uses
+        val o = und
+          .join(deg.select(col("tk").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("tk").as("b"), col("dg").as("db")), "b")
+          .select(
+            when(col("da") < col("db") ||
+                 (col("da") === col("db") && col("a") < col("b")),
+                 struct(col("a").as("s"), col("b").as("t"),
+                        col("db").as("dt")))
+              .otherwise(struct(col("b").as("s"), col("a").as("t"),
+                                col("da").as("dt"))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"),
+                  col("e.dt").as("dt"))
+        val wedges = o.as("e1").join(o.as("e2"),
+            col("e1.s") === col("e2.s") &&
+              (col("e1.dt") < col("e2.dt") ||
+               (col("e1.dt") === col("e2.dt") &&
+                col("e1.t") < col("e2.t"))))
+          .select(col("e1.t").as("x"), col("e2.t").as("y"))
+        val tri = wedges.join(o.select(col("s").as("x"), col("t").as("y")),
+                              Seq("x", "y"), "left_semi")
+        // the published wedge count is the TRUE path-2 census
+        // Σ_v C(deg(v),2) (from degrees alone — no join), so the
+        // coefficient is the standard 3·tri/wedges ≤ 1; the oriented
+        // join above enumerates each triangle exactly once and its
+        // volume is the O(m^1.5)-bounded diagnostic, not a statistic
+        und.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(deg.agg(
+            sum(expr("dg * (dg - 1L) DIV 2L")).as("n_wedges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+          .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+            expr("(3L * n_triangles * 1000000L) DIV greatest(n_wedges, 1L)")
+              .as("gcc_ppm"))
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |e0 AS (
+             |  SELECT DISTINCT toks[i+1] AS u, toks[i+2] AS v
+             |  FROM t, (SELECT unnest(range(len(toks))) AS i)
+             |  WHERE i < len(toks) - 1 AND toks[i+1] <> toks[i+2]),
+             |und AS (
+             |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+             |  FROM e0),
+             |deg AS (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY tk),
+             |o AS (
+             |  SELECT
+             |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND und.a < und.b)
+             |         THEN und.a ELSE und.b END AS s,
+             |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND und.a < und.b)
+             |         THEN und.b ELSE und.a END AS tgt,
+             |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND und.a < und.b)
+             |         THEN db.dg ELSE da.dg END AS dt
+             |  FROM und
+             |  JOIN deg da ON da.tk = und.a
+             |  JOIN deg db ON db.tk = und.b),
+             |w AS (
+             |  SELECT e1.tgt AS x, e2.tgt AS y
+             |  FROM o e1 JOIN o e2
+             |    ON e1.s = e2.s
+             |   AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.tgt < e2.tgt))),
+             |tri AS (
+             |  SELECT w.x, w.y FROM w
+             |  WHERE EXISTS (SELECT 1 FROM o
+             |                WHERE o.s = w.x AND o.tgt = w.y))
+             |SELECT
+             |  (SELECT COUNT(*) FROM und) AS n_edges,
+             |  (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+             |    AS n_wedges,
+             |  (SELECT COUNT(*) FROM tri) AS n_triangles,
+             |  (3 * (SELECT COUNT(*) FROM tri) * 1000000)
+             |    // GREATEST((SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT)
+             |                 FROM deg), 1) AS gcc_ppm""".stripMargin)
     )
   )
 }

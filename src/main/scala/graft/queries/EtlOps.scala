@@ -243,6 +243,69 @@ object EtlOps {
              |FROM greys g JOIN med m USING (id)
              |WHERE m.rnk <= 10
              |ORDER BY title""".stripMargin)
+    ),
+
+    // ---- SCD2 dimension-history merge ---------------------------------
+    QueryDef(
+      "scd01_dimension_history",
+      // the history-keeping sibling of K2's upsert-ignore
+      // (`harvard_artifacts_app.py:239-274` keeps FIRST and drops the
+      // update; a warehouse dimension keeps BOTH with validity
+      // intervals). Batch 0 = the customer dim (minus the keys that
+      // will arrive later); batch 1 = a deterministic delta (every
+      // c_custkey%10=3 changes segment, every %17=5 is a new arrival).
+      // The merge emits the classic SCD2 shape: untouched rows stay
+      // open [0,9999), changed keys close the old row at 1 and open a
+      // new one, inserts open at 1. One shuffle join on the dimension
+      // key — and the delta side of a real deployment is a day's
+      // changes, so AQE broadcasts it and the merge is map-side
+      // against the bucketed dimension; nothing here scales with
+      // history length except the output.
+      (s, d) => {
+        val cust = table(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val base = cust.filter(col("k") % 17 =!= 5)
+        val delta = cust.filter(col("k") % 10 === 3 && col("k") % 17 =!= 5)
+          .select(col("k"), concat(lit("NEW-"), col("seg")).as("seg"))
+          .unionByName(cust.filter(col("k") % 17 === 5))
+        val j = base.join(delta.select(col("k"), col("seg").as("seg_new")),
+                          Seq("k"), "full_outer")
+        val closed = j.filter(col("seg").isNotNull && col("seg_new").isNotNull)
+          .select(col("k"), col("seg"), lit(0).as("valid_from"),
+                  lit(1).as("valid_to"), lit(false).as("is_current"))
+        val opened = j.filter(col("seg_new").isNotNull)
+          .select(col("k"), col("seg_new").as("seg"),
+                  lit(1).as("valid_from"), lit(9999).as("valid_to"),
+                  lit(true).as("is_current"))
+        val untouched = j.filter(col("seg").isNotNull && col("seg_new").isNull)
+          .select(col("k"), col("seg"), lit(0).as("valid_from"),
+                  lit(9999).as("valid_to"), lit(true).as("is_current"))
+        closed.unionByName(opened).unionByName(untouched)
+          .orderBy("k", "valid_from")
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+             |base AS (SELECT * FROM cust WHERE k % 17 <> 5),
+             |delta AS (
+             |  SELECT k, 'NEW-' || seg AS seg FROM cust
+             |  WHERE k % 10 = 3 AND k % 17 <> 5
+             |  UNION ALL
+             |  SELECT k, seg FROM cust WHERE k % 17 = 5),
+             |j AS (
+             |  SELECT COALESCE(b.k, dl.k) AS k, b.seg AS seg,
+             |         dl.seg AS seg_new
+             |  FROM base b FULL OUTER JOIN delta dl ON b.k = dl.k),
+             |out AS (
+             |  SELECT k, seg, 0 AS valid_from, 1 AS valid_to,
+             |         false AS is_current
+             |  FROM j WHERE seg IS NOT NULL AND seg_new IS NOT NULL
+             |  UNION ALL
+             |  SELECT k, seg_new, 1, 9999, true FROM j
+             |  WHERE seg_new IS NOT NULL
+             |  UNION ALL
+             |  SELECT k, seg, 0, 9999, true FROM j
+             |  WHERE seg IS NOT NULL AND seg_new IS NULL)
+             |SELECT * FROM out ORDER BY k, valid_from""".stripMargin)
     )
   )
 }

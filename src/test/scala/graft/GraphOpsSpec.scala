@@ -65,4 +65,40 @@ class GraphOpsSpec extends SparkSpec {
     val prs = df.select("pr").as[Long].collect()
     assert(prs.forall(_ >= S * 15L / 100L))
   }
+
+  test("gr02: census matches hand-counted triangles on K4 plus a pendant") {
+    // text "a b c d a c" in one doc plus "b d" and "d e" gives the
+    // undirected edges of K4 {a,b,c,d} (6 edges) + pendant d—e:
+    // K4 has exactly 4 triangles; wedge count under degree
+    // orientation = Σ_v C(outdeg_o(v), 2)
+    val docs = Seq("a b c d a c", "b d", "d e").zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", 5L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("gr02").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("gr02_triangle_count")(spark, dir).head()
+    assert(row.getLong(0) == 7L, s"edges: $row")      // 6 K4 + d—e
+    // true path-2 wedges: a,b,c have deg 3 (C(3,2)=3 each), d has
+    // deg 4 (C(4,2)=6), e deg 1 → 3·3 + 6 = 15
+    assert(row.getLong(1) == 15L, s"wedges: $row")
+    assert(row.getLong(2) == 4L, s"triangles: $row")  // K4's 4
+    // gcc = 3·4/15 in ppm = 800000, integer-division-exact
+    assert(row.getLong(3) == 800000L, row.toString)
+  }
+
+  test("gr02: a star has max wedges, zero triangles — and zero oriented join volume") {
+    // a star (hub ↔ 20 leaves): 190 true wedges (C(20,2) at the hub),
+    // no triangles. Under degree orientation every edge points
+    // leaf→hub (leaf degree 1 < 20), so NO vertex has two
+    // out-neighbors: the triangle join enumerates ZERO pairs where
+    // the naive neighbor-pair join would enumerate all 190 — the
+    // skew-immunity that makes the plan survive hub tokens at 100 TB
+    val docs = (0 until 20).map(i => (i.toLong, s"leaf$i hub", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("gr02s").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("gr02_triangle_count")(spark, dir).head()
+    assert(row.getLong(0) == 20L && row.getLong(1) == 190L &&
+           row.getLong(2) == 0L && row.getLong(3) == 0L, row.toString)
+  }
 }

@@ -279,4 +279,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.count(_._1 == "tiny") == 5)
     assert(got.count(_._1 == "big") == 8)
   }
+
+  test("scd01: SCD2 invariants — one open row per key, abutting intervals on change") {
+    val rows = SparkEntry.queries("scd01_dimension_history")(spark, sf0001)
+      .as[(Long, String, Int, Int, Boolean)].collect().toVector
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      // exactly one current row, and it is the one open at 9999
+      assert(vs.count(_._5) == 1, s"key $k: ${vs.size} current rows")
+      assert(vs.filter(_._5).forall(_._4 == 9999), s"key $k")
+      // intervals never overlap and changed keys abut exactly (0,1),(1,9999)
+      val iv = vs.map(v => (v._3, v._4)).sorted
+      iv.sliding(2).foreach {
+        case Seq((_, t1), (f2, _)) => assert(t1 == f2, s"key $k gap: $iv")
+        case _ =>
+      }
+    }
+    // new arrivals (k%17=5) exist, have exactly one row, opened at batch 1
+    val arrivals = byKey.filter(_._1 % 17 == 5)
+    assert(arrivals.nonEmpty)
+    arrivals.foreach { case (k, vs) =>
+      assert(vs.size == 1 && vs.head._3 == 1, s"arrival $k: $vs")
+    }
+    // changed keys carry history: old segment closed, NEW- segment open
+    val changed = byKey.filter { case (k, _) => k % 10 == 3 && k % 17 != 5 }
+    assert(changed.nonEmpty)
+    changed.foreach { case (k, vs) =>
+      assert(vs.size == 2, s"changed $k: $vs")
+      val cur = vs.find(_._5).get
+      assert(cur._2.startsWith("NEW-") && !vs.find(!_._5).get._2.startsWith("NEW-"))
+    }
+  }
 }
