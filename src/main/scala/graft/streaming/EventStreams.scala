@@ -1227,4 +1227,65 @@ object EventStreams {
           .partitionBy("batch_id").parquet(outDir)
       }
       .start()
+
+  /** st26's streaming twin: per-source distinct-bigram vocabulary
+    * tracked across micro-batches where the ONLY cross-batch decision
+    * state is the HLL sketch table (`source → 2^12-register sketch`,
+    * a few KB per source forever, regardless of stream length).
+    *
+    * Batch b sketches its own grams, max-merges with `state_{b-1}` via
+    * `hll_union` (full-outer: a source absent from a batch keeps its
+    * sketch verbatim), and writes `state_b` — replaying a batch
+    * recomputes the identical merge (registers max-merge, so the union
+    * is idempotent under replay: the st24/st25 crash protocol with
+    * set-semantics state). Raw grams also land in a batch-partitioned
+    * store, used here ONLY for the published exact audit (the batch
+    * entry's x14 discipline); a 100 TB deployment audits on a schedule
+    * and publishes the estimate, whose cost never grows. */
+  def incrementalVocab(stream: DataFrame, stateDir: String,
+                       storeDir: String, outDir: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val grams = graft.analytics.FrequentItems
+          .bigrams(batch, col("source"))
+        val sk = grams.groupBy("source")
+          .agg(hll_sketch_agg(col("ngram"), 12).as("sk"))
+        val prev =
+          try spark.read.parquet(s"$stateDir/state_${batchId - 1}")
+          catch { case _: Exception => sk.limit(0) } // cold start
+        sk.select(col("source"), col("sk").as("sk_new"))
+          .join(prev.select(col("source"), col("sk").as("sk_old")),
+                Seq("source"), "full_outer")
+          .select(col("source"),
+            when(col("sk_old").isNull, col("sk_new"))
+              .when(col("sk_new").isNull, col("sk_old"))
+              .otherwise(hll_union(col("sk_old"), col("sk_new")))
+              .as("sk"))
+          .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
+        grams.select("source", "ngram").distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(storeDir)
+        val st = spark.read.parquet(s"$stateDir/state_$batchId")
+        val exact = spark.read.parquet(storeDir)
+          .select("source", "ngram").distinct()
+          .groupBy("source").agg(count(lit(1)).as("ndv_exact"))
+        st.join(exact, "source")
+          .select(col("source"), col("ndv_exact"),
+            hll_sketch_estimate(col("sk")).as("ndv_est"),
+            (abs(hll_sketch_estimate(col("sk")) - col("ndv_exact")) <=
+              greatest(col("ndv_exact").cast("double") * 0.05,
+                       lit(8.0))).as("hll_ok"),
+            lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
 }

@@ -289,6 +289,40 @@ class FrequentItemsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("st26 streaming twin: sketch-only state tracks vocab across MemoryStream batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st26_").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = graft.streaming.EventStreams.incrementalVocab(
+      mem.toDF().toDF("source", "text"),
+      s"$tmp/state", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // batch 0: s0 sees bigrams {a b, b c}; s1 sees {x y}
+      mem.addData(("s0", "a b c"), ("s1", "x y"))
+      q.processAllAvailable()
+      // batch 1: s0 re-sees "b c" and adds "c d"; s1 absent
+      mem.addData(("s0", "b c d"))
+      q.processAllAvailable()
+      def pub(b: Int) = spark.read.parquet(s"$tmp/out")
+        .filter(col("batch_id") === b)
+        .select("source", "ndv_exact", "ndv_est", "hll_ok")
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      // HLL is exact at these cardinalities (sparse mode): est == exact
+      assert(pub(0) == Set(("s0", 2L, 2L, true), ("s1", 1L, 1L, true)))
+      // s0 grows 2 → 3 (dup "b c" absorbed by register max-merge);
+      // s1 keeps its sketch verbatim through the absent batch
+      assert(pub(1) == Set(("s0", 3L, 3L, true), ("s1", 1L, 1L, true)))
+      // cross-batch state: one sketch row per source, and no
+      // streaming state store at all (foreachBatch + parquet state)
+      val st = spark.read.parquet(s"$tmp/state/state_1")
+      assert(st.count() == 2 &&
+             st.schema.fieldNames.toSet == Set("source", "sk"))
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("fi01 refine join broadcasts the bounded candidate side") {
     val df = FrequentItems.all.find(_.name == "fi01_heavy_hitters").get
       .df(spark, sf0001)
