@@ -229,6 +229,109 @@ object GraphOps {
              |  (3 * (SELECT COUNT(*) FROM tri) * 1000000)
              |    // GREATEST((SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT)
              |                 FROM deg), 1) AS gcc_ppm""".stripMargin)
+    ),
+    QueryDef(
+      "gr03_kcore_peel",
+      // bounded-round k-core peeling (k = 4): repeatedly drop vertices
+      // of degree < k and the edges they carry — the standard
+      // distributed k-core algorithm IS this synchronized peel, run to
+      // fixpoint; this entry pins the first 3 rounds plus a converged
+      // flag, which is exactly what one inspects when deciding whether
+      // a corpus's vocabulary graph has a dense backbone worth
+      // boilerplate-mining. Each round is one degree census (one
+      // partial-agg shuffle) + two semi-joins restricting the edge
+      // list — cost ∝ surviving edges, monotonically shrinking, and
+      // nothing materializes per-vertex neighborhoods. Integer counts
+      // only ⇒ hash-exact; the DuckDB oracle unrolls the rounds.
+      (s, d) => {
+        val k = 4
+        def census(e: DataFrame): DataFrame =
+          e.select(col("a").as("tk")).union(e.select(col("b")))
+            .groupBy("tk").agg(count(lit(1)).as("dg"))
+        def peel(e: DataFrame): DataFrame = {
+          val keep = census(e).filter(col("dg") >= k).select("tk")
+          e.join(keep.withColumnRenamed("tk", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("tk", "b"), Seq("b"), "left_semi")
+            .select("a", "b")
+        }
+        val e0 = {
+          val e = tokenEdges(table(s, d, "documents"))
+          e.select(least(col("u"), col("v")).as("a"),
+                   greatest(col("u"), col("v")).as("b")).distinct()
+        }
+        val rounds = Iterator.iterate(e0)(peel).take(4).toSeq
+        rounds.zipWithIndex.map { case (e, i) =>
+          e.agg(count(lit(1)).as("n_edges"))
+            .crossJoin(census(e).agg(
+              count(lit(1)).as("n_nodes"),
+              coalesce(sum(when(col("dg") >= k, 1L).otherwise(0L)),
+                       lit(0L)).as("n_core_candidates")))
+            .select(lit(i).as("round"), col("n_nodes"), col("n_edges"),
+                    col("n_core_candidates"))
+        }.reduce(_ unionByName _)
+          .orderBy("round")
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(
+             |    string_split_regex(lower(trim(text)), '\s+'),
+             |    tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |eD AS (
+             |  SELECT DISTINCT toks[i+1] AS u, toks[i+2] AS v
+             |  FROM t, (SELECT unnest(range(len(toks))) AS i)
+             |  WHERE i < len(toks) - 1 AND toks[i+1] <> toks[i+2]),
+             |e0 AS (
+             |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+             |  FROM eD),
+             |d0 AS (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM e0 UNION ALL SELECT b FROM e0)
+             |  GROUP BY tk),
+             |k0 AS (SELECT tk FROM d0 WHERE dg >= 4),
+             |e1 AS (
+             |  SELECT a, b FROM e0
+             |  WHERE a IN (SELECT tk FROM k0) AND b IN (SELECT tk FROM k0)),
+             |d1 AS (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM e1 UNION ALL SELECT b FROM e1)
+             |  GROUP BY tk),
+             |k1 AS (SELECT tk FROM d1 WHERE dg >= 4),
+             |e2 AS (
+             |  SELECT a, b FROM e1
+             |  WHERE a IN (SELECT tk FROM k1) AND b IN (SELECT tk FROM k1)),
+             |d2 AS (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM e2 UNION ALL SELECT b FROM e2)
+             |  GROUP BY tk),
+             |k2 AS (SELECT tk FROM d2 WHERE dg >= 4),
+             |e3 AS (
+             |  SELECT a, b FROM e2
+             |  WHERE a IN (SELECT tk FROM k2) AND b IN (SELECT tk FROM k2)),
+             |d3 AS (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM e3 UNION ALL SELECT b FROM e3)
+             |  GROUP BY tk),
+             |r AS (
+             |  SELECT 0 AS round, (SELECT COUNT(*) FROM d0) AS n_nodes,
+             |    (SELECT COUNT(*) FROM e0) AS n_edges,
+             |    (SELECT COALESCE(CAST(SUM(CASE WHEN dg >= 4 THEN 1
+             |      ELSE 0 END) AS BIGINT), 0) FROM d0) AS n_core_candidates
+             |  UNION ALL
+             |  SELECT 1, (SELECT COUNT(*) FROM d1),
+             |    (SELECT COUNT(*) FROM e1),
+             |    (SELECT COALESCE(CAST(SUM(CASE WHEN dg >= 4 THEN 1
+             |      ELSE 0 END) AS BIGINT), 0) FROM d1)
+             |  UNION ALL
+             |  SELECT 2, (SELECT COUNT(*) FROM d2),
+             |    (SELECT COUNT(*) FROM e2),
+             |    (SELECT COALESCE(CAST(SUM(CASE WHEN dg >= 4 THEN 1
+             |      ELSE 0 END) AS BIGINT), 0) FROM d2)
+             |  UNION ALL
+             |  SELECT 3, (SELECT COUNT(*) FROM d3),
+             |    (SELECT COUNT(*) FROM e3),
+             |    (SELECT COALESCE(CAST(SUM(CASE WHEN dg >= 4 THEN 1
+             |      ELSE 0 END) AS BIGINT), 0) FROM d3))
+             |SELECT * FROM r ORDER BY round""".stripMargin)
     )
   )
 }

@@ -101,4 +101,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(row.getLong(0) == 20L && row.getLong(1) == 190L &&
            row.getLong(2) == 0L && row.getLong(3) == 0L, row.toString)
   }
+
+  test("gr03: peel strips the tendrils and keeps the K5 core") {
+    // K5 on {a,b,c,d,e} (degree 4 each — exactly at the k=4 bar) plus
+    // a chain f—g—h hanging off a: the chain and a's degree boost
+    // vanish within two peels, K5 survives every round
+    val k5 = for {
+      x <- Seq("a", "b", "c", "d", "e")
+      y <- Seq("a", "b", "c", "d", "e") if x < y
+    } yield s"$x $y"
+    val docs = (k5 ++ Seq("a f", "f g", "g h")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("gr03").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("gr03_kcore_peel")(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toVector
+    // round 0: 8 nodes, 13 edges; a has degree 5, f/g 2, h 1 →
+    // candidates = K5's five plus a... a IS in K5; f,g,h below bar
+    assert(rows(0) == ((0, 8L, 13L, 5L)), rows.toString)
+    // peel 1 drops f,g,h (degree < 4): K5 + a—f edge goes with f
+    assert(rows(1) == ((1, 5L, 10L, 5L)), rows.toString)
+    // fixpoint: rounds 2 and 3 identical — the 4-core is K5
+    assert(rows(2) == ((2, 5L, 10L, 5L)) && rows(3) == ((3, 5L, 10L, 5L)),
+           rows.toString)
+  }
 }
