@@ -591,4 +591,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") ||
            p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("gr02: wedge generation and triangle close are equi-joins, never nested-loop over edges") {
+    // the oriented self-join's inequality rides as a join FILTER on an
+    // equi key (e1.s = e2.s) and the closing probe is a pure equi
+    // semi-join: if either degrades to a cartesian/BNLJ over the edge
+    // list, triangle counting dies at the first hub at scale. (The
+    // only BNLJ tolerated is the final 1-row×1-row stat crossJoin.)
+    val p = plan("gr02_triangle_count")
+    val hashJoins = "(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(hashJoins >= 3, s"expected >=3 hash joins (orient x2, wedge, close): $p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val cart = "CartesianProduct".r.findAllIn(p).size
+    assert(bnlj + cart <= 2, s"edge-list join degraded to nested loop: $p")
+  }
+
+  test("gr01: every PageRank iteration joins on equi keys with partial aggregation") {
+    val p = plan("gr01_token_pagerank")
+    // contributions partial-aggregate map-side before the by-dst shuffle
+    assert("partial_sum".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // final top-20 is a TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("fi03: overlap estimates come from the sketch table, not a pairwise gram join") {
+    // the exact audit joins grams once (equi on ngram); the estimate
+    // side must be the tiny per-source sketch frame joined to itself —
+    // a sketch-rows² nested loop is FINE (n_sources² rows), a
+    // gram-level inequality join is not. Assert the plan has exactly
+    // one gram-gram equi join and the only non-equi join inputs are
+    // aggregate results.
+    val p = plan("fi03_vocab_overlap")
+    assert(p.contains("hll_union") && p.contains("hll_sketch_estimate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
