@@ -310,4 +310,33 @@ class ScaleOpsSpec extends SparkSpec {
       assert(cur._2.startsWith("NEW-") && !vs.find(!_._5).get._2.startsWith("NEW-"))
     }
   }
+
+  test("scd01 streaming twin: CDC feed folds into the SCD2 history across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("scdtwin").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.scdApply(
+      mem.toDF().toDF("k", "seg"), s"$tmp/state", s"$tmp/ckpt")
+    try {
+      mem.addData((1L, "A"), (2L, "B"))          // batch 0: two inserts
+      q.processAllAvailable()
+      mem.addData((1L, "A2"), (2L, "B"), (3L, "C")) // change, no-op, insert
+      q.processAllAvailable()
+      val hist = spark.read.parquet(s"$tmp/state/state_1")
+        .as[(Long, String, Int, Int, Boolean)].collect().toSet
+      assert(hist == Set(
+        (1L, "A", 0, 1, false), (1L, "A2", 1, 9999, true),
+        (2L, "B", 0, 9999, true),                 // no-op keeps valid_from
+        (3L, "C", 1, 9999, true)), hist.toString)
+      // the per-batch snapshot is pure state_{b-1} + batch: state_0
+      // holds exactly the two opens — replaying batch 1 regenerates
+      // state_1 verbatim from it
+      val s0 = spark.read.parquet(s"$tmp/state/state_0")
+        .as[(Long, String, Int, Int, Boolean)].collect().toSet
+      assert(s0 == Set((1L, "A", 0, 9999, true), (2L, "B", 0, 9999, true)))
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
