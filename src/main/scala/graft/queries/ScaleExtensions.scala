@@ -737,6 +737,79 @@ object ScaleExtensions {
              |  CAST(ntile(4) OVER (PARTITION BY o_custkey
              |    ORDER BY o_totalprice, o_orderkey) AS INT) AS spend_quartile
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    QueryDef(
+      "tp01_table_profile",
+      // ANALYZE TABLE, the engine-infrastructure entry: per-column
+      // null count, exact NDV, and min/max over `orders` — the
+      // statistics a cost-based optimizer (and every data-quality
+      // dashboard) runs first. Deliberately NOT one agg with six
+      // countDistincts: that plans an Expand (row-multiplying shuffle,
+      // the x14 lesson). Instead each column gets its own
+      // COLUMN-PRUNED pass (the parquet scan reads exactly one column
+      // — total I/O across all six passes = the table once) with
+      // map-side partial aggregation; NDV shuffles only the distinct
+      // keys. min/max ship as strings under pinned formatting (dates
+      // via explicit pattern, doubles via round-to-decimal) so one
+      // schema carries every column type.
+      (s, d) => {
+        val o = table(s, d, "orders")
+        def prof(cname: String, minmax: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+          val c = col(cname)
+          val base = o.select(c).agg(
+            count(lit(1)).as("n_rows"), count(c).as("n_nonnull"),
+            minmax(min(c)).as("min_s"), minmax(max(c)).as("max_s"))
+          val ndv = o.select(c).where(c.isNotNull).distinct()
+            .agg(count(lit(1)).as("ndv"))
+          base.crossJoin(ndv).select(
+            lit(cname).as("col_name"),
+            (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+            col("ndv"), col("min_s"), col("max_s"))
+        }
+        val asStr = (c: org.apache.spark.sql.Column) => c.cast("string")
+        val asDec = (c: org.apache.spark.sql.Column) => round(c, 2).cast("decimal(18,2)").cast("string")
+        val asTs  = (c: org.apache.spark.sql.Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+        Seq(
+          prof("o_orderkey", asStr), prof("o_custkey", asStr),
+          prof("o_orderstatus", asStr), prof("o_totalprice", asDec),
+          prof("o_orderdate", asTs), prof("o_orderpriority", asStr)
+        ).reduce(_ unionByName _).orderBy("col_name")
+      },
+      Some("""WITH p AS (
+             |  SELECT 'o_orderkey' AS col_name,
+             |    COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             |    COUNT(DISTINCT o_orderkey) AS ndv,
+             |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+             |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+             |    COUNT(DISTINCT o_custkey),
+             |    CAST(MIN(o_custkey) AS VARCHAR),
+             |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+             |    COUNT(DISTINCT o_orderstatus),
+             |    MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+             |    COUNT(DISTINCT o_totalprice),
+             |    CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(18,2))
+             |         AS VARCHAR),
+             |    CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(18,2))
+             |         AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+             |    COUNT(DISTINCT o_orderdate),
+             |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+             |    COUNT(DISTINCT o_orderpriority),
+             |    MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+             |SELECT * FROM p ORDER BY col_name""".stripMargin)
     )
   )
 }

@@ -592,6 +592,19 @@ class PlanAuditSpec extends SparkSpec {
            p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("tp01: profile never plans an Expand; every column pass prunes to one column") {
+    // six countDistincts in ONE agg would plan an Expand (row-
+    // multiplying shuffle — the x14 lesson); the per-column passes
+    // must also each prune the parquet scan to their single column
+    val df = SparkEntry.queries("tp01_table_profile")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p)
+    val f = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("ReadSchema: struct<o_orderkey:bigint>".r.findAllIn(f).nonEmpty, f)
+    assert("ReadSchema: struct<o_orderstatus:string>".r.findAllIn(f).nonEmpty, f)
+  }
+
   test("gr02: wedge generation and triangle close are equi-joins, never nested-loop over edges") {
     // the oriented self-join's inequality rides as a join FILTER on an
     // equi key (e1.s = e2.s) and the closing probe is a pure equi
