@@ -282,38 +282,38 @@ object GraphOps {
              |    string_split_regex(lower(trim(text)), '\s+'),
              |    tk -> len(tk) > 0) AS toks
              |  FROM documents),
-             |eD AS (
+             |eD AS MATERIALIZED (
              |  SELECT DISTINCT toks[i+1] AS u, toks[i+2] AS v
              |  FROM t, (SELECT unnest(range(len(toks))) AS i)
              |  WHERE i < len(toks) - 1 AND toks[i+1] <> toks[i+2]),
-             |e0 AS (
+             |e0 AS MATERIALIZED (
              |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
              |  FROM eD),
-             |d0 AS (
+             |d0 AS MATERIALIZED (
              |  SELECT tk, COUNT(*) AS dg FROM (
              |    SELECT a AS tk FROM e0 UNION ALL SELECT b FROM e0)
              |  GROUP BY tk),
-             |k0 AS (SELECT tk FROM d0 WHERE dg >= 4),
-             |e1 AS (
+             |k0 AS MATERIALIZED (SELECT tk FROM d0 WHERE dg >= 4),
+             |e1 AS MATERIALIZED (
              |  SELECT a, b FROM e0
              |  WHERE a IN (SELECT tk FROM k0) AND b IN (SELECT tk FROM k0)),
-             |d1 AS (
+             |d1 AS MATERIALIZED (
              |  SELECT tk, COUNT(*) AS dg FROM (
              |    SELECT a AS tk FROM e1 UNION ALL SELECT b FROM e1)
              |  GROUP BY tk),
-             |k1 AS (SELECT tk FROM d1 WHERE dg >= 4),
-             |e2 AS (
+             |k1 AS MATERIALIZED (SELECT tk FROM d1 WHERE dg >= 4),
+             |e2 AS MATERIALIZED (
              |  SELECT a, b FROM e1
              |  WHERE a IN (SELECT tk FROM k1) AND b IN (SELECT tk FROM k1)),
-             |d2 AS (
+             |d2 AS MATERIALIZED (
              |  SELECT tk, COUNT(*) AS dg FROM (
              |    SELECT a AS tk FROM e2 UNION ALL SELECT b FROM e2)
              |  GROUP BY tk),
-             |k2 AS (SELECT tk FROM d2 WHERE dg >= 4),
-             |e3 AS (
+             |k2 AS MATERIALIZED (SELECT tk FROM d2 WHERE dg >= 4),
+             |e3 AS MATERIALIZED (
              |  SELECT a, b FROM e2
              |  WHERE a IN (SELECT tk FROM k2) AND b IN (SELECT tk FROM k2)),
-             |d3 AS (
+             |d3 AS MATERIALIZED (
              |  SELECT tk, COUNT(*) AS dg FROM (
              |    SELECT a AS tk FROM e3 UNION ALL SELECT b FROM e3)
              |  GROUP BY tk),
