@@ -89,35 +89,35 @@ object GraphOps {
              |    string_split_regex(lower(trim(text)), '\s+'),
              |    tk -> len(tk) > 0) AS toks
              |  FROM documents),
-             |e0 AS (
+             |e0 AS MATERIALIZED (
              |  SELECT DISTINCT toks[i+1] AS u, toks[i+2] AS v
              |  FROM t, (SELECT unnest(range(len(toks))) AS i)
              |  WHERE i < len(toks) - 1 AND toks[i+1] <> toks[i+2]),
-             |deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
-             |nodes AS (SELECT u AS tk FROM e0 UNION SELECT v FROM e0),
-             |r0 AS (SELECT tk, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-             |c1 AS (
+             |deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+             |nodes AS MATERIALIZED (SELECT u AS tk FROM e0 UNION SELECT v FROM e0),
+             |r0 AS MATERIALIZED (SELECT tk, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+             |c1 AS MATERIALIZED (
              |  SELECT e0.v AS tk,
              |    CAST(SUM((85 * (r0.r // deg.d)) // 100) AS BIGINT) AS c
              |  FROM e0 JOIN deg ON e0.u = deg.u JOIN r0 ON r0.tk = e0.u
              |  GROUP BY e0.v),
-             |r1 AS (
+             |r1 AS MATERIALIZED (
              |  SELECT n.tk, 150000000 + COALESCE(c1.c, 0) AS r
              |  FROM nodes n LEFT JOIN c1 ON c1.tk = n.tk),
-             |c2 AS (
+             |c2 AS MATERIALIZED (
              |  SELECT e0.v AS tk,
              |    CAST(SUM((85 * (r1.r // deg.d)) // 100) AS BIGINT) AS c
              |  FROM e0 JOIN deg ON e0.u = deg.u JOIN r1 ON r1.tk = e0.u
              |  GROUP BY e0.v),
-             |r2 AS (
+             |r2 AS MATERIALIZED (
              |  SELECT n.tk, 150000000 + COALESCE(c2.c, 0) AS r
              |  FROM nodes n LEFT JOIN c2 ON c2.tk = n.tk),
-             |c3 AS (
+             |c3 AS MATERIALIZED (
              |  SELECT e0.v AS tk,
              |    CAST(SUM((85 * (r2.r // deg.d)) // 100) AS BIGINT) AS c
              |  FROM e0 JOIN deg ON e0.u = deg.u JOIN r2 ON r2.tk = e0.u
              |  GROUP BY e0.v),
-             |r3 AS (
+             |r3 AS MATERIALIZED (
              |  SELECT n.tk, 150000000 + COALESCE(c3.c, 0) AS r
              |  FROM nodes n LEFT JOIN c3 ON c3.tk = n.tk)
              |SELECT tk AS token, CAST(r AS BIGINT) AS pr FROM r3
