@@ -34,12 +34,27 @@ object Bounded {
     * job) runs OUTSIDE the map's compute lambda: get-then-putIfAbsent
     * instead of computeIfAbsent, so no ConcurrentHashMap bin lock is
     * held for the job's duration (a concurrent duplicate count is
-    * harmless; a stalled bin is not). */
+    * harmless; a stalled bin is not).
+    *
+    * The stamp resolves each file through Hadoop's `FileSystem` — not
+    * `java.io.File`, which silently returns 0 for every non-local
+    * scheme (hdfs://, s3a://) and would reduce the regenerated-in-place
+    * guard to a no-op off local disk. `getModificationTime` is ms
+    * precision from the store's own metadata; a file the stamp cannot
+    * stat (deleted between planning and stamping) contributes a
+    * distinct marker rather than a fake zero, so the key still changes
+    * when the data does. */
   def broadcastBench(df: DataFrame, tag: String,
                      maxRows: Long = MaxBenchRows): DataFrame = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val files = df.inputFiles.sorted.map { p =>
-      val f = new java.io.File(p.stripPrefix("file:"))
-      s"$p@${f.lastModified}:${f.length}"
+      val path = new org.apache.hadoop.fs.Path(p)
+      try {
+        val st = path.getFileSystem(hconf).getFileStatus(path)
+        s"$p@${st.getModificationTime}:${st.getLen}"
+      } catch {
+        case _: java.io.FileNotFoundException => s"$p@missing"
+      }
     }
     val key = tag + ":" + df.queryExecution.logical.semanticHash() +
       ":" + java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])

@@ -468,16 +468,19 @@ object CurationPipeline {
     // is dropped on the vector side by definition; a doc with no
     // embedding row keeps keep_vec = 1 (no vector evidence — the text
     // rules alone decide). Scale shape: each side keeps its unit
-    // operator's plan (map-only flags; broadcast bench + partial max),
-    // joined once on the id — the join's exchanges carry only
-    // (id, 0/1) scalars, never text or vectors.
+    // operator's plan (map-only flags; the FIXED-SIZE benchmark suite
+    // broadcasts — DataQuality.benchSuite, the production invariant
+    // that keeps the vector gate linear in the corpus; the full-set
+    // exact form is the cp05x anchor below — + partial max), joined
+    // once on the id — the join's exchanges carry only (id, 0/1)
+    // scalars, never text or vectors.
     QueryDef(
       "cp05_joint_gate",
       (s, d) => {
         val text = DataQuality.qualityFlags(table(s, d, "documents"))
           .select(col("doc_id"), col("source"), col("keep").as("keep_text"))
         val emb = table(s, d, "embeddings")
-        val bench = emb.filter(col("label") === 0)
+        val bench = DataQuality.benchSuite(emb)
           .select(col("embedding").as("qvec"))
         val vecKeep = emb.filter(col("label") =!= 0)
           .crossJoin(Bounded.broadcastBench(bench, "cp05.bench-vecs"))
@@ -520,7 +523,8 @@ object CurationPipeline {
               |              greatest(n_words, 1) <= 0.5 AS INT)
               |       AS INT) AS keep_text
               |  FROM st),
-              |b AS (SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |b AS (SELECT embedding AS qvec
+              |      FROM (${DataQuality.benchSuiteSql})),
               |m AS (
               |  SELECT c.vec_id AS doc_id, max(
               |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
@@ -546,6 +550,51 @@ object CurationPipeline {
               |    AS keep_joint
               |FROM k LEFT JOIN v USING (doc_id)
               |ORDER BY k.doc_id""".stripMargin)
+    ),
+
+    // cp05x: the exhaustive anchor — the joint gate's VECTOR side
+    // scored against the WHOLE label-0 set (the pre-r12 cp05 vector
+    // gate, verbatim), on a deterministic corpus slice (vec_id % 4 = 1;
+    // the per-vector max is independent across vectors, so the slice
+    // preserves every mechanism while bounding the anchor's
+    // corpus×label-0 cost — the dm10x discipline). Keeps "contaminated
+    // vs the full set" hash-checked so the suite cap can never
+    // silently weaken the production gate.
+    QueryDef(
+      "cp05x_vector_gate_full",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val bench = emb.filter(col("label") === 0)
+          .select(col("embedding").as("qvec"))
+        emb.filter(col("label") =!= 0 && col("vec_id") % 4 === 1)
+          .crossJoin(Bounded.broadcastBench(bench, "cp05x.bench-vecs"))
+          .groupBy("vec_id")
+          .agg(max(graft.functions.VectorOps.cosineNative(
+                 s, col("embedding"), col("qvec"))).as("mc"))
+          .select(col("vec_id").as("doc_id"),
+                  round(col("mc"), 6).as("max_benchmark_sim"),
+                  (col("mc") < DataQuality.SemanticDeconTau).cast("int")
+                    .as("keep_vec"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |c AS (
+              |  SELECT vec_id, embedding FROM embeddings
+              |  WHERE label <> 0 AND vec_id % 4 = 1),
+              |m AS (
+              |  SELECT c.vec_id, max(
+              |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+              |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              |      / (sqrt(list_sum(list_transform(c.embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |       * sqrt(list_sum(list_transform(b.qvec,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              |    ) AS mc
+              |  FROM c, b GROUP BY c.vec_id)
+              |SELECT vec_id AS doc_id, round(mc, 6) AS max_benchmark_sim,
+              |  CAST(mc < ${DataQuality.SemanticDeconTau} AS INT) AS keep_vec
+              |FROM m ORDER BY doc_id""".stripMargin)
     ),
 
     // ---- end-to-end curation with conservation ledger -----------------
@@ -598,7 +647,8 @@ object CurationPipeline {
               |        OVER (PARTITION BY md5(d.text))
               |    THEN 1 ELSE 0 END AS is_dup
               |  FROM documents d JOIN k USING (doc_id)),
-              |b AS (SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+              |b AS (SELECT embedding AS qvec
+              |      FROM (${DataQuality.benchSuiteSql})),
               |m AS (
               |  SELECT c.vec_id AS doc_id, max(
               |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
@@ -969,9 +1019,10 @@ object CurationPipeline {
         (col("keep_q") === 1 && col("doc_id") =!= col("first_id"))
           .cast("int"))
     // stage 3: semantic decon, cp05's vector conventions (label-0 docs
-    // drop; docs without an embedding row keep keep_vec = 1)
+    // drop; docs without an embedding row keep keep_vec = 1; the
+    // fixed-size benchmark suite keeps this stage linear in the corpus)
     val emb = table(s, d, "embeddings")
-    val bench = emb.filter(col("label") === 0)
+    val bench = DataQuality.benchSuite(emb)
       .select(col("embedding").as("qvec"))
     val vecKeep = emb.filter(col("label") =!= 0)
       .crossJoin(Bounded.broadcastBench(bench, "cp06.bench-vecs"))

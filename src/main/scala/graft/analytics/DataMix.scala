@@ -604,7 +604,14 @@ object DataMix {
                   col("n_audit_strong"),
                   (col("__s") === 0).as("banded_subset_ok"),
                   col("jaccard_exact_ok"),
-                  (col("__m") <= ceil(col("n_audit_strong") * lit(2e-4)))
+                  // floor, not ceil: below 5000 strong pairs the bound
+                  // is EXACTLY ZERO misses (a banding regression that
+                  // drops even one ≥0.9 leak flips this false); past
+                  // that the 2e-4 rate is the statistical slack for
+                  // the deterministic per-pair miss probability
+                  // (1 − 0.9⁴)¹² ≈ 2.7e-6 compounding over a huge
+                  // audit stratum.
+                  (col("__m") <= floor(col("n_audit_strong") * lit(2e-4)))
                     .as("recall_bound_ok"))
       },
       Some(s"""${leakPairsCtes("AND t.doc_id % 16 = 1")}

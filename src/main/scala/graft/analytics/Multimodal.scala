@@ -106,6 +106,26 @@ object Multimodal {
     * partition and wrapping the byte arrays in memory-cache streams is
     * the identical codec with neither tax (measured at 32 threads /
     * 50k 8×8 images: encode 1.74 → 0.23 s, decode 1.88 → 0.17 s). */
+  /** Runs `release` exactly once when the wrapped iterator is
+    * exhausted — the disposal seam for per-partition ImageIO codec
+    * instances. `mapPartitions` offers no try/finally, but Spark's task
+    * runner always drains the iterator on success, so exhaustion IS the
+    * partition-done hook; without it each task leaks a codec-plugin
+    * instance (native buffers, cache state) until GC, which compounds
+    * across repeated bench/verify sweeps in one JVM. A task that fails
+    * mid-partition still waits for GC — the pre-existing behavior — but
+    * the steady-state path now releases eagerly. */
+  private def disposing[T](it: Iterator[T])(release: => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var released = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !released) { released = true; release }
+        h
+      }
+      def next(): T = it.next()
+    }
+
   private def pngWriter(): javax.imageio.ImageWriter = {
     import scala.jdk.CollectionConverters._
     javax.imageio.spi.IIORegistry.getDefaultInstance
@@ -132,16 +152,18 @@ object Multimodal {
     val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     w.setOutput(mos)
     w.write(img)
-    mos.flush()
+    mos.close() // flushes pending data AND releases the cache buffer
     out.toByteArray
   }
 
   private def decodePng(r: javax.imageio.ImageReader,
                         bytes: Array[Byte]): java.awt.image.BufferedImage = {
-    r.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(bytes)))
+    val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    r.setInput(mis)
     val img = r.read(0)
     r.reset()
+    mis.close()
     img
   }
 
@@ -157,7 +179,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       val writer = pngWriter()
-      ids.map { id =>
+      disposing(ids.map { id =>
         val img = new java.awt.image.BufferedImage(
           PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
@@ -168,7 +190,7 @@ object Multimodal {
           i += 1
         }
         (id, encodePng(writer, img))
-      }
+      })(writer.dispose())
     }.toDF("media_id", "payload")
   }
 
@@ -186,7 +208,7 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         val reader = pngReader()
-        batch.map { case (id, bytes) =>
+        disposing(batch.map { case (id, bytes) =>
           val img = decodePng(reader, bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
@@ -204,7 +226,7 @@ object Multimodal {
             y += 1
           }
           (id, w, h, w.toLong * h, sum, mn, mx)
-        }
+        })(reader.dispose())
       }
       .toDF("media_id", "width", "height", "n_pixels", "sum_px",
             "min_px", "max_px")
@@ -223,7 +245,7 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         val reader = pngReader()
-        batch.flatMap { case (id, bytes) =>
+        disposing(batch.flatMap { case (id, bytes) =>
           val img = decodePng(reader, bytes)
           val raster = img.getRaster
           for {
@@ -236,7 +258,7 @@ object Multimodal {
               raster.getSample(2 * px + 1, 2 * py + 1, 0)
             (id, py, px, s / 4.0)
           }
-        }
+        })(reader.dispose())
       }.toDF("media_id", "py", "px", "pooled")
   }
 
@@ -271,7 +293,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       val writer = pngWriter()
-      ids.map { id =>
+      disposing(ids.map { id =>
         val img = new java.awt.image.BufferedImage(
           PngSide, PngSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster
@@ -281,7 +303,7 @@ object Multimodal {
           i += 1
         }
         (id, encodePng(writer, img))
-      }
+      })(writer.dispose())
     }.toDF("media_id", "payload")
   }
 
@@ -297,7 +319,7 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         val reader = pngReader()
-        batch.map { case (id, bytes) =>
+        disposing(batch.map { case (id, bytes) =>
           val img = decodePng(reader, bytes)
           val raster = img.getRaster
           val n = img.getWidth * img.getHeight
@@ -317,7 +339,7 @@ object Multimodal {
             i += 1
           }
           (id, fp)
-        }
+        })(reader.dispose())
       }.toDF("media_id", "ahash")
   }
 
@@ -396,7 +418,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       val writer = tiffWriter()
-      ids.map { id =>
+      disposing(ids.map { id =>
         val out = new java.io.ByteArrayOutputStream()
         val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
         writer.setOutput(mos)
@@ -417,9 +439,9 @@ object Multimodal {
           f += 1
         }
         writer.endWriteSequence()
-        mos.flush()
+        mos.close()
         (id, out.toByteArray)
-      }
+      })(writer.dispose())
     }.toDF("media_id", "payload")
   }
 
@@ -436,10 +458,10 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         val reader = tiffReader()
-        batch.flatMap { case (id, bytes) =>
-          reader.setInput(
-            new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(bytes)))
+        disposing(batch.flatMap { case (id, bytes) =>
+          val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(mis)
           val n = reader.getNumImages(true)
           val rows = (0 until n by TiffStride).map { f =>
             val raster = reader.read(f).getRaster
@@ -459,8 +481,9 @@ object Multimodal {
             (id, f, n, sum, mn, mx)
           }
           reader.reset()
+          mis.close()
           rows
-        }
+        })(reader.dispose())
       }
       .toDF("media_id", "frame_no", "n_frames", "sum_px", "min_px", "max_px")
   }
@@ -512,7 +535,7 @@ object Multimodal {
       val gray = Array.tabulate(256)(_.toByte)
       val palette = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
       val writer = gifWriter()
-      ids.map { id =>
+      disposing(ids.map { id =>
         val out = new java.io.ByteArrayOutputStream()
         val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
         writer.setOutput(mos)
@@ -534,9 +557,9 @@ object Multimodal {
           f += 1
         }
         writer.endWriteSequence()
-        mos.flush()
+        mos.close()
         (id, out.toByteArray)
-      }
+      })(writer.dispose())
     }.toDF("media_id", "payload")
   }
 
@@ -554,10 +577,10 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         val reader = gifReader()
-        batch.flatMap { case (id, bytes) =>
-          reader.setInput(
-            new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(bytes)))
+        disposing(batch.flatMap { case (id, bytes) =>
+          val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(mis)
           val n = reader.getNumImages(true)
           val rows = (0 until n by GifStride).map { f =>
             val img = reader.read(f)
@@ -577,8 +600,9 @@ object Multimodal {
             (id, f, n, sum, mn, mx)
           }
           reader.reset()
+          mis.close()
           rows
-        }
+        })(reader.dispose())
       }
       .toDF("media_id", "frame_no", "n_frames", "sum_px", "min_px", "max_px")
   }

@@ -151,15 +151,14 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val store =
-          try spark.read.parquet(storeDir)
-          catch { case _: Exception => // first batch: store not created yet
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField(
-                  "g", org.apache.spark.sql.types.StringType))))
-          }
+        val store = readStateOrCold(spark, storeDir) {
+          // first batch: store not created yet
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "g", org.apache.spark.sql.types.StringType))))
+        }
         val decisions =
           graft.analytics.DataQuality.gramGate(batch, store, threshold)
           .withColumn("batch_id", lit(batchId))
@@ -363,6 +362,23 @@ object EventStreams {
     if (fs.exists(path)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Read versioned cross-batch state, distinguishing a GENUINE cold
+    * start — the state path does not exist (batch 0, or a retention
+    * horizon that pruned it) — from a FAILED read. A transient FS error
+    * or corrupt parquet must fail the streaming query so the operator
+    * restarts and replays against intact state; swallowing it into the
+    * empty-state branch would silently reset the cumulative summary
+    * (MG counts, histogram, HLL table, SCD2 history) and make every
+    * later publish wrong with no signal — the documented crash-replay
+    * contract of the incremental* helpers is compute-state_b-from-
+    * state_{b-1}, never recompute-from-nothing. */
+  private def readStateOrCold(spark: org.apache.spark.sql.SparkSession,
+                              dir: String)(cold: => DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) spark.read.parquet(dir) else cold
   }
 
   /** STREAMING source-reputation routing (st16's continuous form):
@@ -1132,17 +1148,16 @@ object EventStreams {
         graft.functions.MisraGriesAgg.register(spark)
         val grams = graft.analytics.FrequentItems.bigrams(batch)
           .withColumn("w", lit(1L)).withColumn("is_raw", lit(1L))
-        val (prevSum, prevN) =
-          try {
-            val st = spark.read.parquet(s"$stateDir/state_${batchId - 1}")
-            (st.filter(col("item").isNotNull).select("item", "est"),
-             st.filter(col("item").isNull).agg(sum("est")).head()
-               .getLong(0))
-          } catch { case _: Exception => // cold start
-            (spark.emptyDataFrame
-               .select(lit("").as("item"), lit(0L).as("est")).limit(0),
-             0L)
+        val (prevSum, prevN) = {
+          val st = readStateOrCold(spark, s"$stateDir/state_${batchId - 1}") {
+            spark.emptyDataFrame
+              .select(lit("").as("item"), lit(0L).as("est")).limit(0)
           }
+          if (st.isEmpty) (st, 0L) // genuine cold start
+          else (st.filter(col("item").isNotNull).select("item", "est"),
+                st.filter(col("item").isNull).agg(sum("est")).head()
+                  .getLong(0))
+        }
         val merged = prevSum
           .select(col("item").as("ngram"), col("est").as("w"),
                   lit(0L).as("is_raw"))
@@ -1208,9 +1223,8 @@ object EventStreams {
           graft.analytics.TextAnalysis.tokenCount(col("text"))
             .cast("long").as("v"))
         val hb = graft.analytics.Quantiles.hist(vals)
-        val prev =
-          try spark.read.parquet(s"$stateDir/state_${batchId - 1}")
-          catch { case _: Exception => hb.limit(0) } // cold start
+        val prev = readStateOrCold(spark, s"$stateDir/state_${batchId - 1}")(
+          hb.limit(0)) // cold start: no prior histogram
         prev.unionByName(hb)
           .groupBy("bin").agg(sum("cnt").as("cnt"))
           .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
@@ -1255,9 +1269,8 @@ object EventStreams {
           .bigrams(batch, col("source"))
         val sk = grams.groupBy("source")
           .agg(hll_sketch_agg(col("ngram"), 12).as("sk"))
-        val prev =
-          try spark.read.parquet(s"$stateDir/state_${batchId - 1}")
-          catch { case _: Exception => sk.limit(0) } // cold start
+        val prev = readStateOrCold(spark, s"$stateDir/state_${batchId - 1}")(
+          sk.limit(0)) // cold start: no prior sketch table
         sk.select(col("source"), col("sk").as("sk_new"))
           .join(prev.select(col("source"), col("sk").as("sk_old")),
                 Seq("source"), "full_outer")
@@ -1315,14 +1328,12 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val delta = batch.select(col("k"), col("seg"))
-        val hist =
-          try spark.read.parquet(s"$stateDir/state_${batchId - 1}")
-          catch {
-            case _: Exception => // cold start: empty history
-              delta.select(col("k"), col("seg"),
-                lit(0).as("valid_from"), lit(9999).as("valid_to"),
-                lit(true).as("is_current")).limit(0)
-          }
+        val hist = readStateOrCold(spark, s"$stateDir/state_${batchId - 1}") {
+          // cold start: empty history
+          delta.select(col("k"), col("seg"),
+            lit(0).as("valid_from"), lit(9999).as("valid_to"),
+            lit(true).as("is_current")).limit(0)
+        }
         val open = hist.filter(col("is_current"))
           .select(col("k"), col("seg"), col("valid_from"))
         val closedRows = hist.filter(!col("is_current"))
