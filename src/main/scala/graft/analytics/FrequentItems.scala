@@ -61,6 +61,18 @@ object FrequentItems {
         (a, b) => concat(a, lit(" "), b))).as("ngram"): _*)
   }
 
+  /** Deterministic 1/16 slice of the GRAM SPACE (first md5 hex digit
+    * '0') — the topKSliced discipline applied to census audits: a hash
+    * slice on the gram keeps EVERY occurrence of a sampled gram, so
+    * per-gram counts, distinct counts, and intersections restricted to
+    * the slice are EXACT for the sampled grams at 1/16 the census
+    * cost. st26/fi03's exact NDV/intersection audits run here;
+    * the whole-vocabulary exact forms live in the st26x/fi03x
+    * anchors, where being census-shaped is the point. */
+  private def gramSlice(g: Column): Column =
+    substring(md5(g.cast("binary")), 1, 1) === "0"
+  private val gramSliceSql = "substring(md5(ngram), 1, 1) = '0'"
+
   private val bigramsSql =
     """WITH t AS (
       |  SELECT source,
@@ -112,13 +124,24 @@ object FrequentItems {
       "fi02_grouped_heavy_hitters",
       // per-source heavy bigrams (per-domain boilerplate candidates):
       // one MG(512) summary per source, exact recount of the per-source
-      // candidates, threshold 1/500 of that source's stream. NO
-      // broadcast hint on the refine join: per-GROUP candidates are
-      // bounded (≤k each) but the group count is a corpus property — a
-      // crawl keyed by registered domain has millions of groups, and a
-      // mandatory broadcast of groups×k rows bypasses AQE's size check
-      // exactly like bp01's census would. Unhinted, AQE broadcasts the
-      // 20-source fixture and shuffles on (source, ngram) at scale.
+      // candidates, threshold 1/500 of that source's stream. The
+      // recount (pass 2 of the classic algorithm — the published
+      // product, exact by design) is gated by a BLOOM filter over the
+      // candidate keys, built in-plan from the materialized candidate
+      // frame and collected as ONE bounded blob (the BloomGramIndex
+      // collect discipline): without it the refine join co-partitions
+      // the FULL gram stream on (source, ngram) — a vocabulary-sized
+      // shuffle, the census shape this tier exists to avoid (measured
+      // 22× at the r11 100× probe, where distinctsalt grows the
+      // vocabulary with the corpus). Gated, the join's probe side is
+      // candidate occurrences + bloom false positives only; map-side
+      // partial aggregation bounds the shuffle at partitions ×
+      // (groups×k + fp), independent of vocabulary size, and the join
+      // itself removes the false positives so the output is
+      // bit-identical to the ungated plan. Still NO broadcast hint on
+      // the join: per-GROUP candidates are bounded (≤k each) but the
+      // group count is a corpus property — a crawl keyed by registered
+      // domain has millions of groups; AQE decides from the real size.
       (s, d) => {
         MisraGriesAgg.register(s)
         val grams = bigrams(table(s, d, "documents"), col("source"))
@@ -126,11 +149,23 @@ object FrequentItems {
           call_function(MisraGriesAgg.fnName, col("ngram"), lit(K2))
             .as("mg"),
           count(lit(1)).as("n_stream"))
-        val cands = sketch.select(
+        val cands = SelfAudit.once(sketch.select(
           col("source"), explode(col("mg")).as("c"), col("n_stream"))
           .select(col("source"), col("c.item").as("ngram"),
-                  col("n_stream"))
-        grams.join(cands, Seq("source", "ngram"))
+                  col("n_stream")))
+        def key(src: Column, ng: Column): Column =
+          xxhash64(concat_ws("", src, ng))
+        val nCand = cands.count()
+        val blob = cands
+          .agg(graft.functions.BloomFns.bloomAgg(s,
+                 key(col("source"), col("ngram")),
+                 lit(math.max(nCand, 1L)),
+                 lit(math.max(nCand * 12L, 4096L))))
+          .head().getAs[Array[Byte]](0)
+        grams
+          .filter(graft.functions.BloomFns.bloomContains(s, lit(blob),
+                    key(col("source"), col("ngram"))))
+          .join(cands, Seq("source", "ngram"))
           .groupBy("source", "ngram", "n_stream")
           .agg(count(lit(1)).as("n_occ"))
           .filter(col("n_occ") * lit(T2) > col("n_stream"))
@@ -241,12 +276,95 @@ object FrequentItems {
       // alone — epoch 2's estimate reads hll_union(sk1, sk2), never
       // epoch 1's grams. HLL registers are max-merged, so the sketch
       // is order- and partition-independent: deterministic for a fixed
-      // input set. The emitted census is the EXACT distinct count
-      // (oracle-replayable; at 100 TB the exact side is the driver-
-      // gate audit — the x14 discipline — and production publishes
-      // the estimate) plus the estimate-within-bound audit boolean
-      // (5% ∨ ±8 slack vs DataSketches' ~1.6% RSE at lgK 12, and the
-      // whole pipeline is deterministic, so the boolean is stable).
+      // input set.
+      //
+      // The EXACT side runs on the deterministic 1/16 gram-space
+      // slice ([[gramSlice]] — r11's whole-vocabulary countDistinct
+      // was the census this tier exists to avoid; measured 34× at the
+      // r11 100× probe): `ndv_slice` is the slice's exact NDV
+      // (oracle-replayable), `hll_slice_ok` audits the estimator
+      // MECHANISM tightly (a sketch built over the same sliced grams,
+      // 5% ∨ ±8 — the mechanism is identical at any width, so a
+      // register/merge regression flips it at 1/16 cost), and
+      // `hll_full_ok` keeps the full-stream union hand-off
+      // LOAD-BEARING as a collapse detector: the full estimate must
+      // land within 50% ∨ ±320 of 16 × the slice NDV (binomial gram
+      // sampling makes 16×slice an unbiased NDV estimate; the wide
+      // slack absorbs sampling noise at fixture widths while a broken
+      // union — half or double the registers — still flips it). The
+      // tight full-width exactness proof is the st26x anchor.
+      (s, d) => {
+        val grams = bigrams(table(s, d, "documents"),
+                            col("doc_id"), col("source"))
+        val e1 = grams.filter(col("doc_id") % 2 === 0)
+        val e2 = grams.filter(col("doc_id") % 2 === 1)
+        val sk1 = e1.groupBy("source").agg(
+          hll_sketch_agg(col("ngram"), 12).as("sk1"))
+        val sk2 = e2.groupBy("source").agg(
+          hll_sketch_agg(col("ngram"), 12).as("sk2"))
+        val a1 = e1.filter(gramSlice(col("ngram"))).groupBy("source")
+          .agg(countDistinct(col("ngram")).as("ndv_slice"),
+               hll_sketch_agg(col("ngram"), 12).as("sks"))
+        val a12 = grams.filter(gramSlice(col("ngram"))).groupBy("source")
+          .agg(countDistinct(col("ngram")).as("ndv_slice"),
+               hll_sketch_agg(col("ngram"), 12).as("sks"))
+        def okSlice(est: Column, exact: Column): Column =
+          abs(est - exact) <=
+            greatest(exact.cast("double") * lit(0.05), lit(8.0))
+        def okFull(est: Column, sliceExact: Column): Column =
+          abs(est - sliceExact * lit(16)) <=
+            greatest(sliceExact.cast("double") * lit(16 * 0.5), lit(320.0))
+        val ep1 = a1.join(sk1, "source")
+          .select(lit(1).as("epoch"), col("source"), col("ndv_slice"),
+            okSlice(hll_sketch_estimate(col("sks")), col("ndv_slice"))
+              .as("hll_slice_ok"),
+            okFull(hll_sketch_estimate(col("sk1")), col("ndv_slice"))
+              .as("hll_full_ok"))
+        // the hand-off: union the persisted register state — a source
+        // absent from one batch keeps the other's sketch verbatim
+        val merged = when(col("sk1").isNull, col("sk2"))
+          .when(col("sk2").isNull, col("sk1"))
+          .otherwise(hll_union(col("sk1"), col("sk2")))
+        val ep2 = a12.join(sk1.join(sk2, Seq("source"), "full_outer"),
+                           "source")
+          .select(lit(2).as("epoch"), col("source"), col("ndv_slice"),
+            okSlice(hll_sketch_estimate(col("sks")), col("ndv_slice"))
+              .as("hll_slice_ok"),
+            okFull(hll_sketch_estimate(merged), col("ndv_slice"))
+              .as("hll_full_ok"))
+        ep1.unionByName(ep2).orderBy("epoch", "source")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id % 2 AS par, source,
+             |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             |                tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT par, source,
+             |    unnest(list_transform(range(len(toks) - 1),
+             |      i -> toks[i+1] || ' ' || toks[i+2])) AS ngram
+             |  FROM t),
+             |q AS (
+             |  SELECT 1 AS epoch, source,
+             |    COUNT(DISTINCT ngram) AS ndv_slice,
+             |    true AS hll_slice_ok, true AS hll_full_ok
+             |  FROM g WHERE par = 0 AND $gramSliceSql GROUP BY source
+             |  UNION ALL
+             |  SELECT 2, source, COUNT(DISTINCT ngram), true, true
+             |  FROM g WHERE $gramSliceSql GROUP BY source)
+             |SELECT * FROM q ORDER BY epoch, source""".stripMargin)
+    ),
+
+    QueryDef(
+      "st26x_incremental_vocab_exact",
+      // st26's exhaustive anchor: the full-vocabulary exact NDV per
+      // (epoch, source) with the TIGHT estimate audit (5% ∨ ±8)
+      // against the full-stream sketches — the pre-r12 st26 body,
+      // verbatim. Census-shaped by construction (countDistinct over
+      // the whole gram stream); anchors are allowed to be expensive —
+      // this is the scheduled driver-gate recount of the x14
+      // discipline, hash-checked so the sliced production audit can
+      // never silently drift from full-width truth.
       (s, d) => {
         val grams = bigrams(table(s, d, "documents"),
                             col("doc_id"), col("source"))
@@ -265,8 +383,6 @@ object FrequentItems {
         val ep1 = sk1.select(lit(1).as("epoch"), col("source"),
           col("ndv1").as("ndv_exact"),
           ok(hll_sketch_estimate(col("sk1")), col("ndv1")).as("hll_ok"))
-        // the hand-off: union the persisted register state — a source
-        // absent from one batch keeps the other's sketch verbatim
         val merged = when(col("sk1").isNull, col("sk2"))
           .when(col("sk2").isNull, col("sk1"))
           .otherwise(hll_union(col("sk1"), col("sk2")))
@@ -305,15 +421,103 @@ object FrequentItems {
       // per-source sketches are computed ONCE (one pass over the gram
       // stream, fixed 2^12-register state per source), and all
       // n·(n−1)/2 pair estimates come from register max-merges of that
-      // driver-small sketch table — no pairwise gram join at all. The
-      // exact intersection (distinct-(source,gram) self-join) is the
-      // driver-gate audit, the x14 discipline: production publishes
-      // the estimate, the gate recomputes the exact side and checks
-      // the estimate's error against the union size (each of the
-      // three estimates carries ~1.6% RSE on ITS OWN cardinality, so
-      // the intersection's absolute error scales with |A|+|B|, not
-      // |A∩B| — the bound reflects that). Everything is deterministic
-      // for a fixed input set, so the audit boolean is hash-stable.
+      // driver-small sketch table — no pairwise gram join at all.
+      //
+      // The EXACT side runs on the 1/16 gram-space slice
+      // ([[gramSlice]]): the slice keeps every (source, gram) row of a
+      // sampled gram, so the sliced self-join computes the EXACT
+      // intersection of the sampled vocabulary at 1/16 the join input
+      // (r11's full self-join was the census — the r11 100× probe
+      // billed this tier's exact sides at 12–34×). `hll_slice_ok`
+      // audits the inclusion–exclusion MECHANISM tightly on sketches
+      // built over the same sliced grams (each slice estimate carries
+      // ~1.6% RSE on its own cardinality, so the slice intersection's
+      // absolute error scales with the slice |A|+|B| — the bound
+      // reflects that); `hll_full_ok` keeps the full-width sketch
+      // algebra load-bearing as a collapse detector against 16 × the
+      // slice intersection (unbiased by binomial gram sampling; wide
+      // 50% ∨ ±384 slack for fixture-width sampling noise). The
+      // full-vocabulary exact intersection is the fi03x anchor.
+      (s, d) => {
+        val grams = bigrams(table(s, d, "documents"), col("source"))
+          .select("source", "ngram").distinct()
+        val per = grams.groupBy("source").agg(
+          hll_sketch_agg(col("ngram"), 12).as("sk"))
+        val sliced = grams.filter(gramSlice(col("ngram")))
+        val perS = sliced.groupBy("source").agg(
+          count(lit(1)).as("ndv_s"),
+          hll_sketch_agg(col("ngram"), 12).as("sks"))
+        val a = per.join(perS, "source")
+          .select(col("source").as("s1"), col("sk").as("ska"),
+                  col("sks").as("sksa"), col("ndv_s").as("n_a_slice"))
+        val b = per.join(perS, "source")
+          .select(col("source").as("s2"), col("sk").as("skb"),
+                  col("sks").as("sksb"), col("ndv_s").as("n_b_slice"))
+        // ≤ n_sources² sketch rows — driver-small by construction
+        val pairs = a.join(b, col("s1") < col("s2"))
+        val inter = sliced.select(col("source").as("s1"), col("ngram"))
+          .join(sliced.select(col("source").as("s2"), col("ngram")),
+                "ngram")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_inter_slice"))
+        val estFull = hll_sketch_estimate(col("ska")) +
+          hll_sketch_estimate(col("skb")) -
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+        val estSlice = hll_sketch_estimate(col("sksa")) +
+          hll_sketch_estimate(col("sksb")) -
+          hll_sketch_estimate(hll_union(col("sksa"), col("sksb")))
+        pairs.join(inter, Seq("s1", "s2"), "left")
+          .withColumn("n_inter_slice",
+                      coalesce(col("n_inter_slice"), lit(0L)))
+          .select(col("s1"), col("s2"), col("n_a_slice"),
+            col("n_b_slice"), col("n_inter_slice"),
+            (abs(estSlice - col("n_inter_slice")) <=
+              greatest((col("n_a_slice") + col("n_b_slice"))
+                         .cast("double") * 0.05,
+                       lit(16.0))).as("hll_slice_ok"),
+            (abs(estFull - col("n_inter_slice") * lit(16)) <=
+              greatest(col("n_inter_slice").cast("double") * lit(16 * 0.5),
+                       lit(384.0))).as("hll_full_ok"))
+          .orderBy("s1", "s2")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT source,
+             |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             |                tk -> len(tk) > 0) AS toks
+             |  FROM documents),
+             |g0 AS (
+             |  SELECT source,
+             |    unnest(list_transform(range(len(toks) - 1),
+             |      i -> toks[i+1] || ' ' || toks[i+2])) AS ngram
+             |  FROM t),
+             |g AS (SELECT DISTINCT source, ngram FROM g0),
+             |gs AS (SELECT source, ngram FROM g WHERE $gramSliceSql),
+             |per AS (
+             |  SELECT source, COUNT(*) AS ndv_s FROM gs GROUP BY source),
+             |ix AS (
+             |  SELECT ga.source AS s1, gb.source AS s2,
+             |    COUNT(*) AS n_inter_slice
+             |  FROM gs ga JOIN gs gb
+             |    ON ga.ngram = gb.ngram AND ga.source < gb.source
+             |  GROUP BY 1, 2)
+             |SELECT pa.source AS s1, pb.source AS s2,
+             |  pa.ndv_s AS n_a_slice, pb.ndv_s AS n_b_slice,
+             |  COALESCE(ix.n_inter_slice, 0) AS n_inter_slice,
+             |  true AS hll_slice_ok, true AS hll_full_ok
+             |FROM per pa JOIN per pb ON pa.source < pb.source
+             |LEFT JOIN ix ON ix.s1 = pa.source AND ix.s2 = pb.source
+             |ORDER BY s1, s2""".stripMargin)
+    ),
+
+    QueryDef(
+      "fi03x_vocab_overlap_exact",
+      // fi03's exhaustive anchor: exact full-vocabulary NDVs and
+      // pairwise intersection with the tight inclusion–exclusion audit
+      // — the pre-r12 fi03 body, verbatim. The distinct-(source,gram)
+      // self-join is census-shaped by construction; anchors are
+      // allowed to be expensive (the x14 scheduled driver-gate
+      // recount), and this row keeps the sliced production audit
+      // pinned to full-width truth.
       (s, d) => {
         val grams = bigrams(table(s, d, "documents"), col("source"))
           .select("source", "ngram").distinct()
@@ -324,7 +528,6 @@ object FrequentItems {
                            col("ndv").as("n_a"))
         val b = per.select(col("source").as("s2"), col("sk").as("skb"),
                            col("ndv").as("n_b"))
-        // ≤ n_sources² sketch rows — driver-small by construction
         val pairs = a.join(b, col("s1") < col("s2"))
         val inter = grams.select(col("source").as("s1"), col("ngram"))
           .join(grams.select(col("source").as("s2"), col("ngram")),
