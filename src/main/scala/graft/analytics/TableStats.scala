@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+
+/** Makes tp01's table profile LOAD-BEARING: the same statistics the
+  * profile entry publishes (row count, per-column null count, NDV,
+  * min/max) are persisted into the session catalog via
+  * `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`, where Spark's
+  * cost-based optimizer reads them — so the numbers steer plans
+  * instead of only feeding dashboards.
+  *
+  * Why this matters at 100 TB: AQE's runtime statistics only exist
+  * AFTER a stage materializes — the initial join ORDER of a multi-way
+  * join is fixed at planning time, and a wrong order materializes the
+  * big intermediate before AQE can see it. Catalog column stats +
+  * `spark.sql.cbo.joinReorder.enabled` let `CostBasedJoinReorder` pick
+  * the small-intermediate order BEFORE anything runs; AQE then still
+  * re-plans exchanges at runtime. The two are complementary — stats fix
+  * the shape, AQE fixes the sizes (the PlanAuditSpec pin demonstrates a
+  * 3-way join whose order only CBO+stats repairs).
+  *
+  * Scale shape of ANALYZE itself: per-column passes with partial
+  * aggregation — exactly tp01's plan discipline (no Expand; see
+  * `tp01_table_profile`'s comment); at a real deployment it runs on the
+  * ingest schedule, not per query.
+  */
+object TableStats {
+
+  /** Database name used for the stats-bearing external tables. */
+  val StatsDb = "graft_stats"
+
+  /** Register `tables` of the sfDir corpus as EXTERNAL parquet tables
+    * in [[StatsDb]] (data stays in place — the catalog entry is
+    * metadata only) and persist table + column statistics for each.
+    * Idempotent: re-registering replaces the catalog entry and
+    * recomputes stats, so regenerated data cannot serve stale numbers.
+    * Columns default to every top-level leaf column of the file. */
+  def analyze(spark: SparkSession, sfDir: String,
+              tables: Seq[String],
+              columnsFor: String => Seq[String] = _ => Nil): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $StatsDb")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $StatsDb.$t")
+      spark.catalog.createTable(s"$StatsDb.$t", s"$sfDir/$t.parquet",
+                                "parquet")
+      val cols = {
+        val given = columnsFor(t)
+        if (given.nonEmpty) given
+        else spark.table(s"$StatsDb.$t").schema
+          // nested/array/map columns are not ANALYZE-supported; the
+          // join-order decisions ride on scalar keys anyway
+          .filter(f => f.dataType.typeName match {
+            case "struct" | "array" | "map" => false
+            case _ => true
+          })
+          .map(f => s"`${f.name}`")
+      }
+      spark.sql(
+        s"ANALYZE TABLE $StatsDb.$t COMPUTE STATISTICS FOR COLUMNS " +
+          cols.mkString(", "))
+    }
+  }
+
+  /** Run `body` with the cost-based optimizer (and its stats-driven
+    * join reorder) enabled, restoring the previous configuration
+    * after. CBO only acts where catalog stats exist, so flipping it on
+    * session-wide is safe — but scoping keeps test plans explicit. */
+  def withCbo[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.cbo.enabled",
+                   "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    keys.foreach(conf.set(_, "true"))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

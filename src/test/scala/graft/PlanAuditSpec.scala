@@ -640,4 +640,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hll_union") && p.contains("hll_sketch_estimate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("tp01 stats are load-bearing: CBO + catalog column stats reorder the 3-way join") {
+    // AQE's runtime stats exist only after a stage materializes — the
+    // INITIAL join order of a multi-way join is fixed at planning
+    // time. This pin proves the persisted profile steers that order:
+    // the same 3-way star query (big fact first syntactically) keeps
+    // its syntactic order without CBO, and with CBO + the ANALYZE'd
+    // stats CostBasedJoinReorder moves the selective dimension pair
+    // (orders ⋈ filtered customer, ~60x smaller output) below the
+    // 60k-row lineitem side.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    graft.analytics.TableStats.analyze(spark, sf001,
+      Seq("customer", "orders", "lineitem"))
+    val sql =
+      """SELECT c.c_mktsegment, sum(l.l_quantity) AS q
+        |FROM graft_stats.lineitem l
+        |JOIN graft_stats.orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_stats.customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY c.c_mktsegment""".stripMargin
+    // the innermost Join node is the pair that executes first
+    def innermostJoin(): String = {
+      val joins = spark.sql(sql).queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+      assert(joins.nonEmpty, "no join in optimized plan")
+      joins.last.toString
+    }
+    val syntactic = innermostJoin()
+    assert(syntactic.contains("lineitem"),
+      s"without CBO the syntactic (lineitem ⋈ orders) pair should go first:\n$syntactic")
+    graft.analytics.TableStats.withCbo(spark) {
+      val reordered = innermostJoin()
+      assert(reordered.contains("customer") &&
+             !reordered.contains("lineitem"),
+        s"CBO + stats should join (orders ⋈ customer) first:\n$reordered")
+    }
+  }
 }
