@@ -9,6 +9,16 @@ Same compare semantics as local_verify.py, plus:
   - a --skip list of entry names excluded up front (the documented
     anchor tier), each recorded as SKIPPED so the report accounts for
     every dumped entry;
+  - a SLICED tier for giant result frames (> --bigrows rows, default
+    2M): materializing + Python-sorting a 60M-row frame is the real
+    sf10 bottleneck, not the oracle SQL itself. Both sides get an
+    identical deterministic md5 row-hash over the NON-FLOAT columns
+    (each side hashes its own values, so a slice is the same logical
+    rows on both sides; float columns are excluded from the hash and
+    compared with the usual tolerance inside the slice), the exact
+    TOTAL rowcounts are compared, and the hash-prefix slice (sized to
+    <= ~500k rows) is compared exactly. Reported as PASS_SLICED /
+    NEAR_SLICED so the report distinguishes the tier.
   - machine-readable one-line-per-entry output for VERIFY_SF10.md.
 
 Usage:
@@ -51,7 +61,21 @@ def close(a, b):
         return False
 
 
-def check_one(sf_dir, out_dir, name, sql, q):
+def compare_fetched(name, spark_rows, oracle_rows, label=""):
+    if rows_key(spark_rows) == rows_key(oracle_rows):
+        return f"PASS{label} {name} ({len(spark_rows)} rows, exact)"
+    ssorted = sorted(spark_rows,
+                     key=lambda r: tuple(repr(norm(v)) for v in r))
+    osorted = sorted(oracle_rows,
+                     key=lambda r: tuple(repr(norm(v)) for v in r))
+    for sr, orow in zip(ssorted, osorted):
+        if not all(close(a, b) for a, b in zip(sr, orow)):
+            return (f"FAIL {name}: value mismatch e.g. spark={sr} "
+                    f"oracle={orow}")
+    return f"NEAR{label} {name} ({len(spark_rows)} rows, float-tolerance only)"
+
+
+def check_one(sf_dir, out_dir, name, sql, q, bigrows):
     """Child process: run one oracle + compare; put a result line."""
     try:
         con = duckdb.connect()
@@ -63,40 +87,82 @@ def check_one(sf_dir, out_dir, name, sql, q):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols = sorted(spark_rel.columns)
-            spark_rows = con.sql(
-                f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall()
+            scount = con.sql("SELECT count(*) FROM spark_rel").fetchone()[0]
         except Exception as e:
             q.put(f"SPARK_MISSING {name}: {e}")
             return
+        if scount <= bigrows:
+            spark_rows = con.sql(
+                f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall()
+            try:
+                oracle_rel = con.sql(sql)
+                ocols = sorted(oracle_rel.columns)
+                oracle_rows = con.sql(
+                    f"SELECT {', '.join(ocols)} FROM oracle_rel").fetchall()
+            except Exception as e:
+                q.put(f"ORACLE_ERR {name}: {e}")
+                return
+            if [c.lower() for c in spark_cols] != [c.lower() for c in ocols]:
+                q.put(f"FAIL {name}: column mismatch spark={spark_cols} "
+                      f"oracle={ocols}")
+                return
+            if len(spark_rows) != len(oracle_rows):
+                q.put(f"FAIL {name}: rowcount spark={len(spark_rows)} "
+                      f"oracle={len(oracle_rows)}")
+                return
+            q.put(compare_fetched(name, spark_rows, oracle_rows))
+            return
+        # ---- SLICED tier: giant frame. Materialize the oracle once,
+        # compare exact total counts, then compare a deterministic
+        # md5-prefix slice of both sides exactly.
         try:
-            oracle_rel = con.sql(sql)
-            ocols = sorted(oracle_rel.columns)
-            oracle_rows = con.sql(
-                f"SELECT {', '.join(ocols)} FROM oracle_rel").fetchall()
+            con.execute(f"CREATE TEMP TABLE oracle_t AS {sql}")
         except Exception as e:
             q.put(f"ORACLE_ERR {name}: {e}")
             return
+        ocols = sorted(r[0] for r in con.sql("DESCRIBE oracle_t").fetchall())
         if [c.lower() for c in spark_cols] != [c.lower() for c in ocols]:
             q.put(f"FAIL {name}: column mismatch spark={spark_cols} "
                   f"oracle={ocols}")
             return
+        ocount = con.sql("SELECT count(*) FROM oracle_t").fetchone()[0]
+        if scount != ocount:
+            q.put(f"FAIL {name}: rowcount spark={scount} oracle={ocount}")
+            return
+        # non-float columns drive the slice hash (each engine renders
+        # its own floats, so float text must not pick the slice)
+        types = {r[0]: str(r[1]) for r in con.sql("DESCRIBE oracle_t")
+                 .fetchall()}
+        hashcols = [c for c in ocols
+                    if not any(t in types[c].upper()
+                               for t in ("FLOAT", "DOUBLE", "REAL"))]
+        if not hashcols:
+            q.put(f"PASS_COUNTONLY {name} ({scount} rows; all-float schema"
+                  f" - slice hash undefined, counts exact)")
+            return
+        expr = ("md5(concat_ws('|', " + ", ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in hashcols)
+            + "))")
+        depth = 1
+        while scount / (16 ** depth) > 500_000:
+            depth += 1
+        prefix = "0" * depth
+        sel = ", ".join(ocols)
+        spark_rows = con.sql(
+            f"SELECT {sel} FROM spark_rel "
+            f"WHERE {expr} LIKE '{prefix}%'").fetchall()
+        oracle_rows = con.sql(
+            f"SELECT {sel} FROM oracle_t "
+            f"WHERE {expr} LIKE '{prefix}%'").fetchall()
         if len(spark_rows) != len(oracle_rows):
-            q.put(f"FAIL {name}: rowcount spark={len(spark_rows)} "
-                  f"oracle={len(oracle_rows)}")
+            q.put(f"FAIL {name}: slice rowcount spark={len(spark_rows)} "
+                  f"oracle={len(oracle_rows)} (prefix '{prefix}')")
             return
-        if rows_key(spark_rows) == rows_key(oracle_rows):
-            q.put(f"PASS {name} ({len(spark_rows)} rows, exact)")
-            return
-        ssorted = sorted(spark_rows,
-                         key=lambda r: tuple(repr(norm(v)) for v in r))
-        osorted = sorted(oracle_rows,
-                         key=lambda r: tuple(repr(norm(v)) for v in r))
-        for sr, orow in zip(ssorted, osorted):
-            if not all(close(a, b) for a, b in zip(sr, orow)):
-                q.put(f"FAIL {name}: value mismatch e.g. spark={sr} "
-                      f"oracle={orow}")
-                return
-        q.put(f"NEAR {name} ({len(spark_rows)} rows, float-tolerance only)")
+        res = compare_fetched(name, spark_rows, oracle_rows, "_SLICED")
+        if res.startswith(("PASS", "NEAR")):
+            res += (f" [total {scount} rows count-exact; slice=md5 prefix "
+                    f"'{prefix}' = {len(spark_rows)} rows]")
+        q.put(res)
     except Exception as e:  # pragma: no cover - defensive
         q.put(f"ORACLE_ERR {name}: {e}")
 
@@ -105,12 +171,15 @@ def main():
     args = sys.argv[1:]
     sf_dir, out_dir = args[0], args[1]
     timeout = 600.0
+    bigrows = 2_000_000
     skip = set()
     only = []
     i = 2
     while i < len(args):
         if args[i] == "--timeout":
             timeout = float(args[i + 1]); i += 2
+        elif args[i] == "--bigrows":
+            bigrows = int(args[i + 1]); i += 2
         elif args[i] == "--skip":
             skip = set(args[i + 1].split(",")); i += 2
         else:
@@ -127,7 +196,7 @@ def main():
         else:
             q = mp.Queue()
             p = mp.Process(target=check_one,
-                           args=(sf_dir, out_dir, name, sql, q))
+                           args=(sf_dir, out_dir, name, sql, q, bigrows))
             p.start()
             p.join(timeout)
             if p.is_alive():
