@@ -130,10 +130,18 @@ object DataQuality {
     * [[SemanticDeconTau]] gate. Refinement is exact, so the drop set is
     * always a SUBSET of dc02's (precision 1 by construction — dc03p);
     * recall is the banded-LSH bound above (dc03r). Scale shape: the
-    * bench band table is eval-suite-sized → AQE broadcasts it; the
-    * corpus flows map-only into the join; a band-duplicated pair can't
-    * change the max, so no pair-dedup shuffle; the per-vector
-    * max-aggregate is partial map-side. */
+    * bench BAND INDEX is one broadcast row (a map from band key to its
+    * bucket of (bench_id, qvec) entries — eval-suite-sized by the
+    * [[Bounded]] contract); the corpus is a single MAP-ONLY projection
+    * that looks up its 12 buckets per row, dedups the union, and takes
+    * the exact-cosine max in-place. ZERO shuffle on candidate pairs —
+    * the r12 100× gate killed the previous shuffled band equi-join: on
+    * the fixture's hash-noise vectors ~54 % of all (corpus, bench)
+    * pairs share a band, so the join materialized ~1.9e9 pair rows
+    * (each carrying both 256-byte vectors, countDistinct forcing the
+    * full pair set through an Exchange) and filled the disk at
+    * sf10. The pair SCORING cost is inherent to banding noise; the
+    * pair SHUFFLE never was. */
   def semanticDeconLshDrops(s: org.apache.spark.sql.SparkSession,
                             emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -153,24 +161,50 @@ object DataQuality {
     val nBits = DeconLshBands * DeconLshRows
     require(nBits <= 63, s"signature does not fit one long: $nBits bits")
     val mask = (1L << DeconLshRows) - 1
-    def banded(df: org.apache.spark.sql.DataFrame) = df
+    // "band:key" — string keys because Catalyst map lookups on struct
+    // keys don't reach element_at; formats identically on both sides
+    def bandKey(sig: org.apache.spark.sql.Column, b: Int) =
+      concat_ws(":", lit(b),
+        shiftright(sig, b * DeconLshRows).bitwiseAND(lit(mask)))
+    // The bench band index as ONE broadcast row: band key → bucket of
+    // (bench_id, qvec). The Bounded guard keeps the eval-suite-sized
+    // convention a contract (the map row is ~3 KB per bench vector; a
+    // bench that scales with the corpus must use the exact shuffled
+    // path, where selectivity comes from data structure, not banding).
+    val guarded = Bounded.broadcastBench(
+      benchIn.select(col("bench_id"), col("embedding")),
+      "decon.band-index", maxRows = 100000L)
+    val benchBuckets = guarded
       .withColumn("__sig",
         graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
-      .select(col("*"), explode(array((0 until DeconLshBands).map { b =>
-        struct(lit(b).as("band"),
-               shiftright(col("__sig"), b * DeconLshRows)
-                 .bitwiseAND(lit(mask)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("*"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .drop("bk", "__sig")
-    val bench = banded(benchIn.select(col("bench_id"), col("embedding")))
-      .withColumnRenamed("embedding", "qvec")
-    val corpusB = banded(corpus.select("vec_id", "embedding"))
-    corpusB.join(bench, Seq("band", "key"))
-      .groupBy("vec_id")
-      .agg(max(graft.functions.VectorOps.cosineNative(
-             s, col("embedding"), col("qvec"))).as("mc"),
-           countDistinct("bench_id").as("n_cand"))
+      .select(explode(array((0 until DeconLshBands).map { b =>
+        struct(bandKey(col("__sig"), b).as("bk"),
+               struct(col("bench_id"),
+                      col("embedding").as("qvec")).as("e"))
+      }: _*)).as("x"))
+      .groupBy(col("x.bk").as("bk"))
+      .agg(collect_list(col("x.e")).as("bucket"))
+      .agg(map_from_entries(collect_list(struct(col("bk"), col("bucket"))))
+             .as("bmap"))
+    // Map-only corpus pass: union the row's 12 buckets, dedup (a
+    // band-duplicated pair can't change the max, but n_cand counts
+    // DISTINCT bench ids), exact-cosine max in-place. array_max skips
+    // nulls exactly as the old max aggregate did; an empty candidate
+    // set yields a null max and falls out of the tau filter, matching
+    // the old inner join.
+    val cands = array_distinct(flatten(array_compact(array(
+      (0 until DeconLshBands).map(b =>
+        element_at(col("bmap"), bandKey(col("__sig"), b))): _*))))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(benchBuckets))
+      .withColumn("__sig",
+        graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
+      .withColumn("__cands", cands)
+      .select(col("vec_id"),
+        array_max(transform(col("__cands"), c =>
+          graft.functions.VectorOps.cosineNative(
+            s, col("embedding"), c.getField("qvec")))).as("mc"),
+        size(col("__cands")).cast("long").as("n_cand"))
       .filter(col("mc") >= SemanticDeconTau)
       .select(col("vec_id"), round(col("mc"), 6).as("max_cand_sim"),
               col("n_cand"))

@@ -255,37 +255,63 @@ class FrequentItemsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("st26: epoch rows grow monotonically and match exact distinct counts") {
     val rows = FrequentItems.all.find(_.name == "st26_incremental_vocab").get
       .df(spark, sf0001)
-      .select("epoch", "source", "ndv_exact", "hll_ok")
-      .as[(Int, String, Long, Boolean)].collect()
-    assert(rows.nonEmpty && rows.forall(_._4), "an hll audit flipped")
+      .select("epoch", "source", "ndv_slice", "hll_slice_ok", "hll_full_ok")
+      .as[(Int, String, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4), "a slice-mechanism audit flipped")
+    assert(rows.forall(_._5), "a full-width collapse detector flipped")
     val e1 = rows.filter(_._1 == 1).map(r => r._2 -> r._3).toMap
     val e2 = rows.filter(_._1 == 2).map(r => r._2 -> r._3).toMap
-    // vocab so-far never shrinks, and epoch 2 covers every source
+    // sliced vocab so-far never shrinks, and epoch 2 covers every source
     e1.foreach { case (src, n1) =>
-      assert(e2(src) >= n1, s"$src vocab shrank: $n1 -> ${e2(src)}")
+      assert(e2(src) >= n1, s"$src sliced vocab shrank: $n1 -> ${e2(src)}")
     }
     assert(e2.keySet.size >= e1.keySet.size)
+    // the slice NDV IS exact for the sampled gram space: recount it
+    // locally for epoch 2 (md5 first hex digit '0' — same gate)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def inSlice(g: String): Boolean =
+      "%02x".format(md.digest(g.getBytes("UTF-8"))(0)).startsWith("0")
+    val exact = graft.queries.QueryDef.table(spark, sf0001, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .flatMap { case (src, txt) =>
+        val t = txt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        t.dropRight(1).zip(t.drop(1)).map { case (a, b) => (src, s"$a $b") }
+      }.toSet.filter(p => inSlice(p._2))
+      .groupMapReduce((p: (String, String)) => p._1)(_ => 1L)(_ + _)
+    e2.foreach { case (src, n) =>
+      assert(n == exact.getOrElse(src, 0L), s"$src slice NDV $n != exact")
+    }
   }
 
   test("fi03: inclusion-exclusion audit holds and exact overlaps match a local reference") {
     val rows = FrequentItems.all.find(_.name == "fi03_vocab_overlap").get
       .df(spark, sf0001)
-      .as[(String, String, Long, Long, Long, Boolean)].collect().toVector
-    assert(rows.nonEmpty && rows.forall(_._6), "an hll audit flipped")
+      .as[(String, String, Long, Long, Long, Boolean, Boolean)]
+      .collect().toVector
+    assert(rows.nonEmpty && rows.forall(_._6),
+           "a slice-mechanism audit flipped")
+    assert(rows.forall(_._7), "a full-width collapse detector flipped")
     // n_inter ≤ min(n_a, n_b) — a join that double-counts grams breaks this
-    rows.foreach { case (s1, s2, na, nb, ni, _) =>
+    rows.foreach { case (s1, s2, na, nb, ni, _, _) =>
       assert(ni <= math.min(na, nb), s"($s1,$s2): inter $ni > min($na,$nb)")
     }
-    // local exact reference for three pairs, straight from the data
+    // local exact reference for three pairs, straight from the data —
+    // over the same 1/16 gram-space slice the entry publishes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def inSlice(g: String): Boolean =
+      "%02x".format(md.digest(g.getBytes("UTF-8"))(0)).startsWith("0")
     val grams = graft.queries.QueryDef.table(spark, sf0001, "documents")
       .select(col("source"), col("text")).as[(String, String)].collect()
       .flatMap { case (src, txt) =>
         val t = txt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
         t.dropRight(1).zip(t.drop(1)).map { case (a, b) => (src, s"$a $b") }
-      }.toSet.groupMap((p: (String, String)) => p._1)(_._2)
-    rows.take(3).foreach { case (s1, s2, na, nb, ni, _) =>
-      assert(na == grams(s1).size && nb == grams(s2).size)
-      assert(ni == (grams(s1) & grams(s2)).size, s"($s1,$s2)")
+      }.toSet.filter(p => inSlice(p._2))
+      .groupMap((p: (String, String)) => p._1)(_._2)
+    rows.take(3).foreach { case (s1, s2, na, nb, ni, _, _) =>
+      assert(na == grams.getOrElse(s1, Set.empty).size &&
+             nb == grams.getOrElse(s2, Set.empty).size)
+      assert(ni == (grams.getOrElse(s1, Set.empty) &
+                    grams.getOrElse(s2, Set.empty)).size, s"($s1,$s2)")
     }
   }
 

@@ -228,19 +228,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("dc03: banded decon candidates are equi-joined — no cartesian, no nested loop") {
+  test("dc03: banded decon serve is map-only — no shuffled join, no pair exchange") {
     // raw serving path (the entry's self-audit adds benign 1-row cross
     // joins of scalar aggregates around it)
     val p = graft.analytics.DataQuality.semanticDeconLshDrops(
         spark, spark.read.parquet(s"$sf0001/embeddings.parquet"))
       .queryExecution.executedPlan.toString
-    // the prefilter exists to REPLACE dc02's cross join: candidates
-    // come from an equi-join on (band, key), so no cartesian/nested-
-    // loop node may appear anywhere in the plan
+    // the bench band index is ONE broadcast row (a band-key → bucket
+    // map); the corpus side is a single projection that looks its 12
+    // buckets up per row. The r12 100× gate killed the old shuffled
+    // band equi-join (~1.9e9 candidate-pair rows through an Exchange
+    // at sf10), so the pin is inverted: NO shuffled join may appear —
+    // the only join is the 1-row broadcast, and the corpus never
+    // shuffles at all (no aggregate left in the serve).
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+           p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
            p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("HashAggregate(keys=[vec_id"), p)
   }
 
   test("rj01: range join is a bucketed equi-join — no nested-loop or cartesian node") {
@@ -551,9 +557,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("fi02: grouped sketch keeps partial aggregation; refine join stays AQE-decided") {
+  test("fi02: bloom-gated recount keeps partial aggregation; refine join stays AQE-decided") {
+    // r12 shape: the MG sketch pass is checkpointed (it feeds both the
+    // candidate frame and the bloom blob), so partial_misra_gries
+    // lives in the materialized subtree — the FINAL plan must show the
+    // bloom gate on the gram stream (the thing that bounds the refine
+    // shuffle) and a map-side partial count before the exchange
     val p = plan("fi02_grouped_heavy_hitters")
-    assert("partial_misra_gries".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("might_contain"), p)
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
     // per-group candidates are bounded but the GROUP COUNT is a corpus
     // property — no forced broadcast on the refine join
     assert(!p.contains("ResolvedHint"), p)
