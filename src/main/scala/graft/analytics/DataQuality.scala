@@ -186,25 +186,30 @@ object DataQuality {
       .agg(collect_list(col("x.e")).as("bucket"))
       .agg(map_from_entries(collect_list(struct(col("bk"), col("bucket"))))
              .as("bmap"))
-    // Map-only corpus pass: union the row's 12 buckets, dedup (a
-    // band-duplicated pair can't change the max, but n_cand counts
-    // DISTINCT bench ids), exact-cosine max in-place. array_max skips
-    // nulls exactly as the old max aggregate did; an empty candidate
-    // set yields a null max and falls out of the tau filter, matching
-    // the old inner join.
-    val cands = array_distinct(flatten(array_compact(array(
+    // Map-only corpus pass. Per band: score the bucket in place and
+    // keep only its max — the max over candidates is duplicate-
+    // insensitive, so no struct-level union/dedup is ever
+    // materialized (per-row garbage is a handful of primitive arrays,
+    // not a multi-MB copied struct union — measured 10× on the sf10
+    // gate). n_cand DOES need distinct bench ids, so those flatten as
+    // bare longs. array_max skips nulls exactly as the old max
+    // aggregate did; a corpus row whose 12 buckets are all empty
+    // yields a null max and falls out of the tau filter, matching the
+    // old inner join.
+    def bucket(b: Int) = element_at(col("bmap"), bandKey(col("__sig"), b))
+    val mc = array_max(array_compact(array(
       (0 until DeconLshBands).map(b =>
-        element_at(col("bmap"), bandKey(col("__sig"), b))): _*))))
+        array_max(transform(bucket(b), c =>
+          graft.functions.VectorOps.cosineNative(
+            s, col("embedding"), c.getField("qvec"))))): _*)))
+    val nCand = size(array_distinct(flatten(array_compact(array(
+      (0 until DeconLshBands).map(b =>
+        transform(bucket(b), c => c.getField("bench_id"))): _*)))))
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(benchBuckets))
       .withColumn("__sig",
         graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
-      .withColumn("__cands", cands)
-      .select(col("vec_id"),
-        array_max(transform(col("__cands"), c =>
-          graft.functions.VectorOps.cosineNative(
-            s, col("embedding"), c.getField("qvec")))).as("mc"),
-        size(col("__cands")).cast("long").as("n_cand"))
+      .select(col("vec_id"), mc.as("mc"), nCand.cast("long").as("n_cand"))
       .filter(col("mc") >= SemanticDeconTau)
       .select(col("vec_id"), round(col("mc"), 6).as("max_cand_sim"),
               col("n_cand"))

@@ -79,6 +79,15 @@ def check_one(sf_dir, out_dir, name, sql, q, bigrows):
     """Child process: run one oracle + compare; put a result line."""
     try:
         con = duckdb.connect()
+        # sharded gate runs several instances side by side: cap each
+        # child so concurrent oracles share the box instead of each
+        # assuming it owns it (DuckDB defaults to all cores / 80% RAM)
+        threads = os.environ.get("TIERED_VERIFY_THREADS")
+        if threads:
+            con.execute(f"SET threads TO {int(threads)}")
+        memlim = os.environ.get("TIERED_VERIFY_MEMLIMIT")
+        if memlim:
+            con.execute(f"SET memory_limit = '{memlim}'")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(path):
