@@ -205,7 +205,13 @@ object DataQuality {
     val nCand = size(array_distinct(flatten(array_compact(array(
       (0 until DeconLshBands).map(b =>
         transform(bucket(b), c => c.getField("bench_id"))): _*)))))
+    // The scoring pass is COMPUTE-dense (~bench/2 cosines per corpus
+    // row), so byte-sized parquet splits starve it: at sf10 the whole
+    // 200k-row corpus is two 128 MB splits = two tasks for 2.7e9
+    // cosines. One linear round-robin shuffle of the (tiny) corpus
+    // rows buys full-width parallelism at any scale.
     corpus.select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
       .crossJoin(broadcast(benchBuckets))
       .withColumn("__sig",
         graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
