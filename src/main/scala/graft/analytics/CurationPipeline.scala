@@ -131,17 +131,24 @@ object CurationPipeline {
   /** [[cp02Selection]]'s DuckDB replay as a CTE chain ending in `sel`
     * (doc_id, lang, n_tokens, shard) — shared by the cp02 oracle and
     * cp07's, which re-derives the selection before auditing the
-    * training file built over it. */
+    * training file built over it.
+    *
+    * The gram (`g2`) and word (`wp`) expansions use ZIPPED unnests over
+    * doc-local lists rather than `unnest(range(...))` followed by
+    * indexing into a carried `w` column: the carried-array form
+    * duplicates each document's full word list onto every one of its
+    * ~wordcount output rows, which DuckDB materializes — at the 100×
+    * staged gate that is a >70 GB spill and the replay dies on disk;
+    * the zipped form streams one (g|word, position) pair per row. */
   private def cp02SelectionCtesSql: String =
     s"""words AS (
        |  SELECT doc_id, lang, $wordsSql AS w FROM documents),
-       |pos AS (
-       |  SELECT doc_id, w,
-       |    CAST(unnest(range(greatest(len(w) - 7, 0))) AS INT) AS p
-       |  FROM words),
        |g2 AS (
-       |  SELECT doc_id, p, array_to_string(w[p + 1:p + 8], ' ') AS g
-       |  FROM pos),
+       |  SELECT doc_id,
+       |    CAST(unnest(range(greatest(len(w) - 7, 0))) AS INT) AS p,
+       |    unnest(list_transform(range(greatest(len(w) - 7, 0)),
+       |      q -> array_to_string(w[q + 1:q + 8], ' '))) AS g
+       |  FROM words),
        |census AS (
        |  SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
        |dup AS (
@@ -160,10 +167,11 @@ object CurationPipeline {
        |  SELECT doc_id, min(p) AS mn, max(p) + 7 AS mx
        |  FROM numbered GROUP BY doc_id, isl),
        |wp AS (
-       |  SELECT doc_id, w, CAST(unnest(range(len(w))) AS INT) AS j
+       |  SELECT doc_id, unnest(w) AS word,
+       |    CAST(unnest(range(len(w))) AS INT) AS j
        |  FROM words),
        |keptw AS (
-       |  SELECT wp.doc_id, wp.w[wp.j + 1] AS word, wp.j
+       |  SELECT wp.doc_id, wp.word, wp.j
        |  FROM wp
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM islands i

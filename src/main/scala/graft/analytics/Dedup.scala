@@ -915,16 +915,23 @@ object Dedup {
                   (col("n_missed") <= ceil(col("n_strong") * lit(2e-4)))
                     .cast("int").as("within_bound"))
       },
+      // `t` is MATERIALIZED (referenced four times — inlined, DuckDB
+      // re-tokenizes the corpus per reference), `tl` carries ONLY the
+      // gram-set length so the pair join never copies the gram lists
+      // (at the 100× gate the list-carrying form spilled past the
+      // box's disk), and the Jaccard needs just the intersection count
+      // plus the two set sizes.
       Some("""WITH w AS (
              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
              |                             x -> x <> '') AS w
              |  FROM documents),
-             |t AS (
+             |t AS MATERIALIZED (
              |  SELECT doc_id,
              |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
              |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
              |         ELSE [array_to_string(w, ' ')] END AS ngrams
              |  FROM w),
+             |tl AS MATERIALIZED (SELECT doc_id, len(ngrams) AS n FROM t),
              |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t WHERE doc_id % 10 = 0),
              |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
              |       FROM t WHERE doc_id % 10 <> 0),
@@ -933,10 +940,10 @@ object Dedup {
              |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
              |sc AS (
              |  SELECT i.doc_id,
-             |    round(i.i * 1.0 / (len(sa.ngrams) + len(sb.ngrams) - i.i), 6) AS j
+             |    round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS j
              |  FROM inter i
-             |  JOIN t sa ON sa.doc_id = i.doc_id
-             |  JOIN t sb ON sb.doc_id = i.corpus_id),
+             |  JOIN tl sa ON sa.doc_id = i.doc_id
+             |  JOIN tl sb ON sb.doc_id = i.corpus_id),
              |strong AS (
              |  SELECT doc_id FROM sc GROUP BY doc_id HAVING max(j) >= 0.9)
              |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong, 1 AS within_bound

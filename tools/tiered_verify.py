@@ -88,6 +88,18 @@ def check_one(sf_dir, out_dir, name, sql, q, bigrows):
         memlim = os.environ.get("TIERED_VERIFY_MEMLIMIT")
         if memlim:
             con.execute(f"SET memory_limit = '{memlim}'")
+        if os.environ.get("TIERED_VERIFY_NOORDER"):
+            # giant CTE chains: don't buffer rows to preserve input
+            # order DuckDB is otherwise contractually bound to — every
+            # compare here sorts or bag-compares anyway
+            con.execute("SET preserve_insertion_order = false")
+        # each child spills to its OWN temp dir: the default is the
+        # relative ".tmp", which concurrent shards share — one child
+        # cleaning up removes another's live spill file and the victim
+        # aborts (uncaught duckdb::IOException -> "child died")
+        tmp = f"{out_dir}/.duckdb_tmp_{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory = '{tmp}'")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(path):
@@ -99,6 +111,53 @@ def check_one(sf_dir, out_dir, name, sql, q, bigrows):
             scount = con.sql("SELECT count(*) FROM spark_rel").fetchone()[0]
         except Exception as e:
             q.put(f"SPARK_MISSING {name}: {e}")
+            return
+        # ---- EXCEPT tier: frames whose TEXT payload is too large to
+        # materialize twice into Python tuples (fetchall + rows_key
+        # repr-copies ≈ 4× the payload; a 500k-row full-text frame
+        # OOM-kills the child). When the schema has no float column the
+        # bag compare runs entirely inside DuckDB: equal counts plus an
+        # empty EXCEPT ALL in one direction IS bag equality, bit-exact.
+        textbytes = 0 if scount > bigrows else con.sql(
+            "SELECT coalesce(sum(" + " + ".join(
+                [f"coalesce(strlen(CAST({c} AS VARCHAR)), 0)"
+                 for c in spark_cols]) + "), 0) FROM spark_rel"
+        ).fetchone()[0]
+        bigbytes = int(os.environ.get("TIERED_VERIFY_BIGBYTES",
+                                      800_000_000))
+        if scount <= bigrows and textbytes > bigbytes:
+            try:
+                con.execute(f"CREATE TEMP TABLE oracle_t AS {sql}")
+            except Exception as e:
+                q.put(f"ORACLE_ERR {name}: {e}")
+                return
+            otypes = con.sql("DESCRIBE oracle_t").fetchall()
+            ocols = sorted(r[0] for r in otypes)
+            if [c.lower() for c in spark_cols] != [c.lower() for c in ocols]:
+                q.put(f"FAIL {name}: column mismatch spark={spark_cols} "
+                      f"oracle={ocols}")
+                return
+            if any(t in str(r[1]).upper()
+                   for r in otypes for t in ("FLOAT", "DOUBLE", "REAL")):
+                q.put(f"ORACLE_ERR {name}: text frame too large for "
+                      f"fetchall but schema has float columns - no "
+                      f"exact in-db compare available")
+                return
+            ocount = con.sql("SELECT count(*) FROM oracle_t").fetchone()[0]
+            if scount != ocount:
+                q.put(f"FAIL {name}: rowcount spark={scount} "
+                      f"oracle={ocount}")
+                return
+            sel = ", ".join(ocols)
+            extra = con.sql(
+                f"SELECT count(*) FROM (SELECT {sel} FROM spark_rel "
+                f"EXCEPT ALL SELECT {sel} FROM oracle_t)").fetchone()[0]
+            if extra:
+                q.put(f"FAIL {name}: {extra} spark rows not in oracle "
+                      f"(EXCEPT ALL tier)")
+                return
+            q.put(f"PASS_EXCEPT {name} ({scount} rows, exact: equal "
+                  f"counts + empty EXCEPT ALL, in-db)")
             return
         if scount <= bigrows:
             spark_rows = con.sql(
@@ -215,6 +274,11 @@ def main():
             else:
                 line = q.get() if not q.empty() else \
                     f"ORACLE_ERR {name}: child died without result"
+            # a timeout-killed child leaves its spill files behind —
+            # reclaim them before the next entry needs the disk
+            import shutil
+            tmp = f"{out_dir}/.duckdb_tmp_{p.pid}"
+            shutil.rmtree(tmp, ignore_errors=True)
         print(line, flush=True)
         counts[line.split()[0]] = counts.get(line.split()[0], 0) + 1
     print("\nSUMMARY " + json.dumps(counts))
