@@ -139,11 +139,15 @@ object CurationPipeline {
     * duplicates each document's full word list onto every one of its
     * ~wordcount output rows, which DuckDB materializes — at the 100×
     * staged gate that is a >70 GB spill and the replay dies on disk;
-    * the zipped form streams one (g|word, position) pair per row. */
+    * the zipped form streams one (g|word, position) pair per row.
+    * The multiply-referenced CTEs (`words`/`g2`/`cstats`/`toks`/`sel` —
+    * cp07's tail reads `sel` twice more) are MATERIALIZED: DuckDB
+    * inlines plain CTEs, so each extra reference re-ran the entire
+    * selection chain from the raw corpus. */
   private def cp02SelectionCtesSql: String =
-    s"""words AS (
+    s"""words AS MATERIALIZED (
        |  SELECT doc_id, lang, $wordsSql AS w FROM documents),
-       |g2 AS (
+       |g2 AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(unnest(range(greatest(len(w) - 7, 0))) AS INT) AS p,
        |    unnest(list_transform(range(greatest(len(w) - 7, 0)),
@@ -176,7 +180,7 @@ object CurationPipeline {
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM islands i
        |    WHERE i.doc_id = wp.doc_id AND wp.j BETWEEN i.mn AND i.mx)),
-       |cstats AS (
+       |cstats AS MATERIALIZED (
        |  SELECT d.doc_id, d.lang,
        |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens,
        |    round((coalesce(a.n_kept, 0) - coalesce(a.n_distinct, 0)) * 1.0 /
@@ -199,7 +203,7 @@ object CurationPipeline {
        |    SELECT *, row_number() OVER (
        |      PARTITION BY md5(lower(ctext)) ORDER BY doc_id) AS rk
        |    FROM gated) WHERE rk = 1),
-       |toks AS (
+       |toks AS MATERIALIZED (
        |  SELECT doc_id, lang, n_tokens,
        |    md5(CAST(doc_id AS VARCHAR) || ':tb2') AS h
        |  FROM dedup),
@@ -221,7 +225,7 @@ object CurationPipeline {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS cum_before
        |  FROM sharded),
-       |sel AS (
+       |sel AS MATERIALIZED (
        |  SELECT doc_id, lang, n_tokens, shard
        |  FROM cum, budget WHERE cum_before < shard_budget)""".stripMargin
 
