@@ -68,5 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BloomProbeSharded].getName, BloomProbeSharded.fnName),
       exprs => BloomProbeSharded(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.DeconScore.fnName),
+      graft.functions.DeconScore.info,
+      exprs => graft.functions.DeconScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int])))
   }
 }

@@ -46,6 +46,18 @@ object Bounded {
     * when the data does. */
   def broadcastBench(df: DataFrame, tag: String,
                      maxRows: Long = MaxBenchRows): DataFrame = {
+    checkedRowCount(df, tag, maxRows)
+    broadcast(df)
+  }
+
+  /** The count-and-assert half of [[broadcastBench]], exposed for
+    * callers that need the bounded frame's ROW COUNT as well as the
+    * contract (e.g. the decon serve sizing its band-bucket map chunks,
+    * [[DataQuality.deconBenchBucketChunks]]) — same content-stamped
+    * cache, so asking for the count and then broadcasting under the
+    * same tag pays one count job, not two. */
+  def checkedRowCount(df: DataFrame, tag: String,
+                      maxRows: Long = MaxBenchRows): Long = {
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val files = df.inputFiles.sorted.map { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -71,6 +83,6 @@ object Bounded {
       s"bench/eval frame '$tag' has $n rows (bound $maxRows): a frame " +
         "that scales with the corpus must not be broadcast — route it " +
         "through the banded/shuffled path instead")
-    broadcast(df)
+    n
   }
 }

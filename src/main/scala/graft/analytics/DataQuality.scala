@@ -153,69 +153,139 @@ object DataQuality {
   /** [[semanticDeconLshDrops]] with the two sides passed explicitly —
     * the form the STREAMING gate needs (arriving corpus batch vs a
     * static benchmark frame, st18 / EventStreams.deconGate). `corpus`
-    * carries (vec_id, embedding), `bench` (bench_id, embedding). */
+    * carries (vec_id, embedding), `bench` (bench_id, embedding).
+    * One-shot convenience: builds the bench bucket chunks inline.
+    * Callers that score MANY slices against the same bench (streaming
+    * gates, multi-batch chains) must prebuild with
+    * [[deconBenchBucketChunks]] and call [[semanticDeconLshDropsWith]]
+    * instead — rebuilding the bucket map per call was the structural
+    * cause of st18's r12 2.7× regression. */
   def semanticDeconLshDropsOf(s: org.apache.spark.sql.SparkSession,
                               corpus: org.apache.spark.sql.DataFrame,
                               benchIn: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    semanticDeconLshDropsWith(s, corpus, deconBenchBucketChunks(benchIn))
+
+  /** Rows per band-bucket map CHUNK. Each bench vector costs ~3 KB in
+    * the map row (64-float qvec struct duplicated across its 12 band
+    * entries' buckets amortizes to ~2.6 KB + key overhead), so 10 k
+    * rows ≈ 30 MB — the largest SINGLE ROW we let a broadcast carry.
+    * r12 built one map over the whole bench, which at [[Bounded]]'s
+    * 100 k cap would have been a ~300 MB row on every task (latent:
+    * production suites are [[BenchSuiteCap]]-sized). Larger benches now
+    * split into ⌈n/chunk⌉ id-disjoint chunks, each its own one-row
+    * broadcast crossJoined into the SAME map-only pass — max-cosine is
+    * associative and the chunks partition bench ids, so per-chunk
+    * distinct-candidate counts ADD: results are bit-identical to the
+    * single-map form at any chunk size (pinned in DataQualitySpec).
+    * The TOTAL broadcast footprint stays ~3 KB × bench rows (map-only
+    * scoring requires every task to see every bench vector); that is
+    * what the 100 k [[Bounded]] cap bounds at ~300 MB — a bench that
+    * scales with the corpus must use the exact shuffled path, where
+    * selectivity comes from data structure, not banding. */
+  val DeconMapChunkRows = 10000L
+
+  /** The bench side of the map-only banded decon serve, prebuilt: a
+    * sequence of ONE-ROW frames, each a DENSE bucket table
+    * `bkts: array<array<struct<bench_id, qvec>>>` of length
+    * bands·2^rows indexed by slot = band·2^rows + bandKey (missing
+    * slots null), over an id-disjoint chunk of the bench (see
+    * [[DeconMapChunkRows]]). Dense indexing replaces the r12
+    * string-keyed map: the scorer does an O(1) array load per band per
+    * row instead of an O(#keys) UTF8String map scan. The bench-side
+    * signature stays the HOF [[graft.functions.VectorOps
+    * .simhashBucket]] column — the corpus-side native replica
+    * ([[graft.functions.DeconScore]]) is spec-pinned against it.
+    * Build ONCE per gate/stream, then score any number of slices with
+    * [[semanticDeconLshDropsWith]]; callers that serve many batches
+    * should `.localCheckpoint(true)` each frame so the simhash →
+    * band-explode → groupBy → dense-table aggregation runs once, not
+    * per micro-batch. */
+  def deconBenchBucketChunks(benchIn: org.apache.spark.sql.DataFrame,
+                             chunkRows: Long = DeconMapChunkRows)
+      : Seq[org.apache.spark.sql.DataFrame] = {
     val nBits = DeconLshBands * DeconLshRows
     require(nBits <= 63, s"signature does not fit one long: $nBits bits")
+    require(chunkRows >= 1, s"chunkRows must be positive: $chunkRows")
     val mask = (1L << DeconLshRows) - 1
-    // "band:key" — string keys because Catalyst map lookups on struct
-    // keys don't reach element_at; formats identically on both sides
-    def bandKey(sig: org.apache.spark.sql.Column, b: Int) =
-      concat_ws(":", lit(b),
-        shiftright(sig, b * DeconLshRows).bitwiseAND(lit(mask)))
-    // The bench band index as ONE broadcast row: band key → bucket of
-    // (bench_id, qvec). The Bounded guard keeps the eval-suite-sized
-    // convention a contract (the map row is ~3 KB per bench vector; a
-    // bench that scales with the corpus must use the exact shuffled
-    // path, where selectivity comes from data structure, not banding).
-    val guarded = Bounded.broadcastBench(
-      benchIn.select(col("bench_id"), col("embedding")),
-      "decon.band-index", maxRows = 100000L)
-    val benchBuckets = guarded
-      .withColumn("__sig",
-        graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
-      .select(explode(array((0 until DeconLshBands).map { b =>
-        struct(bandKey(col("__sig"), b).as("bk"),
-               struct(col("bench_id"),
-                      col("embedding").as("qvec")).as("e"))
-      }: _*)).as("x"))
-      .groupBy(col("x.bk").as("bk"))
-      .agg(collect_list(col("x.e")).as("bucket"))
-      .agg(map_from_entries(collect_list(struct(col("bk"), col("bucket"))))
-             .as("bmap"))
-    // Map-only corpus pass. Per band: score the bucket in place and
-    // keep only its max — the max over candidates is duplicate-
-    // insensitive, so no struct-level union/dedup is ever
-    // materialized (per-row garbage is a handful of primitive arrays,
-    // not a multi-MB copied struct union — measured 10× on the sf10
-    // gate). n_cand DOES need distinct bench ids, so those flatten as
-    // bare longs. array_max skips nulls exactly as the old max
-    // aggregate did; a corpus row whose 12 buckets are all empty
-    // yields a null max and falls out of the tau filter, matching the
-    // old inner join.
-    def bucket(b: Int) = element_at(col("bmap"), bandKey(col("__sig"), b))
-    val mc = array_max(array_compact(array(
-      (0 until DeconLshBands).map(b =>
-        array_max(transform(bucket(b), c =>
-          graft.functions.VectorOps.cosineNative(
-            s, col("embedding"), c.getField("qvec"))))): _*)))
-    val nCand = size(array_distinct(flatten(array_compact(array(
-      (0 until DeconLshBands).map(b =>
-        transform(bucket(b), c => c.getField("bench_id"))): _*)))))
+    val nSlots = DeconLshBands << DeconLshRows
+    val benchSel = benchIn.select(col("bench_id"), col("embedding"))
+    // same tag + content-stamped cache as a broadcastBench call, so
+    // the count job is shared with any broadcast of the same frame
+    val n = Bounded.checkedRowCount(benchSel, "decon.band-index",
+                                    maxRows = 100000L)
+    val k = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
+    (0 until k).map { c =>
+      val side =
+        if (k == 1) benchSel
+        else benchSel.filter(
+          pmod(xxhash64(col("bench_id")), lit(k.toLong)) === c)
+      side
+        .withColumn("__sig",
+          graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
+        .select(explode(array((0 until DeconLshBands).map { b =>
+          struct((lit(b << DeconLshRows) +
+                  shiftright(col("__sig"), b * DeconLshRows)
+                    .bitwiseAND(lit(mask)).cast("int")).as("slot"),
+                 struct(col("bench_id"),
+                        col("embedding").as("qvec")).as("e"))
+        }: _*)).as("x"))
+        .groupBy(col("x.slot").as("slot"))
+        .agg(collect_list(col("x.e")).as("bucket"))
+        .agg(map_from_entries(collect_list(struct(col("slot"), col("bucket"))))
+               .as("m"))
+        .select(transform(sequence(lit(0), lit(nSlots - 1)),
+                          sl => element_at(col("m"), sl)).as("bkts"))
+    }
+  }
+
+  /** The map-only scoring pass against PREBUILT bench bucket chunks:
+    * ONE native [[graft.functions.DeconScore]] eval per corpus row per
+    * chunk — signature, O(1) dense bucket loads, in-place exact-cosine
+    * max and distinct-candidate count in a single primitive loop (the
+    * r12 `transform`-lambda formulation evaluated interpreted at
+    * ~76 ms/row — 136 s of executor CPU for 1 801 fixture rows). The
+    * max over candidates is duplicate-insensitive so nothing is ever
+    * materialized per row beyond the score struct; per-chunk maxima
+    * combine with `greatest` (null-skipping, NaN-greatest — the same
+    * double ordering as the scorer) and per-chunk distinct counts ADD
+    * because the chunks partition bench ids. A corpus row whose
+    * buckets are all empty yields a null max and falls out of the tau
+    * filter, matching dc02's inner join. ZERO shuffle on candidate
+    * pairs — the r12 100× gate killed the previous shuffled band
+    * equi-join: on the fixture's hash-noise vectors ~54 % of all
+    * (corpus, bench) pairs share a band, so the join materialized
+    * ~1.9e9 pair rows and filled the disk at sf10. The pair SCORING
+    * cost is inherent to banding noise; the pair SHUFFLE never was. */
+  def semanticDeconLshDropsWith(s: org.apache.spark.sql.SparkSession,
+                                corpus: org.apache.spark.sql.DataFrame,
+                                chunks: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    require(chunks.nonEmpty, "at least one bench bucket chunk required")
+    graft.functions.DeconScore.register(s)
     // The scoring pass is COMPUTE-dense (~bench/2 cosines per corpus
     // row), so byte-sized parquet splits starve it: at sf10 the whole
     // 200k-row corpus is two 128 MB splits = two tasks for 2.7e9
     // cosines. One linear round-robin shuffle of the (tiny) corpus
     // rows buys full-width parallelism at any scale.
-    corpus.select(col("vec_id"), col("embedding"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(benchBuckets))
-      .withColumn("__sig",
-        graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
-      .select(col("vec_id"), mc.as("mc"), nCand.cast("long").as("n_cand"))
+    val joined = chunks.zipWithIndex.foldLeft(
+      corpus.select(col("vec_id"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism)) {
+      case (acc, (ch, c)) =>
+        acc.crossJoin(broadcast(ch.select(col("bkts").as(s"__bkts_$c"))))
+    }
+    def score(c: Int) = call_function(
+      graft.functions.DeconScore.fnName,
+      col("embedding"), col(s"__bkts_$c"),
+      lit(DeconLshBands), lit(DeconLshRows))
+    val scored = joined.select(
+      col("vec_id") +: chunks.indices.map(c => score(c).as(s"__s_$c")): _*)
+    val mcs = chunks.indices.map(c => col(s"__s_$c").getField("mc"))
+    val mc = if (mcs.size == 1) mcs.head else greatest(mcs: _*)
+    val nCand = chunks.indices.map(c => col(s"__s_$c").getField("n_cand"))
+      .reduce(_ + _)
+    scored
+      .select(col("vec_id"), mc.as("mc"), nCand.as("n_cand"))
       .filter(col("mc") >= SemanticDeconTau)
       .select(col("vec_id"), round(col("mc"), 6).as("max_cand_sim"),
               col("n_cand"))

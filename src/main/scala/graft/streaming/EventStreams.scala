@@ -526,22 +526,30 @@ object EventStreams {
   /** STREAMING semantic decontamination (st18's continuous form):
     * arriving vectors are gated per micro-batch against a STATIC
     * benchmark frame with dc03's banded-LSH prefilter + exact-cosine
-    * refine ([[graft.analytics.DataQuality.semanticDeconLshDropsOf]]).
+    * refine ([[graft.analytics.DataQuality.semanticDeconLshDropsWith]]).
     * Completely STATELESS — no running store, no delta reads: the
-    * benchmark side is eval-suite-sized and persisted once here, so
-    * every micro-batch pays one AQE-broadcast band join + the refine
-    * over its own rows (the st10/st11 stream-static discipline; at
-    * 100 TB the bench band table broadcasts once per executor and the
-    * corpus only ever flows map-side). Decisions land batch-id-
-    * partitioned with dynamic overwrite — replay-idempotent. `bench`
-    * carries (bench_id, embedding); the stream (vec_id, embedding). */
+    * benchmark band-bucket map is built and MATERIALIZED once, before
+    * the stream starts (r12 rebuilt it inside every micro-batch — one
+    * redundant simhash → explode → groupBy → map_from_entries →
+    * broadcast job chain per batch, the structural cause of st18's
+    * 2.7× regression), so every micro-batch pays only its own map-side
+    * scoring plus a cached one-row re-broadcast (the st10/st11
+    * stream-static discipline; at 100 TB the bench bucket map
+    * broadcasts once per executor and the corpus only ever flows
+    * map-side). Decisions land batch-id-partitioned with dynamic
+    * overwrite — replay-idempotent. `bench` carries (bench_id,
+    * embedding); the stream (vec_id, embedding). */
   def deconGate(stream: DataFrame, bench: DataFrame, outDir: String,
                 checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // same session-registration guard as curationStream: bench-derived
     // frames resolve the native cosine against the driving session
     graft.functions.CosineSim.register(stream.sparkSession)
-    val benchP = bench.persist()
+    // localCheckpoint(eager) truncates each one-row map frame to its
+    // materialized blocks — micro-batch plans re-broadcast a cached
+    // row instead of re-running the bench aggregation
+    val benchChunks = graft.analytics.DataQuality
+      .deconBenchBucketChunks(bench).map(_.localCheckpoint(true))
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -550,8 +558,8 @@ object EventStreams {
         // read side's schema inference; nothing to gate anyway)
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val drops = graft.analytics.DataQuality.semanticDeconLshDropsOf(
-            spark, batch.select("vec_id", "embedding"), benchP)
+          val drops = graft.analytics.DataQuality.semanticDeconLshDropsWith(
+            spark, batch.select("vec_id", "embedding"), benchChunks)
           batch.select("vec_id").join(drops, Seq("vec_id"), "left")
             .select(col("vec_id"),
                     coalesce(col("n_cand"), lit(0L)).as("n_cand"),
@@ -667,6 +675,12 @@ object EventStreams {
     // here before the query starts
     graft.functions.CosineSim.register(stream.sparkSession)
     val embP = emb.persist()
+    // decon bucket map built + materialized ONCE before the stream
+    // starts (same hoist as deconGate — r12 rebuilt it per batch)
+    val benchChunks = Some(graft.analytics.DataQuality
+      .deconBenchBucketChunks(embP.filter(col("label") === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding")))
+      .map(_.localCheckpoint(true)))
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -702,7 +716,8 @@ object EventStreams {
           // materialize the ledger BEFORE segment writes mutate the
           // delta dirs its near-dup stage reads
           val ledger = StreamShapes.curationLedgerOf(
-            spark, batch, nd, embP, banded = true).localCheckpoint(true)
+            spark, batch, nd, embP, banded = true, benchChunks)
+            .localCheckpoint(true)
           ledger.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

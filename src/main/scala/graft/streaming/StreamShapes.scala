@@ -1837,12 +1837,18 @@ object StreamShapes {
     * cosine for anchors); `stage` names the first stage that dropped
     * the doc. Shared by the st20 batch chain and the streaming twin
     * (EventStreams.curationStream) so the three-stage composition can
-    * never diverge between them. */
+    * never diverge between them. `benchChunks`: prebuilt decon bucket
+    * chunks ([[graft.analytics.DataQuality.deconBenchBucketChunks]]) —
+    * REQUIRED from callers that ledger many slices (streams, chains),
+    * so the bench aggregation isn't rebuilt per slice (st18's r12
+    * regression family); None rebuilds inline (one-shot callers). */
   def curationLedgerOf(s: org.apache.spark.sql.SparkSession,
                        slice: org.apache.spark.sql.DataFrame,
                        nd: org.apache.spark.sql.DataFrame,
                        emb: org.apache.spark.sql.DataFrame,
-                       banded: Boolean): org.apache.spark.sql.DataFrame = {
+                       banded: Boolean,
+                       benchChunks: Option[Seq[org.apache.spark.sql.DataFrame]] = None)
+      : org.apache.spark.sql.DataFrame = {
     import graft.analytics.DataQuality
     val bench = emb.filter(col("label") === 0)
       .select(col("vec_id").as("bench_id"), col("embedding"))
@@ -1851,7 +1857,9 @@ object StreamShapes {
       .select("vec_id", "embedding")
     val drops =
       if (banded)
-        DataQuality.semanticDeconLshDropsOf(s, cvecs, bench).select("vec_id")
+        DataQuality.semanticDeconLshDropsWith(s, cvecs,
+            benchChunks.getOrElse(DataQuality.deconBenchBucketChunks(bench)))
+          .select("vec_id")
       else cvecs
         .crossJoin(graft.analytics.Bounded.broadcastBench(
           bench.select(col("embedding").as("qvec")), "cp.ledger.bench-vecs"))
@@ -1907,15 +1915,24 @@ object StreamShapes {
       .select(col("vec_id").as("bench_id"), col("embedding"))
     val corpus = emb.filter(col("label") =!= 0)
       .select("vec_id", "embedding")
-    def out(batchNo: Int, slice: org.apache.spark.sql.DataFrame) = {
-      val drops = DataQuality.semanticDeconLshDropsOf(s, slice, bench)
-      slice.select("vec_id").join(drops, Seq("vec_id"), "left")
-        .select(lit(batchNo).as("batch"), col("vec_id"),
-                coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-                col("max_cand_sim").isNull.cast("int").as("keep"))
-    }
-    out(1, corpus.filter(col("vec_id") % 2 === 0))
-      .unionByName(out(2, corpus.filter(col("vec_id") % 2 === 1)))
+    // bucket map built + materialized ONCE for both batches (the r12
+    // form rebuilt it per out() call — the st18 regression)
+    val benchChunks = DataQuality.deconBenchBucketChunks(bench)
+      .map(_.localCheckpoint(true))
+    // The gate is STATELESS (that is the entry's pinned claim: batch
+    // slicing cannot change any decision), so the batch form scores the
+    // WHOLE corpus in ONE pass and derives the batch tag afterwards —
+    // bit-identical to scoring each parity slice separately, at half
+    // the planning/codegen cost (the banded scoring expression is the
+    // plan's dominant fixed cost at fixture scale; r12 paid it twice).
+    // The streaming twin necessarily scores per arriving micro-batch;
+    // row-equality between the two is pinned in StreamingSpec.
+    val drops = DataQuality.semanticDeconLshDropsWith(s, corpus, benchChunks)
+    corpus.select("vec_id").join(drops, Seq("vec_id"), "left")
+      .select((pmod(col("vec_id"), lit(2L)) + 1).cast("int").as("batch"),
+              col("vec_id"),
+              coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+              col("max_cand_sim").isNull.cast("int").as("keep"))
       .orderBy("batch", "vec_id")
   }
 
@@ -1962,10 +1979,18 @@ object StreamShapes {
     val arr = MinHashBandIndex.arrivalsOf(docs)
     val b1 = arr.filter(col("doc_id") % 20 === 0)
     val b2 = arr.filter(col("doc_id") % 20 =!= 0)
+    // decon bucket map built + materialized ONCE for both ledgers (the
+    // banded path only; the exact anchor form never builds it)
+    val benchChunks =
+      if (banded) Some(DataQuality.deconBenchBucketChunks(
+          emb.filter(col("label") === 0)
+            .select(col("vec_id").as("bench_id"), col("embedding")))
+        .map(_.localCheckpoint(true)))
+      else None
     def ledgerOf(batchNo: Int, slice: org.apache.spark.sql.DataFrame,
                  nd: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
-      curationLedgerOf(s, slice, nd, emb, banded)
+      curationLedgerOf(s, slice, nd, emb, banded, benchChunks)
         .withColumn("batch", lit(batchNo))
     if (banded) {
       val seed = MinHashBandIndex.ensure(s, d)

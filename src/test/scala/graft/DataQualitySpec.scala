@@ -199,6 +199,91 @@ class DataQualitySpec extends SparkSpec {
            f"pairs survive (${ratio}%.3f)")
   }
 
+  test("dc03: chunked band-bucket maps are bit-identical to the single map") {
+    // The map-only serve's broadcast-row bound: a bench past
+    // DeconMapChunkRows splits into id-disjoint chunks, each its own
+    // one-row map (~3 KB/vector => ~30 MB/row at the 10k chunk size;
+    // r12's single map would have been a ~300 MB row at the Bounded
+    // cap). Chunking must be INVISIBLE in the results: max-cosine is
+    // associative and the chunks partition bench ids so distinct-
+    // candidate counts add. Pin that by forcing 7 chunks over the
+    // fixture's 56-row bench and comparing against the 1-chunk form
+    // row-for-row — including n_cand, the count most sensitive to a
+    // double-counted bench id leaking across chunks.
+    import graft.analytics.DataQuality
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val corpus = emb.filter(col("label") =!= 0)
+      .select("vec_id", "embedding")
+    val single = DataQuality.deconBenchBucketChunks(bench)
+    assert(single.size == 1, s"56-row bench should be one chunk, got ${single.size}")
+    val chunked = DataQuality.deconBenchBucketChunks(bench, chunkRows = 8L)
+    assert(chunked.size == 7, s"ceil(56/8) = 7 chunks, got ${chunked.size}")
+    def serve(chunks: Seq[org.apache.spark.sql.DataFrame]) =
+      DataQuality.semanticDeconLshDropsWith(spark, corpus, chunks)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val a = serve(single)
+    val b = serve(chunked)
+    assert(a.nonEmpty, "fixture should produce decon drops")
+    assert(a.toSeq == b.toSeq,
+           s"chunked serve diverged: ${a.length} vs ${b.length} rows")
+  }
+
+  test("dc03: native DeconScore serve ≡ the HOF band-join reference, bit for bit") {
+    // The serve's hot path is one native eval per row
+    // (functions.DeconScore: murmur3 sign signature + dense bucket
+    // loads + primitive-loop cosine). This pins it against the
+    // readable reference formulation built ONLY from column functions:
+    // simhashBucket signatures on BOTH sides, an explicit band
+    // equi-join for candidates, cosineNative refine, max + distinct
+    // count. Any drift in the native murmur3/signature replica, slot
+    // arithmetic, cosine accumulation order or distinct counting shows
+    // up as a row diff here (and would collapse dc03r's recall anchor
+    // at scale). Exact doubles compared — bit-compat is the contract.
+    import graft.analytics.DataQuality
+    import graft.analytics.DataQuality.{DeconLshBands, DeconLshRows, SemanticDeconTau}
+    val nBits = DeconLshBands * DeconLshRows
+    val mask = (1L << DeconLshRows) - 1
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val corpus = emb.filter(col("label") =!= 0)
+      .select("vec_id", "embedding")
+    def banded(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__sig",
+        graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
+      .select(col("*"), explode(array((0 until DeconLshBands).map { b =>
+        struct(lit(b).as("band"),
+               shiftright(col("__sig"), b * DeconLshRows)
+                 .bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("*"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val ref = banded(corpus).select("vec_id", "embedding", "band", "key")
+      .join(banded(bench)
+              .select(col("bench_id"), col("embedding").as("qvec"),
+                      col("band"), col("key")),
+            Seq("band", "key"))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.VectorOps.cosineNative(
+             spark, col("embedding"), col("qvec"))).as("mc"),
+           countDistinct(col("bench_id")).as("n_cand"))
+      .filter(col("mc") >= SemanticDeconTau)
+      .select(col("vec_id"), round(col("mc"), 6).as("max_cand_sim"),
+              col("n_cand"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val native = DataQuality.semanticDeconLshDropsOf(spark, corpus, bench)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(ref.nonEmpty, "fixture should produce decon drops")
+    assert(native.toSeq == ref.toSeq,
+           s"native serve diverged from HOF reference: " +
+           s"${native.length} vs ${ref.length} rows; " +
+           s"first diff ${native.toSeq.diff(ref.toSeq).take(3)}")
+  }
+
   test("bp01: 30x-duplicated corpus flows the shuffled census path, counts scale exactly") {
     // dup-stress probe of the non-broadcast path: replicate documents
     // 30x under fresh doc_ids so the flagged census covers EVERY gram
