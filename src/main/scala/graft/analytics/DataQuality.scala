@@ -263,6 +263,10 @@ object DataQuality {
       : org.apache.spark.sql.DataFrame = {
     require(chunks.nonEmpty, "at least one bench bucket chunk required")
     graft.functions.DeconScore.register(s)
+    // analysis resolves against the ROOT frame's session, which in the
+    // streaming gates is the driving session, not the micro-batch
+    // clone `s` — register on both (the CosineSim session-guard lesson)
+    graft.functions.DeconScore.register(corpus.sparkSession)
     // The scoring pass is COMPUTE-dense (~bench/2 cosines per corpus
     // row), so byte-sized parquet splits starve it: at sf10 the whole
     // 200k-row corpus is two 128 MB splits = two tasks for 2.7e9

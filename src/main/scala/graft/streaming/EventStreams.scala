@@ -545,6 +545,7 @@ object EventStreams {
     // same session-registration guard as curationStream: bench-derived
     // frames resolve the native cosine against the driving session
     graft.functions.CosineSim.register(stream.sparkSession)
+    graft.functions.DeconScore.register(stream.sparkSession)
     // localCheckpoint(eager) truncates each one-row map frame to its
     // materialized blocks — micro-batch plans re-broadcast a cached
     // row instead of re-running the bench aggregation
@@ -674,6 +675,7 @@ object EventStreams {
     // the micro-batch clone), and clones inherit what is registered
     // here before the query starts
     graft.functions.CosineSim.register(stream.sparkSession)
+    graft.functions.DeconScore.register(stream.sparkSession)
     val embP = emb.persist()
     // decon bucket map built + materialized ONCE before the stream
     // starts (same hoist as deconGate — r12 rebuilt it per batch)

@@ -1841,33 +1841,56 @@ object StreamShapes {
     * chunks ([[graft.analytics.DataQuality.deconBenchBucketChunks]]) —
     * REQUIRED from callers that ledger many slices (streams, chains),
     * so the bench aggregation isn't rebuilt per slice (st18's r12
-    * regression family); None rebuilds inline (one-shot callers). */
+    * regression family); None rebuilds inline (one-shot callers).
+    * `deconDrops`: precomputed decon drop ids (vec_id) for any
+    * SUPERSET of the slice — the decon stage is stateless (each vector
+    * scores against the static bench only), so a multi-slice caller
+    * can score its whole corpus once and let each ledger intersect,
+    * instead of paying the scoring plan per slice; None scores the
+    * slice's own vectors here (the streaming twin's shape — arrivals
+    * are unknown upfront, per-batch cost stays ∝ batch). */
+  /** Exhaustive decon drop ids: exact max-cosine of `cvecs` against the
+    * broadcast bench, tau-gated — the anchor-form scoring shared by the
+    * per-slice ledger and the chain's precomputed whole-corpus pass. */
+  private def exactDeconDropsOf(s: org.apache.spark.sql.SparkSession,
+                                cvecs: org.apache.spark.sql.DataFrame,
+                                bench: org.apache.spark.sql.DataFrame,
+                                tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.analytics.DataQuality
+    cvecs
+      .crossJoin(graft.analytics.Bounded.broadcastBench(
+        bench.select(col("embedding").as("qvec")), tag))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.VectorOps.cosineNative(
+             s, col("embedding"), col("qvec"))).as("mc"))
+      .filter(col("mc") >= DataQuality.SemanticDeconTau)
+      .select("vec_id")
+  }
+
   def curationLedgerOf(s: org.apache.spark.sql.SparkSession,
                        slice: org.apache.spark.sql.DataFrame,
                        nd: org.apache.spark.sql.DataFrame,
                        emb: org.apache.spark.sql.DataFrame,
                        banded: Boolean,
-                       benchChunks: Option[Seq[org.apache.spark.sql.DataFrame]] = None)
+                       benchChunks: Option[Seq[org.apache.spark.sql.DataFrame]] = None,
+                       deconDrops: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.analytics.DataQuality
     val bench = emb.filter(col("label") === 0)
       .select(col("vec_id").as("bench_id"), col("embedding"))
     val ids = slice.select(col("doc_id").as("vec_id"))
-    val cvecs = emb.filter(col("label") =!= 0).join(ids, Seq("vec_id"))
+    lazy val cvecs = emb.filter(col("label") =!= 0).join(ids, Seq("vec_id"))
       .select("vec_id", "embedding")
-    val drops =
-      if (banded)
+    val drops = deconDrops match {
+      case Some(dd) => dd.select("vec_id").join(ids, Seq("vec_id"))
+      case None if banded =>
         DataQuality.semanticDeconLshDropsWith(s, cvecs,
             benchChunks.getOrElse(DataQuality.deconBenchBucketChunks(bench)))
           .select("vec_id")
-      else cvecs
-        .crossJoin(graft.analytics.Bounded.broadcastBench(
-          bench.select(col("embedding").as("qvec")), "cp.ledger.bench-vecs"))
-        .groupBy("vec_id")
-        .agg(max(graft.functions.VectorOps.cosineNative(
-               s, col("embedding"), col("qvec"))).as("mc"))
-        .filter(col("mc") >= DataQuality.SemanticDeconTau)
-        .select("vec_id")
+      case None =>
+        exactDeconDropsOf(s, cvecs, bench, "cp.ledger.bench-vecs")
+    }
     val dropIds = drops
       .unionByName(emb.filter(col("label") === 0).select("vec_id")
         .join(ids, Seq("vec_id")))
@@ -1979,18 +2002,30 @@ object StreamShapes {
     val arr = MinHashBandIndex.arrivalsOf(docs)
     val b1 = arr.filter(col("doc_id") % 20 === 0)
     val b2 = arr.filter(col("doc_id") % 20 =!= 0)
-    // decon bucket map built + materialized ONCE for both ledgers (the
-    // banded path only; the exact anchor form never builds it)
-    val benchChunks =
-      if (banded) Some(DataQuality.deconBenchBucketChunks(
-          emb.filter(col("label") === 0)
-            .select(col("vec_id").as("bench_id"), col("embedding")))
-        .map(_.localCheckpoint(true)))
-      else None
+    // The decon stage is STATELESS, so the chain scores the WHOLE
+    // corpus once (banded serve or exact anchor form) and both ledgers
+    // intersect the materialized drop-id set — r12 paid the scoring
+    // plan + pass per ledger (the st18 regression family; at sf0.1 the
+    // decon planning cost dominated the chain). The near-dup stage
+    // stays chained (batch 2's reference includes batch 1 keepers).
+    val benchAll = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val corpusVecs = emb.filter(col("label") =!= 0)
+      .select("vec_id", "embedding")
+    val deconDropsAll = Some((
+      if (banded)
+        DataQuality.semanticDeconLshDropsWith(s, corpusVecs,
+          DataQuality.deconBenchBucketChunks(benchAll)
+            .map(_.localCheckpoint(true)))
+          .select("vec_id")
+      else
+        exactDeconDropsOf(s, corpusVecs, benchAll, "cp.ledger.bench-vecs")
+      ).localCheckpoint(true))
     def ledgerOf(batchNo: Int, slice: org.apache.spark.sql.DataFrame,
                  nd: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
-      curationLedgerOf(s, slice, nd, emb, banded, benchChunks)
+      curationLedgerOf(s, slice, nd, emb, banded,
+                       benchChunks = None, deconDrops = deconDropsAll)
         .withColumn("batch", lit(batchNo))
     if (banded) {
       val seed = MinHashBandIndex.ensure(s, d)
