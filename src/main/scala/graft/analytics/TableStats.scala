@@ -37,28 +37,49 @@ object TableStats {
     * Columns default to every top-level leaf column of the file. */
   def analyze(spark: SparkSession, sfDir: String,
               tables: Seq[String],
-              columnsFor: String => Seq[String] = _ => Nil): Unit = {
+              columnsFor: String => Seq[String] = _ => Nil): Unit =
+    tables.foreach(t =>
+      analyzePath(spark, t, s"$sfDir/$t.parquet", columnsFor(t)))
+
+  /** Single-table [[analyze]] over an explicit data path — the form
+    * the store maintenance path uses ([[graft.sinks.ArtifactStore
+    * .compact]] re-ANALYZEs the freshly compacted store, the nightly
+    * OPTIMIZE slot being exactly when production statistics refresh). */
+  def analyzePath(spark: SparkSession, t: String, path: String,
+                  columns: Seq[String] = Nil): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $StatsDb")
-    tables.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $StatsDb.$t")
-      spark.catalog.createTable(s"$StatsDb.$t", s"$sfDir/$t.parquet",
-                                "parquet")
-      val cols = {
-        val given = columnsFor(t)
-        if (given.nonEmpty) given
-        else spark.table(s"$StatsDb.$t").schema
-          // nested/array/map columns are not ANALYZE-supported; the
-          // join-order decisions ride on scalar keys anyway
-          .filter(f => f.dataType.typeName match {
-            case "struct" | "array" | "map" => false
-            case _ => true
-          })
-          .map(f => s"`${f.name}`")
-      }
-      spark.sql(
-        s"ANALYZE TABLE $StatsDb.$t COMPUTE STATISTICS FOR COLUMNS " +
-          cols.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $StatsDb.$t")
+    spark.catalog.createTable(s"$StatsDb.$t", path, "parquet")
+    val cols = {
+      if (columns.nonEmpty) columns
+      else spark.table(s"$StatsDb.$t").schema
+        // nested/array/map columns are not ANALYZE-supported; the
+        // join-order decisions ride on scalar keys anyway
+        .filter(f => f.dataType.typeName match {
+          case "struct" | "array" | "map" => false
+          case _ => true
+        })
+        .map(f => s"`${f.name}`")
     }
+    spark.sql(
+      s"ANALYZE TABLE $StatsDb.$t COMPUTE STATISTICS FOR COLUMNS " +
+        cols.mkString(", "))
+  }
+
+  private val analyzedDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Idempotent per-JVM [[analyze]]: one ANALYZE per (table, data dir)
+    * per JVM lifetime — the ingest-schedule contract the CBO-planned
+    * registry entry (tp02) relies on. ANALYZE is an OFFLINE step by
+    * the same contract as every index build here (Bench stages it in
+    * warm-up; Verify pays it once per corpus). Re-pointing a table at
+    * a DIFFERENT corpus dir re-analyzes, so stale stats cannot serve a
+    * new corpus. */
+  def ensure(spark: SparkSession, sfDir: String,
+             tables: Seq[String]): Unit = tables.foreach { t =>
+    val prev = analyzedDir.put(t, sfDir)
+    if (prev == null || prev != sfDir) analyze(spark, sfDir, Seq(t))
   }
 
   /** Run `body` with the cost-based optimizer (and its stats-driven

@@ -810,6 +810,52 @@ object ScaleExtensions {
              |    COUNT(DISTINCT o_orderpriority),
              |    MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
              |SELECT * FROM p ORDER BY col_name""".stripMargin)
+    ),
+
+    QueryDef(
+      "tp02_cbo_join_order",
+      // tp01's statistics made LOAD-BEARING in the registry: this
+      // entry PLANS under the persisted catalog column stats with the
+      // cost-based optimizer on. The query is the join-order trap AQE
+      // cannot fix — a 3-way star written big-fact-first (lineitem ⋈
+      // orders ⋈ selective customer): the INITIAL join order is fixed
+      // at planning time, and without stats Spark executes the
+      // syntactic (lineitem ⋈ orders) pair first, materializing the
+      // large intermediate before the selective dimension cut.
+      // `TableStats.ensure` is the ingest-schedule step (offline by
+      // the same contract as every index build; Bench stages it in
+      // warm-up), `withCbo` scopes cbo+joinReorder, and planning is
+      // FORCED inside the scope — executedPlan is a lazy val, so the
+      // order CostBasedJoinReorder picks here is the one the later
+      // write executes. PlanAuditSpec pins the reorder on the entry's
+      // own plan; join reorder never changes results, so the DuckDB
+      // oracle checks the full output.
+      (s, d) => {
+        import graft.analytics.TableStats
+        TableStats.ensure(s, d, Seq("customer", "orders", "lineitem"))
+        TableStats.withCbo(s) {
+          val l = s.table(s"${TableStats.StatsDb}.lineitem")
+          val o = s.table(s"${TableStats.StatsDb}.orders")
+          val c = s.table(s"${TableStats.StatsDb}.customer")
+            .filter(col("c_mktsegment") === "BUILDING")
+          val df = l.join(o, l("l_orderkey") === o("o_orderkey"))
+            .join(c, o("o_custkey") === c("c_custkey"))
+            .groupBy(o("o_orderpriority"))
+            .agg(count(lit(1)).as("n_items"),
+                 round(sum(l("l_quantity")), 4).as("sum_qty"))
+            .orderBy("o_orderpriority")
+          df.queryExecution.executedPlan
+          df
+        }
+      },
+      Some("""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+             |  ROUND(SUM(l.l_quantity), 4) AS sum_qty
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |GROUP BY o.o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
     )
   )
 }

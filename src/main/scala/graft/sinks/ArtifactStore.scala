@@ -103,6 +103,12 @@ object ArtifactStore {
     }
     // only now is the swap durable — discard the superseded copy
     fs.delete(old, true)
+    // maintenance is when production statistics refresh (TableStats'
+    // ingest-schedule contract): the same nightly OPTIMIZE slot that
+    // compacted the store re-ANALYZEs it, so the CBO plans the next
+    // day's queries under current row counts / NDVs instead of the
+    // pre-compaction epoch's
+    graft.analytics.TableStats.analyzePath(spark, "artifacts", path)
   }
 
   /** Repair an interrupted [[compact]]: inspects which of

@@ -689,4 +689,22 @@ class PlanAuditSpec extends SparkSpec {
         s"CBO + stats should join (orders ⋈ customer) first:\n$reordered")
     }
   }
+
+  test("tp02: the REGISTRY entry itself plans reordered under CBO stats") {
+    // the lifecycle pin VERDICT r12 asked for: not a hand-built SQL in
+    // a withCbo block, but the actual registry entry — ensure() runs
+    // the ANALYZE, the entry forces planning inside its own withCbo
+    // scope, and the plan the driver will execute has the selective
+    // (orders ⋈ customer) pair innermost instead of the syntactic
+    // big-fact-first (lineitem ⋈ orders).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("tp02_cbo_join_order")(spark, sf001)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "no join in tp02's optimized plan")
+    val innermost = joins.last.toString
+    assert(innermost.contains("customer") && !innermost.contains("lineitem"),
+      s"tp02 should plan (orders ⋈ customer) innermost under stats:\n$innermost")
+    // and the stats-steered plan returns real rows
+    assert(df.count() > 0)
+  }
 }
