@@ -75,7 +75,7 @@ def compare_fetched(name, spark_rows, oracle_rows, label=""):
     return f"NEAR{label} {name} ({len(spark_rows)} rows, float-tolerance only)"
 
 
-def check_one(sf_dir, out_dir, name, sql, q, bigrows):
+def check_one(sf_dir, out_dir, name, sql, q, bigrows, tmp):
     """Child process: run one oracle + compare; put a result line."""
     try:
         con = duckdb.connect()
@@ -97,7 +97,6 @@ def check_one(sf_dir, out_dir, name, sql, q, bigrows):
         # relative ".tmp", which concurrent shards share — one child
         # cleaning up removes another's live spill file and the victim
         # aborts (uncaught duckdb::IOException -> "child died")
-        tmp = f"{out_dir}/.duckdb_tmp_{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory = '{tmp}'")
         for t in TABLES:
@@ -118,7 +117,11 @@ def check_one(sf_dir, out_dir, name, sql, q, bigrows):
         # OOM-kills the child). When the schema has no float column the
         # bag compare runs entirely inside DuckDB: equal counts plus an
         # empty EXCEPT ALL in one direction IS bag equality, bit-exact.
-        textbytes = 0 if scount > bigrows else con.sql(
+        # the strlen probe itself scans every column CAST to VARCHAR —
+        # skip it for small frames that will take the fetchall path
+        # regardless (ADVICE r12: pure overhead at the 237-entry
+        # surface); 50k rows x even 10 KB/row sits far under bigbytes
+        textbytes = 0 if (scount > bigrows or scount < 50_000) else con.sql(
             "SELECT coalesce(sum(" + " + ".join(
                 [f"coalesce(strlen(CAST({c} AS VARCHAR)), 0)"
                  for c in spark_cols]) + "), 0) FROM spark_rel"
@@ -263,8 +266,15 @@ def main():
             line = f"NOT_DUMPED {name}"
         else:
             q = mp.Queue()
+            # parent-generated UNIQUE spill dir (uuid, not child pid):
+            # with several shard instances sharing out_dir, OS pid
+            # reuse could otherwise let one shard's post-exit cleanup
+            # delete another shard's live spill dir (ADVICE r12)
+            import uuid
+            tmp = f"{out_dir}/.duckdb_tmp_{name}_{uuid.uuid4().hex[:8]}"
             p = mp.Process(target=check_one,
-                           args=(sf_dir, out_dir, name, sql, q, bigrows))
+                           args=(sf_dir, out_dir, name, sql, q, bigrows,
+                                 tmp))
             p.start()
             p.join(timeout)
             if p.is_alive():
@@ -277,7 +287,6 @@ def main():
             # a timeout-killed child leaves its spill files behind —
             # reclaim them before the next entry needs the disk
             import shutil
-            tmp = f"{out_dir}/.duckdb_tmp_{p.pid}"
             shutil.rmtree(tmp, ignore_errors=True)
         print(line, flush=True)
         counts[line.split()[0]] = counts.get(line.split()[0], 0) + 1

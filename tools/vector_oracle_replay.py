@@ -45,9 +45,25 @@ def load(sf_dir):
     return vec_id, label, emb
 
 
+def round_half_away(x, decimals):
+    """Round half AWAY from zero, matching DuckDB round() and Spark
+    round() — np.round is banker's rounding (half to even), which
+    could flip a count on a cosine landing exactly on a 6-decimal
+    half-boundary near a threshold (ADVICE r12)."""
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def max_cosine(corpus, bench, block=8192):
-    cu = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
-    bu = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    # a zero-norm embedding would yield NaN cosines that compare False
+    # against every threshold — a silent undercount; fail loudly
+    # instead (the SQL oracle's divide-by-zero may behave differently)
+    cn = np.linalg.norm(corpus, axis=1, keepdims=True)
+    bn = np.linalg.norm(bench, axis=1, keepdims=True)
+    assert cn.min() > 0 and bn.min() > 0, \
+        "zero-norm embedding in the corpus/bench — cosine undefined"
+    cu = corpus / cn
+    bu = bench / bn
     out = np.empty(len(cu))
     for i in range(0, len(cu), block):
         out[i:i + block] = (cu[i:i + block] @ bu.T).max(axis=1)
@@ -78,7 +94,7 @@ def main():
     mask = (label != 0) & (vec_id % 4 == 1)
     mc = max_cosine(emb[mask], bench)
     got = {"n_exact_drops_audit": int((mc >= 0.35).sum()),
-           "n_strong_audit": int((np.round(mc, 6) >= 0.9).sum()),
+           "n_strong_audit": int((round_half_away(mc, 6) >= 0.9).sum()),
            "nonempty_ok": True, "precision_ok": True,
            "sim_bounded_ok": True, "recall_bound_ok": True}
     sp = spark_row(out_dir, "dc03_semantic_decon_lsh")
