@@ -202,13 +202,18 @@ object DataQuality {
     * band-explode → groupBy → dense-table aggregation runs once, not
     * per micro-batch. */
   def deconBenchBucketChunks(benchIn: org.apache.spark.sql.DataFrame,
-                             chunkRows: Long = DeconMapChunkRows)
+                             chunkRows: Long = DeconMapChunkRows,
+                             bands: Int = DeconLshBands,
+                             rows: Int = DeconLshRows)
       : Seq[org.apache.spark.sql.DataFrame] = {
-    val nBits = DeconLshBands * DeconLshRows
+    // (bands, rows) defaults to dc03's recall-anchored 12×4 config; the
+    // clustered-fixture crossover probe (graft.DeconCrossover) passes
+    // selectivity configs (e.g. 6×8) — same machinery, same scorer.
+    val nBits = bands * rows
     require(nBits <= 63, s"signature does not fit one long: $nBits bits")
     require(chunkRows >= 1, s"chunkRows must be positive: $chunkRows")
-    val mask = (1L << DeconLshRows) - 1
-    val nSlots = DeconLshBands << DeconLshRows
+    val mask = (1L << rows) - 1
+    val nSlots = bands << rows
     val benchSel = benchIn.select(col("bench_id"), col("embedding"))
     // same tag + content-stamped cache as a broadcastBench call, so
     // the count job is shared with any broadcast of the same frame
@@ -223,9 +228,9 @@ object DataQuality {
       side
         .withColumn("__sig",
           graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
-        .select(explode(array((0 until DeconLshBands).map { b =>
-          struct((lit(b << DeconLshRows) +
-                  shiftright(col("__sig"), b * DeconLshRows)
+        .select(explode(array((0 until bands).map { b =>
+          struct((lit(b << rows) +
+                  shiftright(col("__sig"), b * rows)
                     .bitwiseAND(lit(mask)).cast("int")).as("slot"),
                  struct(col("bench_id"),
                         col("embedding").as("qvec")).as("e"))
@@ -259,7 +264,27 @@ object DataQuality {
     * cost is inherent to banding noise; the pair SHUFFLE never was. */
   def semanticDeconLshDropsWith(s: org.apache.spark.sql.SparkSession,
                                 corpus: org.apache.spark.sql.DataFrame,
-                                chunks: Seq[org.apache.spark.sql.DataFrame])
+                                chunks: Seq[org.apache.spark.sql.DataFrame],
+                                bands: Int = DeconLshBands,
+                                rows: Int = DeconLshRows)
+      : org.apache.spark.sql.DataFrame =
+    semanticDeconScoredWith(s, corpus, chunks, bands, rows)
+      .filter(col("mc") >= SemanticDeconTau)
+      .select(col("vec_id"), round(col("mc"), 6).as("max_cand_sim"),
+              col("n_cand"))
+
+  /** The scoring pass WITHOUT the tau filter: every corpus row's
+    * (vec_id, mc, n_cand) — mc null when no band bucket held a
+    * candidate. The drop gate above is a filter over this frame; the
+    * crossover probe reads it directly to measure CANDIDATE RATES
+    * (Σ n_cand / (corpus × bench)) per (bands, rows) config, which the
+    * filtered form hides. `chunks` must be built with the same
+    * (bands, rows) via [[deconBenchBucketChunks]]. */
+  def semanticDeconScoredWith(s: org.apache.spark.sql.SparkSession,
+                              corpus: org.apache.spark.sql.DataFrame,
+                              chunks: Seq[org.apache.spark.sql.DataFrame],
+                              bands: Int = DeconLshBands,
+                              rows: Int = DeconLshRows)
       : org.apache.spark.sql.DataFrame = {
     require(chunks.nonEmpty, "at least one bench bucket chunk required")
     graft.functions.DeconScore.register(s)
@@ -281,18 +306,14 @@ object DataQuality {
     def score(c: Int) = call_function(
       graft.functions.DeconScore.fnName,
       col("embedding"), col(s"__bkts_$c"),
-      lit(DeconLshBands), lit(DeconLshRows))
+      lit(bands), lit(rows))
     val scored = joined.select(
       col("vec_id") +: chunks.indices.map(c => score(c).as(s"__s_$c")): _*)
     val mcs = chunks.indices.map(c => col(s"__s_$c").getField("mc"))
     val mc = if (mcs.size == 1) mcs.head else greatest(mcs: _*)
     val nCand = chunks.indices.map(c => col(s"__s_$c").getField("n_cand"))
       .reduce(_ + _)
-    scored
-      .select(col("vec_id"), mc.as("mc"), nCand.as("n_cand"))
-      .filter(col("mc") >= SemanticDeconTau)
-      .select(col("vec_id"), round(col("mc"), 6).as("max_cand_sim"),
-              col("n_cand"))
+    scored.select(col("vec_id"), mc.as("mc"), nCand.as("n_cand"))
   }
 
   /** (doc_id, g) rows: md5 keys of word `n`-grams of `docs.text` — the

@@ -284,6 +284,72 @@ class DataQualitySpec extends SparkSpec {
            s"first diff ${native.toSeq.diff(ref.toSeq).take(3)}")
   }
 
+  test("decon crossover: selectivity config on the clustered fixture — " +
+       "banded ⊆ exact, strong stratum recalled, candidates pruned") {
+    // The parameterized (bands × rows) serve behind graft.DeconCrossover
+    // (FIXTURES.md §D). On the mixture-of-centroids fixture the
+    // contaminated stratum sits at 1/(1+σ²) ≈ 0.978 cosine, so a
+    // selectivity config (6×8: per-band collision ~0.55 there, miss all
+    // six ≈ 0.8 %) must (a) score every row at most at its exact max —
+    // the banded max is over a candidate SUBSET, (b) recall ≥ 95 % of
+    // the strong (≥ 0.9) stratum, (c) prune the candidate space hard —
+    // the property hash noise denies every config. Ground truth is
+    // derivable from the generator: the exact strong set IS the
+    // same-cluster set (cross-cluster cosines sit 7σ below 0.9).
+    import graft.analytics.{ClusteredEmbeddings, DataQuality}
+    val emb = ClusteredEmbeddings
+      .generate(spark, 4000L, nClusters = 400, benchOdds = 40)
+      .localCheckpoint(true)
+    // deterministic: a regeneration is bit-identical
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    assert(snapshot(emb) == snapshot(ClusteredEmbeddings
+             .generate(spark, 4000L, nClusters = 400, benchOdds = 40)),
+           "generator must be deterministic")
+    assert(emb.schema.map(f => (f.name, f.dataType.simpleString)) ==
+           Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+               "label" -> "int"),
+           s"fixture schema drifted: ${emb.schema.simpleString}")
+    val corpus = emb.filter(col("label") =!= 0).select("vec_id", "embedding")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val nCorpus = corpus.count()
+    val nBench = bench.count()
+    assert(nBench > 50 && nBench < 200, s"bench sample off: $nBench")
+    val exact = corpus
+      .crossJoin(broadcast(bench.select(col("embedding").as("qvec"))))
+      .groupBy("vec_id")
+      .agg(max(graft.functions.VectorOps.cosineNative(
+             spark, col("embedding"), col("qvec"))).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactStrong = exact.collect {
+      case (id, mc) if mc >= 0.9 => id }.toSet
+    val contaminated = ClusteredEmbeddings.contaminatedIds(emb, 400)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactStrong == contaminated,
+           s"strong stratum ≠ same-cluster set: ${exactStrong.size} vs " +
+           s"${contaminated.size} (diff ${(exactStrong diff contaminated).take(3)}" +
+           s" / ${(contaminated diff exactStrong).take(3)})")
+    val chunks = DataQuality.deconBenchBucketChunks(bench, bands = 6, rows = 8)
+    val scored = DataQuality
+      .semanticDeconScoredWith(spark, corpus, chunks, bands = 6, rows = 8)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+    scored.foreach { case (id, mc, _) =>
+      mc.foreach(m => assert(m <= exact(id) + 1e-12,
+        s"banded max above exact for $id: $m > ${exact(id)}")) }
+    val bandedStrong = scored.collect {
+      case (id, Some(mc), _) if mc >= 0.9 => id }.toSet
+    assert(bandedStrong.subsetOf(exactStrong))
+    val recall = bandedStrong.size.toDouble / exactStrong.size
+    assert(exactStrong.nonEmpty && recall >= 0.95,
+           f"strong recall $recall%.3f over ${exactStrong.size} rows")
+    val candRate = scored.map(_._3).sum.toDouble / (nCorpus * nBench)
+    assert(candRate < 0.15,
+           f"6×8 should prune hard on clustered data: $candRate%.3f")
+  }
+
   test("bp01: 30x-duplicated corpus flows the shuffled census path, counts scale exactly") {
     // dup-stress probe of the non-broadcast path: replicate documents
     // 30x under fresh doc_ids so the flagged census covers EVERY gram
