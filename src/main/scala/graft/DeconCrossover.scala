@@ -35,11 +35,20 @@ import graft.functions.VectorOps
   * strong recall while scoring ~30× fewer pairs than exact — banding
   * wins decisively exactly when the data has structure.
   *
-  * Usage: runMain graft.DeconCrossover [nVecs] [workTag]
+  * The bench SIZE is the second crossover axis: cost_exact ∝ corpus ×
+  * bench while cost_banded ∝ corpus × (signature + candRate × bench),
+  * so at an eval-suite-sized bench (~500) the codegen'd exact
+  * crossJoin wins outright and banding only pays off once the bench is
+  * large enough that candRate × bench dominates the signature — pass a
+  * small `benchOdds` (e.g. 10 → ~20 k bench rows at 200 k vectors) to
+  * measure that regime.
+  *
+  * Usage: runMain graft.DeconCrossover [nVecs] [benchOdds]
   */
 object DeconCrossover {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val benchOdds = args.lift(1).map(_.toInt).getOrElse(400)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,11 +73,13 @@ object DeconCrossover {
     // quantization as ScaleProbe's distinctsalt replica redraw
     def noiseFixture: DataFrame =
       ClusteredEmbeddings.generate(spark, nVecs, sigma = 1e6,
-                                   nClusters = nClusters)
+                                   nClusters = nClusters,
+                                   benchOdds = benchOdds)
 
     val fixtures: Seq[(String, DataFrame)] = Seq(
       "clustered" -> ClusteredEmbeddings.generate(spark, nVecs,
-                                                  nClusters = nClusters),
+                                                  nClusters = nClusters,
+                                                  benchOdds = benchOdds),
       "noise" -> noiseFixture)
 
     for ((fname, embRaw) <- fixtures) {

@@ -3,10 +3,45 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** The ±1 sign-LSH weight matrix for a given signature width, cached
+  * per embedding dimension: weight(b, i) = parity of Spark's
+  * `hash(i, b)` = murmur3_32(b, murmur3_32(i, 42)) — the exact bit
+  * [[VectorOps.simhashBucket]] derives per (bit, dim). The matrix
+  * depends only on (nBits, dim), so both the interpreted and the
+  * generated [[DeconScore]] paths build it ONCE per task instead of
+  * re-hashing nBits × dim integers per row (at 48 bits × 64 dims the
+  * per-row rebuild was ~3 k murmur mixes — a third of the serve's
+  * interpreted cost). The benign-race lazy cache is idempotent: every
+  * thread computes the identical array. */
+final class DeconSigns(nBits: Int) extends Serializable {
+  @transient @volatile private var cached: Array[Boolean] = null
+  @transient @volatile private var cachedDim: Int = -1
+
+  /** flat [b * dim + i] → true = +v, false = −v */
+  def forDim(dim: Int): Array[Boolean] = {
+    val c = cached
+    if (c != null && cachedDim == dim) return c
+    val w = new Array[Boolean](nBits * dim)
+    var b = 0
+    while (b < nBits) {
+      var i = 0
+      while (i < dim) {
+        val mixed = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(i, 42))
+        w(b * dim + i) = (mixed & 1) == 0
+        i += 1
+      }
+      b += 1
+    }
+    cachedDim = dim
+    cached = w
+    w
+  }
+}
 
 /** Native Catalyst expression for the map-only banded decon serve
   * (dc03 / st18 / the curation ledgers): ONE eval per corpus row
@@ -16,13 +51,20 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * `struct(mc: double, n_cand: bigint)` — the max candidate cosine
   * (null when all buckets are empty) and the distinct candidate count.
   *
-  * Why native and not the `transform`/`aggregate` formulation: every
-  * higher-order function is a CodegenFallback evaluated one lambda
-  * call per ELEMENT per row, and the banded scoring needs
-  * nBands × |bucket| cosine lambdas plus a 48-projection signature
-  * fold — profiled at ~76 ms/row interpreted (136 s of executor CPU to
-  * score 1 801 fixture rows, r13 JobProf). This expression does the
-  * identical arithmetic in one tight primitive loop per row.
+  * Why native: every higher-order function is a CodegenFallback
+  * evaluated one lambda call per ELEMENT per row, and the banded
+  * scoring needs nBands × |bucket| cosine lambdas plus a
+  * 48-projection signature fold — profiled at ~76 ms/row interpreted
+  * (136 s of executor CPU to score 1 801 fixture rows, r13 JobProf).
+  * This expression does the identical arithmetic in one tight
+  * primitive loop per row — and since r13 it implements `doGenCode`,
+  * so the serve participates in whole-stage codegen instead of
+  * falling back to per-row interpreted eval: the DeconCrossover probe
+  * measured the fallback at ~5-10× the per-operation cost of the
+  * codegen'd exact crossJoin, which made banding lose wall-clock even
+  * at a 97 % candidate-pruning rate. Generated and interpreted paths
+  * share [[DeconSigns]] and are pinned row-identical in
+  * DataQualitySpec.
   *
   * BIT-COMPATIBILITY contract (pinned in DataQualitySpec against the
   * HOF reference scorer):
@@ -40,8 +82,8 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * `right` is the DENSE bucket table for one bench chunk:
   * `array<array<struct<bench_id: bigint, qvec: array<float>>>>` of
-  * length nBands·2^rowsPerBand, indexed by slot = band·2^rowsPerBand +
-  * bandKey (missing slots are null). Dense indexing replaces the r12
+  * length nBands·2^rows, indexed by slot = band·2^rows + bandKey
+  * (missing slots are null). Dense indexing replaces the r12
   * string-keyed map — an O(1) array load instead of an O(#keys)
   * UTF8String scan per band per row.
   *
@@ -51,15 +93,13 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   */
 case class DeconScore(left: Expression, right: Expression,
                       nBands: Int, rowsPerBand: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   private val nBits = nBands * rowsPerBand
   private val slotMask = (1 << rowsPerBand) - 1
   require(nBits <= 63, s"signature does not fit one long: $nBits bits")
 
-  private val entryType = StructType(Seq(
-    StructField("bench_id", LongType, nullable = false),
-    StructField("qvec", ArrayType(FloatType, containsNull = true))))
+  private lazy val signs = new DeconSigns(nBits)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -90,15 +130,15 @@ case class DeconScore(left: Expression, right: Expression,
       i += 1
     }
     // sign-LSH signature, bit-identical to VectorOps.simhashBucket
+    val w = signs.forDim(dim)
     var sig = 0L
     var b = 0
     while (b < nBits) {
       var proj = 0.0
+      val base = b * dim
       i = 0
       while (i < dim) {
-        val mixed = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(i, 42))
-        // pmod(mixed, 2) == 0 → +v, else −v (matches the HOF's when())
-        proj += (if ((((mixed % 2) + 2) % 2) == 0) vec(i) else -vec(i))
+        proj += (if (w(base + i)) vec(i) else -vec(i))
         i += 1
       }
       if (proj >= 0) sig |= (1L << b)
@@ -149,6 +189,114 @@ case class DeconScore(left: Expression, right: Expression,
     new GenericInternalRow(Array[Any](
       if (hasBest) java.lang.Double.valueOf(best) else null,
       java.lang.Long.valueOf(seen.size.toLong)))
+  }
+
+  /** Generated form of [[nullSafeEval]], same arithmetic statement for
+    * statement (the spec pins generated ≡ interpreted row-for-row).
+    * The sign matrix comes from the SAME [[DeconSigns]] instance,
+    * shipped as a reference object. */
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("deconSigns", signs,
+                                       classOf[DeconSigns].getName)
+    nullSafeCodeGen(ctx, ev, (vecTerm, tableTerm) => {
+      val dim = ctx.freshName("dim")
+      val vec = ctx.freshName("vec")
+      val w = ctx.freshName("w")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val e = ctx.freshName("e")
+      val m = ctx.freshName("m")
+      val base = ctx.freshName("base")
+      val proj = ctx.freshName("proj")
+      val slot = ctx.freshName("slot")
+      val bucket = ctx.freshName("bucket")
+      val entry = ctx.freshName("entry")
+      val q = ctx.freshName("q")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val qv = ctx.freshName("qv")
+      val c = ctx.freshName("c")
+      val seen = ctx.freshName("seen")
+      val best = ctx.freshName("best")
+      val hasBest = ctx.freshName("hasBest")
+      val nullElem = ctx.freshName("nullElem")
+      val badVec = ctx.freshName("badVec")
+      s"""
+        |final int $dim = $vecTerm.numElements();
+        |final double[] $vec = new double[$dim];
+        |boolean $badVec = false;
+        |for (int $i = 0; $i < $dim; $i++) {
+        |  if ($vecTerm.isNullAt($i)) { $badVec = true; break; }
+        |  $vec[$i] = (double) $vecTerm.getFloat($i);
+        |}
+        |if ($badVec) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  final boolean[] $w = $signsRef.forDim($dim);
+        |  long $sig = 0L;
+        |  for (int $b = 0; $b < $nBits; $b++) {
+        |    double $proj = 0.0;
+        |    final int $base = $b * $dim;
+        |    for (int $i = 0; $i < $dim; $i++) {
+        |      $proj += $w[$base + $i] ? $vec[$i] : -$vec[$i];
+        |    }
+        |    if ($proj >= 0) $sig |= (1L << $b);
+        |  }
+        |  final java.util.HashSet $seen = new java.util.HashSet();
+        |  double $best = 0.0;
+        |  boolean $hasBest = false;
+        |  for (int $b = 0; $b < $nBands; $b++) {
+        |    final int $slot = ($b << $rowsPerBand) +
+        |      (int) (($sig >>> ($b * $rowsPerBand)) & ${slotMask}L);
+        |    if ($slot < $tableTerm.numElements() &&
+        |        !$tableTerm.isNullAt($slot)) {
+        |      final org.apache.spark.sql.catalyst.util.ArrayData $bucket =
+        |        $tableTerm.getArray($slot);
+        |      final int $m = $bucket.numElements();
+        |      for (int $e = 0; $e < $m; $e++) {
+        |        if (!$bucket.isNullAt($e)) {
+        |          final org.apache.spark.sql.catalyst.InternalRow $entry =
+        |            $bucket.getStruct($e, 2);
+        |          $seen.add(java.lang.Long.valueOf($entry.getLong(0)));
+        |          final org.apache.spark.sql.catalyst.util.ArrayData $q =
+        |            $entry.getArray(1);
+        |          if ($q != null && $q.numElements() == $dim) {
+        |            double $dot = 0.0; double $nb = 0.0; double $na = 0.0;
+        |            boolean $nullElem = false;
+        |            for (int $j = 0; $j < $dim && !$nullElem; $j++) {
+        |              if ($q.isNullAt($j)) { $nullElem = true; }
+        |              else {
+        |                final double $qv = (double) $q.getFloat($j);
+        |                $dot += $vec[$j] * $qv;
+        |                $na += $vec[$j] * $vec[$j];
+        |                $nb += $qv * $qv;
+        |              }
+        |            }
+        |            if (!$nullElem) {
+        |              final double $c = $dot /
+        |                (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |              if (!$hasBest || java.lang.Double.compare($c, $best) > 0) {
+        |                $best = $c; $hasBest = true;
+        |              }
+        |            }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |  ${ev.value} =
+        |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        |      new Object[] {
+        |        $hasBest ? (Object) java.lang.Double.valueOf($best)
+        |                 : (Object) null,
+        |        (Object) java.lang.Long.valueOf((long) $seen.size()) });
+        |}
+      """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

@@ -284,6 +284,43 @@ class DataQualitySpec extends SparkSpec {
            s"first diff ${native.toSeq.diff(ref.toSeq).take(3)}")
   }
 
+  test("dc03: DeconScore generated code ≡ interpreted eval, row for row") {
+    // r13 gave DeconScore a doGenCode (the serve was the one hot-path
+    // expression still on CodegenFallback — the DeconCrossover probe
+    // measured the interpreted eval at ~5-10× the per-op cost of the
+    // codegen'd exact crossJoin). The generated Java must be the same
+    // arithmetic statement for statement: force the serve through
+    // CODEGEN_ONLY and NO_CODEGEN expression factories and compare the
+    // full scored frame (including null mc rows and n_cand) exactly.
+    import graft.analytics.DataQuality
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val corpus = emb.filter(col("label") =!= 0)
+      .select("vec_id", "embedding")
+    val chunks = DataQuality.deconBenchBucketChunks(bench)
+      .map(_.localCheckpoint(true))
+    def serve() = DataQuality
+      .semanticDeconScoredWith(spark, corpus, chunks)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+      .toSeq
+    val key = "spark.sql.codegen.factoryMode"
+    val before = spark.conf.getOption(key)
+    val gen =
+      try { spark.conf.set(key, "CODEGEN_ONLY"); serve() }
+      finally { before.fold(spark.conf.unset(key))(spark.conf.set(key, _)) }
+    val interp =
+      try { spark.conf.set(key, "NO_CODEGEN"); serve() }
+      finally { before.fold(spark.conf.unset(key))(spark.conf.set(key, _)) }
+    assert(gen.nonEmpty && gen.exists(_._2.isDefined),
+           "fixture should score some candidates")
+    assert(gen == interp,
+           s"codegen diverged from interpreted eval: first diff " +
+           s"${gen.diff(interp).take(3)} / ${interp.diff(gen).take(3)}")
+  }
+
   test("decon crossover: selectivity config on the clustered fixture — " +
        "banded ⊆ exact, strong stratum recalled, candidates pruned") {
     // The parameterized (bands × rows) serve behind graft.DeconCrossover
