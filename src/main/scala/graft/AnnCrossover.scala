@@ -72,13 +72,42 @@ object AnnCrossover {
       val (truth, exactSec) = timed(serve(nLists))
       println(f"""{"probe":"ann_exact","fixture":"$fname",""" +
         f""""sec":$exactSec%.2f,"queries":${truth.size}}""")
+      def recallOf(got: Map[Long, Seq[Long]]): Double =
+        truth.iterator.map { case (q, t) =>
+          got.getOrElse(q, Nil).toSet.intersect(t.toSet).size }.sum
+          .toDouble / (truth.size * k)
+
       for (nProbe <- Seq(1, 2, 4, 8, 16)) {
         val (got, sec) = timed(serve(nProbe))
-        val hits = truth.iterator.map { case (q, t) =>
-          got.getOrElse(q, Nil).toSet.intersect(t.toSet).size }.sum
-        val recall = hits.toDouble / (truth.size * k)
         println(f"""{"probe":"ann_ivf","fixture":"$fname",""" +
-          f""""n_probe":$nProbe,"sec":$sec%.2f,"recall":$recall%.4f}""")
+          f""""n_probe":$nProbe,"sec":$sec%.2f,"recall":${recallOf(got)}%.4f}""")
+      }
+
+      // spilled (multi-assignment) index: border vectors live in their
+      // top-2 lists — the data-side fix for the recall plateau above.
+      // Reported per margin: index inflation (spilled rows / corpus)
+      // and recall at the same probe budgets.
+      for (margin <- Seq(0.05, 0.15, 0.3)) {
+        val (sdir, sBuild) = timed {
+          IvfIndex.ensureSpilled(spark, dir, nLists, margin) }
+        val spillRows = spark.read.parquet(s"$sdir/assignments")
+          .filter(col("spilled") === 1).count()
+        println(f"""{"probe":"ann_spill_stage","fixture":"$fname",""" +
+          f""""margin":$margin%.2f,"build_sec":$sBuild%.2f,""" +
+          f""""spill_frac":${spillRows.toDouble / nVecs}%.4f}""")
+        for (nProbe <- Seq(2, 4, 8, 16)) {
+          val (got, sec) = timed {
+            Similarity.batchAnnTopKSpilled(spark, dir, queryMaxId = nq,
+                k = k, nLists = nLists, nProbe = nProbe, margin = margin)
+              .select("query_id", "vec_id", "rk").collect()
+              .groupBy(_.getLong(0))
+              .map { case (q, rows) =>
+                q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+          }
+          println(f"""{"probe":"ann_spill","fixture":"$fname",""" +
+            f""""margin":$margin%.2f,"n_probe":$nProbe,"sec":$sec%.2f,""" +
+            f""""recall":${recallOf(got)}%.4f}""")
+        }
       }
     }
     spark.stop()

@@ -603,6 +603,51 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** [[batchAnnTopK]] over a SPILLED index
+    * ([[IvfIndex.ensureSpilled]]): border vectors are present in their
+    * top-2 lists, so a probed-list scan recovers neighbors the plain
+    * index loses across list boundaries (the AnnCrossover-measured ~6 %
+    * plateau on clustered data). The only plan change vs the plain
+    * serve: a vector can now match a query through BOTH its rows, so a
+    * partial map-side max-cosine aggregate on (query_id, vec_id) dedups
+    * candidates before the top-k window — the shuffle it adds carries
+    * exactly the candidate rows the window already shuffles, and the
+    * cosine is identical on both rows so max ≡ first. Same output
+    * contract as [[batchAnnTopK]]; at margin such that nothing spills
+    * the result is row-identical (pinned in DedupSpec). */
+  def batchAnnTopKSpilled(spark: SparkSession, sfDir: String,
+                          queryMaxId: Long, k: Int, nLists: Int,
+                          nProbe: Int, margin: Double): DataFrame = {
+    val dir = IvfIndex.ensureSpilled(spark, sfDir, nLists, margin)
+    val assignments = IvfIndex.readAssignments(spark, dir)
+    import spark.implicits._
+    val cdf = IvfIndex.readCentroids(spark, dir)
+      .map { case (l, c) => (l, c.toSeq) }
+      .toDF("list", "centroid")
+    val queries = assignments
+      .filter(col("spilled") === 0 && col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeRank = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("list").asc)
+    val probes = queries.crossJoin(broadcast(cdf))
+      .withColumn("dist", IvfIndex.sqDistCol(col("qvec"), col("centroid")))
+      .withColumn("prk", row_number().over(probeRank))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list"))
+    val topk = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    assignments.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(VectorOps.cosineNative(spark, col("embedding"), col("qvec")), 6))
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Batch FILTERED multi-query ANN — ss04's one-plan batch serve
     * composed with ss14's pushed metadata predicate: the label filter
     * sits on the index scan itself (PushedFilters), the probe set joins

@@ -173,6 +173,82 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spilled IVF: native nearest2 ≡ two-minima reference, primary rows ≡ " +
+       "plain assignment, serve ≡ brute force at full probe, recall never below plain") {
+    // The multi-assignment index (IvfIndex.assignSpilled/ensureSpilled,
+    // Similarity.batchAnnTopKSpilled — the data-side fix for the
+    // clustered-fixture recall plateau, FIXTURES.md §E). Four pins:
+    // the native top-2 expression against a driver-side two-minima
+    // replica doing the identical left-to-right double arithmetic;
+    // spilled=0 rows exactly the plain argmin assignment; the spilled
+    // serve at FULL probe is bit-equal to the plain serve (the dedup
+    // aggregate must be invisible — cosine is identical on both rows
+    // of a spilled vector); and at a partial probe the spilled serve's
+    // recall can never drop below the plain serve's (its candidate set
+    // is a superset).
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val centroids = IvfIndex.fit(emb, nLists = 8)
+    val n2 = graft.functions.Nearest2Centroid
+    n2.register(spark)
+    val got = emb.select(col("vec_id"),
+        call_function(n2.fnName, col("embedding"),
+          array(centroids.map(c => array(c.map(lit): _*)): _*)).as("n2"))
+      .select(col("vec_id"), col("n2.l1"), col("n2.d1"),
+              col("n2.l2"), col("n2.d2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4))).toMap
+    emb.select("vec_id", "embedding").collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      var b1 = -1; var b2 = -1
+      var d1 = Double.MaxValue; var d2 = Double.MaxValue
+      centroids.zipWithIndex.foreach { case (c, ci) =>
+        var d = 0.0
+        var i = 0
+        while (i < v.length) {
+          val diff = v(i).toDouble - c(i); d += diff * diff; i += 1
+        }
+        if (d < d1) { d2 = d1; b2 = b1; d1 = d; b1 = ci }
+        else if (d < d2) { d2 = d; b2 = ci }
+      }
+      assert(got(r.getLong(0)) == ((b1, d1, b2, d2)),
+             s"nearest2 drifted at vec ${r.getLong(0)}")
+    }
+    val margin = 0.3
+    val plainAssign = IvfIndex.assign(emb, centroids)
+      .select("vec_id", "list").as[(Long, Int)].collect().toSet
+    val spilled = IvfIndex.assignSpilled(emb, centroids, margin)
+    assert(spilled.filter(col("spilled") === 0)
+             .select("vec_id", "list").as[(Long, Int)].collect().toSet ==
+           plainAssign, "primary rows must equal the plain assignment")
+    val nSpill = spilled.filter(col("spilled") === 1).count()
+    assert(nSpill > 0, "margin 0.3 should spill some border vectors")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val fullPlain = rows(Similarity.batchAnnTopK(
+      spark, sf0001, queryMaxId = 4L, k = 5, nLists = 8, nProbe = 8))
+    val fullSpilled = rows(Similarity.batchAnnTopKSpilled(
+      spark, sf0001, queryMaxId = 4L, k = 5, nLists = 8, nProbe = 8,
+      margin = margin))
+    assert(fullSpilled == fullPlain,
+           "full-probe spilled serve must equal the plain serve")
+    def recallAt(served: Seq[(Long, Long, Double, Int)]): Double = {
+      (0L until 4L).map { qid =>
+        val exact = Similarity.bruteForceTopK(emb, qid, 5)
+          .select("vec_id").as[Long].collect().toSet
+        val s = served.filter(_._1 == qid).map(_._2).toSet
+        (exact & s).size / 5.0
+      }.sum / 4.0
+    }
+    val rPlain = recallAt(rows(Similarity.batchAnnTopK(
+      spark, sf0001, queryMaxId = 4L, k = 5, nLists = 8, nProbe = 2)))
+    val rSpilled = recallAt(rows(Similarity.batchAnnTopKSpilled(
+      spark, sf0001, queryMaxId = 4L, k = 5, nLists = 8, nProbe = 2,
+      margin = margin)))
+    assert(rSpilled >= rPlain,
+           f"spilled recall $rSpilled%.2f below plain $rPlain%.2f")
+  }
+
   test("IVF probe-path recall floor against exact top-k on driver data") {
     // rows-only entries need a pinned quality floor: with a quarter of
     // the lists probed, the measured recall@10 on the driver's
