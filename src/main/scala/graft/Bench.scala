@@ -50,6 +50,11 @@ object Bench {
     // the persisted int8 codes (ss11) are offline by the same contract
     try graft.analytics.Int8Index.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    // the spilled multi-assignment index (ss20) shares the offline
+    // once-per-corpus-epoch build contract
+    try graft.analytics.IvfIndex.ensureSpilled(
+      spark, sfDir, graft.analytics.IvfIndex.DefaultLists, margin = 0.3)
+    catch { case _: Throwable => () }
     // ss18's lifecycle staging (private copy + append + drift rebuild)
     // is offline maintenance by the same contract — the entry times the
     // refreshed serve + audit, not the one-time rebuild

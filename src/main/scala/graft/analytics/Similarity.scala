@@ -1623,6 +1623,37 @@ object Similarity {
               |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
     ),
     QueryDef(
+      "ss20_spilled_batch_ann",
+      // batch serve over the SPILLED (multi-assignment) index at
+      // nProbe = nLists and a real margin (0.3 — most of the fixture
+      // spills, the dedup aggregate's stress case): every list is
+      // probed, so the result is exact by construction REGARDLESS of
+      // the learned centroids, which border vectors spilled, or how
+      // the (query, vec) duplicates deduped — the DuckDB brute-force
+      // per-query top-k is a hash-checkable oracle for the whole
+      // nearest2 → explode → partitioned write → probe → max-dedup →
+      // window machinery. The nProbe < nLists path is the same plan;
+      // DedupSpec pins its full-probe equality with the plain serve
+      // and that partial-probe recall never drops below plain. The
+      // measured margin boundary (64-dim ratio concentration — spill
+      // pays only in probe-latency-bound serving) is FIXTURES.md §E.
+      (s, d) => batchAnnTopKSpilled(s, d, queryMaxId = 32L, k = 10,
+                                    nLists = IvfIndex.DefaultLists,
+                                    nProbe = IvfIndex.DefaultLists,
+                                    margin = 0.3),
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+              |          FROM embeddings WHERE vec_id < 32),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id, round($cosSql, 6) AS cos_sim
+              |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+              |ranked AS (
+              |  SELECT query_id, vec_id, cos_sim, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+              |  FROM scored)
+              |SELECT query_id, vec_id, cos_sim, rk FROM ranked
+              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)
+    ),
+    QueryDef(
       "ss15_batch_filtered_int8",
       // metadata-filtered BATCH serving against the int8 corpus: the
       // query table (vec_id < 32) answered over only the label-scoped
