@@ -174,6 +174,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin(?: \\S+)? \\[list#".r.findFirstIn(p).isDefined, p)
   }
 
+  test("ss20: spilled serve broadcasts the probe side; dedup is a partial aggregate") {
+    // The spilled index's serve must keep ss04's 100 TB shape: the
+    // (query, list) probe table broadcasts into the assignments scan
+    // (the corpus is never hash-shuffled for the JOIN), and the
+    // (query_id, vec_id) duplicate-candidate dedup runs as a partial
+    // HashAggregate BEFORE its exchange — the shuffle carries one row
+    // per candidate pair, not one per spilled copy.
+    val p = plan("ss20_spilled_batch_ann")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("(?s)partial_max".r.findFirstIn(p.toLowerCase).isDefined ||
+           "HashAggregate\\(keys=\\[query_id[^\\]]*vec_id".r
+             .findAllIn(p).length >= 2,
+           s"dedup aggregate not partial/map-side:\n$p")
+  }
+
   test("st01: windowed aggregation keeps partial aggregation map-side") {
     val p = plan("st01_tumbling_window")
     assert(p.contains("HashAggregate") &&
