@@ -573,8 +573,11 @@ object IvfIndex {
   // the clustered fixture: ~6 % of true neighbors sit in lists the query
   // never probes because σ-noise pushed them across a list boundary.
   // The data-side fix (FAISS's "spilling" / multi-assignment): a vector
-  // whose runner-up list is within a distance MARGIN of its winner is
-  // indexed in BOTH lists, so a query probing either finds it. Scale
+  // whose runner-up list is within a SQUARED-distance ratio MARGIN of
+  // its winner (d2² ≤ d1²·(1+m), i.e. an effective distance-ratio
+  // margin of ~sqrt(1+m)−1 ≈ m/2 — the ratio form FIXTURES.md §E
+  // tunes) is indexed in BOTH lists, so a query probing either finds
+  // it. Scale
   // shape: assignment stays ONE map pass (the native nearest2_centroid
   // expression — same loop as nearest_centroid, two running minima);
   // the index grows by exactly the measured spill fraction (≤ 2× by
@@ -584,8 +587,10 @@ object IvfIndex {
 
   /** Top-2 spilled assignment: every vector emits its primary row
     * (`spilled` = 0, list = argmin — identical to [[assign]]); border
-    * vectors with d2 ≤ d1 · (1 + margin) also emit their runner-up row
-    * (`spilled` = 1). Map-only, no shuffle. */
+    * vectors whose SQUARED distances satisfy d2² ≤ d1² · (1 + margin)
+    * also emit their runner-up row (`spilled` = 1). Note the margin is
+    * a squared-distance ratio (effective distance-ratio ≈ margin/2 for
+    * small margins). Map-only, no shuffle. */
   def assignSpilled(emb: DataFrame, centroids: Seq[Array[Double]],
                     margin: Double): DataFrame = {
     require(margin >= 0, s"spill margin must be non-negative: $margin")

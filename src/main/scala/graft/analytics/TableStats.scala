@@ -69,17 +69,39 @@ object TableStats {
   private val analyzedDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Idempotent per-JVM [[analyze]]: one ANALYZE per (table, data dir)
-    * per JVM lifetime — the ingest-schedule contract the CBO-planned
-    * registry entry (tp02) relies on. ANALYZE is an OFFLINE step by
-    * the same contract as every index build here (Bench stages it in
-    * warm-up; Verify pays it once per corpus). Re-pointing a table at
-    * a DIFFERENT corpus dir re-analyzes, so stale stats cannot serve a
-    * new corpus. */
+  /** Fingerprint of one table's parquet CONTENT (per-part name,
+    * length, mtime — the same form [[IvfIndex.contentStamp]] uses for
+    * index dirs). Folded into [[ensure]]'s memo key so regenerating or
+    * appending data at the SAME path re-ANALYZEs instead of leaving
+    * tp02 planning under stale row counts / NDV (the r13 memo was
+    * path-only — a 100×-stale NDV can make CBO pick a WORSE join
+    * order than no stats, silently). Local-FS walk; an HDFS/object
+    * store deployment folds FileStatus length+mtime the same way. */
+  private[analytics] def contentStamp(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig, 0x9747b28c))
+  }
+
+  /** Idempotent per-JVM [[analyze]]: one ANALYZE per (table, data dir,
+    * content stamp) per JVM lifetime — the ingest-schedule contract the
+    * CBO-planned registry entry (tp02) relies on. ANALYZE is an OFFLINE
+    * step by the same contract as every index build here (Bench stages
+    * it in warm-up; Verify pays it once per corpus). Re-pointing a
+    * table at a DIFFERENT corpus dir — or regenerating/appending the
+    * data under the SAME dir — re-analyzes, so stale stats cannot
+    * serve a changed corpus. */
   def ensure(spark: SparkSession, sfDir: String,
              tables: Seq[String]): Unit = tables.foreach { t =>
-    val prev = analyzedDir.put(t, sfDir)
-    if (prev == null || prev != sfDir) analyze(spark, sfDir, Seq(t))
+    val key = s"$sfDir@${contentStamp(s"$sfDir/$t.parquet")}"
+    val prev = analyzedDir.put(t, key)
+    if (prev == null || prev != key) analyze(spark, sfDir, Seq(t))
   }
 
   /** Run `body` with the cost-based optimizer (and its stats-driven

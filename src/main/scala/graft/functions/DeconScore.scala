@@ -16,16 +16,20 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * generated [[DeconScore]] paths build it ONCE per task instead of
   * re-hashing nBits × dim integers per row (at 48 bits × 64 dims the
   * per-row rebuild was ~3 k murmur mixes — a third of the serve's
-  * interpreted cost). The benign-race lazy cache is idempotent: every
-  * thread computes the identical array. */
+  * interpreted cost). The lazy cache holds ONE volatile reference to
+  * an immutable (dim, array) pair, so a reader can never pair a stale
+  * array with a fresh dim when two threads race on different dims
+  * (r13 kept dim and array in separate volatiles — safe only for a
+  * single dim). Recompute-on-miss is idempotent: every thread
+  * computes the identical array for a given dim. */
 final class DeconSigns(nBits: Int) extends Serializable {
-  @transient @volatile private var cached: Array[Boolean] = null
-  @transient @volatile private var cachedDim: Int = -1
+  @transient @volatile
+  private var cached: (Int, Array[Boolean]) = null
 
   /** flat [b * dim + i] → true = +v, false = −v */
   def forDim(dim: Int): Array[Boolean] = {
     val c = cached
-    if (c != null && cachedDim == dim) return c
+    if (c != null && c._1 == dim) return c._2
     val w = new Array[Boolean](nBits * dim)
     var b = 0
     while (b < nBits) {
@@ -37,8 +41,7 @@ final class DeconSigns(nBits: Int) extends Serializable {
       }
       b += 1
     }
-    cachedDim = dim
-    cached = w
+    cached = (dim, w)
     w
   }
 }
@@ -96,6 +99,10 @@ case class DeconScore(left: Expression, right: Expression,
     extends BinaryExpression {
 
   private val nBits = nBands * rowsPerBand
+  require(nBands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 24,
+    s"need 1 <= rowsPerBand <= 24 (slot arithmetic is Int: " +
+      s"nBands << rowsPerBand must not overflow), got " +
+      s"($nBands bands, $rowsPerBand rows)")
   private val slotMask = (1 << rowsPerBand) - 1
   require(nBits <= 63, s"signature does not fit one long: $nBits bits")
 
@@ -129,6 +136,14 @@ case class DeconScore(left: Expression, right: Expression,
       vec(i) = vecData.getFloat(i).toDouble
       i += 1
     }
+    // ‖vec‖² depends only on the row — hoisted out of the candidate
+    // loop (r14; ~⅓ of the hot loop's multiplies). Accumulation order
+    // over j is unchanged, so the value is bit-identical to the r13
+    // in-loop form (pinned against the HOF scorer in DataQualitySpec).
+    var na = 0.0
+    i = 0
+    while (i < dim) { na += vec(i) * vec(i); i += 1 }
+    val sqNa = math.sqrt(na)
     // sign-LSH signature, bit-identical to VectorOps.simhashBucket
     val w = signs.forDim(dim)
     var sig = 0L
@@ -162,19 +177,19 @@ case class DeconScore(left: Expression, right: Expression,
             seen.add(entry.getLong(0))
             val q = entry.getArray(1)
             if (q != null && q.numElements() == dim) {
-              var dot = 0.0; var nb = 0.0; var na = 0.0
+              var dot = 0.0; var nb = 0.0
               var j = 0
               var nullElem = false
               while (j < dim && !nullElem) {
                 if (q.isNullAt(j)) nullElem = true
                 else {
                   val qv = q.getFloat(j).toDouble
-                  dot += vec(j) * qv; na += vec(j) * vec(j); nb += qv * qv
+                  dot += vec(j) * qv; nb += qv * qv
                   j += 1
                 }
               }
               if (!nullElem) {
-                val c = dot / (math.sqrt(na) * math.sqrt(nb))
+                val c = dot / (sqNa * math.sqrt(nb))
                 if (!hasBest || java.lang.Double.compare(c, best) > 0) {
                   best = c; hasBest = true
                 }
@@ -217,6 +232,7 @@ case class DeconScore(left: Expression, right: Expression,
       val q = ctx.freshName("q")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
+      val sqNa = ctx.freshName("sqNa")
       val nb = ctx.freshName("nb")
       val qv = ctx.freshName("qv")
       val c = ctx.freshName("c")
@@ -236,6 +252,11 @@ case class DeconScore(left: Expression, right: Expression,
         |if ($badVec) {
         |  ${ev.isNull} = true;
         |} else {
+        |  double $na = 0.0;
+        |  for (int $i = 0; $i < $dim; $i++) {
+        |    $na += $vec[$i] * $vec[$i];
+        |  }
+        |  final double $sqNa = java.lang.Math.sqrt($na);
         |  final boolean[] $w = $signsRef.forDim($dim);
         |  long $sig = 0L;
         |  for (int $b = 0; $b < $nBits; $b++) {
@@ -265,20 +286,19 @@ case class DeconScore(left: Expression, right: Expression,
         |          final org.apache.spark.sql.catalyst.util.ArrayData $q =
         |            $entry.getArray(1);
         |          if ($q != null && $q.numElements() == $dim) {
-        |            double $dot = 0.0; double $nb = 0.0; double $na = 0.0;
+        |            double $dot = 0.0; double $nb = 0.0;
         |            boolean $nullElem = false;
         |            for (int $j = 0; $j < $dim && !$nullElem; $j++) {
         |              if ($q.isNullAt($j)) { $nullElem = true; }
         |              else {
         |                final double $qv = (double) $q.getFloat($j);
         |                $dot += $vec[$j] * $qv;
-        |                $na += $vec[$j] * $vec[$j];
         |                $nb += $qv * $qv;
         |              }
         |            }
         |            if (!$nullElem) {
         |              final double $c = $dot /
-        |                (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |                ($sqNa * java.lang.Math.sqrt($nb));
         |              if (!$hasBest || java.lang.Double.compare($c, $best) > 0) {
         |                $best = $c; $hasBest = true;
         |              }

@@ -538,9 +538,20 @@ object EventStreams {
     * broadcasts once per executor and the corpus only ever flows
     * map-side). Decisions land batch-id-partitioned with dynamic
     * overwrite — replay-idempotent. `bench` carries (bench_id,
-    * embedding); the stream (vec_id, embedding). */
+    * embedding); the stream (vec_id, embedding).
+    *
+    * `(bands, rows)` picks the banding config (default: dc03's 12×4
+    * recall-anchor shape — 9.5e-5 miss bound at s = 0.9, but a
+    * config-bound ~54 % candidate rate that never prunes). Benches
+    * past ~10⁴ rows should gate at the measured selectivity config
+    * [[graft.analytics.DataQuality.DeconSelBands]]×[[graft.analytics
+    * .DataQuality.DeconSelRows]] (8×7: 7.2× over exact, 99.96 % strong
+    * recall on clustered data — FIXTURES.md §D; dc05 serves and
+    * audits it). */
   def deconGate(stream: DataFrame, bench: DataFrame, outDir: String,
-                checkpointDir: String)
+                checkpointDir: String,
+                bands: Int = graft.analytics.DataQuality.DeconLshBands,
+                rows: Int = graft.analytics.DataQuality.DeconLshRows)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // same session-registration guard as curationStream: bench-derived
     // frames resolve the native cosine against the driving session
@@ -550,7 +561,8 @@ object EventStreams {
     // materialized blocks — micro-batch plans re-broadcast a cached
     // row instead of re-running the bench aggregation
     val benchChunks = graft.analytics.DataQuality
-      .deconBenchBucketChunks(bench).map(_.localCheckpoint(true))
+      .deconBenchBucketChunks(bench, bands = bands, rows = rows)
+      .map(_.localCheckpoint(true))
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -560,7 +572,8 @@ object EventStreams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val drops = graft.analytics.DataQuality.semanticDeconLshDropsWith(
-            spark, batch.select("vec_id", "embedding"), benchChunks)
+            spark, batch.select("vec_id", "embedding"), benchChunks,
+            bands, rows)
           batch.select("vec_id").join(drops, Seq("vec_id"), "left")
             .select(col("vec_id"),
                     coalesce(col("n_cand"), lit(0L)).as("n_cand"),

@@ -300,20 +300,57 @@ class DataQualitySpec extends SparkSpec {
       .select("vec_id", "embedding")
     val chunks = DataQuality.deconBenchBucketChunks(bench)
       .map(_.localCheckpoint(true))
-    def serve() = DataQuality
+    def serveDf() = DataQuality
       .semanticDeconScoredWith(spark, corpus, chunks)
-      .orderBy("vec_id").collect()
+      .orderBy("vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
       .toSeq
-    val key = "spark.sql.codegen.factoryMode"
-    val before = spark.conf.getOption(key)
+    // factoryMode only switches the UnsafeProjection/MutableProjection
+    // factories — since DeconScore stopped extending CodegenFallback
+    // (r13), the scoring Project collapses into a WholeStageCodegen
+    // stage regardless, so NO_CODEGEN alone would still run the
+    // generated Java and never touch nullSafeEval (the r13 form of
+    // this pin was vacuous — ADVICE r13). The interpreted leg must
+    // ALSO disable whole-stage codegen, and each leg asserts from the
+    // executed plan that its path is the one actually running.
+    val fmKey = "spark.sql.codegen.factoryMode"
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val fmBefore = spark.conf.getOption(fmKey)
+    val wsBefore = spark.conf.getOption(wsKey)
+    def restore(): Unit = {
+      fmBefore.fold(spark.conf.unset(fmKey))(spark.conf.set(fmKey, _))
+      wsBefore.fold(spark.conf.unset(wsKey))(spark.conf.set(wsKey, _))
+    }
+    // plans are checked AFTER the collect: under AQE the pre-execution
+    // plan string is the un-wrapped initial plan (no codegen stages
+    // yet); the final plan marks codegen'd spans with `*(n)`.
+    def codegenSpans(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("WholeStageCodegen") || p.contains("*(")
+    }
     val gen =
-      try { spark.conf.set(key, "CODEGEN_ONLY"); serve() }
-      finally { before.fold(spark.conf.unset(key))(spark.conf.set(key, _)) }
+      try {
+        spark.conf.set(fmKey, "CODEGEN_ONLY")
+        val df = serveDf()
+        val out = rows(df)
+        assert(codegenSpans(df),
+               "generated leg should run inside whole-stage codegen")
+        out
+      } finally restore()
     val interp =
-      try { spark.conf.set(key, "NO_CODEGEN"); serve() }
-      finally { before.fold(spark.conf.unset(key))(spark.conf.set(key, _)) }
+      try {
+        spark.conf.set(fmKey, "NO_CODEGEN")
+        spark.conf.set(wsKey, "false")
+        val df = serveDf()
+        val out = rows(df)
+        assert(!codegenSpans(df),
+               "interpreted leg must not run generated Java: with " +
+                 "wholeStage off and NO_CODEGEN factories the serve " +
+                 "goes through nullSafeEval")
+        out
+      } finally restore()
     assert(gen.nonEmpty && gen.exists(_._2.isDefined),
            "fixture should score some candidates")
     assert(gen == interp,
@@ -368,23 +405,36 @@ class DataQualitySpec extends SparkSpec {
            s"strong stratum ≠ same-cluster set: ${exactStrong.size} vs " +
            s"${contaminated.size} (diff ${(exactStrong diff contaminated).take(3)}" +
            s" / ${(contaminated diff exactStrong).take(3)})")
-    val chunks = DataQuality.deconBenchBucketChunks(bench, bands = 6, rows = 8)
-    val scored = DataQuality
-      .semanticDeconScoredWith(spark, corpus, chunks, bands = 6, rows = 8)
-      .collect().map(r => (r.getLong(0),
-        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
-    scored.foreach { case (id, mc, _) =>
-      mc.foreach(m => assert(m <= exact(id) + 1e-12,
-        s"banded max above exact for $id: $m > ${exact(id)}")) }
-    val bandedStrong = scored.collect {
-      case (id, Some(mc), _) if mc >= 0.9 => id }.toSet
-    assert(bandedStrong.subsetOf(exactStrong))
-    val recall = bandedStrong.size.toDouble / exactStrong.size
-    assert(exactStrong.nonEmpty && recall >= 0.95,
-           f"strong recall $recall%.3f over ${exactStrong.size} rows")
-    val candRate = scored.map(_._3).sum.toDouble / (nCorpus * nBench)
-    assert(candRate < 0.15,
-           f"6×8 should prune hard on clustered data: $candRate%.3f")
+    // both selectivity configs: 6×8 (deepest pruning) and the SERVING
+    // config dc05 ships (DeconSelBands×DeconSelRows = 8×7, measured
+    // 0.9994+ strong recall at 0.069 cand rate — FIXTURES.md §D); the
+    // 8×7 floor is the registry entry's clustered-regime recall pin.
+    val configs = Seq((6, 8, 0.95), (DataQuality.DeconSelBands,
+                                     DataQuality.DeconSelRows, 0.98))
+    configs.foreach { case (bands, rows, recallFloor) =>
+      val chunks = DataQuality.deconBenchBucketChunks(
+        bench, bands = bands, rows = rows)
+      val scored = DataQuality
+        .semanticDeconScoredWith(spark, corpus, chunks,
+                                 bands = bands, rows = rows)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+      scored.foreach { case (id, mc, _) =>
+        mc.foreach(m => assert(m <= exact(id) + 1e-12,
+          s"banded max above exact for $id at $bands×$rows: " +
+            s"$m > ${exact(id)}")) }
+      val bandedStrong = scored.collect {
+        case (id, Some(mc), _) if mc >= 0.9 => id }.toSet
+      assert(bandedStrong.subsetOf(exactStrong))
+      val recall = bandedStrong.size.toDouble / exactStrong.size
+      assert(exactStrong.nonEmpty && recall >= recallFloor,
+             f"$bands×$rows strong recall $recall%.3f over " +
+               s"${exactStrong.size} rows (floor $recallFloor)")
+      val candRate = scored.map(_._3).sum.toDouble / (nCorpus * nBench)
+      assert(candRate < 0.15,
+             f"$bands×$rows should prune hard on clustered data: " +
+               f"$candRate%.3f")
+    }
   }
 
   test("bp01: 30x-duplicated corpus flows the shuffled census path, counts scale exactly") {

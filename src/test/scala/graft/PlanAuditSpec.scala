@@ -722,4 +722,43 @@ class PlanAuditSpec extends SparkSpec {
     // and the stats-steered plan returns real rows
     assert(df.count() > 0)
   }
+
+  test("TableStats.ensure is content-stamped: regenerated data at the " +
+       "same path re-ANALYZEs; unchanged content is a memo hit") {
+    // r13's memo keyed on (table, path) only — regenerating data at
+    // the same path left tp02 planning under stale row counts/NDV,
+    // the staleness class IvfIndex fixed in r3 with a
+    // name+length+mtime fingerprint. The stamp now folds into the key.
+    import graft.analytics.TableStats
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stats-stale").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    def regen(n: Long): Unit =
+      spark.range(n).selectExpr("id AS k", "id % 7 AS v")
+        .write.mode("overwrite").parquet(s"$path/stale_probe.parquet")
+    def statRows(): Long = {
+      val s = spark.sql("DESCRIBE TABLE EXTENDED graft_stats.stale_probe")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Statistics")
+        .collect()
+      assert(s.nonEmpty, "no statistics row in catalog")
+      val txt = s.head.getString(1)
+      "(\\d+) rows".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        .getOrElse(fail(s"no row count in catalog stats: $txt"))
+    }
+    regen(100)
+    TableStats.ensure(spark, path, Seq("stale_probe"))
+    assert(statRows() == 100L)
+    // unchanged content → memo hit: drop the catalog entry and call
+    // ensure again; a re-ANALYZE would recreate it
+    spark.sql("DROP TABLE graft_stats.stale_probe")
+    TableStats.ensure(spark, path, Seq("stale_probe"))
+    assert(!spark.catalog.tableExists("graft_stats.stale_probe"),
+      "unchanged content must be a memo hit (no re-ANALYZE)")
+    // regenerated content at the SAME path → stamp differs → refresh
+    regen(250)
+    TableStats.ensure(spark, path, Seq("stale_probe"))
+    assert(statRows() == 250L,
+      "regenerated data at the same path must refresh catalog stats")
+  }
 }
