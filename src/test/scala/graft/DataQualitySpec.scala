@@ -437,6 +437,30 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("banding guards: configs that pass the 63-bit check but overflow " +
+       "Int slot arithmetic are rejected at both the chunk builder and the scorer") {
+    // ADVICE r13: nSlots = bands << rows and the per-band slot base are
+    // Int arithmetic — (2, 31) passes nBits <= 63 yet shifts into a
+    // negative slot base and a silently broken bucket table. Both ends
+    // of the machinery must refuse it loudly.
+    import graft.analytics.DataQuality
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    intercept[IllegalArgumentException] {
+      DataQuality.deconBenchBucketChunks(bench, bands = 2, rows = 31)
+    }
+    intercept[IllegalArgumentException] {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      graft.functions.DeconScore(Literal(1), Literal(1),
+                                 nBands = 2, rowsPerBand = 31)
+    }
+    // the documented configs still construct
+    DataQuality.deconBenchBucketChunks(bench,
+      bands = DataQuality.DeconSelBands, rows = DataQuality.DeconSelRows)
+    ()
+  }
+
   test("bp01: 30x-duplicated corpus flows the shuffled census path, counts scale exactly") {
     // dup-stress probe of the non-broadcast path: replicate documents
     // 30x under fresh doc_ids so the flagged census covers EVERY gram

@@ -1038,6 +1038,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decon gate at the selectivity config (8×7): the (bands, " +
+       "rows) knob threads through the hoisted bucket map; stream ≡ batch") {
+    // r14 surfaced (bands, rows) on deconGate/deconGateChain (the
+    // measured 8×7 serving config — FIXTURES §D, served by dc05). The
+    // config enters the gate TWICE — the pre-stream bucket-map build
+    // and the per-batch scorer — and a mismatch between them silently
+    // empties every bucket (the signature slots stop lining up), so
+    // the streaming twin must be pinned row-equal to the batch chain
+    // AT the non-default config, not just at 12×4.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.DataQuality
+    val tmp = java.nio.file.Files.createTempDirectory("st18sel_").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bench = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val corpus = emb.filter(col("label") =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = EventStreams.deconGate(stream, bench, s"$tmp/out", s"$tmp/ckpt",
+                                   bands = DataQuality.DeconSelBands,
+                                   rows = DataQuality.DeconSelRows)
+    try {
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select((col("batch_id").cast("int") + 1).as("batch"),
+                col("vec_id"), col("n_cand"), col("keep"))
+      val batchForm = graft.streaming.StreamShapes.deconGateChain(
+        spark, sf0001, bands = DataQuality.DeconSelBands,
+        rows = DataQuality.DeconSelRows)
+      assert(streamed.count() == batchForm.count())
+      assert(streamed.exceptAll(batchForm).count() == 0 &&
+             batchForm.exceptAll(streamed).count() == 0,
+             "streamed 8×7 decon decisions diverge from the batch form")
+      // and the selectivity config actually pruned: fewer candidates
+      // in total than the corpus × bench product would give at 12×4's
+      // config-bound ~54 % rate
+      val nCand = spark.read.parquet(s"$tmp/out")
+        .agg(sum("n_cand")).head().getLong(0)
+      val bound = (corpus.length.toLong * bench.count() * 0.15).toLong
+      assert(nCand <= bound,
+             s"8×7 should prune candidates: $nCand > $bound")
+    } finally q.stop()
+  }
+
   test("streaming decon gate: kill + restart from checkpoint — one decision per vector") {
     import java.nio.file.Files
     import spark.implicits._

@@ -91,20 +91,41 @@ def main():
     bench = emb[label == 0]
     ok = True
 
-    mask = (label != 0) & (vec_id % 4 == 1)
-    mc = max_cosine(emb[mask], bench)
-    got = {"n_exact_drops_audit": int((mc >= 0.35).sum()),
-           "n_strong_audit": int((round_half_away(mc, 6) >= 0.9).sum()),
-           "nonempty_ok": True, "precision_ok": True,
-           "sim_bounded_ok": True, "recall_bound_ok": True}
-    sp = spark_row(out_dir, "dc03_semantic_decon_lsh")
-    ok &= check("dc03_semantic_decon_lsh",
-                {k: sp[k] for k in got}, got)
+    # every check is conditional on its dump existing, so the tool
+    # replays whatever subset the Verify invocation produced (full
+    # sweeps and targeted scale gates alike)
+    import os
 
-    mc = max_cosine(emb[label != 0], bench)
-    got = {"n_strong": int((mc >= 0.9).sum()), "within_bound": 1}
-    sp = spark_row(out_dir, "dc03r_decon_recall")
-    ok &= check("dc03r_decon_recall", {k: sp[k] for k in got}, got)
+    if os.path.isdir(f"{out_dir}/dc03_semantic_decon_lsh"):
+        mask = (label != 0) & (vec_id % 4 == 1)
+        mc = max_cosine(emb[mask], bench)
+        got = {"n_exact_drops_audit": int((mc >= 0.35).sum()),
+               "n_strong_audit": int((round_half_away(mc, 6) >= 0.9).sum()),
+               "nonempty_ok": True, "precision_ok": True,
+               "sim_bounded_ok": True, "recall_bound_ok": True}
+        sp = spark_row(out_dir, "dc03_semantic_decon_lsh")
+        ok &= check("dc03_semantic_decon_lsh",
+                    {k: sp[k] for k in got}, got)
+
+    if os.path.isdir(f"{out_dir}/dc03r_decon_recall"):
+        mc = max_cosine(emb[label != 0], bench)
+        got = {"n_strong": int((mc >= 0.9).sum()), "within_bound": 1}
+        sp = spark_row(out_dir, "dc03r_decon_recall")
+        ok &= check("dc03r_decon_recall", {k: sp[k] for k in got}, got)
+
+    # dc05 (r14): same quarter-slice counts as dc03 plus the
+    # selectivity-serve booleans (constants in the oracle; the
+    # Spark-side audit computes them for real).
+    if os.path.isdir(f"{out_dir}/dc05_decon_selective"):
+        mask = (label != 0) & (vec_id % 4 == 1)
+        mc = max_cosine(emb[mask], bench)
+        got = {"n_exact_drops_audit": int((mc >= 0.35).sum()),
+               "n_strong_audit": int((round_half_away(mc, 6) >= 0.9).sum()),
+               "nonempty_ok": True, "precision_ok": True,
+               "sim_bounded_ok": True, "recall_ok": True,
+               "pruned_ok": True}
+        sp = spark_row(out_dir, "dc05_decon_selective")
+        ok &= check("dc05_decon_selective", {k: sp[k] for k in got}, got)
 
     sys.exit(0 if ok else 1)
 
