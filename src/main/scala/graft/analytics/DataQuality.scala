@@ -135,6 +135,26 @@ object DataQuality {
   val DeconSelBands = 8
   val DeconSelRows = 7
 
+  /** Bench-size boundary where the selectivity config starts winning
+    * (FIXTURES.md §D item 3): cost_exact ∝ corpus × bench while
+    * cost_banded ∝ corpus × (signature + cand_rate × bench), so at an
+    * eval-suite-sized bench (~500) the recall-anchor shape costs the
+    * same as any other and its 9.5e-5 miss bound is free, while past
+    * ~10⁴ bench rows the 8×7 config's ~7 % candidate rate is an
+    * order-of-magnitude wall-clock win (12.7× measured at 20 k). */
+  val DeconAutoBenchThreshold = 10000L
+
+  /** The measured config choice for a bench of `nBench` rows — the §D
+    * crossover boundary as code, used by the STREAMING gate's auto
+    * default ([[graft.streaming.EventStreams.deconGate]] with
+    * bands = 0). The registry entries keep their EXPLICIT configs:
+    * dc03/st18/st20 pin the 12×4 recall-anchor shape (their audit
+    * bounds derive from it, and the scale gates replay them at corpora
+    * whose bench crosses this threshold), dc05 pins 8×7. */
+  def deconConfigFor(nBench: Long): (Int, Int) =
+    if (nBench >= DeconAutoBenchThreshold) (DeconSelBands, DeconSelRows)
+    else (DeconLshBands, DeconLshRows)
+
   /** dc02's LSH prefilter — the scale path for benchmark sets past
     * ~10⁵ rows (dc02's exact corpus×benchmark pass stays the small-set
     * fast path). Both sides hash once to a 48-bit sign signature

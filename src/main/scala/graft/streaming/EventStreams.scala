@@ -540,19 +540,28 @@ object EventStreams {
     * overwrite — replay-idempotent. `bench` carries (bench_id,
     * embedding); the stream (vec_id, embedding).
     *
-    * `(bands, rows)` picks the banding config (default: dc03's 12×4
-    * recall-anchor shape — 9.5e-5 miss bound at s = 0.9, but a
-    * config-bound ~54 % candidate rate that never prunes). Benches
-    * past ~10⁴ rows should gate at the measured selectivity config
-    * [[graft.analytics.DataQuality.DeconSelBands]]×[[graft.analytics
-    * .DataQuality.DeconSelRows]] (8×7: 7.2× over exact, 99.96 % strong
-    * recall on clustered data — FIXTURES.md §D; dc05 serves and
-    * audits it). */
+    * `(bands, rows)` picks the banding config; the DEFAULT (0, 0) is
+    * AUTO — [[graft.analytics.DataQuality.deconConfigFor]] applies the
+    * measured §D crossover boundary to the bench size: 12×4 (the
+    * recall-anchor shape, 9.5e-5 miss bound at s = 0.9) below ~10⁴
+    * bench rows where its ~54 % candidate rate costs nothing, the 8×7
+    * selectivity config (12.7× over exact, 99.96 % strong recall on
+    * clustered data — served and audited by dc05) above it, where
+    * 12×4's unpruned candidate set is an order-of-magnitude tax. The
+    * bench count is the same content-stamped cached count the bucket
+    * builder pays anyway. Pass explicit values to pin a config. */
   def deconGate(stream: DataFrame, bench: DataFrame, outDir: String,
                 checkpointDir: String,
-                bands: Int = graft.analytics.DataQuality.DeconLshBands,
-                rows: Int = graft.analytics.DataQuality.DeconLshRows)
+                bands: Int = 0, rows: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require((bands == 0) == (rows == 0),
+      s"pass both bands and rows, or neither (auto): got ($bands, $rows)")
+    val (b, r) =
+      if (bands != 0) (bands, rows)
+      else graft.analytics.DataQuality.deconConfigFor(
+        graft.analytics.Bounded.checkedRowCount(
+          bench.select(col("bench_id"), col("embedding")),
+          "decon.band-index", maxRows = 100000L))
     // same session-registration guard as curationStream: bench-derived
     // frames resolve the native cosine against the driving session
     graft.functions.CosineSim.register(stream.sparkSession)
@@ -561,7 +570,7 @@ object EventStreams {
     // materialized blocks — micro-batch plans re-broadcast a cached
     // row instead of re-running the bench aggregation
     val benchChunks = graft.analytics.DataQuality
-      .deconBenchBucketChunks(bench, bands = bands, rows = rows)
+      .deconBenchBucketChunks(bench, bands = b, rows = r)
       .map(_.localCheckpoint(true))
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -573,7 +582,7 @@ object EventStreams {
           val spark = batch.sparkSession
           val drops = graft.analytics.DataQuality.semanticDeconLshDropsWith(
             spark, batch.select("vec_id", "embedding"), benchChunks,
-            bands, rows)
+            b, r)
           batch.select("vec_id").join(drops, Seq("vec_id"), "left")
             .select(col("vec_id"),
                     coalesce(col("n_cand"), lit(0L)).as("n_cand"),

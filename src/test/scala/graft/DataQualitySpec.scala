@@ -461,6 +461,20 @@ class DataQualitySpec extends SparkSpec {
     ()
   }
 
+  test("deconConfigFor encodes the measured crossover boundary: anchor " +
+       "shape below 10^4 bench rows, selectivity config above") {
+    import graft.analytics.DataQuality
+    assert(DataQuality.deconConfigFor(500L) ==
+           (DataQuality.DeconLshBands, DataQuality.DeconLshRows))
+    assert(DataQuality.deconConfigFor(
+             DataQuality.DeconAutoBenchThreshold - 1) ==
+           (DataQuality.DeconLshBands, DataQuality.DeconLshRows))
+    assert(DataQuality.deconConfigFor(DataQuality.DeconAutoBenchThreshold) ==
+           (DataQuality.DeconSelBands, DataQuality.DeconSelRows))
+    assert(DataQuality.deconConfigFor(100000L) ==
+           (DataQuality.DeconSelBands, DataQuality.DeconSelRows))
+  }
+
   test("bp01: 30x-duplicated corpus flows the shuffled census path, counts scale exactly") {
     // dup-stress probe of the non-broadcast path: replicate documents
     // 30x under fresh doc_ids so the flagged census covers EVERY gram
