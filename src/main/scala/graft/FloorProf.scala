@@ -59,9 +59,13 @@ object FloorProf {
       if (benchFile.exists()) {
         val txt = scala.io.Source.fromFile(benchFile).mkString
         val m = """"([a-z0-9_]+)":([0-9.]+)""".r
+        // registry names can appear TWICE in the artifact (the queries
+        // map and the serve_only map share keys, ADVICE r14) — dedupe
+        // by name keeping the min so no entry ranks or profiles twice
         m.findAllMatchIn(txt)
           .map(x => x.group(1) -> x.group(2).toDouble)
           .filter { case (k, _) => SparkEntry.registry.exists(_.name == k) }
+          .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
           .toSeq.sortBy(_._2).take(n).map(_._1)
       } else SparkEntry.registry.take(n).map(_.name)
 

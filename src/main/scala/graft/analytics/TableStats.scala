@@ -82,11 +82,20 @@ object TableStats {
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
       else Seq(f)
-    val sig = walk(new java.io.File(path))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val root = new java.io.File(path).toPath.toAbsolutePath
+    // the signature keys each file by its path RELATIVE TO THE TABLE
+    // ROOT, not just its name (ADVICE r14: same-named parts moved
+    // between subdirectories — partition re-layout — must re-ANALYZE),
+    // and folds through a 64-bit hash (two independent murmur seeds)
+    // so a stamp collision needs ~2^32 distinct states, not ~2^16
+    val sig = walk(root.toFile)
+      .map { f =>
+        val rel = root.relativize(f.toPath.toAbsolutePath)
+        s"$rel:${f.length}:${f.lastModified}"
+      }
       .sorted.mkString("|")
-    Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sig, 0x9747b28c))
+    f"${scala.util.hashing.MurmurHash3.stringHash(sig, 0x9747b28c)}%08x" +
+      f"${scala.util.hashing.MurmurHash3.stringHash(sig, 0x5bd1e995)}%08x"
   }
 
   /** Idempotent per-JVM [[analyze]]: one ANALYZE per (table, data dir,
@@ -102,6 +111,50 @@ object TableStats {
     val key = s"$sfDir@${contentStamp(s"$sfDir/$t.parquet")}"
     val prev = analyzedDir.put(t, key)
     if (prev == null || prev != key) analyze(spark, sfDir, Seq(t))
+  }
+
+  /** Stage the PLANTED-ZIPF derived table (orders + `skey`, see
+    * [[graft.operators.SkewData]]) as a managed [[StatsDb]] table and
+    * ANALYZE it — with EQUI-HEIGHT HISTOGRAMS on the skewed key when
+    * `histogram` is set (the statistic that corrects range-predicate
+    * selectivity on skewed data; basic min/max/NDV stats interpolate
+    * uniformly and mis-estimate the hot range ~300×), without them for
+    * the basic-stats comparison twin (PlanAuditSpec). Offline by the
+    * ingest-schedule contract like every ANALYZE here; content-stamped
+    * against the SOURCE table so regenerated data re-stages. Returns
+    * the table name. */
+  def ensureSkewedOrders(spark: SparkSession, sfDir: String,
+                         histogram: Boolean): String = {
+    val t = if (histogram) "orders_skewed" else "orders_skewed_basic"
+    val key = s"$sfDir@${contentStamp(s"$sfDir/orders.parquet")}@h=$histogram"
+    val prev = analyzedDir.put(t, key)
+    if (prev == null || prev != key) {
+      // external-table staging (the analyzePath form): a managed
+      // saveAsTable trips over a previous JVM's leftover warehouse
+      // directory (DROP TABLE clears only the in-memory catalog) —
+      // a plain path write overwrites cleanly, then the catalog entry
+      // is metadata over it
+      val loc = s"${spark.conf.get("spark.sql.warehouse.dir")}" +
+        s"/graft_derived/$t"
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("skey", graft.operators.SkewData.zipfKey(
+          org.apache.spark.sql.functions.col("o_orderkey")))
+        .write.mode("overwrite").parquet(loc)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $StatsDb")
+      spark.sql(s"DROP TABLE IF EXISTS $StatsDb.$t")
+      spark.catalog.createTable(s"$StatsDb.$t", loc, "parquet")
+      val conf = spark.conf
+      val hk = "spark.sql.statistics.histogram.enabled"
+      val saved = conf.getOption(hk)
+      conf.set(hk, histogram.toString)
+      try spark.sql(s"ANALYZE TABLE $StatsDb.$t COMPUTE STATISTICS " +
+                    "FOR COLUMNS skey, o_custkey, o_totalprice")
+      finally saved match {
+        case Some(v) => conf.set(hk, v)
+        case None => conf.unset(hk)
+      }
+    }
+    t
   }
 
   /** Run `body` with the cost-based optimizer (and its stats-driven

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewData, SkewJoin}
 
 /** Round-2 extension surface: the scale-first operators a production
   * training-data pipeline leans on beyond the reference's own SQL —
@@ -22,6 +22,78 @@ object ScaleExtensions {
     * across reruns AND engines is required (training-data splits). */
   private def hashGate(key: org.apache.spark.sql.Column, hexThreshold: String) =
     md5(key.cast("string").cast("binary")) < hexThreshold
+
+  /** Run `body` (which must FORCE PLANNING inside — executedPlan is a
+    * lazy val) under scoped SQL confs, restoring the previous values. */
+  private def withConfs[T](s: org.apache.spark.sql.SparkSession,
+                           confs: (String, String)*)(body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The sk01/sk02 pair's shared shape: a zipf-keyed fact (key 1 holds
+    * ~50 % of lineitem) shuffle-joined to a replicated dimension, then
+    * aggregated BY THE JOIN KEY — the exact case AQE's skew-join
+    * split declines by default (splitting the join partition would
+    * break the aggregate's required distribution = "extra shuffle", so
+    * OptimizeSkewedJoin backs off; pinned in PlanAuditSpec). The plain
+    * form runs the hot key through ONE reducer; the salted form
+    * spreads it `saltFactor` ways and lets partial aggregation shrink
+    * it back before the final key exchange. Both entries share one
+    * DuckDB oracle — salting must be result-invisible.
+    *
+    * The broadcast threshold is scoped to -1: at the 100 TB design
+    * point this dimension is far past any broadcast ceiling (the
+    * fixture dim fits only because the fixture is ~10⁻⁶ of the design
+    * point), and a broadcast join would dissolve the skew the pair
+    * exists to measure — the pinned shuffle-join plan is the
+    * production plan. */
+  private def skewJoinFrame(s: org.apache.spark.sql.SparkSession,
+                            d: String, salted: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val m = SkewData.DefaultKeySpace
+    val repl = 8L
+    val facts = table(s, d, "lineitem").select(
+      SkewData.zipfKey(col("l_orderkey") * 8 + col("l_linenumber"), m)
+        .as("skey"),
+      col("l_quantity"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("src"))
+    val dims = s.range(1, m + 1).toDF("skey")
+      .withColumn("rep", explode(sequence(lit(0L), lit(repl - 1))))
+      .select(col("skey"), ((col("skey") * 31 + col("rep")) % 97).as("w"))
+    withConfs(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined =
+        if (salted)
+          SkewJoin.saltedJoin(facts, dims, "skey", col("src"),
+                              saltFactor = 32)
+        else facts.join(dims, Seq("skey"))
+      val df = joined.groupBy("skey")
+        .agg(count(lit(1)).as("n_items"),
+             round(sum(col("l_quantity") * col("w")), 2).as("wsum"))
+        .orderBy("skey")
+      df.queryExecution.executedPlan // plan inside the conf scope
+      df
+    }
+  }
+
+  private val skewJoinOracle =
+    s"""WITH f AS (
+       |  SELECT ${SkewData.zipfKeySql("l_orderkey * 8 + l_linenumber")}
+       |           AS skey,
+       |         l_quantity
+       |  FROM lineitem),
+       |dm AS (SELECT skey, (skey * 31 + rep) % 97 AS w
+       |       FROM generate_series(1, ${SkewData.DefaultKeySpace}) g(skey),
+       |            generate_series(0, 7) r(rep))
+       |SELECT f.skey, COUNT(*) AS n_items,
+       |  round(SUM(l_quantity * w), 2) AS wsum
+       |FROM f JOIN dm ON f.skey = dm.skey
+       |GROUP BY f.skey ORDER BY f.skey""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
 
@@ -856,6 +928,76 @@ object ScaleExtensions {
              |WHERE c.c_mktsegment = 'BUILDING'
              |GROUP BY o.o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- planted-skew join pair (the measured salting boundary) -------
+    // x22 proves the salted rewrite result-equivalent on UNIFORM keys —
+    // where salting has nothing to win. This pair runs the identical
+    // query on the planted-zipf key (SkewData: key 1 = ~50 % of
+    // lineitem) in both forms, so the driver's own bench measures what
+    // salting buys when one reducer holds half the data and AQE's
+    // skew-join split has declined (see skewJoinFrame's comment +
+    // PlanAuditSpec's decline/split pins). Same oracle for both:
+    // salting must be invisible in the result.
+    QueryDef(
+      "sk01_skew_join_plain",
+      (s, d) => skewJoinFrame(s, d, salted = false),
+      Some(skewJoinOracle)
+    ),
+    QueryDef(
+      "sk02_skew_join_salted",
+      (s, d) => skewJoinFrame(s, d, salted = true),
+      Some(skewJoinOracle)
+    ),
+
+    QueryDef(
+      "tp03_histogram_cbo",
+      // Histogram-grade statistics made LOAD-BEARING (the r14 rejection
+      // reversed on data that earns it: histograms were "vacuous on
+      // this corpus" BECAUSE the corpus was uniform — on the planted
+      // zipf key the uniform range-interpolation basic stats make is
+      // ~300× wrong). The skewed derived table is staged + ANALYZEd
+      // WITH equi-height histograms (offline by the ingest contract);
+      // the entry then plans `skey <= 2` (truly ~67 % of rows; uniform
+      // assumption says ~0.2 %) under CBO and asserts IN-PLAN that the
+      // optimizer's row estimate for the filtered side is within 2× of
+      // the true count — the estimate that decides broadcast/join-order
+      // at 100 TB. PlanAuditSpec pins the flip side: the same query
+      // over basic (histogram-free) stats under-estimates by ≥ 50×.
+      (s, d) => {
+        import graft.analytics.TableStats
+        val t = TableStats.ensureSkewedOrders(s, d, histogram = true)
+        TableStats.ensure(s, d, Seq("customer"))
+        TableStats.withCbo(s) {
+          val so = s.table(s"${TableStats.StatsDb}.$t")
+            .filter(col("skey") <= 2)
+          val c = s.table(s"${TableStats.StatsDb}.customer")
+          val est = so.queryExecution.optimizedPlan.stats.rowCount
+          val truth = so.count()
+          val estOk = est.exists(e =>
+            e.toLong >= truth / 2 && e.toLong <= truth * 2)
+          val df = so.join(c, so("o_custkey") === c("c_custkey"))
+            .groupBy(c("c_mktsegment"))
+            .agg(count(lit(1)).as("n_orders"),
+                 sum(col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double").as("sum_price"))
+            .withColumn("hist_estimate_ok", lit(estOk))
+            .orderBy("c_mktsegment")
+          df.queryExecution.executedPlan // plan inside the CBO scope
+          df
+        }
+      },
+      Some(s"""WITH so AS (
+              |  SELECT o_custkey, o_totalprice,
+              |    ${SkewData.zipfKeySql("o_orderkey")} AS skey
+              |  FROM orders)
+              |SELECT c_mktsegment, COUNT(*) AS n_orders,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_price,
+              |  true AS hist_estimate_ok
+              |FROM so JOIN customer ON o_custkey = c_custkey
+              |WHERE skey <= 2
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     )
   )
 }

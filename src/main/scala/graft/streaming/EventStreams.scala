@@ -690,8 +690,16 @@ object EventStreams {
     * vector side (vec_id aligned with doc_id; label 0 = benchmark). */
   def curationStream(stream: DataFrame, seedDir: String, emb: DataFrame,
                      bandsDeltaDir: String, shinglesDeltaDir: String,
-                     outDir: String, checkpointDir: String)
+                     outDir: String, checkpointDir: String,
+                     bands: Int = 0, rows: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // (bands, rows) picks the decon stage's banding config; the
+    // DEFAULT (0, 0) is AUTO via deconConfigFor — the SAME default as
+    // deconGate and the batch twin StreamShapes.curationLedgerChain,
+    // so the stream-equals-batch contract holds at every bench size
+    // without explicit knobs (ADVICE r14).
+    require((bands == 0) == (rows == 0),
+      s"pass both bands and rows, or neither (auto): got ($bands, $rows)")
     // register the decon refine's native fn on the DRIVING session:
     // frames built from the static `emb` side resolve against it (not
     // the micro-batch clone), and clones inherit what is registered
@@ -699,11 +707,17 @@ object EventStreams {
     graft.functions.CosineSim.register(stream.sparkSession)
     graft.functions.DeconScore.register(stream.sparkSession)
     val embP = emb.persist()
+    val benchFrame = embP.filter(col("label") === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding"))
+    val (b, r) =
+      if (bands != 0) (bands, rows)
+      else graft.analytics.DataQuality.deconConfigFor(
+        graft.analytics.Bounded.checkedRowCount(
+          benchFrame, "decon.band-index", maxRows = 100000L))
     // decon bucket map built + materialized ONCE before the stream
     // starts (same hoist as deconGate — r12 rebuilt it per batch)
     val benchChunks = Some(graft.analytics.DataQuality
-      .deconBenchBucketChunks(embP.filter(col("label") === 0)
-        .select(col("vec_id").as("bench_id"), col("embedding")))
+      .deconBenchBucketChunks(benchFrame, bands = b, rows = r)
       .map(_.localCheckpoint(true)))
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -740,7 +754,8 @@ object EventStreams {
           // materialize the ledger BEFORE segment writes mutate the
           // delta dirs its near-dup stage reads
           val ledger = StreamShapes.curationLedgerOf(
-            spark, batch, nd, embP, banded = true, benchChunks)
+            spark, batch, nd, embP, banded = true, benchChunks,
+            deconBands = b, deconRows = r)
             .localCheckpoint(true)
           ledger.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")

@@ -979,20 +979,52 @@ object StreamShapes {
     // Engine-specific band hashing → rows-only; st18x is the exact
     // anchor. The streaming twin is EventStreams.deconGate, pinned
     // row-equal with a kill+restart test.
-    // SELF-AUDITING ([[SelfAudit]] discipline, dc03's audit shape over
-    // the two-batch chain): the banded per-batch gate serves every
-    // corpus vector; the same plan recomputes the exact benchmark
-    // max-cosine for a deterministic corpus eighth and audits
-    // precision/0.9-stratum recall there, plus the chain's
-    // deterministic structure — stateless batch assignment (batch =
-    // parity + 1) and full census. Exact slice counts are the
-    // oracle's scalars; st18x stays the full exact anchor.
+    // SERVE/AUDIT SPLIT (VERDICT r14 missing #3: ~12 s of in-plan
+    // self-audit was charged to serve latency across this family).
+    // This entry is the SERVE alone — the banded two-batch gate with
+    // structural assertions that force every output column (domain
+    // checks: they materialize keep/n_cand without exposing banded
+    // values the oracle cannot replay). The exact-recompute audit
+    // lives in the st18a twin below (driver-gated, excluded from the
+    // bench total like every cross-check anchor).
     QueryDef(
       "st18_streaming_decon",
       (s, d) => {
+        import graft.analytics.DataQuality
+        // explicit 12×4: the st18a audit bounds derive from the
+        // recall-anchor shape (auto would flip it at ≥ 10⁴-row
+        // benches, e.g. the 100× scale-gate corpus, by design)
+        val served = deconGateChain(s, d,
+          DataQuality.DeconLshBands, DataQuality.DeconLshRows)
+        served.agg(
+          count(lit(1)).as("n_corpus"),
+          bool_and(col("batch") ===
+            (pmod(col("vec_id"), lit(2L)) + 1).cast("int")).as("batch_ok"),
+          bool_and(col("keep").isin(0, 1)).as("keep_domain_ok"),
+          bool_and(col("n_cand") >= 0).as("ncand_domain_ok"))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM embeddings WHERE label <> 0)
+             |    AS n_corpus,
+             |  true AS batch_ok, true AS keep_domain_ok,
+             |  true AS ncand_domain_ok""".stripMargin)
+    ),
+
+    // st18's AUDIT TWIN ([[SelfAudit]] discipline, dc03's audit shape
+    // over the two-batch chain): re-runs the banded serve and
+    // recomputes the exact benchmark max-cosine for a deterministic
+    // corpus eighth, auditing precision/0.9-stratum recall there plus
+    // the chain's deterministic structure. Exact slice counts are the
+    // oracle's scalars; st18x stays the full exact anchor. A
+    // correctness artifact, not an operator latency — Bench's anchor
+    // set excludes it from the total.
+    QueryDef(
+      "st18a_streaming_decon_audit",
+      (s, d) => {
         import graft.analytics.{DataQuality, SelfAudit}
         val emb = table(s, d, "embeddings")
-        val served = SelfAudit.once(deconGateChain(s, d))
+        val served = SelfAudit.once(deconGateChain(s, d,
+          DataQuality.DeconLshBands, DataQuality.DeconLshRows))
         val exact = SelfAudit.once(
           emb.filter(col("label") =!= 0 && col("vec_id") % 8 === 1)
             .select("vec_id", "embedding")
@@ -1128,8 +1160,34 @@ object StreamShapes {
     // exact Jaccard of that pair, so the sliced exact best must
     // dominate it); 0.9-stratum recall checks against ALL banded
     // rejections as before. st19x stays the full exact anchor.
+    // SERVE/AUDIT SPLIT (see st18): the serve alone, with structural
+    // domain checks forcing every gate column; the exhaustive-slice
+    // audit is the st19a twin.
     QueryDef(
       "st19_neardup_stream_gate",
+      (s, d) => {
+        val served = neardupGateChain(s, d)
+        served.agg(
+          count(lit(1)).as("n_arrivals"),
+          bool_and(col("batch") ===
+            when(pmod(col("doc_id"), lit(20L)) === 0, 1).otherwise(2))
+            .as("batch_ok"),
+          bool_and(col("keep").isin(0, 1)).as("keep_domain_ok"),
+          bool_and((col("keep") === 1) === col("match_id").isNull)
+            .as("witness_iff_reject_ok"))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+             |    AS n_arrivals,
+             |  true AS batch_ok, true AS keep_domain_ok,
+             |  true AS witness_iff_reject_ok""".stripMargin)
+    ),
+
+    // st19's AUDIT TWIN — re-runs the banded chain and audits it
+    // against exhaustive gates on deterministic slices (details
+    // below); excluded from the bench total like every anchor.
+    QueryDef(
+      "st19a_neardup_gate_audit",
       (s, d) => {
         import graft.analytics.{MinHashBandIndex, SelfAudit}
         val docs = table(s, d, "documents")
@@ -1353,13 +1411,63 @@ object StreamShapes {
     // structure (keep = product of stage bits, first-drop stage
     // attribution, batch split, census) is asserted over every row.
     // st20x stays the full exact anchor.
+    // SERVE/AUDIT SPLIT (see st18): the serve alone — the banded
+    // three-stage chain with its deterministic-structure assertions
+    // (keep = product of stage bits, first-drop attribution, batch
+    // split, census) and the quality stage's EXACT reject count (an
+    // oracle scalar derived from the served frame itself — quality is
+    // the one stage the oracle replays without an exact recompute).
+    // The decon/near-dup exact-slice audits are the st20a twin. One
+    // aggregate pass, so the chain runs once with every ledger column
+    // forced.
     QueryDef(
       "st20_streaming_curation",
+      (s, d) => {
+        import graft.analytics.DataQuality
+        // explicit 12×4 (same reason as st18: the st20a decon recall
+        // bound is derived from the pinned recall-anchor config)
+        val served = curationLedgerChain(s, d, banded = true,
+          DataQuality.DeconLshBands, DataQuality.DeconLshRows)
+        served.agg(
+          count(lit(1)).as("n_arrivals"),
+          sum(when(col("keep_quality") === 0, 1L).otherwise(0L))
+            .as("n_quality_rejects"),
+          bool_and(col("keep") === col("keep_quality") *
+            col("keep_neardup") * col("keep_vec")).as("keep_product_ok"),
+          bool_and(
+            when(col("keep_quality") === 0, col("stage") === "quality")
+              .when(col("keep_neardup") === 0, col("stage") === "neardup")
+              .when(col("keep_vec") === 0, col("stage") === "decon")
+              .otherwise(col("stage") === "kept")).as("stage_attr_ok"),
+          bool_and(col("batch") ===
+            when(pmod(col("doc_id"), lit(20L)) === 0, 1).otherwise(2))
+            .as("batch_ok"))
+      },
+      Some(s"""WITH ${graft.analytics.DataQuality
+                       .qualityKeepCtesSql("doc_id % 10 = 0")}
+              |SELECT
+              |  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+              |    AS n_arrivals,
+              |  (SELECT COUNT(*) FROM qk WHERE keep_quality = 0)
+              |    AS n_quality_rejects,
+              |  true AS keep_product_ok, true AS stage_attr_ok,
+              |  true AS batch_ok""".stripMargin)
+    ),
+
+    // st20's AUDIT TWIN: re-runs the banded chain and audits each
+    // fuzzy stage against exact recomputes on deterministic slices
+    // (details in the header comment above). Excluded from the bench
+    // total like every anchor. st20x stays the full exact anchor — it
+    // carries no self-audit (its whole ledger is SQL-replayable), so
+    // it needs no twin: its entry latency IS its serve latency.
+    QueryDef(
+      "st20a_streaming_curation_audit",
       (s, d) => {
         import graft.analytics.{DataQuality, MinHashBandIndex, SelfAudit}
         val docs = table(s, d, "documents")
         val emb = table(s, d, "embeddings")
-        val served = SelfAudit.once(curationLedgerChain(s, d, banded = true))
+        val served = SelfAudit.once(curationLedgerChain(s, d, banded = true,
+          DataQuality.DeconLshBands, DataQuality.DeconLshRows))
         val structAgg = served.agg(
           count(lit(1)).as("n_arrivals"),
           bool_and(col("keep") === col("keep_quality") *
@@ -1661,6 +1769,25 @@ object StreamShapes {
       // filtering the full copy at read time, ~4× less data, and
       // executor-parallel. The subject is the fold mechanics;
       // st19/st20 own full-corpus gate latency.
+      // SERVE/AUDIT SPLIT (see st18): audit = false is the serve —
+      // staging, both gates, the fold, and the fold's own structural
+      // booleans; the never-merged-twin row-equality audit (a second
+      // batch-2 chain run purely to cross-check the fold) is st22a.
+      (s, d) => segmentRetentionChain(s, d, audit = false),
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+             |    AS n_arrivals,
+             |  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
+             |    AS n_served,
+             |  true AS keep_domain_ok, true AS segments_bounded_ok,
+             |  true AS fold_ran_ok""".stripMargin)
+    ),
+
+    // st22's AUDIT TWIN: the same chain re-run with the never-merged
+    // twin equality audit; excluded from the bench total like every
+    // anchor.
+    QueryDef(
+      "st22a_segment_retention_audit",
       (s, d) => segmentRetentionChain(s, d, audit = true),
       Some("""SELECT
              |  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 0)
@@ -1805,8 +1932,14 @@ object StreamShapes {
                        emb: org.apache.spark.sql.DataFrame,
                        banded: Boolean,
                        benchChunks: Option[Seq[org.apache.spark.sql.DataFrame]] = None,
-                       deconDrops: Option[org.apache.spark.sql.DataFrame] = None)
+                       deconDrops: Option[org.apache.spark.sql.DataFrame] = None,
+                       deconBands: Int = graft.analytics.DataQuality.DeconLshBands,
+                       deconRows: Int = graft.analytics.DataQuality.DeconLshRows)
       : org.apache.spark.sql.DataFrame = {
+    // (deconBands, deconRows) MUST match the config `benchChunks` was
+    // built with — a mismatch silently empties every bucket (the
+    // failure mode the streaming 8×7 pin guards); callers that resolve
+    // a config (auto) thread it to both.
     import graft.analytics.DataQuality
     val bench = emb.filter(col("label") === 0)
       .select(col("vec_id").as("bench_id"), col("embedding"))
@@ -1817,7 +1950,9 @@ object StreamShapes {
       case Some(dd) => dd.select("vec_id").join(ids, Seq("vec_id"))
       case None if banded =>
         DataQuality.semanticDeconLshDropsWith(s, cvecs,
-            benchChunks.getOrElse(DataQuality.deconBenchBucketChunks(bench)))
+            benchChunks.getOrElse(DataQuality.deconBenchBucketChunks(bench,
+              bands = deconBands, rows = deconRows)),
+            deconBands, deconRows)
           .select("vec_id")
       case None =>
         exactDeconDropsOf(s, cvecs, bench, "cp.ledger.bench-vecs")
@@ -1862,25 +1997,33 @@ object StreamShapes {
     * is pinned row-equal against. */
   private[graft] def deconGateChain(s: org.apache.spark.sql.SparkSession,
                                     d: String,
-                                    bands: Int =
-                                      graft.analytics.DataQuality.DeconLshBands,
-                                    rows: Int =
-                                      graft.analytics.DataQuality.DeconLshRows)
+                                    bands: Int = 0, rows: Int = 0)
       : org.apache.spark.sql.DataFrame = {
-    // (bands, rows) defaults to the 12×4 recall-anchor shape; gate at
-    // DataQuality.DeconSelBands×DeconSelRows (8×7) for ≥ ~10⁴-row
-    // benches — the measured 7.2× selectivity config (FIXTURES.md §D,
-    // served + audited by dc05).
+    // The DEFAULT (0, 0) is AUTO, the SAME default as the streaming
+    // twin EventStreams.deconGate (ADVICE r14: the twins' defaults
+    // diverged past the 10⁴-row bench threshold, so the stream-equals-
+    // batch contract held only for explicit-config callers):
+    // DataQuality.deconConfigFor picks 12×4 (recall-anchor) below ~10⁴
+    // bench rows and 8×7 (the measured 12.7× selectivity config,
+    // served + audited by dc05) above. The st18 registry entry pins
+    // 12×4 explicitly — its audit bounds derive from that shape.
     import graft.analytics.DataQuality
+    require((bands == 0) == (rows == 0),
+      s"pass both bands and rows, or neither (auto): got ($bands, $rows)")
     val emb = table(s, d, "embeddings")
     val bench = emb.filter(col("label") === 0)
       .select(col("vec_id").as("bench_id"), col("embedding"))
+    val (bandsR, rowsR) =
+      if (bands != 0) (bands, rows)
+      else DataQuality.deconConfigFor(
+        graft.analytics.Bounded.checkedRowCount(
+          bench, "decon.band-index", maxRows = 100000L))
     val corpus = emb.filter(col("label") =!= 0)
       .select("vec_id", "embedding")
     // bucket map built + materialized ONCE for both batches (the r12
     // form rebuilt it per out() call — the st18 regression)
     val benchChunks = DataQuality
-      .deconBenchBucketChunks(bench, bands = bands, rows = rows)
+      .deconBenchBucketChunks(bench, bands = bandsR, rows = rowsR)
       .map(_.localCheckpoint(true))
     // The gate is STATELESS (that is the entry's pinned claim: batch
     // slicing cannot change any decision), so the batch form scores the
@@ -1891,7 +2034,7 @@ object StreamShapes {
     // The streaming twin necessarily scores per arriving micro-batch;
     // row-equality between the two is pinned in StreamingSpec.
     val drops = DataQuality.semanticDeconLshDropsWith(s, corpus, benchChunks,
-                                                      bands, rows)
+                                                      bandsR, rowsR)
     corpus.select("vec_id").join(drops, Seq("vec_id"), "left")
       .select((pmod(col("vec_id"), lit(2L)) + 1).cast("int").as("batch"),
               col("vec_id"),
@@ -1933,12 +2076,13 @@ object StreamShapes {
       .orderBy("doc_id")
   }
 
-  /** st22's staged fold-retention chain. `audit = true` is the
-    * registry entry (serve + never-merged-twin equality audit);
-    * `audit = false` is the SERVE alone — staging, batch-1 gate, fold,
-    * batch-2 gate against the folded seed — the component Bench times
-    * separately so the driver's latency stops charging the audit's
-    * second batch-2 chain to the serve (VERDICT r13 next-round #2). */
+  /** st22's staged fold-retention chain. `audit = false` is the SERVE
+    * entry — staging, batch-1 gate, fold, batch-2 gate against the
+    * folded seed, censused with the fold's structural booleans;
+    * `audit = true` is the st22a TWIN, which re-runs batch 2 against a
+    * never-merged seed ∪ segments view and adds the row-equality
+    * audit (VERDICT r14 missing #3: the audit's second batch-2 chain
+    * used to ride inside the serve entry's measured latency). */
   private[graft] def segmentRetentionChain(
       s: org.apache.spark.sql.SparkSession,
       d: String, audit: Boolean)
@@ -2015,20 +2159,35 @@ object StreamShapes {
                   lit(segsBefore == 1 && segsAfter == 0)
                     .as("segments_bounded_ok"),
                   lit(folded > 0).as("fold_ran_ok"))
-      case None => served
+      case None =>
+        served
+          .agg(count(lit(1)).as("n_served"),
+               bool_and(col("keep").isin(0, 1)).as("keep_domain_ok"))
+          .crossJoin(arr.agg(count(lit(1)).as("n_arrivals")))
+          .select(col("n_arrivals"), col("n_served"), col("keep_domain_ok"),
+                  lit(segsBefore == 1 && segsAfter == 0)
+                    .as("segments_bounded_ok"),
+                  lit(folded > 0).as("fold_ran_ok"))
     }
   }
 
   private[graft] def curationLedgerChain(
       s: org.apache.spark.sql.SparkSession,
       d: String, banded: Boolean,
-      deconBands: Int = graft.analytics.DataQuality.DeconLshBands,
-      deconRows: Int = graft.analytics.DataQuality.DeconLshRows)
+      deconBands: Int = 0, deconRows: Int = 0)
       : org.apache.spark.sql.DataFrame = {
-    // (deconBands, deconRows) — the decon stage's banding config;
-    // default is the 12×4 recall-anchor shape, large benches should
-    // pass DataQuality.DeconSelBands×DeconSelRows (FIXTURES.md §D).
+    // (deconBands, deconRows) — the decon stage's banding config. The
+    // DEFAULT (0, 0) is AUTO via DataQuality.deconConfigFor, the same
+    // default as the streaming twin (EventStreams.curationStream) and
+    // the decon gate pair, so a batch user with a ≥ 10⁴-row bench gets
+    // the measured 8×7 selectivity config without passing the knob
+    // (VERDICT r14 missing #1 — the chain's pinned 12×4 default left
+    // the dc05 crossover opt-in on the batch path). The st20 registry
+    // entry pins 12×4 explicitly — its audit bounds derive from it.
     import graft.analytics.{DataQuality, MinHashBandIndex}
+    require((deconBands == 0) == (deconRows == 0),
+      s"pass both bands and rows, or neither (auto): " +
+        s"got ($deconBands, $deconRows)")
     val docs = table(s, d, "documents")
     val emb = table(s, d, "embeddings")
     val arr = MinHashBandIndex.arrivalsOf(docs)
@@ -2042,15 +2201,20 @@ object StreamShapes {
     // stays chained (batch 2's reference includes batch 1 keepers).
     val benchAll = emb.filter(col("label") === 0)
       .select(col("vec_id").as("bench_id"), col("embedding"))
+    val (dBands, dRows) =
+      if (deconBands != 0) (deconBands, deconRows)
+      else DataQuality.deconConfigFor(
+        graft.analytics.Bounded.checkedRowCount(
+          benchAll, "decon.band-index", maxRows = 100000L))
     val corpusVecs = emb.filter(col("label") =!= 0)
       .select("vec_id", "embedding")
     val deconDropsAll = Some((
       if (banded)
         DataQuality.semanticDeconLshDropsWith(s, corpusVecs,
           DataQuality.deconBenchBucketChunks(benchAll,
-              bands = deconBands, rows = deconRows)
+              bands = dBands, rows = dRows)
             .map(_.localCheckpoint(true)),
-          deconBands, deconRows)
+          dBands, dRows)
           .select("vec_id")
       else
         exactDeconDropsOf(s, corpusVecs, benchAll, "cp.ledger.bench-vecs")
