@@ -56,8 +56,14 @@ object Bounded {
     * [[DataQuality.deconBenchBucketChunks]]) — same content-stamped
     * cache, so asking for the count and then broadcasting under the
     * same tag pays one count job, not two. */
-  def checkedRowCount(df: DataFrame, tag: String,
-                      maxRows: Long = MaxBenchRows): Long = {
+  /** Identity of a frame's PLAN + DATA: the logical plan's semantic
+    * hash joined with a content stamp of every scanned file (path,
+    * mtime, length via Hadoop FileSystem — java.io.File returns fake
+    * zeros off local disk). The key the bounded-count cache uses, and
+    * the key any driver-side memo of a frame-derived value must use —
+    * data regenerated in place changes the stamp, so a memo can never
+    * serve a stale value for a changed corpus. */
+  private[analytics] def planStamp(df: DataFrame): String = {
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val files = df.inputFiles.sorted.map { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -68,8 +74,13 @@ object Bounded {
         case _: java.io.FileNotFoundException => s"$p@missing"
       }
     }
-    val key = tag + ":" + df.queryExecution.logical.semanticHash() +
+    df.queryExecution.logical.semanticHash() +
       ":" + java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]])
+  }
+
+  def checkedRowCount(df: DataFrame, tag: String,
+                      maxRows: Long = MaxBenchRows): Long = {
+    val key = tag + ":" + planStamp(df)
     val n = {
       val cached = checked.get(key)
       if (cached != null) cached.longValue()

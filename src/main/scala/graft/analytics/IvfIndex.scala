@@ -551,18 +551,43 @@ object IvfIndex {
     true
   }
 
+  /** Per-JVM memo of driver-side index METADATA reads (centroids,
+    * codebooks), keyed by the subdir's file-level content stamp
+    * (name + length + mtime): every IVF/PQ entry re-read the same
+    * nLists-row parquet with a fresh-plan collect job (FloorProf r15
+    * — a fixed slice of each entry's BUILD floor). Drift rebuilds and
+    * staged swaps rewrite the part files, changing the stamp, so a
+    * mutated index can never serve stale metadata from the memo. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def cachedMeta[T <: AnyRef](path: String)(compute: => T): T = {
+    val key = s"$path@${TableStats.contentStamp(path)}"
+    val c = metaCache.get(key)
+    if (c != null) c.asInstanceOf[T]
+    else {
+      val v = compute // collect job outside any map bin lock
+      val p = metaCache.putIfAbsent(key, v)
+      if (p != null) p.asInstanceOf[T] else v
+    }
+  }
+
   def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
-    spark.read.parquet(s"$dir/centroids").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).toSeq
+    cachedMeta(s"$dir/centroids") {
+      spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+    }
 
   /** Residual PQ codebooks of the persisted index:
     * SubSpaces × CodebookSize × dSub doubles (driver-side metadata). */
   def readResidualCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
-    spark.read.parquet(s"$dir/pq_codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    cachedMeta(s"$dir/pq_codebooks") {
+      spark.read.parquet(s"$dir/pq_codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    }
 
   def readAssignments(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/assignments")

@@ -144,8 +144,7 @@ object PqIndex {
     * map-only ADC scan + TakeOrderedAndProject. */
   def pqTopK(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]],
              queryId: Long, k: Int): DataFrame = {
-    val qvec = emb.filter(col("vec_id") === queryId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qvec = Similarity.cachedQueryVec(emb, queryId).map(_.toDouble)
     val table = adcTable(qvec, codebooks)
     encode(emb, codebooks)
       .filter(col("vec_id") =!= queryId)
@@ -182,8 +181,7 @@ object PqIndex {
   def pqTopKRefined(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]],
                     queryId: Long, k: Int, shortlistFactor: Int = 8): DataFrame = {
     val spark = emb.sparkSession
-    val qvec = emb.filter(col("vec_id") === queryId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qvec = Similarity.cachedQueryVec(emb, queryId).map(_.toDouble)
     val table = adcTable(qvec, codebooks)
     val shortlist = encode(emb, codebooks)
       .filter(col("vec_id") =!= queryId)

@@ -57,7 +57,7 @@ object ScaleExtensions {
                             d: String, salted: Boolean)
       : org.apache.spark.sql.DataFrame = {
     val m = SkewData.DefaultKeySpace
-    val repl = 8L
+    val repl = 32L
     val facts = table(s, d, "lineitem").select(
       SkewData.zipfKey(col("l_orderkey") * 8 + col("l_linenumber"), m)
         .as("skey"),
@@ -72,12 +72,16 @@ object ScaleExtensions {
           SkewJoin.saltedJoin(facts, dims, "skey", col("src"),
                               saltFactor = 32)
         else facts.join(dims, Seq("skey"))
-      val df = joined.groupBy("skey")
+      // materialize INSIDE the scope: AQE re-selects join strategies at
+      // runtime from the LIVE conf, so a plan-only scope would let it
+      // convert the shuffle join back to broadcast after the restore
+      // and dissolve the skew this pair measures (the first cut of this
+      // entry benched plain == salted to the millisecond that way)
+      joined.groupBy("skey")
         .agg(count(lit(1)).as("n_items"),
              round(sum(col("l_quantity") * col("w")), 2).as("wsum"))
         .orderBy("skey")
-      df.queryExecution.executedPlan // plan inside the conf scope
-      df
+        .localCheckpoint(true)
     }
   }
 
@@ -89,7 +93,7 @@ object ScaleExtensions {
        |  FROM lineitem),
        |dm AS (SELECT skey, (skey * 31 + rep) % 97 AS w
        |       FROM generate_series(1, ${SkewData.DefaultKeySpace}) g(skey),
-       |            generate_series(0, 7) r(rep))
+       |            generate_series(0, 31) r(rep))
        |SELECT f.skey, COUNT(*) AS n_items,
        |  round(SUM(l_quantity * w), 2) AS wsum
        |FROM f JOIN dm ON f.skey = dm.skey
