@@ -126,8 +126,24 @@ case class DeconScore(left: Expression, right: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "decon_score"
 
-  override def nullSafeEval(vecAny: Any, tableAny: Any): Any = {
-    val vecData = vecAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(vecAny: Any, tableAny: Any): Any =
+    score(vecAny.asInstanceOf[ArrayData], tableAny.asInstanceOf[ArrayData])
+
+  /** The whole scorer as ONE precompiled method, shared verbatim by the
+    * interpreted path ([[nullSafeEval]]) and the generated path
+    * ([[doGenCode]] emits a thin call to it). r15 measurement
+    * (graft.DeconProf): the r13/r14 form inlined ~80 generated lines
+    * into every WholeStageCodegen source containing this expression, so
+    * EVERY fresh plan paid a ~1.1 s janino compile — with all 32 tasks
+    * of the serve stage blocking on the codegen-cache load lock, booked
+    * as ~35 executor-seconds on a 0.15 s row workload (the dominant
+    * cost of the whole fixture-scale decon family; JobProf r14/r15).
+    * Inlining bought nothing: the loop shares no subexpressions with
+    * neighboring operators, and C2 compiles this method exactly as it
+    * compiled the janino twin. Returns null for a null-element vector
+    * (the generated caller maps it to isNull — same contract the
+    * inlined form implemented). */
+  def score(vecData: ArrayData, tableAny: ArrayData): InternalRow = {
     val dim = vecData.numElements()
     val vec = new Array[Double](dim)
     var i = 0
@@ -206,115 +222,24 @@ case class DeconScore(left: Expression, right: Expression,
       java.lang.Long.valueOf(seen.size.toLong)))
   }
 
-  /** Generated form of [[nullSafeEval]], same arithmetic statement for
-    * statement (the spec pins generated ≡ interpreted row-for-row).
-    * The sign matrix comes from the SAME [[DeconSigns]] instance,
-    * shipped as a reference object. */
+  /** Generated form: a THIN CALL to the precompiled [[score]] method —
+    * the generated and interpreted paths are literally the same code.
+    * The r13/r14 form generated the scoring loop inline; see [[score]]
+    * for the measured janino-compile cost that retired it. The
+    * expression still participates in whole-stage codegen (no
+    * CodegenFallback row boxing — the one-virtual-call overhead is
+    * noise against ~150 cosines per row). */
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val signsRef = ctx.addReferenceObj("deconSigns", signs,
-                                       classOf[DeconSigns].getName)
+    val scorerRef = ctx.addReferenceObj("deconScorer", this,
+                                        classOf[DeconScore].getName)
     nullSafeCodeGen(ctx, ev, (vecTerm, tableTerm) => {
-      val dim = ctx.freshName("dim")
-      val vec = ctx.freshName("vec")
-      val w = ctx.freshName("w")
-      val sig = ctx.freshName("sig")
-      val b = ctx.freshName("b")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val e = ctx.freshName("e")
-      val m = ctx.freshName("m")
-      val base = ctx.freshName("base")
-      val proj = ctx.freshName("proj")
-      val slot = ctx.freshName("slot")
-      val bucket = ctx.freshName("bucket")
-      val entry = ctx.freshName("entry")
-      val q = ctx.freshName("q")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val sqNa = ctx.freshName("sqNa")
-      val nb = ctx.freshName("nb")
-      val qv = ctx.freshName("qv")
-      val c = ctx.freshName("c")
-      val seen = ctx.freshName("seen")
-      val best = ctx.freshName("best")
-      val hasBest = ctx.freshName("hasBest")
-      val nullElem = ctx.freshName("nullElem")
-      val badVec = ctx.freshName("badVec")
+      val r = ctx.freshName("deconRow")
       s"""
-        |final int $dim = $vecTerm.numElements();
-        |final double[] $vec = new double[$dim];
-        |boolean $badVec = false;
-        |for (int $i = 0; $i < $dim; $i++) {
-        |  if ($vecTerm.isNullAt($i)) { $badVec = true; break; }
-        |  $vec[$i] = (double) $vecTerm.getFloat($i);
-        |}
-        |if ($badVec) {
-        |  ${ev.isNull} = true;
-        |} else {
-        |  double $na = 0.0;
-        |  for (int $i = 0; $i < $dim; $i++) {
-        |    $na += $vec[$i] * $vec[$i];
-        |  }
-        |  final double $sqNa = java.lang.Math.sqrt($na);
-        |  final boolean[] $w = $signsRef.forDim($dim);
-        |  long $sig = 0L;
-        |  for (int $b = 0; $b < $nBits; $b++) {
-        |    double $proj = 0.0;
-        |    final int $base = $b * $dim;
-        |    for (int $i = 0; $i < $dim; $i++) {
-        |      $proj += $w[$base + $i] ? $vec[$i] : -$vec[$i];
-        |    }
-        |    if ($proj >= 0) $sig |= (1L << $b);
-        |  }
-        |  final java.util.HashSet $seen = new java.util.HashSet();
-        |  double $best = 0.0;
-        |  boolean $hasBest = false;
-        |  for (int $b = 0; $b < $nBands; $b++) {
-        |    final int $slot = ($b << $rowsPerBand) +
-        |      (int) (($sig >>> ($b * $rowsPerBand)) & ${slotMask}L);
-        |    if ($slot < $tableTerm.numElements() &&
-        |        !$tableTerm.isNullAt($slot)) {
-        |      final org.apache.spark.sql.catalyst.util.ArrayData $bucket =
-        |        $tableTerm.getArray($slot);
-        |      final int $m = $bucket.numElements();
-        |      for (int $e = 0; $e < $m; $e++) {
-        |        if (!$bucket.isNullAt($e)) {
-        |          final org.apache.spark.sql.catalyst.InternalRow $entry =
-        |            $bucket.getStruct($e, 2);
-        |          $seen.add(java.lang.Long.valueOf($entry.getLong(0)));
-        |          final org.apache.spark.sql.catalyst.util.ArrayData $q =
-        |            $entry.getArray(1);
-        |          if ($q != null && $q.numElements() == $dim) {
-        |            double $dot = 0.0; double $nb = 0.0;
-        |            boolean $nullElem = false;
-        |            for (int $j = 0; $j < $dim && !$nullElem; $j++) {
-        |              if ($q.isNullAt($j)) { $nullElem = true; }
-        |              else {
-        |                final double $qv = (double) $q.getFloat($j);
-        |                $dot += $vec[$j] * $qv;
-        |                $nb += $qv * $qv;
-        |              }
-        |            }
-        |            if (!$nullElem) {
-        |              final double $c = $dot /
-        |                ($sqNa * java.lang.Math.sqrt($nb));
-        |              if (!$hasBest || java.lang.Double.compare($c, $best) > 0) {
-        |                $best = $c; $hasBest = true;
-        |              }
-        |            }
-        |          }
-        |        }
-        |      }
-        |    }
-        |  }
-        |  ${ev.value} =
-        |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        |      new Object[] {
-        |        $hasBest ? (Object) java.lang.Double.valueOf($best)
-        |                 : (Object) null,
-        |        (Object) java.lang.Long.valueOf((long) $seen.size()) });
-        |}
+        |final org.apache.spark.sql.catalyst.InternalRow $r =
+        |  $scorerRef.score($vecTerm, $tableTerm);
+        |if ($r == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $r; }
       """.stripMargin
     })
   }
