@@ -127,6 +127,22 @@ def main():
         sp = spark_row(out_dir, "dc05_decon_selective")
         ok &= check("dc05_decon_selective", {k: sp[k] for k in got}, got)
 
+    # dc06 (r15): the auto-crossover serve. Exact-side scalars are the
+    # same quarter-slice counts (bench replication cannot change a max
+    # or a count — replicas carry identical embeddings); the crossover
+    # booleans are constants in the oracle, computed for real in-plan.
+    if os.path.isdir(f"{out_dir}/dc06_decon_auto"):
+        mask = (label != 0) & (vec_id % 4 == 1)
+        mc = max_cosine(emb[mask], bench)
+        got = {"n_exact_drops_audit": int((mc >= 0.35).sum()),
+               "n_strong_audit": int((round_half_away(mc, 6) >= 0.9).sum()),
+               "nonempty_ok": True, "precision_ok": True,
+               "sim_bounded_ok": True, "recall_ok": True,
+               "pruned_ok": True, "crossed_ok": True,
+               "auto_selective_ok": True}
+        sp = spark_row(out_dir, "dc06_decon_auto")
+        ok &= check("dc06_decon_auto", {k: sp[k] for k in got}, got)
+
     sys.exit(0 if ok else 1)
 
 
