@@ -227,9 +227,10 @@ object DataQuality {
     * [[DeconMapChunkRows]]). Dense indexing replaces the r12
     * string-keyed map: the scorer does an O(1) array load per band per
     * row instead of an O(#keys) UTF8String map scan. The bench-side
-    * signature stays the HOF [[graft.functions.VectorOps
-    * .simhashBucket]] column — the corpus-side native replica
-    * ([[graft.functions.DeconScore]]) is spec-pinned against it.
+    * signature is the native [[graft.functions.SimhashSig]] (r15; the
+    * HOF [[graft.functions.VectorOps.simhashBucket]] stays the
+    * independent REFERENCE both the native sig and the corpus-side
+    * scorer ([[graft.functions.DeconScore]]) are spec-pinned against).
     * Build ONCE per gate/stream, then score any number of slices with
     * [[semanticDeconLshDropsWith]]; callers that serve many batches
     * should `.localCheckpoint(true)` each frame so the simhash →
@@ -255,6 +256,13 @@ object DataQuality {
     require(chunkRows >= 1, s"chunkRows must be positive: $chunkRows")
     val mask = (1L << rows) - 1
     val nSlots = bands << rows
+    // bench-side signature: the native twin of the scorer's signature
+    // (r15 — the HOF reference form evaluated nBits × dim interpreted
+    // lambdas per row: invisible at a 199-row bench, two 7.6 s
+    // single-task stages at dc06's 10⁴-row bench and worse at the 100×
+    // corpus' organic 2·10⁴ bench; SimhashSigSpec pins native ≡ HOF
+    // bit-for-bit, nulls and empties included)
+    graft.functions.SimhashSig.register(benchIn.sparkSession)
     val benchSel = benchIn.select(col("bench_id"), col("embedding"))
     // same tag + content-stamped cache as a broadcastBench call, so
     // the count job is shared with any broadcast of the same frame
@@ -268,7 +276,8 @@ object DataQuality {
           pmod(xxhash64(col("bench_id")), lit(k.toLong)) === c)
       side
         .withColumn("__sig",
-          graft.functions.VectorOps.simhashBucket(col("embedding"), nBits))
+          call_function(graft.functions.SimhashSig.fnName,
+                        col("embedding"), lit(nBits)))
         .select(explode(array((0 until bands).map { b =>
           struct((lit(b << rows) +
                   shiftright(col("__sig"), b * rows)

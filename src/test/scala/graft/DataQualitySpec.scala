@@ -315,6 +315,13 @@ class DataQualitySpec extends SparkSpec {
     // this pin was vacuous — ADVICE r13). The interpreted leg must
     // ALSO disable whole-stage codegen, and each leg asserts from the
     // executed plan that its path is the one actually running.
+    // hermetic plans: a lingering cache from ANOTHER suite (e.g. a
+    // streaming test's emb.persist) would be substituted into these
+    // legs as an InMemoryRelation whose STORED printout keeps its
+    // original `*(1)` codegen markers — a false positive for the
+    // string check below regardless of how this query actually runs
+    // (surfaced by suite-order shuffling, r15)
+    spark.catalog.clearCache()
     val fmKey = "spark.sql.codegen.factoryMode"
     val wsKey = "spark.sql.codegen.wholeStage"
     val fmBefore = spark.conf.getOption(fmKey)
@@ -348,7 +355,8 @@ class DataQualitySpec extends SparkSpec {
         assert(!codegenSpans(df),
                "interpreted leg must not run generated Java: with " +
                  "wholeStage off and NO_CODEGEN factories the serve " +
-                 "goes through nullSafeEval")
+                 "goes through nullSafeEval\n" +
+                 df.queryExecution.executedPlan.toString.take(5000))
         out
       } finally restore()
     assert(gen.nonEmpty && gen.exists(_._2.isDefined),
