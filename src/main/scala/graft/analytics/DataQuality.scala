@@ -290,9 +290,22 @@ object DataQuality {
         .agg(map_from_entries(collect_list(struct(col("slot"), col("bucket"))))
                .as("m"))
         .select(transform(sequence(lit(0), lit(nSlots - 1)),
-                          sl => element_at(col("m"), sl)).as("bkts"))
+                          sl => element_at(col("m"), sl))
+          // the chunk frame CARRIES its (bands, rows) in the column
+          // metadata so the scorer can verify them: a config mismatch
+          // between build and score silently empties every bucket
+          // (total recall loss), and before this stamp the contract
+          // was a doc comment only (ADVICE r15)
+          .as("bkts", new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(ChunkBandsKey, bands.toLong)
+            .putLong(ChunkRowsKey, rows.toLong).build()))
     }
   }
+
+  /** Column-metadata keys [[deconBenchBucketChunks]] stamps onto each
+    * chunk's `bkts` column and [[semanticDeconScoredWith]] verifies. */
+  private[graft] val ChunkBandsKey = "graft.decon.bands"
+  private[graft] val ChunkRowsKey = "graft.decon.rows"
 
   /** The map-only scoring pass against PREBUILT bench bucket chunks:
     * ONE native [[graft.functions.DeconScore]] eval per corpus row per
@@ -337,6 +350,23 @@ object DataQuality {
                               rows: Int = DeconLshRows)
       : org.apache.spark.sql.DataFrame = {
     require(chunks.nonEmpty, "at least one bench bucket chunk required")
+    // Loud config check (ADVICE r15): score with the SAME (bands, rows)
+    // the chunks were built with, or every dense-table slot lookup
+    // lands in the wrong band partition and the gate silently passes
+    // everything. Chunks built before the stamp existed (no metadata)
+    // pass — the check tightens, never breaks, old callers.
+    chunks.foreach { ch =>
+      val md = ch.schema("bkts").metadata
+      if (md.contains(ChunkBandsKey)) {
+        val (cb, cr) = (md.getLong(ChunkBandsKey), md.getLong(ChunkRowsKey))
+        require(cb == bands && cr == rows,
+          s"decon config mismatch: chunks built with (bands=$cb, " +
+            s"rows=$cr) but scoring with (bands=$bands, rows=$rows) — " +
+            "this would empty every bucket silently; thread the " +
+            "RESOLVED config to both deconBenchBucketChunks and the " +
+            "scoring call")
+      }
+    }
     graft.functions.DeconScore.register(s)
     // analysis resolves against the ROOT frame's session, which in the
     // streaming gates is the driving session, not the micro-batch

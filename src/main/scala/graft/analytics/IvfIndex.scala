@@ -561,8 +561,35 @@ object IvfIndex {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def cachedMeta[T <: AnyRef](path: String)(compute: => T): T = {
-    val key = s"$path@${TableStats.contentStamp(path)}"
+  /** Content stamp of a metadata dir through Hadoop FileSystem —
+    * NOT java.io.File, which sees nothing on hdfs:// / s3a:// and
+    * would freeze the stamp there, letting drift rebuilds serve stale
+    * centroids/codebooks from the memo (ADVICE r15; same hazard
+    * [[Bounded.planStamp]] documents and resolves the same way).
+    * A path the FS cannot stat contributes a distinct marker, so the
+    * key still changes when a dir appears or vanishes. */
+  private def fsStamp(spark: SparkSession, path: String): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    try {
+      val fs = p.getFileSystem(hconf)
+      val it = fs.listFiles(p, true)
+      val sig = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        sig += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+      val s = sig.sorted.mkString("|")
+      f"${scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)}%08x" +
+        f"${scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)}%08x"
+    } catch {
+      case _: java.io.FileNotFoundException => "missing"
+    }
+  }
+
+  private def cachedMeta[T <: AnyRef](spark: SparkSession, path: String)
+                                     (compute: => T): T = {
+    val key = s"$path@${fsStamp(spark, path)}"
     val c = metaCache.get(key)
     if (c != null) c.asInstanceOf[T]
     else {
@@ -573,7 +600,7 @@ object IvfIndex {
   }
 
   def readCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
-    cachedMeta(s"$dir/centroids") {
+    cachedMeta(spark, s"$dir/centroids") {
       spark.read.parquet(s"$dir/centroids").collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).toSeq
@@ -582,7 +609,7 @@ object IvfIndex {
   /** Residual PQ codebooks of the persisted index:
     * SubSpaces × CodebookSize × dSub doubles (driver-side metadata). */
   def readResidualCodebooks(spark: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
-    cachedMeta(s"$dir/pq_codebooks") {
+    cachedMeta(spark, s"$dir/pq_codebooks") {
       spark.read.parquet(s"$dir/pq_codebooks").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
         .groupBy(_._1).toSeq.sortBy(_._1)

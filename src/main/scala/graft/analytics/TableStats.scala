@@ -109,8 +109,13 @@ object TableStats {
   def ensure(spark: SparkSession, sfDir: String,
              tables: Seq[String]): Unit = tables.foreach { t =>
     val key = s"$sfDir@${contentStamp(s"$sfDir/$t.parquet")}"
-    val prev = analyzedDir.put(t, key)
-    if (prev == null || prev != key) analyze(spark, sfDir, Seq(t))
+    if (analyzedDir.get(t) != key) {
+      // memo AFTER success: if ANALYZE throws (and a bench harness
+      // swallows it), the next same-JVM call must retry, not serve a
+      // stats-less catalog entry from a poisoned memo (ADVICE r15)
+      analyze(spark, sfDir, Seq(t))
+      analyzedDir.put(t, key)
+    }
   }
 
   /** Stage the PLANTED-ZIPF derived table (orders + `skey`, see
@@ -127,8 +132,11 @@ object TableStats {
                          histogram: Boolean): String = {
     val t = if (histogram) "orders_skewed" else "orders_skewed_basic"
     val key = s"$sfDir@${contentStamp(s"$sfDir/orders.parquet")}@h=$histogram"
-    val prev = analyzedDir.put(t, key)
-    if (prev == null || prev != key) {
+    // memo is recorded only after the staging write + ANALYZE complete
+    // (end of this block): a throw mid-stage must leave the memo
+    // unset so the next same-JVM call re-stages instead of planning
+    // tp03 against a partial or stats-less table (ADVICE r15)
+    if (analyzedDir.get(t) != key) {
       // external-table staging (the analyzePath form): a managed
       // saveAsTable trips over a previous JVM's leftover warehouse
       // directory (DROP TABLE clears only the in-memory catalog) —
@@ -153,6 +161,7 @@ object TableStats {
         case Some(v) => conf.set(hk, v)
         case None => conf.unset(hk)
       }
+      analyzedDir.put(t, key)
     }
     t
   }

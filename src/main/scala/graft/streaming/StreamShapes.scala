@@ -1937,9 +1937,11 @@ object StreamShapes {
                        deconRows: Int = graft.analytics.DataQuality.DeconLshRows)
       : org.apache.spark.sql.DataFrame = {
     // (deconBands, deconRows) MUST match the config `benchChunks` was
-    // built with — a mismatch silently empties every bucket (the
-    // failure mode the streaming 8×7 pin guards); callers that resolve
-    // a config (auto) thread it to both.
+    // built with — a mismatch would silently empty every bucket, and
+    // since r16 the scorer VERIFIES it against the (bands, rows) stamp
+    // each chunk carries in its column metadata and fails loudly
+    // (DataQuality.semanticDeconScoredWith); callers that resolve a
+    // config (auto) thread it to both.
     import graft.analytics.DataQuality
     val bench = emb.filter(col("label") === 0)
       .select(col("vec_id").as("bench_id"), col("embedding"))

@@ -43,7 +43,7 @@ class SimhashSigSpec extends SparkSpec {
     val rows = java.util.Arrays.asList(
       Row(Seq.empty[Float]),                       // empty: bucket 0 (HOF quirk)
       Row(Seq[Any](1.0f, null, 2.0f)),             // null element: bucket 0
-      Row(null))                                   // null vector: null
+      Row(null))                                   // null vector: bucket 0 (both sides)
     val df = spark.createDataFrame(rows, schema)
     val got = df.select(
         call_function(graft.functions.SimhashSig.fnName,
