@@ -100,10 +100,10 @@ object Bench {
 
     // optional args = run only these queries (isolation/profiling runs);
     // the driver invokes with no args → every headline operator. The
-    // dd02p/dd02r entries are correctness ANCHORS (empty anti-joins that
-    // re-run both the LSH and exact pipelines purely to cross-check
-    // them) — they stay in Verify's gate but are not operator latencies,
-    // so the no-args bench skips them.
+    // p/r-style entries below are correctness ANCHORS (empty anti-joins
+    // that re-run both a banded and an exact pipeline purely to
+    // cross-check them) — they stay in Verify's gate but are not
+    // operator latencies, so the no-args bench skips them.
     // NB the ss*x exactness anchors (ss03x/ss05x/ss06x/ss07x/ss12x/
     // ss14x/ss16x/ss17x) are INTENTIONALLY benched: each is a single-pipeline
     // brute-force serve whose latency is the exact-scan baseline its
@@ -116,9 +116,7 @@ object Bench {
     // serve's latency is its OWN registry entry, so benching the twin
     // would double-charge the serve and book audit cost as latency
     // (the r14 serve_only split, promoted to driver-gated entries).
-    val anchors = Set("dd02p_lsh_precision", "dd02r_lsh_recall",
-                      "dd03p_simhash_precision", "dd03r_simhash_recall",
-                      "x14x_ndv_anchor", "id02x_bloom_anchor",
+    val anchors = Set("x14x_ndv_anchor", "id02x_bloom_anchor",
                       "id03x_sharded_anchor", "st14x_bloom_stream_anchor",
                       "dc03p_decon_precision", "dc03r_decon_recall",
                       "dd09p_neardup_gate_precision",

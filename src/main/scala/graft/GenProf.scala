@@ -88,21 +88,8 @@ object GenProf {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-
     // JVM/classloading warm-up on an unrelated plan
     noop(spark.range(1000).select((col("id") * 2).as("x")))
-
-    /** 4 fresh-source compiles + 1 warm re-run of the last plan. */
-    def profile(tag: String, mk: Int => DataFrame): (Double, Double) = {
-      val cold = (1 to 4).map(s => time(noop(
-        mk(s).withColumn("salt", col("id") + lit(s * 1000003)))))
-      val last = mk(4).withColumn("salt", col("id") + lit(4 * 1000003))
-      val warm = time(noop(last))
-      println(f"$tag%-34s cold=${cold.map(c => f"$c%.3f").mkString("/")}" +
-        f"  median=${median(cold)}%.3f  warm=$warm%.3f s")
-      (median(cold), warm)
-    }
 
     val vecs = () => spark.read.parquet(s"$dir/vecs")
     val pq = () => spark.read.parquet(s"$dir/pq")
@@ -112,41 +99,67 @@ object GenProf {
     println(s"== fixtures: $rows rows, dim=$dim, $nCent centroids, " +
       s"pq $m x $books x $dSub ==")
 
-    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    results("base_vecs") = profile("baseline size(vec) [vecs]",
-      _ => vecs().select(col("id"), size(col("vec")).as("v")))
-    results("nearest_centroid") = profile("nearest_centroid (inline)",
-      _ => vecs().select(col("id"),
-        call_function("nearest_centroid", col("vec"), col("cents")).as("v")))
-    results("nearest2_centroid") = profile("nearest2_centroid (inline)",
-      _ => vecs().select(col("id"),
-        call_function("nearest2_centroid", col("vec"), col("cents")).as("v")))
-    results("base_pq") = profile("baseline size(codes) [pq]",
-      _ => pq().select(col("id"), size(col("codes")).as("v")))
-    results("pq_adc") = profile("pq_adc (inline)",
-      _ => pq().select(col("id"),
-        call_function("pq_adc", col("q"), col("codes"), col("cb")).as("v")))
-    results("base_spans") = profile("baseline size(words) [spans]",
-      _ => spans().select(col("id"), size(col("words")).as("v")))
-    results("span_strip") = profile("span_strip (inline)",
-      _ => spans().select(col("id"),
+    // Variants measured INTERLEAVED: this box's stalls are bursty in
+    // time (a 30-60 s slow window swallowed whole per-expression
+    // blocks in the first, sequential, formulation — one variant read
+    // warm=6 s for a 4096-row frame while its near-identical twin read
+    // 0.1 s). Round-robining the variants puts each variant's k-th
+    // sample in a different window; MIN over samples is then the
+    // estimator for the deterministic compile/run cost under additive
+    // bursty noise.
+    val variants: Seq[(String, Int => DataFrame)] = Seq(
+      "base_vecs" -> (_ =>
+        vecs().select(col("id"), size(col("vec")).as("v"))),
+      "nearest_centroid" -> (_ => vecs().select(col("id"),
+        call_function("nearest_centroid", col("vec"), col("cents")).as("v"))),
+      "nearest2_centroid" -> (_ => vecs().select(col("id"),
+        call_function("nearest2_centroid", col("vec"), col("cents")).as("v"))),
+      "base_pq" -> (_ =>
+        pq().select(col("id"), size(col("codes")).as("v"))),
+      "pq_adc" -> (_ => pq().select(col("id"),
+        call_function("pq_adc", col("q"), col("codes"), col("cb")).as("v"))),
+      "base_spans" -> (_ =>
+        spans().select(col("id"), size(col("words")).as("v"))),
+      "span_strip" -> (_ => spans().select(col("id"),
         call_function("span_strip", col("words"), col("starts"),
-                      lit(17)).as("v")))
-    results("base_hashes") = profile("baseline h*2 [hashes]",
-      _ => hashes().select(col("id"), (col("h") * 2).as("v")))
-    results("bloom_probe_file") = profile("bloom_probe_file (mutable-state)",
-      _ => hashes().select(col("id"),
-        call_function("bloom_probe_file", lit(bfPath), col("h")).as("v")))
-    // thin-call controls: the r15 fix (DeconScore) and the born-thin
-    // SimhashSig — their deltas are what "fixed" reads as
-    results("simhash_sig") = profile("simhash_sig_n (thin control)",
-      _ => vecs().select(col("id"),
-        call_function("simhash_sig_n", col("vec"), lit(48)).as("v")))
+                      lit(17)).as("v"))),
+      "base_hashes" -> (_ =>
+        hashes().select(col("id"), (col("h") * 2).as("v"))),
+      "bloom_probe_file" -> (_ => hashes().select(col("id"),
+        call_function("bloom_probe_file", lit(bfPath), col("h")).as("v"))),
+      // thin-call control: born-thin SimhashSig — its delta is what
+      // "fixed" reads as
+      "simhash_sig" -> (_ => vecs().select(col("id"),
+        call_function("simhash_sig_n", col("vec"), lit(48)).as("v"))))
 
-    println("\n== cold-plan delta vs same-fixture baseline ==")
+    val nCold = 8
+    val cold = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to nCold).foreach { s =>
+      variants.foreach { case (tag, mk) =>
+        val t = time(noop(
+          mk(s).withColumn("salt", col("id") + lit(s * 1000003))))
+        cold(tag) = cold(tag) :+ t
+      }
+    }
+    val warm = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to 3).foreach { _ =>
+      variants.foreach { case (tag, mk) =>
+        val last = mk(nCold).withColumn("salt",
+          col("id") + lit(nCold * 1000003))
+        warm(tag) = warm(tag) :+ time(noop(last))
+      }
+    }
+    variants.foreach { case (tag, _) =>
+      println(f"$tag%-20s cold=${cold(tag).map(c => f"$c%.3f").mkString("/")}" +
+        f"  min=${cold(tag).min}%.3f  warm_min=${warm(tag).min}%.3f s")
+    }
+
+    println("\n== cold-plan delta vs same-fixture baseline (min-based) ==")
     def delta(tag: String, base: String): Unit = {
-      val d = results(tag)._1 - results(base)._1
-      println(f"$tag%-22s cold_delta=${d}%+.3f s  warm=${results(tag)._2}%.3f s")
+      val d = cold(tag).min - cold(base).min
+      println(f"$tag%-22s cold_delta=${d}%+.3f s  warm=${warm(tag).min}%.3f s")
     }
     delta("nearest_centroid", "base_vecs")
     delta("nearest2_centroid", "base_vecs")

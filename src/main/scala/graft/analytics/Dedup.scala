@@ -467,52 +467,13 @@ object Dedup {
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
     ),
 
-    // LSH precision anchor: every dd02-style pair on the exact-anchor
-    // slice must appear in the exact-Jaccard ground truth (precision 1
-    // by construction — the anti-join is empty iff the LSH pipeline's
-    // shingling + verify agree with the exact path). Hash-checkable
-    // empty-result oracle.
-    QueryDef(
-      "dd02p_lsh_precision",
-      (s, d) => {
-        val lsh = minhashPairs(
-          table(s, d, "documents").filter(col("doc_id") < 500),
-          shingleN = 2, minJaccard = 0.3)
-        lsh.select("id_a", "id_b")
-          .except(exactNgramPairs(s, d).select("id_a", "id_b"))
-          .orderBy("id_a", "id_b")
-      },
-      Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
-             |WHERE false""".stripMargin)
-    ),
-
-    // LSH recall anchor: with the configured MinHash.Bands × MinHash.Rows
-    // (12 × 4 — derived below, not hand-copied, so the bound can't drift
-    // from the config), a Jaccard ≥ 0.9 pair misses every band with
-    // probability (1 - 0.9^Rows)^Bands = (1 - 0.9⁴)¹² ≈ 2.7e-6 — so the
-    // top stratum of the exact ground truth must be fully recalled.
-    // (At the former 0.8 stratum the bound is only (1-0.8⁴)¹² ≈ 1.8e-3
-    // per pair — too weak to call "guaranteed"; on this fixture every
-    // ≥0.8 pair is also ≥0.9, so the raise costs no coverage.)
-    // Empty anti-join, hash-checkable oracle.
-    QueryDef(
-      "dd02r_lsh_recall",
-      (s, d) => {
-        // derived miss bound, kept as a compile-time-checked breadcrumb:
-        // miss = (1 - J^Rows)^Bands at J = 0.9
-        val missBound = math.pow(1.0 - math.pow(0.9, Rows), Bands)
-        require(missBound < 1e-4,
-          s"band config too weak for a recall anchor: miss=$missBound")
-        val lsh = minhashPairs(
-          table(s, d, "documents").filter(col("doc_id") < 500),
-          shingleN = 2, minJaccard = 0.3)
-        exactNgramPairs(s, d, minJaccard = 0.9).select("id_a", "id_b")
-          .except(lsh.select("id_a", "id_b"))
-          .orderBy("id_a", "id_b")
-      },
-      Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
-             |WHERE false""".stripMargin)
-    ),
+    // (r16 registry discipline: the dd02p/dd02r precision/recall anchors
+    // were RETIRED from the registry — dd02's in-plan audit computes the
+    // identical anti-joins on the identical <500 slice and surfaces them
+    // as oracle-gated precision_ok/recall_ok booleans every driver run;
+    // the derived (1-0.9^Rows)^Bands miss bound that justified dd02r
+    // lives on as a DedupSpec pin so the band config cannot silently
+    // weaken below recall-anchor strength.)
 
     // dedup reporting: per-cluster membership stats over the connected
     // components — the shape every dedup pipeline emits for auditing
@@ -542,56 +503,15 @@ object Dedup {
               |ORDER BY canonical_id""".stripMargin)
     ),
 
-    // SimHash precision anchor: the NEAR-IDENTICAL fingerprint stratum
-    // (Hamming ≤ 1 of 64 bits) must be genuinely near-identical text —
-    // every such pair appears in the exact bigram-Jaccard ground truth
-    // at ≥ 0.8. Calibrated on the fixture: measured min Jaccard in the
-    // stratum is 0.973 (sf0.01) / 0.985 (sf0.1). NOTE a wider stratum
-    // cannot anchor this way — at Hamming ≤ 7 this corpus has pairs
-    // sharing ZERO bigrams (measured min J 0.007, 8 disjoint pairs at
-    // sf0.01): short docs over a ~30-word vocabulary produce near-equal
-    // token-vote fingerprints for texts with no bigram overlap. That is
-    // inherent SimHash behavior, not a bug — the meaningful precision
-    // claim lives in the closest stratum only. Empty anti-join,
-    // hash-checkable oracle.
-    QueryDef(
-      "dd03p_simhash_precision",
-      (s, d) => {
-        val docs500 = table(s, d, "documents").filter(col("doc_id") < 500)
-        simhashPairs(s, docs500, maxHamming = 1).select("id_a", "id_b")
-          .except(exactNgramPairs(s, d, minJaccard = 0.8).select("id_a", "id_b"))
-          .orderBy("id_a", "id_b")
-      },
-      Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
-             |WHERE false""".stripMargin)
-    ),
-
-    // SimHash recall anchor (the pigeonhole guarantee made
-    // driver-visible): on the 500-doc slice no chunk bucket hits the
-    // census cap, so chunk-blocking must find EXACTLY the brute-force
-    // all-pairs Hamming ≤ 7 set — symmetric difference of the blocked
-    // and brute pair sets is empty in BOTH directions (full recall AND
-    // no phantom pairs). Brute force is affordable only because the
-    // slice is bounded; at scale the blocked path is the operator and
-    // this anchor is its exactness proof. Empty-result oracle.
-    QueryDef(
-      "dd03r_simhash_recall",
-      (s, d) => {
-        val docs500 = table(s, d, "documents").filter(col("doc_id") < 500)
-        val blocked = simhashPairs(s, docs500, maxHamming = 7)
-          .select("id_a", "id_b")
-        val fp = simhashFingerprints(docs500)
-        val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
-        val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"))
-        val brute = a.join(b, col("id_a") < col("id_b"))
-          .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= lit(7))
-          .select("id_a", "id_b")
-        brute.except(blocked).union(blocked.except(brute))
-          .orderBy("id_a", "id_b")
-      },
-      Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
-             |WHERE false""".stripMargin)
-    ),
+    // (r16 registry discipline: the dd03p/dd03r anchors were RETIRED —
+    // dd03's in-plan audit runs the identical near-identity anti-join
+    // and the identical two-direction brute-vs-blocked pigeonhole diff
+    // on the identical 500-doc slice, surfaced as oracle-gated
+    // precision_ok/block_exact_ok booleans every driver run. The
+    // fixture calibration note they carried: the meaningful precision
+    // claim lives in the Hamming ≤ 1 stratum only — at Hamming ≤ 7 this
+    // ~30-word-vocabulary corpus has pairs sharing ZERO bigrams
+    // (measured min J 0.007), inherent SimHash behavior, not a bug.)
 
     // embedding-cosine near-dup, brute-force baseline (correctness
     // anchor for the LSH scale path in Similarity).

@@ -41,13 +41,17 @@ object Int8Index {
     })
   }
 
-  /** The persisted codes, widened back to the (vec_id, __scale, __q)
-    * shape the int8 scoring path consumes (the fold multiplies in
-    * long — widening at the scan is free in codegen). */
+  /** The persisted codes in the (vec_id, __scale, __q) shape the int8
+    * scoring path consumes. `__q` stays `array<tinyint>` — the scorer
+    * ([[graft.functions.DotL]]) takes any integral element type and
+    * widens each element to long INSIDE its compiled loop, so the
+    * serve scan pays no per-element interpreted widen pass (the r15
+    * `transform(q, cast(bigint))` form was one more HOF lambda per
+    * element per corpus row — the r16 HOF audit retired it; identical
+    * arithmetic, Java integral widening before the multiply). */
   def readCodes(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/codes")
-      .select(col("vec_id"), col("scale").as("__scale"),
-              expr("transform(q, x -> cast(x as bigint))").as("__q"))
+      .select(col("vec_id"), col("scale").as("__scale"), col("q").as("__q"))
 
   /** INCREMENTAL maintenance: append newly-arrived vectors' codes to an
     * existing index dir. Sound for int8 codes specifically because each

@@ -78,11 +78,21 @@ object IvfIndex {
       lit(0.0), (acc, d) => acc + d)
 
   /** Squared L2 distance between an `array<float>` column and an
-    * `array<double>` column. */
+    * `array<double>` column — HOF REFERENCE form (spec pins); frames
+    * that scale with the corpus use [[sqDistNative]] (r16 HOF audit:
+    * the interpreted fold is 2·dim lambda evals per row). */
   def sqDistCol(v: Column, c: Column): Column =
     aggregate(
       zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, d) => acc + d)
+
+  /** Codegen'd native twin of [[sqDistCol]]
+    * ([[graft.functions.SqDist]]) — bit-identical double fold
+    * (VecFoldsSpec), for corpus-scaled scan/serve frames. */
+  def sqDistNative(spark: SparkSession, v: Column, c: Column): Column = {
+    graft.functions.SqDist.register(spark)
+    call_function(graft.functions.SqDist.fnName, v, c)
+  }
 
   /** Index id (0-based) of the nearest centroid — pure per-row math, no
     * shuffle, identical on every executor. Native codegen'd expression
@@ -253,8 +263,8 @@ object IvfIndex {
     // the build corpus — the yardstick [[driftStatus]] compares appended
     // data against (one partial-aggregated scalar, collected once)
     assigned
-      .agg(avg(sqDistCol(col("embedding"),
-                         element_at(centLit, col("list") + 1)))
+      .agg(avg(sqDistNative(spark, col("embedding"),
+                            element_at(centLit, col("list") + 1)))
              .as("base_mean_sqdist"),
            count(lit(1)).as("n_build"))
       .coalesce(1)
@@ -469,8 +479,8 @@ object IvfIndex {
     val centroids = readCentroids(spark, dir).map(_._2)
     val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
     val cur = readAssignments(spark, dir)
-      .agg(avg(sqDistCol(col("embedding"),
-                         element_at(centLit, col("list") + 1))))
+      .agg(avg(sqDistNative(spark, col("embedding"),
+                            element_at(centLit, col("list") + 1))))
       .head().getDouble(0)
     val ratio = cur / base
     DriftStatus(base, cur, ratio, ratio > DriftRebuildRatio)

@@ -76,12 +76,13 @@ object Similarity {
     * Same rounding as [[PqIndex.rerankExact]] so "served best never
     * beats exact best" is an exact-arithmetic comparison. */
   def bruteForceL2TopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qvec"))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-              round(IvfIndex.sqDistCol(col("embedding"), col("qvec")), 6)
+              round(IvfIndex.sqDistNative(spark, col("embedding"), col("qvec")), 6)
                 .as("l2_dist"))
       .orderBy(asc("l2_dist"), asc("vec_id"))
       .limit(k)
@@ -114,13 +115,14 @@ object Similarity {
 
   /** L2 twin of [[cosScoredSlice]] (PQ-metric serves). */
   def l2ScoredSlice(emb: DataFrame, queryId: Long): DataFrame = {
+    val spark = emb.sparkSession
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qvec"))
     emb.filter(pmod(col("vec_id"), lit(AuditSliceMod)) === AuditSliceRes &&
                col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-              round(IvfIndex.sqDistCol(col("embedding"), col("qvec")), 6)
+              round(IvfIndex.sqDistNative(spark, col("embedding"), col("qvec")), 6)
                 .as("l2_dist"))
   }
 
@@ -148,13 +150,14 @@ object Similarity {
   /** L2 twin of [[batchBruteCosTopK]] for the batch PQ-metric audit. */
   def batchBruteL2TopK(emb: DataFrame, queryIds: Seq[Long],
                        k: Int): DataFrame = {
+    val spark = emb.sparkSession
     val q = emb.filter(col("vec_id").isin(queryIds.map(Long.box): _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val w = Window.partitionBy("query_id").orderBy(asc("l2_dist"), asc("vec_id"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-              round(IvfIndex.sqDistCol(col("embedding"), col("qvec")), 6)
+              round(IvfIndex.sqDistNative(spark, col("embedding"), col("qvec")), 6)
                 .as("l2_dist"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -196,11 +199,14 @@ object Similarity {
                     k: Int): DataFrame = {
     val q = queryQz.filter(col("vec_id") === queryId)
       .select(col("__scale").as("q_scale"), col("__q").as("q_q"))
+    val spark = qz.sparkSession
     qz.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
+      // native integer dot (r16 HOF audit): the corpus-scaled serve
+      // frame paid 2*dim interpreted lambda evals per row; DotL is
+      // bit-identical (exact integer math, VecFoldsSpec)
       .withColumn("qdot",
-        aggregate(zip_with(col("__q"), col("q_q"), (a, b) => a * b),
-                  lit(0L), (acc, v) => acc + v))
+        VectorOps.dotLongNative(spark, col("__q"), col("q_q")))
       .withColumn("score",
         round(col("qdot") / (col("__scale") * col("q_scale")), 6))
       .select(col("vec_id"), col("qdot"), col("score"))
@@ -235,9 +241,10 @@ object Similarity {
               col("__q").as("q_q"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     corpusQz.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      // native integer dot — see int8ScoreTopK (same serve metric)
       .withColumn("qdot",
-        aggregate(zip_with(col("__q"), col("q_q"), (a, b) => a * b),
-                  lit(0L), (acc, v) => acc + v))
+        VectorOps.dotLongNative(corpusQz.sparkSession,
+                                col("__q"), col("q_q")))
       .withColumn("score",
         round(col("qdot") / (col("__scale") * col("q_scale")), 6))
       .withColumn("rk", row_number().over(w).cast("int"))
@@ -250,9 +257,15 @@ object Similarity {
     * random-hyperplane sign bits; only the query's bucket is scanned.
     * Returns the approximate top-k (exact within the probed bucket). */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int): DataFrame = {
-    val bucketed = emb
-      .withColumn("bucket", VectorOps.simhashBucket(col("embedding"), nBits))
     val spark = emb.sparkSession
+    // native signature (r16 HOF audit): the HOF bucket evaluated
+    // nBits x dim interpreted lambdas per CORPUS row — the exact shape
+    // whose cost stayed invisible at fixture scale and surfaced at
+    // dc06's 10^4-row bench; bit-identical (SimhashSigSpec)
+    graft.functions.SimhashSig.register(spark)
+    val bucketed = emb
+      .withColumn("bucket", call_function(
+        graft.functions.SimhashSig.fnName, col("embedding"), lit(nBits)))
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
     bucketed.filter(col("vec_id") =!= queryId)
@@ -272,9 +285,12 @@ object Similarity {
     * (nBits+1)/2^nBits of the corpus; still a single scan + broadcast. */
   def lshTopKMultiProbe(emb: DataFrame, queryId: Long, k: Int,
                         nBits: Int): DataFrame = {
-    val bucketed = emb
-      .withColumn("bucket", VectorOps.simhashBucket(col("embedding"), nBits))
     val spark = emb.sparkSession
+    // native signature — see lshTopK (bit-identical, SimhashSigSpec)
+    graft.functions.SimhashSig.register(spark)
+    val bucketed = emb
+      .withColumn("bucket", call_function(
+        graft.functions.SimhashSig.fnName, col("embedding"), lit(nBits)))
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("bucket").as("qbucket"), col("embedding").as("qvec"))
     // query bucket ⊕ single-bit flips, exploded to one probe row each
@@ -1504,8 +1520,10 @@ object Similarity {
         emb.filter(col("vec_id") =!= 0L)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-                  round(graft.functions.VectorOps.dot(
-                    col("embedding"), col("qvec")), 6).as("dot"))
+                  // native double dot (r16 HOF audit) — bit-identical
+                  // left-to-right fold (VecFoldsSpec), corpus-scaled frame
+                  round(graft.functions.VectorOps.dotNative(
+                    s, col("embedding"), col("qvec")), 6).as("dot"))
           .orderBy(desc("dot"), asc("vec_id"))
           .limit(10)
       },

@@ -40,7 +40,17 @@ case class NearestCentroid(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "nearest_centroid"
 
-  override def nullSafeEval(v: Any, cs: Any): Any = {
+  override def nullSafeEval(v: Any, cs: Any): Any = argmin(v, cs)
+
+  /** The per-row loop, precompiled once in this class — shared by the
+    * interpreted eval above and the generated code ([[doGenCode]]
+    * emits a thin call to it). r16 GenProf measurement: the previous
+    * ~33-line inlined body cost +0.43 s of janino compile per fresh
+    * plan over the same-fixture baseline (thin-call controls read
+    * +0.004 s); the warm per-row cost is unchanged — one virtual call
+    * against a dim × nLists multiply loop is noise. Same thin-call
+    * boundary as [[DeconScore.score]]. */
+  def argmin(v: Any, cs: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     val cents = cs.asInstanceOf[ArrayData]
     val dim = vec.numElements()
@@ -71,39 +81,22 @@ case class NearestCentroid(left: Expression, right: Expression)
     if (best < 0) null else best
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  /** Generated form: a THIN CALL to the precompiled [[argmin]] — the
+    * generated and interpreted paths are literally the same code (see
+    * [[argmin]] for the GenProf numbers that retired the inline body;
+    * the expression still participates in whole-stage codegen). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+                                  classOf[NearestCentroid].getName)
     nullSafeCodeGen(ctx, ev, (v, cs) => {
-      val dim = ctx.freshName("dim")
-      val k = ctx.freshName("k")
-      val best = ctx.freshName("best")
-      val bestD = ctx.freshName("bestD")
-      val c = ctx.freshName("c")
-      val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
-      val diff = ctx.freshName("diff")
-      val cent = ctx.freshName("cent")
+      val r = ctx.freshName("ncRes")
       s"""
-         |final int $dim = $v.numElements();
-         |final int $k = $cs.numElements();
-         |int $best = -1;
-         |double $bestD = Double.MAX_VALUE;
-         |if ($k == 0) { ${ev.isNull} = true; }
-         |for (int $c = 0; $c < $k && !${ev.isNull}; $c++) {
-         |  if ($cs.isNullAt($c)) { ${ev.isNull} = true; break; }
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cs.getArray($c);
-         |  if ($cent.numElements() != $dim) { ${ev.isNull} = true; break; }
-         |  double $d = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    if ($v.isNullAt($i) || $cent.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $diff = (double) $v.getFloat($i) - $cent.getDouble($i);
-         |    $d += $diff * $diff;
-         |  }
-         |  if (!${ev.isNull} && $d < $bestD) { $bestD = $d; $best = $c; }
-         |}
-         |if ($best < 0) { ${ev.isNull} = true; } // all-NaN distances
-         |if (!${ev.isNull}) { ${ev.value} = $best; }
+         |final Object $r = $ref.argmin($v, $cs);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Integer) $r).intValue(); }
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -38,6 +38,23 @@ object VectorOps {
     call_function(CosineSim.fnName, a, b)
   }
 
+  /** Codegen'd native [[dot]] ([[graft.functions.DotF]]): bit-identical
+    * double fold, for corpus-scaled serve frames (r16 HOF audit). */
+  def dotNative(spark: org.apache.spark.sql.SparkSession,
+                a: Column, b: Column): Column = {
+    DotF.register(spark)
+    call_function(DotF.fnName, a, b)
+  }
+
+  /** Codegen'd native integer dot over two `array<long>` columns
+    * ([[graft.functions.DotL]]) — the int8 serve's rescale input;
+    * bit-identical to `aggregate(zip_with(a, b, _*_), 0L, _+_)`. */
+  def dotLongNative(spark: org.apache.spark.sql.SparkSession,
+                    a: Column, b: Column): Column = {
+    DotL.register(spark)
+    call_function(DotL.fnName, a, b)
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of `nBits` pseudo-random
     * projections packed into a long. Two vectors with high cosine
     * similarity land in the same bucket with high probability, so an ANN

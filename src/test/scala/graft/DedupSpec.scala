@@ -1266,4 +1266,17 @@ class DedupSpec extends SparkSpec {
       .filter(col("vec_id").isin(doomedIds: _*)).count() == 0)
     assert(IvfIndex.purgeTombstones(spark, dir) == 0)
   }
+
+  test("band config holds recall-anchor strength: (1 - 0.9^Rows)^Bands < 1e-4") {
+    // The derived miss bound the retired dd02r registry anchor carried
+    // (r16: dd02's in-plan recall_ok boolean took over the runtime
+    // assertion; THIS pin keeps the config itself from silently
+    // weakening — a Jaccard >= 0.9 pair must miss all bands with
+    // probability < 1e-4 for "guaranteed recall" to stay honest).
+    import graft.functions.MinHash
+    val missBound =
+      math.pow(1.0 - math.pow(0.9, MinHash.Rows), MinHash.Bands)
+    assert(missBound < 1e-4,
+      s"band config too weak for a recall anchor: miss=$missBound")
+  }
 }
