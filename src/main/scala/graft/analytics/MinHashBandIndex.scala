@@ -118,6 +118,32 @@ object MinHashBandIndex {
       .select(col("doc_id").as("corpus_id"), col("sh"))
       .dropDuplicates("corpus_id")
 
+  /** Both index-side frames from ONE materialized SHINGLE pass — for
+    * IN-PLAN (unpersisted) corpora, where calling [[segmentBands]] and
+    * [[segmentShingles]] separately re-tokenizes and re-hashes the
+    * whole corpus twice (the persisted-index path never hits this: the
+    * build writes both frames from one pass and gates read parquet).
+    * What is checkpointed is the per-DOC (doc_id, sh) frame — NOT the
+    * exploded band rows, whose 12×-duplicated shingle payload made a
+    * first cut of this helper SLOWER than the two-pass form it
+    * replaces (measured 3.98 vs 3.51 s on sk03: columnar pruning had
+    * let each lazy pass drop the fat column the other needed). r16,
+    * for sk03's two derived-corpus gate stages. */
+  def segmentFrames(spark: SparkSession, docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    MinHashSig.register(spark)
+    val base = docs
+      .select(col("doc_id"), Dedup.shingleHashes(spark, col("text"), 2).as("sh"))
+      .localCheckpoint(true)
+    val bands = base
+      .withColumn("sig", call_function(MinHashSig.fnName, col("sh")))
+      .select(col("doc_id"),
+              posexplode(Dedup.bandKeys(col("sig"))).as(Seq("band", "key")))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("key"),
+              pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
+    (bands, base.select(col("doc_id").as("corpus_id"), col("sh")))
+  }
+
   /** Build + persist the index over `sfDir`'s standing corpus if
     * absent; returns the index dir. */
   def ensure(spark: SparkSession, sfDir: String): String = {

@@ -1048,8 +1048,9 @@ object ScaleExtensions {
           .unionByName(s.range(0, 1)
             .select(lit(-2L).as("doc_id"), templText(lit(5L)).as("text")))
         def decisions(c: org.apache.spark.sql.DataFrame, tag: String) = {
-          val g = mh.gateFrames(s, mh.segmentBands(s, c),
-                                mh.segmentShingles(s, c), arrivals,
+          // one shingle+sig pass per stage (segmentFrames), not two
+          val (bands, shingles) = mh.segmentFrames(s, c)
+          val g = mh.gateFrames(s, bands, shingles, arrivals,
                                 maxBucket = cap)
           g.agg(max(when(col("doc_id") === -1L, col("keep")))
                   .as(s"keep_hot_$tag"),
