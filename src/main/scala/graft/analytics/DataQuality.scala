@@ -895,21 +895,15 @@ object DataQuality {
     QueryDef(
       "dq03_repetition_stats",
       (s, d) => {
-        // (gram, run) champion after walking `arr` in sorted order
-        def topRun(arr: org.apache.spark.sql.Column) =
-          aggregate(
-            array_sort(arr),
-            struct(lit("").as("prev"), lit(0L).as("run"),
-                   lit("").as("best"), lit(0L).as("bestn")),
-            (acc, x) => {
-              val newRun = when(x === acc("prev"), acc("run") + lit(1L))
-                .otherwise(lit(1L))
-              val better = newRun > acc("bestn")
-              struct(x.as("prev"), newRun.as("run"),
-                     when(better, x).otherwise(acc("best")).as("best"),
-                     when(better, newRun).otherwise(acc("bestn")).as("bestn"))
-            },
-            acc => struct(acc("best").as("gram"), acc("bestn").as("n")))
+        // (gram, run) champion after walking `arr` in sorted order —
+        // native since r16 ([[graft.functions.TopRun]]): the
+        // interpreted fold cost ~0.25 s PER FOLD of this entry's 1.8 s
+        // at sf0.1 (Dq03Prof), ∝ corpus tokens; the HOF form stays the
+        // spec-pinned reference (TopRunSpec, walk-for-walk equality)
+        def topRun(arr: org.apache.spark.sql.Column) = {
+          graft.functions.TopRun.register(s)
+          call_function(graft.functions.TopRun.fnName, arr)
+        }
         val bigramsCol =
           expr("""zip_with(slice(words, 1, greatest(size(words) - 1, 0)),
                  |         slice(words, 2, greatest(size(words) - 1, 0)),
