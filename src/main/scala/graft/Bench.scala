@@ -179,7 +179,59 @@ object Bench {
           if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
           else {
             val qi = txt.indexOf("\"queries\":{")
-            val qe = txt.indexOf("}", qi)
+            // anchor the end of the queries object on the `,"failed"`
+            // key that always follows it in our own artifact format —
+            // a bare indexOf("}") breaks silently if the object ever
+            // stops being flat (ADVICE r16); fall back to the flat
+            // delimiter for hand-trimmed history files
+            val qe = {
+              val anchored = txt.indexOf("},\"failed\"", qi)
+              if (anchored >= 0) anchored else txt.indexOf("}", qi)
+            }
+            if (qi < 0 || qe < 0) Map.empty
+            else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+              .findAllMatchIn(txt.substring(qi + 11, qe))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        } catch { case _: Throwable => Map.empty }
+      }
+      val h = candidates.iterator.map(parse).find(_.nonEmpty)
+        .getOrElse(Map.empty)
+      // The guard silently degrading to absolute-threshold-only is
+      // exactly how the r16 staged-sf1 leg absorbed a slow window —
+      // make the degraded mode loud (ADVICE r16).
+      if (h.isEmpty)
+        System.err.println(s"[bench] NO same-sf committed history for " +
+          s"$sfDir — slow-window re-measure guard is running on the " +
+          "absolute 3s threshold only")
+      h
+    }
+    // PREVIOUS committed generation (VERDICT r16 #4): the per-run 1.5x
+    // trigger has a compounding blind spot — two consecutive +20%
+    // drifts each stay under 1.5x of the history THEY were measured
+    // against yet land 1.44x above where the entry started. Whoever
+    // refreshes a committed BENCH_* history file copies the old one to
+    // its _PREV twin first; with both generations loaded the guard
+    // (a) vouches the 1.5x trigger against the per-entry MIN of the
+    // two (so a history that itself absorbed a bad window — the r16
+    // sf1 leg — cannot raise the bar), and (b) re-measures any sample
+    // >1.3x a history that is itself >1.3x its predecessor.
+    val prevHistory: Map[String, Double] = {
+      val candidates = Seq("BENCH_QUERIES_PREV.json",
+                           "BENCH_SF01_PREV.json", "BENCH_SF1_PREV.json")
+      def parse(fname: String): Map[String, Double] = {
+        val f = java.nio.file.Paths.get(
+          sys.props.getOrElse("user.dir", "."), fname)
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+          else {
+            val qi = txt.indexOf("\"queries\":{")
+            val qe = {
+              val anchored = txt.indexOf("},\"failed\"", qi)
+              if (anchored >= 0) anchored else txt.indexOf("}", qi)
+            }
             if (qi < 0 || qe < 0) Map.empty
             else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
               .findAllMatchIn(txt.substring(qi + 11, qe))
@@ -206,9 +258,24 @@ object Bench {
     // always measured this run. A failure on either sample marks the
     // query failed (never masked by the min).
     val spikeThreshold = 3.0
-    def suspicious(name: String, t: Double): Boolean =
+    def suspicious(name: String, t: Double): Boolean = {
+      // the vouching value for the 1.5x trigger is the MIN of the two
+      // committed generations where both exist: an inflated current
+      // history (a committed bad window) must not raise the bar
+      val vouch = (history.get(name), prevHistory.get(name)) match {
+        case (Some(h1), Some(h0)) => Some(math.min(h1, h0))
+        case (a, b) => a.orElse(b)
+      }
+      // trend clause: the sample is >1.3x a history that is itself
+      // >1.3x ITS predecessor — compounding drift below the per-run
+      // 1.5x trigger (the r16 cp02/cp06/dc06 watch cluster shape)
+      val trending = (history.get(name), prevHistory.get(name)) match {
+        case (Some(h1), Some(h0)) => t > 1.3 * h1 && h1 > 1.3 * h0
+        case _ => false
+      }
       t > spikeThreshold ||
-        (t > 0.4 && history.get(name).exists(h => t > 1.5 * h))
+        (t > 0.4 && (vouch.exists(h => t > 1.5 * h) || trending))
+    }
     val results = selected.map { q =>
       val (t1, ok1) = timeOne(q)
       if (ok1 && suspicious(q.name, t1)) {

@@ -357,6 +357,15 @@ object DataQuality {
     // pass — the check tightens, never breaks, old callers.
     chunks.foreach { ch =>
       val md = ch.schema("bkts").metadata
+      // both stamp keys or neither: a chunk carrying one but not the
+      // other is a corrupt stamp, and reading the missing key would
+      // throw a bare NoSuchElementException instead of the intended
+      // loud message (ADVICE r16)
+      require(md.contains(ChunkBandsKey) == md.contains(ChunkRowsKey),
+        s"corrupt decon chunk stamp: bands key present=" +
+          s"${md.contains(ChunkBandsKey)}, rows key present=" +
+          s"${md.contains(ChunkRowsKey)} — rebuild the chunks via " +
+          "deconBenchBucketChunks, which always writes both")
       if (md.contains(ChunkBandsKey)) {
         val (cb, cr) = (md.getLong(ChunkBandsKey), md.getLong(ChunkRowsKey))
         require(cb == bands && cr == rows,

@@ -594,6 +594,17 @@ object IvfIndex {
         f"${scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)}%08x"
     } catch {
       case _: java.io.FileNotFoundException => "missing"
+      // Transient listing failures on remote filesystems (s3a/hdfs
+      // hiccups) FAIL the read rather than silently serving whatever
+      // the memo holds — deliberately stricter than the old
+      // java.io.File stamp, which never threw (and never saw remote
+      // dirs at all). Rethrow with the index dir named so the new
+      // failure mode is diagnosable at the call site (ADVICE r16).
+      case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"fsStamp: cannot list index metadata dir '$path' — " +
+            "transient FS error fails the metadata read instead of " +
+            "risking a stale memo serve; retry the query", e)
     }
   }
 

@@ -69,6 +69,31 @@ object TableStats {
   private val analyzedDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-table locks for [[memoized]] — interning through a map (not
+    * `t.intern.synchronized`) keeps the lock objects private to this
+    * memo. Bounded: one entry per distinct table name per JVM. */
+  private val memoLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** At-most-once-per-key claim WITH retry-after-failure (ADVICE r16):
+    * the bare get→analyze→put sequence let two concurrent same-JVM
+    * callers both run ANALYZE (or both stage an overwrite write to the
+    * same external-table path); a put-first claim made a mid-ANALYZE
+    * throw poison the memo (ADVICE r15). Serializing the check+work+
+    * record per TABLE KEY gives both properties: the second caller
+    * blocks, re-checks under the lock, and sees either the completed
+    * memo (skip) or — if the first caller threw — an unset memo
+    * (retry). Distinct tables still proceed in parallel. */
+  private def memoized(t: String, key: String)(work: => Unit): Unit = {
+    val lock = memoLocks.computeIfAbsent(t, _ => new Object)
+    lock.synchronized {
+      if (analyzedDir.get(t) != key) {
+        work
+        analyzedDir.put(t, key)
+      }
+    }
+  }
+
   /** Fingerprint of one table's parquet CONTENT (per-part name,
     * length, mtime — the same form [[IvfIndex.contentStamp]] uses for
     * index dirs). Folded into [[ensure]]'s memo key so regenerating or
@@ -109,13 +134,10 @@ object TableStats {
   def ensure(spark: SparkSession, sfDir: String,
              tables: Seq[String]): Unit = tables.foreach { t =>
     val key = s"$sfDir@${contentStamp(s"$sfDir/$t.parquet")}"
-    if (analyzedDir.get(t) != key) {
-      // memo AFTER success: if ANALYZE throws (and a bench harness
-      // swallows it), the next same-JVM call must retry, not serve a
-      // stats-less catalog entry from a poisoned memo (ADVICE r15)
-      analyze(spark, sfDir, Seq(t))
-      analyzedDir.put(t, key)
-    }
+    // memo AFTER success, under the per-table lock: a throw leaves the
+    // memo unset (retry next call), and concurrent same-JVM callers
+    // cannot both run ANALYZE (ADVICE r15 + r16)
+    memoized(t, key) { analyze(spark, sfDir, Seq(t)) }
   }
 
   /** Stage the PLANTED-ZIPF derived table (orders + `skey`, see
@@ -133,10 +155,12 @@ object TableStats {
     val t = if (histogram) "orders_skewed" else "orders_skewed_basic"
     val key = s"$sfDir@${contentStamp(s"$sfDir/orders.parquet")}@h=$histogram"
     // memo is recorded only after the staging write + ANALYZE complete
-    // (end of this block): a throw mid-stage must leave the memo
+    // (end of the memoized block): a throw mid-stage leaves the memo
     // unset so the next same-JVM call re-stages instead of planning
-    // tp03 against a partial or stats-less table (ADVICE r15)
-    if (analyzedDir.get(t) != key) {
+    // tp03 against a partial or stats-less table (ADVICE r15); the
+    // per-table lock keeps two concurrent callers from both staging an
+    // overwrite write to the same external-table path (ADVICE r16)
+    memoized(t, key) {
       // external-table staging (the analyzePath form): a managed
       // saveAsTable trips over a previous JVM's leftover warehouse
       // directory (DROP TABLE clears only the in-memory catalog) —
@@ -161,7 +185,6 @@ object TableStats {
         case Some(v) => conf.set(hk, v)
         case None => conf.unset(hk)
       }
-      analyzedDir.put(t, key)
     }
     t
   }
