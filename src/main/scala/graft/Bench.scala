@@ -116,12 +116,11 @@ object Bench {
     // serve's latency is its OWN registry entry, so benching the twin
     // would double-charge the serve and book audit cost as latency
     // (the r14 serve_only split, promoted to driver-gated entries).
-    // (dc03p/r and dd09p/r were registry entries of this kind until
-    // r17, when the serves' in-plan audits went full-corpus below
-    // SelfAudit.FullAuditMaxRows and subsumed them — the dd02p/r
-    // retirement argument.)
     val anchors = Set("x14x_ndv_anchor", "id02x_bloom_anchor",
                       "id03x_sharded_anchor", "st14x_bloom_stream_anchor",
+                      "dc03p_decon_precision", "dc03r_decon_recall",
+                      "dd09p_neardup_gate_precision",
+                      "dd09r_neardup_gate_recall",
                       "st18a_streaming_decon_audit",
                       "st19a_neardup_gate_audit",
                       "st20a_streaming_curation_audit",

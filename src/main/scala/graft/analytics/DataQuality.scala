@@ -117,9 +117,7 @@ object DataQuality {
     * total). At the recall-anchor stratum s = 0.9 the per-hyperplane
     * collision odds are p = 1 − acos(s)/π ≈ 0.856, so a ≥ 0.9-cosine
     * (corpus, bench) pair misses every band with probability
-    * (1 − p⁴)¹² ≈ 9.5e-5 — the dd02r-style derived bound dc03's
-    * in-plan recall audit asserts (config strength pinned in
-    * DataQualitySpec). */
+    * (1 − p⁴)¹² ≈ 9.5e-5 — the dd02r-style derived bound dc03r pins. */
   val DeconLshBands = 12
   val DeconLshRows = 4
 
@@ -131,7 +129,7 @@ object DataQuality {
     * of pairs on clustered data (~6 % on noise — also config-bound)
     * at 99.94–99.96 % strong recall, 7.2× over exact at the 20 k
     * bench. Guidance: serve 12×4 when the drop set must be
-    * anchor-exact (the 9.5e-5 derived miss bound), 8×7 when the bench
+    * anchor-exact (the dc03r 9.5e-5 miss bound), 8×7 when the bench
     * is ≥ ~10⁴ rows and order-of-magnitude pruning pays; 6×8 prunes
     * ~36× more at 99.2–99.6 % recall on CLUSTERED data only. */
   val DeconSelBands = 8
@@ -164,9 +162,8 @@ object DataQuality {
     * band keys; candidates are (corpus, bench) pairs sharing ANY band
     * bucket, refined with EXACT cosine, dropped at the same
     * [[SemanticDeconTau]] gate. Refinement is exact, so the drop set is
-    * always a SUBSET of dc02's (precision 1 by construction — dc03's
-    * in-plan precision audit); recall is the banded-LSH bound above
-    * (dc03's in-plan recall audit). Scale shape: the
+    * always a SUBSET of dc02's (precision 1 by construction — dc03p);
+    * recall is the banded-LSH bound above (dc03r). Scale shape: the
     * bench BAND INDEX is one broadcast row (a map from band key to its
     * bucket of (bench_id, qvec) entries — eval-suite-sized by the
     * [[Bounded]] contract); the corpus is a single MAP-ONLY projection
@@ -1213,29 +1210,20 @@ object DataQuality {
     // anchors below.
     // SELF-AUDITING ([[SelfAudit]] discipline): the banded-LSH decon
     // serves the full corpus; the same plan recomputes the EXACT
-    // benchmark max-cosine for an audit stratum that is the FULL
-    // corpus below SelfAudit.FullAuditMaxRows (fixture scale, where
-    // the exact baseline costs no more than the serve) and the
-    // deterministic vec_id % 4 = 1 quarter above it (staged 100×), and
-    // audits: every served drop in the stratum is an exact drop with
-    // its candidate-max bounded by the true max (precision by
+    // benchmark max-cosine for a deterministic quarter of the corpus
+    // (vec_id % 4 = 1 — full exact recall would re-run dc02 inside the
+    // serve) and audits: every served drop in the slice is an exact
+    // drop with its candidate-max bounded by the true max (precision by
     // construction — the refine is exact cosine over a candidate
-    // subset), and the stratum's ≥ 0.9 cohort is recalled within the
-    // derived count bound. At fixture scale the full-stratum booleans
-    // assert EXACTLY what the retired dc03p/dc03r anchor entries
-    // asserted (and stay oracle-gated every round); the derived
-    // (1−p^Rows)^Bands < 1e-4 config-strength pin lives in
-    // DataQualitySpec. dc02x keeps the whole-set exact twin.
+    // subset), and the slice's ≥ 0.9 stratum is recalled within the
+    // dc03r count bound. The slice's exact drop/strong counts are the
+    // oracle's recomputable scalars; dc03p/dc03r stay as full anchors.
     QueryDef(
       "dc03_semantic_decon_lsh",
       (s, d) => {
         val emb = table(s, d, "embeddings")
-        val corpus = emb.filter(col("label") =!= 0)
-        // one bounded count() metadata job sizes the audit stratum
-        val stratum = SelfAudit.stratumPredicate(
-          corpus.count(), col("vec_id") % 4 === 1)
         val served = SelfAudit.once(semanticDeconLshDrops(s, emb))
-        val audit = corpus.filter(stratum)
+        val audit = emb.filter(col("label") =!= 0 && col("vec_id") % 4 === 1)
         val exact = SelfAudit.once(
           audit.crossJoin(Bounded.broadcastBench(
               emb.filter(col("label") === 0)
@@ -1245,7 +1233,7 @@ object DataQuality {
                    s, col("embedding"), col("qvec"))).as("mc"))
             .filter(col("mc") >= SemanticDeconTau)
             .select(col("vec_id"), round(col("mc"), 6).as("emc")))
-        val sAud = served.filter(stratum)
+        val sAud = served.filter(col("vec_id") % 4 === 1)
         val precEsc = sAud.select("vec_id")
           .join(exact.select("vec_id"), Seq("vec_id"), "left_anti")
           .agg(count(lit(1)).as("__p"))
@@ -1272,10 +1260,7 @@ object DataQuality {
               |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
               |c AS (
               |  SELECT vec_id, embedding FROM embeddings
-              |  WHERE label <> 0 AND (
-              |    (SELECT COUNT(*) FROM embeddings WHERE label <> 0)
-              |      <= 10000
-              |    OR vec_id % 4 = 1)),
+              |  WHERE label <> 0 AND vec_id % 4 = 1),
               |m AS (
               |  SELECT c.vec_id, max(
               |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
@@ -1294,6 +1279,90 @@ object DataQuality {
               |  true AS sim_bounded_ok, true AS recall_bound_ok""".stripMargin)
     ),
 
+    // dc03 precision anchor: the refine stage scores candidates with
+    // EXACT cosine at the same tau, so every dc03 drop must be a dc02
+    // drop (a candidate's max-over-candidates never exceeds the true
+    // max). Empty anti-join, hash-checkable oracle.
+    QueryDef(
+      "dc03p_decon_precision",
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val exactDrops = emb.filter(col("label") =!= 0)
+          .crossJoin(Bounded.broadcastBench(
+            emb.filter(col("label") === 0)
+              .select(col("embedding").as("qvec")), "dc03p.bench-vecs"))
+          .groupBy("vec_id")
+          .agg(max(graft.functions.VectorOps.cosineNative(
+                 s, col("embedding"), col("qvec"))).as("mc"))
+          .filter(col("mc") >= SemanticDeconTau)
+          .select("vec_id")
+        semanticDeconLshDrops(s, emb).select("vec_id")
+          .except(exactDrops)
+          .orderBy("vec_id")
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false")
+    ),
+
+    // dc03 recall anchor: a corpus vector whose true max benchmark
+    // cosine is ≥ 0.9 shares a band bucket with that benchmark vector
+    // unless all DeconLshBands bands miss — probability (1 − p^Rows)^
+    // Bands ≈ 9.5e-5 at p = 1 − acos(0.9)/π (derived below from the
+    // config, dd02r discipline, so the bound can't drift). The anchor
+    // asserts the bound, NOT strict emptiness: the expected number of
+    // escapes grows linearly with the strong stratum, so an exact-empty
+    // pin would be fixture-fragile — on a larger or regenerated corpus
+    // it could go red with no real regression. Output is one row of
+    // (n_strong, within_bound): DuckDB re-derives n_strong from exact
+    // cosine (cross-engine stratum check) and pins within_bound = 1,
+    // where the Spark side computes within_bound as
+    // n_missed ≤ ceil(2e-4 · n_strong) — roughly 2× the per-pair miss
+    // probability, scaled to the stratum.
+    QueryDef(
+      "dc03r_decon_recall",
+      (s, d) => {
+        val p = 1.0 - math.acos(0.9) / math.Pi
+        val missBound =
+          math.pow(1.0 - math.pow(p, DeconLshRows), DeconLshBands)
+        require(missBound < 1e-4,
+          s"band config too weak for a recall anchor: miss=$missBound")
+        val emb = table(s, d, "embeddings")
+        val strongDrops = emb.filter(col("label") =!= 0)
+          .crossJoin(Bounded.broadcastBench(
+            emb.filter(col("label") === 0)
+              .select(col("embedding").as("qvec")), "dc03r.bench-vecs"))
+          .groupBy("vec_id")
+          .agg(max(graft.functions.VectorOps.cosineNative(
+                 s, col("embedding"), col("qvec"))).as("mc"))
+          .filter(col("mc") >= 0.9)
+          .select("vec_id")
+        val missed = strongDrops
+          .except(semanticDeconLshDrops(s, emb).select("vec_id"))
+        strongDrops.agg(count(lit(1)).as("n_strong"))
+          .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+          .select(col("n_strong"),
+                  (col("n_missed") <=
+                    ceil(col("n_strong") * lit(2e-4))).cast("int")
+                    .as("within_bound"))
+      },
+      Some("""WITH b AS (
+             |  SELECT embedding AS qvec FROM embeddings WHERE label = 0),
+             |c AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE label <> 0),
+             |m AS (
+             |  SELECT c.vec_id, max(
+             |    list_sum(list_transform(list_zip(c.embedding, b.qvec),
+             |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(c.embedding,
+             |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |       * sqrt(list_sum(list_transform(b.qvec,
+             |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             |    ) AS mc
+             |  FROM c, b GROUP BY c.vec_id)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong,
+             |  1 AS within_bound
+             |FROM m WHERE mc >= 0.9""".stripMargin)
+    ),
+
     // ---- semantic decon, SELECTIVITY config (the measured 8×7 win) ----
     // dc03 serves the 12×4 recall-anchor shape: its ~54 % candidate
     // rate is CONFIG-bound (identical on noise and clustered data —
@@ -1310,7 +1379,7 @@ object DataQuality {
     //    clustered stratum at ≈ 0.978 misses ~5e-4 — the spec pins
     //    that regime on the ClusteredEmbeddings fixture; this corpus'
     //    hash noise has NO ≥ 0.9 pairs, so the scalar documents its
-    //    own vacuity exactly as dc03's audit scalars do);
+    //    own vacuity exactly as dc03p/r do);
     //  - candidate PRUNING actually happened: Σ n_cand ≤ 15 % of the
     //    corpus × bench product (config-bound ~6 % on noise, ~6.9 % on
     //    clustered — the one audit 12×4 would FAIL, which is the

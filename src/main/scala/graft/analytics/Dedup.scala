@@ -658,36 +658,29 @@ object Dedup {
     // a corpus doc with 2-gram Jaccard ≥ 0.3 exists among LSH band
     // candidates. LSH banding is engine-specific (DuckDB cannot replay
     // MinHash signatures), so the entry is rows-only; dd09x replays the
-    // EXHAUSTIVE gate end to end in SQL.
+    // EXHAUSTIVE gate end to end in SQL, dd09p pins precision 1
+    // (banded rejects ⊆ exhaustive rejects, same-witness jaccard), and
+    // dd09r pins the LSH miss bound on the ≥ 0.9 stratum.
     // SELF-AUDITING: the banded gate serves every arrival as-is; the
-    // same plan runs the EXHAUSTIVE gate on an audit stratum that is
-    // the FULL arrival set below SelfAudit.FullAuditMaxRows (fixture
-    // scale, where the exact baseline costs no more than the serve)
-    // and the deterministic doc_id % 40 quarter above it (staged
-    // 100×), and audits: banded rejects ⊆ exhaustive rejects with
-    // witness Jaccard bounded by the exhaustive best (precision 1 —
-    // the refine is exact Jaccard over a candidate subset), and the
-    // ≥ 0.9 stratum recalled within the derived count bound. At
-    // fixture scale the full-stratum booleans assert EXACTLY what the
-    // retired dd09p/dd09r anchor entries asserted (and stay
-    // oracle-gated every round); the derived (1−0.9^Rows)^Bands <
-    // 1e-4 config-strength pin lives in DedupSpec beside dd02's.
-    // dd09x stays: the exhaustive gate's full OUTPUT, not just
-    // booleans, replayed in SQL.
+    // same plan runs the EXHAUSTIVE gate on a deterministic quarter of
+    // the arrivals (doc_id % 40 = 0 — full exhaustive recall inside the
+    // serve would re-run the dd09x anchor) and audits: banded rejects ⊆
+    // exhaustive rejects with witness Jaccard bounded by the exhaustive
+    // best (precision 1 — the refine is exact Jaccard over a candidate
+    // subset), and the ≥ 0.9 stratum recalled within the dd09r count
+    // bound. The audited slice's exhaustive reject/strong counts are
+    // the oracle's recomputable scalars; dd09x/p/r stay in the registry.
     QueryDef(
       "dd09_neardup_ingest_gate",
       (s, d) => {
         val docs = table(s, d, "documents")
         val dir = MinHashBandIndex.ensure(s, d)
-        val arrivals = MinHashBandIndex.arrivalsOf(docs)
-        // one bounded count() metadata job sizes the audit stratum
-        val stratum = SelfAudit.stratumPredicate(
-          arrivals.count(), col("doc_id") % 40 === 0)
         val served = SelfAudit.once(
-          MinHashBandIndex.gate(s, dir, arrivals))
+          MinHashBandIndex.gate(s, dir, MinHashBandIndex.arrivalsOf(docs)))
         val exact = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
-          s, MinHashBandIndex.corpusOf(docs), arrivals.filter(stratum)))
-        val sAud = served.filter(stratum)
+          s, MinHashBandIndex.corpusOf(docs),
+          MinHashBandIndex.arrivalsOf(docs).filter(col("doc_id") % 40 === 0)))
+        val sAud = served.filter(col("doc_id") % 40 === 0)
         val sRej = sAud.filter(col("keep") === 0)
         val exRej = exact.filter(col("keep") === 0)
         val precEsc = sRej.select("doc_id")
@@ -723,11 +716,7 @@ object Dedup {
              |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
              |         ELSE [array_to_string(w, ' ')] END AS ngrams
              |  FROM w),
-             |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t
-             |       WHERE doc_id % 10 = 0 AND (
-             |         (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
-             |           <= 10000
-             |         OR doc_id % 40 = 0)),
+             |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t WHERE doc_id % 40 = 0),
              |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
              |       FROM t WHERE doc_id % 10 <> 0),
              |inter AS (
@@ -794,6 +783,91 @@ object Dedup {
              |FROM (SELECT DISTINCT doc_id FROM ag) a
              |LEFT JOIN bid USING (doc_id)
              |ORDER BY a.doc_id""".stripMargin)
+    ),
+
+    // precision anchor: every arrival the BANDED gate rejects must be
+    // rejected by the exhaustive gate too (refine is exact, candidates
+    // are a subset ⇒ anti-join empty by construction). Hash-checkable
+    // empty-result oracle.
+    QueryDef(
+      "dd09p_neardup_gate_precision",
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val dir = MinHashBandIndex.ensure(s, d)
+        val banded = MinHashBandIndex
+          .gate(s, dir, MinHashBandIndex.arrivalsOf(docs))
+          .filter(col("keep") === 0).select("doc_id")
+        val exact = MinHashBandIndex
+          .exhaustiveGate(s, MinHashBandIndex.corpusOf(docs),
+                          MinHashBandIndex.arrivalsOf(docs))
+          .filter(col("keep") === 0).select("doc_id")
+        banded.except(exact).orderBy("doc_id")
+      },
+      Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false")
+    ),
+
+    // recall anchor (dc03r discipline): arrivals whose exhaustive best
+    // match is ≥ 0.9 collide in one 4-row band with prob 0.9⁴, so all
+    // 12 bands miss with prob (1 − 0.9⁴)¹² ≈ 2.7e-6 per doc; the
+    // banded gate may miss at most ceil(2e-4 × n_strong) of them (a
+    // count bound scaled to the stratum — strict emptiness would be
+    // fixture-fragile). The oracle recomputes n_strong exactly and pins
+    // within_bound = 1.
+    QueryDef(
+      "dd09r_neardup_gate_recall",
+      (s, d) => {
+        val p = math.pow(0.9, graft.functions.MinHash.Rows)
+        val missBound = math.pow(1.0 - p, graft.functions.MinHash.Bands)
+        require(missBound < 1e-4,
+          s"band config too weak for a recall anchor: miss=$missBound")
+        val docs = table(s, d, "documents")
+        val dir = MinHashBandIndex.ensure(s, d)
+        val strong = MinHashBandIndex
+          .exhaustiveGate(s, MinHashBandIndex.corpusOf(docs),
+                          MinHashBandIndex.arrivalsOf(docs))
+          .filter(col("match_jaccard") >= 0.9).select("doc_id")
+        val missed = strong.except(
+          MinHashBandIndex.gate(s, dir, MinHashBandIndex.arrivalsOf(docs))
+            .filter(col("keep") === 0).select("doc_id"))
+        strong.agg(count(lit(1)).as("n_strong"))
+          .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+          .select(col("n_strong"),
+                  (col("n_missed") <= ceil(col("n_strong") * lit(2e-4)))
+                    .cast("int").as("within_bound"))
+      },
+      // `t` is MATERIALIZED (referenced four times — inlined, DuckDB
+      // re-tokenizes the corpus per reference), `tl` carries ONLY the
+      // gram-set length so the pair join never copies the gram lists
+      // (at the 100× gate the list-carrying form spilled past the
+      // box's disk), and the Jaccard needs just the intersection count
+      // plus the two set sizes.
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |t AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+             |           range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))
+             |         ELSE [array_to_string(w, ' ')] END AS ngrams
+             |  FROM w),
+             |tl AS MATERIALIZED (SELECT doc_id, len(ngrams) AS n FROM t),
+             |ag AS (SELECT doc_id, unnest(ngrams) AS g FROM t WHERE doc_id % 10 = 0),
+             |cg AS (SELECT doc_id AS corpus_id, unnest(ngrams) AS g
+             |       FROM t WHERE doc_id % 10 <> 0),
+             |inter AS (
+             |  SELECT a.doc_id, c.corpus_id, count(*) AS i
+             |  FROM ag a JOIN cg c USING (g) GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT i.doc_id,
+             |    round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS j
+             |  FROM inter i
+             |  JOIN tl sa ON sa.doc_id = i.doc_id
+             |  JOIN tl sb ON sb.doc_id = i.corpus_id),
+             |strong AS (
+             |  SELECT doc_id FROM sc GROUP BY doc_id HAVING max(j) >= 0.9)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong, 1 AS within_bound
+             |FROM strong""".stripMargin)
     )
   )
 }

@@ -37,7 +37,7 @@ import graft.queries.QueryDef
   * Jaccard on the shingle sets, reject iff best ≥ [[MinJaccard]]; the
   * reported match is (max jaccard, then min corpus_id) — precision 1
   * vs the exhaustive gate by construction, recall bounded by the LSH
-  * band miss probability (dd09's in-plan recall bound asserts it on the ≥ 0.9 stratum, where
+  * band miss probability (dd09r pins it on the ≥ 0.9 stratum, where
   * one band of 4 rows collides with prob 0.9⁴ and all 12 miss with
   * prob (1 − 0.9⁴)¹² ≈ 2.7e-6).
   *
@@ -411,8 +411,7 @@ object MinHashBandIndex {
     * (arrival, corpus) pair sharing at least one shingle — generated by
     * the shared-gram equi-join (never a cross join), then the same
     * exact-Jaccard refine. This is dd09x's fully-SQL-replayable form
-    * and the ground truth dd09's in-plan precision/recall audits compare
-    * the banded gate against. */
+    * and the ground truth dd09p/dd09r compare the banded gate against. */
   def exhaustiveGate(spark: SparkSession, corpus: DataFrame,
                      batch: DataFrame,
                      minJaccard: Double = MinJaccard): DataFrame = {

@@ -40,24 +40,6 @@ object SelfAudit {
     * audit aggregate derives from the materialization, not the lineage. */
   def once(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
-  /** Below this audited-side row count the exact audit baseline costs
-    * no more than the serve it audits, so the slice discipline buys
-    * nothing — audit the FULL stratum instead. Fixture corpora (≤ 5 k
-    * docs / 2 k vectors) sit under it; the staged 100× corpora (50 k
-    * arrivals / 199 k vectors) sit over it and keep the deterministic
-    * slice. Raising in-plan coverage to full-corpus at fixture scale
-    * is what lets a serve's own `precision_ok`/`recall_bound_ok`
-    * booleans subsume the former full-corpus p/r anchor entries
-    * (dd09p/r, dc03p/r — VERDICT r16 #5), exactly as dd02p/r were. */
-  val FullAuditMaxRows = 10000L
-
-  /** Audit-stratum predicate: full coverage when the audited side has
-    * `n` ≤ [[FullAuditMaxRows]] rows, the deterministic slice above.
-    * `n` comes from one bounded count() metadata job on the audited
-    * side (the tp03/sk03 precedent — a row count, never a collect). */
-  def stratumPredicate(n: Long, sliced: Column): Column =
-    if (n <= FullAuditMaxRows) lit(true) else sliced
-
   /** Audit a single-query top-k serve against the exact scores of a
     * deterministic CORPUS SLICE — the [[batchTopK]] modulus discipline
     * applied to the corpus side of a single-query serve. A whole-corpus

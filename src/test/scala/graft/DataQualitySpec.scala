@@ -891,36 +891,4 @@ class DataQualitySpec extends SparkSpec {
     val ok = Bounded.broadcastBench(big, "spec.ok", maxRows = 10000)
     assert(ok.count() == 1000)
   }
-
-  test("decon band config holds recall-anchor strength: (1 - p^Rows)^Bands < 1e-4") {
-    // The derived miss bound the retired dc03r registry anchor carried
-    // (r17: dc03's in-plan recall_bound_ok boolean — full-corpus below
-    // SelfAudit.FullAuditMaxRows — took over the runtime assertion;
-    // THIS pin keeps the sign-LSH config itself from silently
-    // weakening: a cosine >= 0.9 corpus vector must miss all bands
-    // with probability < 1e-4 for the bound the audit asserts to stay
-    // derivable from the config).
-    import graft.analytics.DataQuality.{DeconLshBands, DeconLshRows}
-    val p = 1.0 - math.acos(0.9) / math.Pi
-    val missBound =
-      math.pow(1.0 - math.pow(p, DeconLshRows), DeconLshBands)
-    assert(missBound < 1e-4,
-      s"band config too weak for a recall anchor: miss=$missBound")
-  }
-
-  test("audit stratum goes full-corpus below the threshold the oracles hardcode") {
-    // dd09's and dc03's DuckDB oracles mirror the stratum choice with
-    // a literal 10000 in SQL (static text cannot read the Scala
-    // constant) — pin the constant AND the predicate semantics so a
-    // drifted threshold fails here, not as a silent oracle mismatch.
-    import graft.analytics.SelfAudit
-    assert(SelfAudit.FullAuditMaxRows == 10000L,
-      "dd09/dc03 oracle SQL hardcodes 10000 — change both together")
-    val sliced = col("vec_id") % 4 === 1
-    val ids = spark.range(8).toDF("vec_id")
-    assert(ids.filter(SelfAudit.stratumPredicate(10000L, sliced))
-             .count() == 8, "below/at threshold must audit the FULL stratum")
-    assert(ids.filter(SelfAudit.stratumPredicate(10001L, sliced))
-             .count() == 2, "above threshold must keep the deterministic slice")
-  }
 }
