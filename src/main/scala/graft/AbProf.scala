@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Stable A/B harness for optimization rounds: runs each named entry
+  * K times inside ONE warmed session (noop sink, Bench's state
+  * hygiene between samples) and prints every sample. Isolated
+  * one-shot Bench subset runs spread ~1.5-2x on this box because the
+  * first heavy entry pays JVM/codegen warm-up that the full-registry
+  * run amortizes across ~200 predecessors; the in-session repeats
+  * reproduce the deep-warm regime the committed numbers come from.
+  * Decision metric: median of the last K-1 samples, same tree vs
+  * candidate tree.
+  *
+  * Usage: runMain graft.AbProf <k> <queryName...> [sfDir via env]
+  */
+object AbProf {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: AbProf <k> <queryName...>")
+    val k = args(0).toInt
+    val names = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // the same offline-contract warm-up as Bench (indexes/stats/BPE)
+    try SparkEntry.queries("q05_group_count")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    try graft.analytics.MinHashBandIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.analytics.IvfIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.analytics.BpeTokenizer.loadOrLearn(spark, sfDir)
+    catch { case _: Throwable => () }
+    val qs = names.map(n => SparkEntry.registry.find(_.name == n)
+      .getOrElse(sys.error(s"unknown query: $n")))
+    qs.foreach { q =>
+      val samples = (1 to k).map { _ =>
+        val t0 = System.nanoTime()
+        q.df(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+        dt
+      }
+      val warm = samples.drop(1).sorted
+      val med = warm(warm.size / 2)
+      println(f"[ab] ${q.name}: median(warm)=$med%.3f  samples=" +
+        samples.map(s => f"$s%.3f").mkString(","))
+    }
+    spark.stop()
+  }
+}

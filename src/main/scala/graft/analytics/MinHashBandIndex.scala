@@ -162,6 +162,8 @@ object MinHashBandIndex {
     try {
       rows.select(col("doc_id").as("corpus_id"), col("band"), col("key"),
                   pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
+        .repartition(KeyParts, col("kp")) // one file per kp dir, parallel
+                                          // writers (see mergeSegments)
         .write.mode("overwrite").partitionBy("kp").parquet(s"$dir/bands")
       rows.select(col("doc_id").as("corpus_id"), col("sh"))
         .dropDuplicates("corpus_id")
@@ -186,6 +188,8 @@ object MinHashBandIndex {
     try {
       rows.select(col("doc_id").as("corpus_id"), col("band"), col("key"),
                   pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
+        .repartition(KeyParts, col("kp")) // one file per kp dir, parallel
+                                          // writers (see mergeSegments)
         .write.mode("append").partitionBy("kp").parquet(s"$dir/bands")
       val sh = rows.select(col("doc_id").as("corpus_id"), col("sh"))
         .dropDuplicates("corpus_id")
@@ -221,15 +225,28 @@ object MinHashBandIndex {
     val bandsDelta = new java.io.File(bandsDeltaDir)
     val shDelta = new java.io.File(shinglesDeltaDir)
     if (!bandsDelta.exists()) return 0L
-    val segBands = spark.read.parquet(bandsDeltaDir)
-      .select("corpus_id", "band", "key", "kp")
-      .localCheckpoint(true) // sever from the dirs we are about to drop
-    val segSh = spark.read.parquet(shinglesDeltaDir)
-      .select("corpus_id", "sh")
-      .localCheckpoint(true)
-    segBands.write.mode("append").partitionBy("kp")
-      .parquet(s"$seedDir/bands")
-    segSh.write.mode("append").parquet(s"$seedDir/shingles")
+    // the two delta reads, and then the two seed appends, are
+    // independent action pairs — overlap each pair (ParActions; the
+    // jobs are small and nowhere near fill the executor slots)
+    val (segBands, segSh) = ParActions.both(
+      () => spark.read.parquet(bandsDeltaDir)
+        .select("corpus_id", "band", "key", "kp")
+        .localCheckpoint(true), // sever from the dirs we are about to drop
+      () => spark.read.parquet(shinglesDeltaDir)
+        .select("corpus_id", "sh")
+        .localCheckpoint(true))
+    // spread the append across the kp dirs it lands in: a delta read
+    // back from few landed files is 1-2 partitions, so the partitioned
+    // write was ONE task sequentially opening all 64 kp writers (r17
+    // JobProf: a 1.1 s single-task job inside st22's fold). Hashing on
+    // the partition column keeps exactly one file per kp dir per fold
+    // (each kp lives in one task) while the opens run in parallel —
+    // same file count, same rows, straggler gone at every scale.
+    ParActions.both(
+      () => segBands.repartition(KeyParts, col("kp"))
+        .write.mode("append").partitionBy("kp")
+        .parquet(s"$seedDir/bands"),
+      () => segSh.write.mode("append").parquet(s"$seedDir/shingles"))
     val n = segSh.count()
     rmrf(bandsDelta); rmrf(shDelta)
     n

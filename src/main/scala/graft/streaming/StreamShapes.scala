@@ -2103,10 +2103,19 @@ object StreamShapes {
     // are ≡ 0 mod 20, so the corpus quarter ≡ 1 mod 4 never hides
     // them)
     def live(c: org.apache.spark.sql.Column) = c % 4 === 1 || c % 20 === 0
-    s.read.parquet(s"$seedSrc/bands").filter(live(col("corpus_id")))
-      .write.partitionBy("kp").parquet(s"$work/seed/bands")
-    s.read.parquet(s"$seedSrc/shingles").filter(live(col("corpus_id")))
-      .write.parquet(s"$work/seed/shingles")
+    // hash on kp before the partitioned write: the multi-split seed
+    // scan otherwise writes one file per (input split × kp) — ~2k tiny
+    // files that every later listing/read of the staged copy pays for
+    // (r17 JobProf: 0.2 s listing jobs + a slower fold append). One
+    // file per kp dir, writers parallel across the 64 keys. The two
+    // staging writes are independent — overlap them (ParActions).
+    graft.analytics.ParActions.both(
+      () => s.read.parquet(s"$seedSrc/bands").filter(live(col("corpus_id")))
+        .repartition(graft.analytics.MinHashBandIndex.KeyParts, col("kp"))
+        .write.partitionBy("kp").parquet(s"$work/seed/bands"),
+      () => s.read.parquet(s"$seedSrc/shingles")
+        .filter(live(col("corpus_id")))
+        .write.parquet(s"$work/seed/shingles"))
     // readers keep the live() filter: it is a no-op on the staged
     // slice and keeps the folded-arrival visibility rule explicit
     def seedBands = s.read.parquet(s"$work/seed/bands")
@@ -2119,13 +2128,18 @@ object StreamShapes {
       .localCheckpoint(true)
     val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
                        Seq("doc_id")).localCheckpoint(true)
-    // land the delta, then FOLD it into the copied seed
-    mh.segmentBands(s, acc1).withColumn("batch_id", lit(0L))
-      .write.mode("append").partitionBy("batch_id")
-      .parquet(s"$work/bands")
-    mh.segmentShingles(s, acc1).withColumn("batch_id", lit(0L))
-      .write.mode("append").partitionBy("batch_id")
-      .parquet(s"$work/shingles")
+    // land the delta, then FOLD it into the copied seed. One shared
+    // shingle pass (segmentFrames) instead of segmentBands +
+    // segmentShingles each re-tokenizing acc1, and the two landing
+    // writes are independent — overlap them (r17).
+    val (accBands, accSh) = mh.segmentFrames(s, acc1)
+    graft.analytics.ParActions.both(
+      () => accBands.withColumn("batch_id", lit(0L))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$work/bands"),
+      () => accSh.withColumn("batch_id", lit(0L))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$work/shingles"))
     val segsBefore = mh.segmentCount(s"$work/bands")
     val folded = mh.maintainSegments(s, s"$work/seed",
       s"$work/bands", s"$work/shingles", maxSegments = 0)
@@ -2136,8 +2150,8 @@ object StreamShapes {
       .localCheckpoint(true)
     val g2TwinOpt =
       if (audit) Some(mh.gateFrames(s,
-        seedBands.unionByName(mh.segmentBands(s, acc1)),
-        seedSh.unionByName(mh.segmentShingles(s, acc1)), b2)
+        seedBands.unionByName(accBands),
+        seedSh.unionByName(accSh), b2)
         .localCheckpoint(true))
       else None
     // every frame below derives from eagerly-checkpointed blocks —
