@@ -452,7 +452,11 @@ object BpeTokenizer {
         val deep = loadOrLearn(s, d, DeepMerges, "bigram")
         val prefix = deep.take(Merges)
         val docs = table(s, d, "documents")
-        val units = docs
+        // one-split fixture scan feeding the expensive per-unit deep+
+        // prefix token counts — spread under the ScanSpread size guard
+        // (downstream: aggregation + an explicitly-broadcast anti-join,
+        // so no strategy can flip; r17)
+        val units = ScanSpread.forMapPass(docs)
           .select(col("doc_id"), expr(wordsExpr).as("ws"))
           .select(col("doc_id"), explode(expr(bigramUnitsOf("ws"))).as("u"))
         val agg = units.select(col("doc_id"),

@@ -769,8 +769,16 @@ object CurationPipeline {
         val deep = bpe.loadOrLearn(s, d, bpe.DeepMerges, "bigram")
         val prefix = deep.take(bpe.Merges)
         val sel = cp02Selection(s, d).localCheckpoint(true)
-        val units = table(s, d, "documents")
-          .join(sel.select("doc_id", "shard"), Seq("doc_id"))
+        // the selected corpus arrives as the fixture's one-split scan
+        // behind a broadcast join, so the whole per-unit deep+prefix
+        // tokenization ran as ONE task (r17 JobProf: three ~0.8 s
+        // single-task stages). ScanSpread widens it only while the
+        // size estimate proves the exchange trivial — downstream is
+        // explode + per-doc aggregation, order-insensitive.
+        // AbProf: 5.84 -> 4.84 s.
+        val units = ScanSpread.forMapPass(
+            table(s, d, "documents")
+              .join(sel.select("doc_id", "shard"), Seq("doc_id")))
           .select(col("doc_id"), col("shard"),
                   expr(bpe.wordsExpr).as("ws"))
           .select(col("doc_id"), col("shard"),

@@ -1606,7 +1606,12 @@ object DataQuality {
             |  transform(sequence(0, size(words) - 8),
             |            i -> concat_ws(' ', slice(words, i + 1, 8)))
             |ELSE cast(array() as array<string>) END""".stripMargin
-        val grams = table(s, d, "documents")
+        // one-split fixture scan feeding the 8-gram explode (an
+        // expensive per-row concat_ws pass) — spread under the
+        // ScanSpread size guard; downstream is the map-side census
+        // aggregation and an AQE-decided join on 16-byte keys.
+        // AbProf r17: 1.97 -> 1.20 s.
+        val grams = ScanSpread.forMapPass(table(s, d, "documents"))
           .select(col("doc_id"), expr(wordsExpr).as("words"))
           .select(col("doc_id"), explode(expr(grams8)).as("gram"))
           .withColumn("h1", xxhash64(col("gram")))

@@ -2068,10 +2068,14 @@ object StreamShapes {
       .localCheckpoint(true) // acc1 feeds batch 2's reference side
     val acc1 = b1.join(g1.filter(col("keep") === 1).select("doc_id"),
                        Seq("doc_id"))
+    // one shared shingle pass for batch 2's reference side — the
+    // separate segmentBands/segmentShingles calls each re-tokenized
+    // acc1 inside the g2 plan (r17; the sk03/st22 segmentFrames form)
+    val (accBands, accSh) = MinHashBandIndex.segmentFrames(s, acc1)
     val g2 = MinHashBandIndex.gateFrames(
       s,
-      seedBands.unionByName(MinHashBandIndex.segmentBands(s, acc1)),
-      seedSh.unionByName(MinHashBandIndex.segmentShingles(s, acc1)),
+      seedBands.unionByName(accBands),
+      seedSh.unionByName(accSh),
       b2)
     g1.withColumn("batch", lit(1))
       .unionByName(g2.withColumn("batch", lit(2)))
@@ -2258,10 +2262,13 @@ object StreamShapes {
         .localCheckpoint(true)
       val acc1 = b1.join(led1.filter(col("keep") === 1).select("doc_id"),
                          Seq("doc_id"))
+      // one shared shingle pass for batch 2's reference side (r17;
+      // see neardupGateChain)
+      val (accBands, accSh) = MinHashBandIndex.segmentFrames(s, acc1)
       val led2 = ledgerOf(2, b2, MinHashBandIndex.gateFrames(
         s,
-        seedBands.unionByName(MinHashBandIndex.segmentBands(s, acc1)),
-        seedSh.unionByName(MinHashBandIndex.segmentShingles(s, acc1)),
+        seedBands.unionByName(accBands),
+        seedSh.unionByName(accSh),
         b2))
       led1.unionByName(led2).orderBy("doc_id")
     } else {
