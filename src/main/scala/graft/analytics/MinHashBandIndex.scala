@@ -434,9 +434,11 @@ object MinHashBandIndex {
                      minJaccard: Double = MinJaccard): DataFrame = {
     val bsh = batch
       .select(col("doc_id"), Dedup.shingleHashes(spark, col("text"), 2).as("sh"))
+      .localCheckpoint(true)
     val csh = corpus
       .select(col("doc_id").as("corpus_id"),
               Dedup.shingleHashes(spark, col("text"), 2).as("sh_c"))
+      .localCheckpoint(true)
     val inter = bsh.select(col("doc_id"), explode(col("sh")).as("g"))
       .join(csh.select(col("corpus_id"), explode(col("sh_c")).as("g")),
             Seq("g"))
