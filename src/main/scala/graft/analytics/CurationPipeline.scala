@@ -46,8 +46,12 @@ object CurationPipeline {
          |  transform(sequence(0, size(words) - $L),
          |            i -> concat_ws(' ', slice(words, i + 1, $L)))
          |ELSE cast(array() as array<string>) END""".stripMargin
-    val words = table(s, d, "documents")
+    // `words` is consumed twice (gram derivation + the final SpanStrip
+    // join) — checkpoint the tokenized frame so the pass runs once,
+    // spread off the one-split scan first (ScanSpread guard; r17)
+    val words = ScanSpread.forMapPass(table(s, d, "documents"))
       .select(col("doc_id"), col("lang"), expr(wordsExpr).as("words"))
+      .localCheckpoint(true)
     val grams = words
       .select(col("doc_id"), posexplode(expr(grams8)).as(Seq("p", "gram")))
       .withColumn("h1", xxhash64(col("gram")))
