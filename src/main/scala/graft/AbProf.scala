@@ -21,13 +21,20 @@ object AbProf {
     val names = args.drop(1).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // config A/B seam: SPARK_GRAFT_AB_CONF="k=v;k=v" overlays extra
+    // session confs so candidate settings can be measured without
+    // touching Bench's committed session builder
+    sys.env.get("SPARK_GRAFT_AB_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // the same offline-contract warm-up as Bench (indexes/stats/BPE)
     try SparkEntry.queries("q05_group_count")(spark, sfDir).count()
