@@ -37,8 +37,24 @@ private[graft] object ScanSpread {
   def forMapPass(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(p.toLong) * 4L * 1024 * 1024) df.repartition(p)
+    val plan = df.queryExecution.optimizedPlan
+    val bytes = plan.stats.sizeInBytes
+    // a scan that already arrives in >= p/2 files parallelizes by
+    // itself — spreading it is a pure extra exchange (measured at the
+    // staged sf1 corpus, whose tables land as 32 part files: tok04
+    // 1.39 -> 1.95 s, bp01 4.56 -> 5.84 s before this clause). Count
+    // the leaf files of every file-sourced relation under the frame;
+    // driver-side metadata, already listed by the scan.
+    val leafFiles = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    if (bytes < BigInt(p.toLong) * 4L * 1024 * 1024 && leafFiles < p / 2)
+      df.repartition(p)
     else df
   }
 }
