@@ -18,6 +18,7 @@ object AbProf {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: AbProf <k> <queryName...>")
     val k = args(0).toInt
+    require(k >= 2, s"k must be >= 2 (warm median drops sample 1): got $k")
     val names = args.drop(1).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,10 +31,13 @@ object AbProf {
     // config A/B seam: SPARK_GRAFT_AB_CONF="k=v;k=v" overlays extra
     // session confs so candidate settings can be measured without
     // touching Bench's committed session builder
-    sys.env.get("SPARK_GRAFT_AB_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_AB_CONF").foreach(
+      _.split(';').filter(_.nonEmpty).foreach { kv =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_AB_CONF segment without '=': '$kv'")
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // the same offline-contract warm-up as Bench (indexes/stats/BPE)

@@ -934,12 +934,19 @@ object CurationPipeline {
       // and v2, what changed and does the ledger balance? v2 differs
       // from v1 on BOTH axes a real re-curation moves: the snapshot
       // grew (v1 predates the doc_id % 16 = 3 ingest batch) and the
-      // gate tightened (min length 20 → 25 tokens). The two manifests
-      // full-outer join on doc_id — the x26 shape; at 100 TB both
-      // sides are doc_id-bucketed manifest tables, so the join is
-      // co-located with no exchange — and every doc classifies as
-      // added (v2 only), removed (v1 only), or kept. The per-source
-      // census carries its own conservation proof
+      // gate tightened (min length 20 → 25 tokens). Every doc
+      // classifies as added (v2 only), removed (v1 only), or kept.
+      // Because BOTH manifests are per-row predicates over the SAME
+      // unique-keyed snapshot, their full-outer join on doc_id (the
+      // r17 form — two tokenize passes + an exchange-heavy x26-shape
+      // join, and the round's one unexplained driver-side spike)
+      // degenerates to a single conditional-projection pass: tok1/tok2
+      // are `when(in_v1/in_v2, n_tokens)` on one scan, rows in neither
+      // manifest drop out, and the census aggregates are unchanged —
+      // ZERO joins, ONE tokenize pass (guide §2.4, remove shuffles
+      // outright). Oracle-proved equivalent (the SQL oracle still runs
+      // the full-outer-join form). The per-source census carries its
+      // own conservation proof
       // (n_v2 = n_kept + n_added ∧ n_v1 = n_kept + n_removed), so a
       // diff that drops or double-counts a doc flips a boolean AND
       // the hash.
@@ -948,18 +955,14 @@ object CurationPipeline {
           col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long")
             .as("n_tokens"))
-        val m1 = base
-          .filter(col("doc_id") % 16 =!= 3 &&
-            col("n_tokens").between(20L, 10000L))
-          .select(col("doc_id"), col("source").as("source1"),
-                  col("n_tokens").as("tok1"))
-        val m2 = base
-          .filter(col("n_tokens").between(25L, 10000L))
-          .select(col("doc_id"), col("source").as("source2"),
-                  col("n_tokens").as("tok2"))
-        m1.join(m2, Seq("doc_id"), "full_outer")
-          .select(coalesce(col("source2"), col("source1")).as("source"),
-                  col("tok1"), col("tok2"))
+        val in1 = col("doc_id") % 16 =!= 3 &&
+          col("n_tokens").between(20L, 10000L)
+        val in2 = col("n_tokens").between(25L, 10000L)
+        base
+          .select(col("source"),
+                  when(in1, col("n_tokens")).as("tok1"),
+                  when(in2, col("n_tokens")).as("tok2"))
+          .filter(col("tok1").isNotNull || col("tok2").isNotNull)
           .groupBy("source")
           .agg(sum(when(col("tok1").isNotNull, 1L).otherwise(0L))
                  .as("n_v1"),

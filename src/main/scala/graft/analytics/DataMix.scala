@@ -568,16 +568,22 @@ object DataMix {
         val ev = docs.filter(col("split") =!= "train")
         val tr = docs.filter(col("split") === "train")
           .select("doc_id", "text")
-        val served = SelfAudit.once(
-          MinHashBandIndex.scoredPairs(s,
-              MinHashBandIndex.segmentBands(s, tr),
-              MinHashBandIndex.segmentShingles(s, tr),
-              ev, minJaccard = SplitLeakJaccard)
-            .select(col("doc_id"), col("corpus_id").as("train_id"),
-                    col("j").as("jaccard")))
-        val exact = SelfAudit.once(
-          leakPairsExact(s, d, col("doc_id") % 16 === 1)
-            .select("doc_id", "train_id", "jaccard"))
+        // one shared shingle+sig pass over the train side (the r17
+        // segmentFrames form — the separate segmentBands/segmentShingles
+        // calls each re-tokenized tr inside the serve plan), and the
+        // serve + exact-slice audit are independent eager chains —
+        // overlap them from driver threads (guide §2.6)
+        val (served, exact) = graft.analytics.ParActions.both(
+          () => SelfAudit.once {
+            val (trBands, trSh) = MinHashBandIndex.segmentFrames(s, tr)
+            MinHashBandIndex.scoredPairs(s, trBands, trSh,
+                ev, minJaccard = SplitLeakJaccard)
+              .select(col("doc_id"), col("corpus_id").as("train_id"),
+                      col("j").as("jaccard"))
+          },
+          () => SelfAudit.once(
+            leakPairsExact(s, d, col("doc_id") % 16 === 1)
+              .select("doc_id", "train_id", "jaccard")))
         val sAud = served.filter(col("doc_id") % 16 === 1)
         val subEsc = sAud.select("doc_id", "train_id")
           .join(exact.select("doc_id", "train_id"),

@@ -151,8 +151,12 @@ object Dedup {
     * which is the standard trade (run dd01 exact dedup first; the
     * residual fingerprint distribution is high-entropy). */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int,
-                   maxBucket: Int = 1000): DataFrame = {
-    val fp = simhashFingerprints(docs)
+                   maxBucket: Int = 1000,
+                   fingerprints: Option[DataFrame] = None): DataFrame = {
+    // `fingerprints` (doc_id, fp) lets a caller that already
+    // materialized the fingerprint pass (dd03's slice audits consume
+    // it three times) feed it in instead of re-tokenizing `docs`
+    val fp = fingerprints.getOrElse(simhashFingerprints(docs))
       .selectExpr("doc_id", "fp",
         "posexplode(transform(sequence(0, 7), c -> (fp >> (c * 8)) & 255))")
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
@@ -389,25 +393,39 @@ object Dedup {
       "dd03_simhash",
       (s, d) => {
         val docs = table(s, d, "documents")
-        val served = SelfAudit.once(
-          simhashPairs(s, docs, maxHamming = 7))
         val docs500 = docs.filter(col("doc_id") < 500)
-        val nearIdent = SelfAudit.once(
-          simhashPairs(s, docs500, maxHamming = 1))
-        val exact08 = SelfAudit.once(
-          exactNgramPairs(s, d, minJaccard = 0.8))
+        // The r17 form ran the slice blocking chain TWICE (maxHamming 1
+        // then 7 — identical fingerprints, census and self-join, only
+        // the final filter differs) and fingerprinted the slice a THIRD
+        // time for the brute-force side. One materialized fingerprint
+        // pass + ONE blocked chain at hamming ≤ 7 now serves all three
+        // consumers (near-identity = filter(hamming ≤ 1) of the same
+        // candidates — same blocking, so row-identical); the three
+        // independent eager audit chains overlap from driver threads
+        // (guide §2.6) so the slice audits hide behind the full-corpus
+        // serve's tail.
+        val frames = ParActions.run(Seq[() => Any](
+          () => SelfAudit.once(simhashPairs(s, docs, maxHamming = 7)),
+          () => {
+            val f = SelfAudit.once(simhashFingerprints(docs500))
+            (f, SelfAudit.once(simhashPairs(s, docs500, maxHamming = 7,
+                                            fingerprints = Some(f))))
+          },
+          () => SelfAudit.once(exactNgramPairs(s, d, minJaccard = 0.8))))
+        val served = frames(0).asInstanceOf[DataFrame]
+        val (fp, blocked7) = frames(1).asInstanceOf[(DataFrame, DataFrame)]
+        val exact08 = frames(2).asInstanceOf[DataFrame]
+        val nearIdent = blocked7.filter(col("hamming") <= 1)
         val precEsc = nearIdent.select("id_a", "id_b")
           .join(exact08.select("id_a", "id_b"), Seq("id_a", "id_b"),
                 "left_anti")
           .agg(count(lit(1)).as("__p"))
-        val fp = simhashFingerprints(docs500)
         val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
         val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"))
         val brute = a.join(b, col("id_a") < col("id_b"))
           .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= lit(7))
           .select("id_a", "id_b")
-        val blocked500 = SelfAudit.once(
-          simhashPairs(s, docs500, maxHamming = 7)).select("id_a", "id_b")
+        val blocked500 = blocked7.select("id_a", "id_b")
         val diff = brute.except(blocked500).union(blocked500.except(brute))
           .agg(count(lit(1)).as("__d"))
         val sAgg = served.agg(
@@ -566,15 +584,25 @@ object Dedup {
              |  transform(sequence(0, size(words) - $L),
              |            i -> concat_ws(' ', slice(words, i + 1, $L)))
              |ELSE cast(array() as array<string>) END""".stripMargin
+        // `words` feeds the gram explode AND the final per-doc join;
+        // `grams` feeds the census AND the dup-position semi-join —
+        // without a barrier each subtree re-runs per consumer (the
+        // split pass twice, the 20-gram explode+hash twice). persist
+        // with lineage INTACT (not localCheckpoint): both frames are
+        // corpus-wide, so on a real cluster an executor loss must be
+        // able to recompute them (guide §5); within this one action
+        // each still computes exactly once.
         val words = table(s, d, "documents")
           .select(col("doc_id"),
                   expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)")
                     .as("words"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val grams = words
           .select(col("doc_id"), posexplode(expr(gramsL)).as(Seq("p", "gram")))
           .withColumn("h1", xxhash64(col("gram")))
           .withColumn("h2", xxhash64(col("gram"), lit(1)))
           .select("doc_id", "p", "h1", "h2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val flagged = grams.groupBy("h1", "h2")
           .agg(countDistinct("doc_id").as("n_docs"))
           .filter(col("n_docs") >= 2)
@@ -675,11 +703,15 @@ object Dedup {
       (s, d) => {
         val docs = table(s, d, "documents")
         val dir = MinHashBandIndex.ensure(s, d)
-        val served = SelfAudit.once(
-          MinHashBandIndex.gate(s, dir, MinHashBandIndex.arrivalsOf(docs)))
-        val exact = SelfAudit.once(MinHashBandIndex.exhaustiveGate(
-          s, MinHashBandIndex.corpusOf(docs),
-          MinHashBandIndex.arrivalsOf(docs).filter(col("doc_id") % 40 === 0)))
+        // serve and exhaustive-slice audit are independent eager chains
+        // — overlap them from driver threads (guide §2.6)
+        val (served, exact) = ParActions.both(
+          () => SelfAudit.once(
+            MinHashBandIndex.gate(s, dir, MinHashBandIndex.arrivalsOf(docs))),
+          () => SelfAudit.once(MinHashBandIndex.exhaustiveGate(
+            s, MinHashBandIndex.corpusOf(docs),
+            MinHashBandIndex.arrivalsOf(docs)
+              .filter(col("doc_id") % 40 === 0))))
         val sAud = served.filter(col("doc_id") % 40 === 0)
         val sRej = sAud.filter(col("keep") === 0)
         val exRej = exact.filter(col("keep") === 0)

@@ -162,8 +162,11 @@ object MinHashBandIndex {
     try {
       rows.select(col("doc_id").as("corpus_id"), col("band"), col("key"),
                   pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
-        .repartition(KeyParts, col("kp")) // one file per kp dir, parallel
-                                          // writers (see mergeSegments)
+        .repartition(KeyParts, col("kp")) // one file per kp dir; hash
+                                          // collisions leave ~1/e of the
+                                          // 64 tasks empty, so writer
+                                          // parallelism is ~40-way, not
+                                          // 64 (see mergeSegments)
         .write.mode("overwrite").partitionBy("kp").parquet(s"$dir/bands")
       rows.select(col("doc_id").as("corpus_id"), col("sh"))
         .dropDuplicates("corpus_id")
@@ -188,8 +191,8 @@ object MinHashBandIndex {
     try {
       rows.select(col("doc_id").as("corpus_id"), col("band"), col("key"),
                   pmod(col("key"), lit(KeyParts.toLong)).cast("int").as("kp"))
-        .repartition(KeyParts, col("kp")) // one file per kp dir, parallel
-                                          // writers (see mergeSegments)
+        .repartition(KeyParts, col("kp")) // one file per kp dir, ~40-way
+                                          // writers (see buildFrom note)
         .write.mode("append").partitionBy("kp").parquet(s"$dir/bands")
       val sh = rows.select(col("doc_id").as("corpus_id"), col("sh"))
         .dropDuplicates("corpus_id")
@@ -432,6 +435,12 @@ object MinHashBandIndex {
   def exhaustiveGate(spark: SparkSession, corpus: DataFrame,
                      batch: DataFrame,
                      minJaccard: Double = MinJaccard): DataFrame = {
+    // NB the two side materializations stay SEQUENTIAL: a ParActions
+    // overlap was measured a regression here (dd09x 2.59 → 3.56 s warm
+    // median, r18) — both passes are single-task at fixture scale and
+    // the concurrent planning contends on session state for no overlap
+    // gain; callers that want overlap get it one level up (dd09's
+    // serve ∥ audit pair)
     val bsh = batch
       .select(col("doc_id"), Dedup.shingleHashes(spark, col("text"), 2).as("sh"))
       .localCheckpoint(true)

@@ -53,7 +53,14 @@ private[graft] object ScanSpread {
           case _ => 0
         }
     }.sum
-    if (bytes < BigInt(p.toLong) * 4L * 1024 * 1024 && leafFiles < p / 2)
+    // retry determinism of round-robin repartition relies on Spark's
+    // sort-before-repartition (on by default, SPARK-23207); a session
+    // that disabled it (e.g. via the AB-conf seam) loses that guarantee
+    // — fall back to identity rather than trade correctness for spread
+    val sortedRepartition = spark.conf
+      .get("spark.sql.execution.sortBeforeRepartition", "true").toBoolean
+    if (sortedRepartition &&
+        bytes < BigInt(p.toLong) * 4L * 1024 * 1024 && leafFiles < p / 2)
       df.repartition(p)
     else df
   }

@@ -1061,14 +1061,20 @@ object ScaleExtensions {
         val collapsed = corpus.groupBy("text")
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id", "text")
+        // the two gate-decision constructions are independent and each
+        // runs eager jobs (segmentFrames checkpoint + the probe-side kp
+        // collect) — overlap them from driver threads (guide §2.6)
+        val (decRaw, decCollapsed) = graft.analytics.ParActions.both(
+          () => decisions(corpus, "raw"),
+          () => decisions(collapsed, "collapsed"))
         val keyed = ids.select(SkewData.zipfKey(col("doc_id"), 400).as("t"))
         keyed.agg(
             count(lit(1)).as("n_corpus"),
             count(when(col("t") === 1, 1)).as("n_hot_copies"),
             count(when(col("t") === 5, 1)).as("n_tail_copies"),
             countDistinct(col("t")).as("n_templates"))
-          .crossJoin(decisions(corpus, "raw"))
-          .crossJoin(decisions(collapsed, "collapsed"))
+          .crossJoin(decRaw)
+          .crossJoin(decCollapsed)
           .select(col("n_corpus"), col("n_hot_copies"),
                   col("n_tail_copies"), col("n_templates"),
                   lit(cap.toLong).as("cap"),
