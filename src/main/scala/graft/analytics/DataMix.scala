@@ -764,12 +764,19 @@ object DataMix {
               when(hf < SplitValFrac, "val")
                 .when(hf < SplitTestCut, "test")
                 .otherwise("train").as("split"))
+    // both shingle frames feed three consumers each (gram explode, hot
+    // semi-join, the size join) — persist with lineage INTACT so each
+    // side tokenizes once per plan instead of three times; the train
+    // side is corpus-wide, so recomputability on executor loss matters
+    // (guide §5)
     val ev = docs.filter(col("split") =!= "train").filter(evalSlice)
       .select(col("doc_id"), col("split"),
               Dedup.shingleHashes(s, col("text"), 2).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tr = docs.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"),
               Dedup.shingleHashes(s, col("text"), 2).as("sh_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evG = ev.select(col("doc_id"), explode(col("sh")).as("g"))
     val trG = tr.select(col("train_id"), explode(col("sh_t")).as("g"))
     // the HOT set (grams above the cap) is tiny — near-empty on a

