@@ -47,11 +47,16 @@ object CurationPipeline {
          |            i -> concat_ws(' ', slice(words, i + 1, $L)))
          |ELSE cast(array() as array<string>) END""".stripMargin
     // `words` is consumed twice (gram derivation + the final SpanStrip
-    // join) — checkpoint the tokenized frame so the pass runs once,
-    // spread off the one-split scan first (ScanSpread guard; r17)
+    // join) — materialize the tokenized frame so the pass runs once,
+    // spread off the one-split scan first (ScanSpread guard; r17).
+    // persist with lineage INTACT, not localCheckpoint: this frame is
+    // CORPUS-WIDE, so on a real cluster an executor loss must be able
+    // to recompute its blocks instead of killing the query (VERDICT
+    // r17 #2 / guide §5; the batch-sized gate-side checkpoints keep
+    // the eager form)
     val words = ScanSpread.forMapPass(table(s, d, "documents"))
       .select(col("doc_id"), col("lang"), expr(wordsExpr).as("words"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = words
       .select(col("doc_id"), posexplode(expr(grams8)).as(Seq("p", "gram")))
       .withColumn("h1", xxhash64(col("gram")))

@@ -132,9 +132,15 @@ object MinHashBandIndex {
   def segmentFrames(spark: SparkSession, docs: DataFrame)
       : (DataFrame, DataFrame) = {
     MinHashSig.register(spark)
+    // persist with lineage INTACT, not localCheckpoint: callers pass
+    // corpus-scale frames here (dm10's train side, sk03's derived
+    // corpus), and a lineage-truncated corpus-wide frame turns an
+    // executor loss into a dead query at cluster scale (VERDICT r17
+    // #2 / guide §5). Both returned frames still derive from ONE
+    // materialized pass — the first consumer fills the blocks.
     val base = docs
       .select(col("doc_id"), Dedup.shingleHashes(spark, col("text"), 2).as("sh"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = base
       .withColumn("sig", call_function(MinHashSig.fnName, col("sh")))
       .select(col("doc_id"),
@@ -441,13 +447,14 @@ object MinHashBandIndex {
     // the concurrent planning contends on session state for no overlap
     // gain; callers that want overlap get it one level up (dd09's
     // serve ∥ audit pair)
-    val bsh = batch
+    val bsh = batch // batch-sized (an arriving micro-batch) — the eager
+      // checkpoint is bounded state, fine to pin (VERDICT r17 #2)
       .select(col("doc_id"), Dedup.shingleHashes(spark, col("text"), 2).as("sh"))
       .localCheckpoint(true)
-    val csh = corpus
+    val csh = corpus // CORPUS-wide — lineage stays intact (guide §5)
       .select(col("doc_id").as("corpus_id"),
               Dedup.shingleHashes(spark, col("text"), 2).as("sh_c"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = bsh.select(col("doc_id"), explode(col("sh")).as("g"))
       .join(csh.select(col("corpus_id"), explode(col("sh_c")).as("g")),
             Seq("g"))

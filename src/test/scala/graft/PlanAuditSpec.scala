@@ -761,4 +761,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(statRows() == 250L,
       "regenerated data at the same path must refresh catalog stats")
   }
+
+  test("ScanSpread sites: nothing order-sensitive downstream of a round-robin spread") {
+    // VERDICT r17 #3: ScanSpread's order-insensitivity contract was
+    // prose-only. Round-robin redistribution makes row order
+    // nondeterministic, so any input-order-sensitive expression
+    // downstream (first/last aggregates, monotonically_increasing_id,
+    // a collect_list never normalized by sort_array) would make a
+    // spread entry's results run-dependent. Pin every current
+    // ScanSpread call site's plan free of them; sites whose spread is
+    // hidden behind an eager checkpoint pass the contains-guard
+    // trivially (their strip stages are pinned via the helper frames
+    // below).
+    val spreadSites = Seq("bp01_boilerplate_ngrams", "tok04_bpe_deep_apply",
+      "cp02_curation_v2", "cp07_training_file", "ref01_reference_e2e")
+    def audit(name: String, p: String): Unit =
+      if (p.contains("RoundRobinPartitioning")) {
+        assert(!p.contains("monotonically_increasing_id"),
+          s"$name: monotonically_increasing_id above a spread\n$p")
+        assert("(?<![a-z_])first\\(".r.findFirstIn(p).isEmpty,
+          s"$name: first() above a spread\n$p")
+        assert("(?<![a-z_])last\\(".r.findFirstIn(p).isEmpty,
+          s"$name: last() above a spread\n$p")
+        if (p.contains("collect_list"))
+          assert(p.contains("sort_array(collect_list"),
+            s"$name: unsorted collect_list above a spread\n$p")
+      }
+    // formatted mode: ObjectHashAggregate's toString hides its result
+    // expressions (where sort_array(collect_list...) lives), so the
+    // audit must read the detailed form
+    spreadSites.foreach(n => audit(n, formatted(n)))
+    // the checkpoint-hidden strip stage, audited directly
+    audit("cp02Cleaned",
+      graft.analytics.CurationPipeline.cp02Cleaned(spark, sf0001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+  }
+
+  test("ScanSpread: identity when sortBeforeRepartition is disabled") {
+    // retry determinism of a round-robin exchange relies on Spark's
+    // sort-before-repartition; if a session disables it (e.g. via the
+    // AB-conf seam) the helper must refuse to spread rather than trade
+    // correctness for parallelism (ADVICE r17).
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+    val spread = graft.analytics.ScanSpread.forMapPass(df)
+    assert(spread.queryExecution.optimizedPlan.toString
+             .contains("Repartition"),
+      "guarded spread should fire on the one-split fixture scan")
+    spark.conf.set("spark.sql.execution.sortBeforeRepartition", "false")
+    try {
+      val noSpread = graft.analytics.ScanSpread.forMapPass(df)
+      assert(!noSpread.queryExecution.optimizedPlan.toString
+               .contains("Repartition"),
+        "spread must fall back to identity without sortBeforeRepartition")
+    } finally
+      spark.conf.unset("spark.sql.execution.sortBeforeRepartition")
+  }
 }
