@@ -81,8 +81,16 @@ object GraphOps {
     * gr03 lineage reason (O(rounds²) re-peel otherwise — measured
     * 38.7 → 3.8 s at 30×). */
   def peelSummary(e0in: DataFrame, c0in: DataFrame, k: Int): DataFrame = {
-    val e0 = e0in.localCheckpoint(true)
-    val c0 = c0in.localCheckpoint(true)
+    // skip the defensive copy when the caller already materialized the
+    // frame (st27 checkpoints both inputs for its own cross-consumers;
+    // re-checkpointing them was a redundant full-copy job per input)
+    def ensureEager(df: DataFrame): DataFrame =
+      df.queryExecution.analyzed match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => df
+        case _ => df.localCheckpoint(true)
+      }
+    val e0 = ensureEager(e0in)
+    val c0 = ensureEager(c0in)
     def restrict(e: DataFrame, keep: DataFrame) =
       e.join(keep.withColumnRenamed("tk", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("tk", "b"), Seq("b"), "left_semi")
@@ -554,9 +562,12 @@ object GraphOps {
       // row-equal + replay-stable in GraphOpsSpec.
       (s, d) => {
         val docs = table(s, d, "documents")
-        val e1 = undirectedEdges(docs.filter(col("doc_id") % 2 === 0))
-          .localCheckpoint(true)
-        val eAll = undirectedEdges(docs).localCheckpoint(true)
+        // the two epochs' edge materializations are independent eager
+        // jobs — overlap them from driver threads (guide §2.6)
+        val (e1, eAll) = ParActions.both(
+          () => undirectedEdges(docs.filter(col("doc_id") % 2 === 0))
+            .localCheckpoint(true),
+          () => undirectedEdges(docs).localCheckpoint(true))
         val delta = eAll.join(e1, Seq("a", "b"), "left_anti")
         val c1 = degreeCensus(e1).localCheckpoint(true)
         val c2inc = c1.unionByName(degreeCensus(delta))
@@ -567,9 +578,13 @@ object GraphOps {
           .filter(col("dg").isNull || col("dg2").isNull ||
                   col("dg") =!= col("dg2"))
           .agg(count(lit(1)).as("__m"))
-        peelSummary(e1, c1, 4).withColumn("epoch", lit(1))
-          .unionByName(
-            peelSummary(eAll, c2inc, 4).withColumn("epoch", lit(2)))
+        // the two epochs' peel chains are independent once their inputs
+        // are materialized — each is 4+ strictly sequential checkpoint
+        // jobs, so overlapping the chains halves that latency leg
+        val (p1, p2) = ParActions.both(
+          () => peelSummary(e1, c1, 4).withColumn("epoch", lit(1)),
+          () => peelSummary(eAll, c2inc, 4).withColumn("epoch", lit(2)))
+        p1.unionByName(p2)
           .crossJoin(mergeDiff)
           .select(col("epoch"), col("round"), col("n_nodes"),
                   col("n_edges"), col("n_core_candidates"),
